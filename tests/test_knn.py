@@ -1,0 +1,104 @@
+"""kNN operator unit tests on tiny inline frames (FIXTURES.md §B; mirrors
+the reference's handcrafted-vector test style,
+reference: src/core/index/faiss_index.rs:149-288)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.knn import batch_knn, knn, pairwise_similarity
+
+
+@pytest.fixture()
+def corpus(spark):
+    # ≅ faiss_index.rs:161-165 — two identical vectors + one far vector
+    return spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [9.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_self_match_l2(corpus):
+    # ≅ faiss_index.rs:156-190: query equals ids 1/2; distance ≈ 0
+    rows = knn(corpus, [1.0] * 8, 2).collect()
+    assert [r.vec_id for r in rows] == [1, 2]  # tie broken by id
+    assert all(abs(r.distance) < 1e-3 for r in rows)
+
+
+def test_k_larger_than_corpus(corpus):
+    assert len(knn(corpus, [1.0] * 8, 10).collect()) == 3
+
+
+def test_filtered_returns_only_allowed(corpus):
+    # ≅ faiss_index.rs:167-183 pre-filter: min(k, matches) rows, all allowed
+    rows = knn(corpus, [1.0] * 8, 2, predicate=F.col("vec_id") == 1).collect()
+    assert [r.vec_id for r in rows] == [1]
+
+
+def test_ip_vs_l2_order_differ(spark):
+    # ≅ metric dispatch src/core/index_factory.rs:85-156: corpus where the
+    # dot-product ranking differs from the L2 ranking.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [10.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0]
+    assert [r.vec_id for r in knn(df, q, 2, metric="l2").collect()] == [1, 2]
+    assert [r.vec_id for r in knn(df, q, 2, metric="ip").collect()] == [2, 1]
+
+
+def test_cosine_ignores_magnitude(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn(df, [1.0, 0.0], 2, metric="cosine").collect()
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert rows[0].score == pytest.approx(1.0)
+
+
+def test_k_validation(corpus):
+    # ≅ k >= 1 validation, src/models/request/search.rs:6-17
+    with pytest.raises(ValueError):
+        knn(corpus, [1.0] * 8, 0)
+    with pytest.raises(ValueError):
+        batch_knn(corpus, corpus, 0)
+
+
+def test_unknown_metric(corpus):
+    with pytest.raises(ValueError):
+        knn(corpus, [1.0] * 8, 1, metric="hamming")
+
+
+def test_batch_knn(spark, corpus):
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 8), (200, [9.0] * 8)],
+        "query_id long, query_vec array<float>",
+    )
+    rows = batch_knn(corpus, queries, 1).collect()
+    got = {r.query_id: r.vec_id for r in rows}
+    assert got == {100: 1, 200: 3}
+    assert all(r.rank == 1 for r in rows)
+
+
+def test_pairwise_similarity(corpus):
+    rows = pairwise_similarity(corpus, threshold=1e-6).collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+
+
+def test_dim_mismatch_rejected(corpus):
+    # ≅ loose-validation divergence (FIXTURES.md B6): the reference lets a
+    # 6-dim query hit a 3-dim index (search_index_handle.rs:201-215); we
+    # raise a clean error instead of returning NULL distances.
+    with pytest.raises(Exception, match="dimension mismatch"):
+        knn(corpus, [1.0] * 6, 2).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        knn(corpus, [], 2)
+
+
+def test_topk_plan_is_take_ordered(corpus):
+    # single-query top-k must plan as TakeOrderedAndProject (partial per-
+    # partition top-k, no global sort) — the 100 TB-scan-safety property.
+    plan = knn(corpus, [1.0] * 8, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

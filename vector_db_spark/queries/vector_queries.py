@@ -1,0 +1,161 @@
+"""Vector-search query family (SURVEY.md §2.3/§2.4/§2.6/§2.9).
+
+Covers the reference's entire search surface — exact top-k under L2²/IP/
+cosine, eq/neq-filtered search, batch search, point lookup — each verified
+against DuckDB. Query vectors are data-derived (the embedding of a fixed
+vec_id) so Spark and the oracle see bit-identical inputs.
+
+Determinism: every query orders by (metric, id) and rounds the float output
+column to 6 decimals on both sides (SURVEY.md §7.3.1-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.vector import l2_norm
+from vector_db_spark.operators.knn import batch_knn, knn
+from vector_db_spark.oracle import cosine_sim_sql, dot_sql, l2_sq_sql
+from vector_db_spark.queries.registry import query
+from vector_db_spark.sources.fixtures import load_table
+
+QUERY_VEC_ID = 0  # fixture vec_ids start at 0 (FIXTURES.md)
+K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vid: int = QUERY_VEC_ID) -> list[float]:
+    """Fetch one query vector (a single-row collect — query side, not corpus)."""
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == vid)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+_L2 = l2_sq_sql("e.embedding", "q.qv")
+_IP = dot_sql("e.embedding", "q.qv")
+_COS = cosine_sim_sql("e.embedding", "q.qv")
+
+
+def _knn_oracle(metric_sql: str, out: str, direction: str, where: str = "") -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+top AS (
+  SELECT e.vec_id, {metric_sql} AS {out}
+  FROM embeddings e, q
+  {where}
+  ORDER BY {out} {direction}, e.vec_id
+  LIMIT {K}
+)
+SELECT vec_id, round({out}, 6) AS {out} FROM top
+"""
+
+
+@query("knn_l2", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("knn_ip", oracle=_knn_oracle(_IP, "score", "DESC"))
+def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, metric="ip")
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("knn_cosine", oracle=_knn_oracle(_COS, "score", "DESC"))
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, metric="cosine")
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("knn_filtered_eq", oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"))
+def knn_filtered_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered search, `label == 3` — the FilterIndex Equal op
+    (reference: src/core/index/filter_index.rs:49-53) as predicate pushdown."""
+    res = knn(
+        _emb(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        K,
+        metric="l2",
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("knn_filtered_neq", oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label <> 3"))
+def knn_filtered_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`label != 3` — FilterIndex NotEqual (reference:
+    src/core/index/filter_index.rs:54-61), here a plain pushed-down predicate."""
+    res = knn(
+        _emb(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        K,
+        metric="l2",
+        predicate=F.col("label") != 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_BATCH_K = 5
+_BATCH_L2 = l2_sq_sql("e.embedding", "q.qv")
+
+_BATCH_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_BATCH_L2} AS dist
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance, rank
+FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("knn_batch", oracle=_BATCH_ORACLE)
+def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = batch_knn(emb, queries, _BATCH_K, metric="l2")
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+_POINT_ID = 42
+
+_POINT_ORACLE = f"""
+SELECT vec_id, label, round(sqrt({dot_sql("embedding", "embedding")}), 6) AS emb_norm
+FROM embeddings WHERE vec_id = {_POINT_ID}
+"""
+
+
+@query("point_lookup", oracle=_POINT_ORACLE)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-by-id (reference: src/router/handle/query_handle.rs:12-33) —
+    a filter that prunes to one row-group on id-clustered files. The vector
+    column is summarized by its norm so the hash compare stays scalar."""
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == _POINT_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+        )
+    )
