@@ -1,0 +1,111 @@
+"""Collection lifecycle/DML tests ≅ the reference's factory + db tests
+(src/core/index_factory.rs:177-278, src/db/vector_database.rs:87-146)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.collections import (
+    CollectionCatalog,
+    delete_rows,
+    merge_upsert,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return CollectionCatalog(spark, str(tmp_path))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, embedding array<float>, name string")
+
+
+def test_create_validation(catalog):
+    # ≅ dim >= 1 (create.rs:12-14); unknown type -> error (index_factory.rs:157-161)
+    with pytest.raises(ValueError, match="dim"):
+        catalog.create("bad", dim=0)
+    with pytest.raises(ValueError, match="index_type"):
+        catalog.create("bad", dim=3, index_type="hnsw9000")
+    with pytest.raises(ValueError, match="metric"):
+        catalog.create("bad", dim=3, metric="manhattan")
+
+
+def test_registry_roundtrip(catalog):
+    # ≅ multi-(type,dim,metric) registry test (index_factory.rs:177-278)
+    catalog.create("a", dim=3, metric="l2", index_type="exact")
+    catalog.create("b", dim=8, metric="ip", index_type="lsh")
+    assert catalog.list() == ["a", "b"]
+    assert catalog.get("a").info.dim == 3
+    assert catalog.get("b").info.metric == "ip"
+    with pytest.raises(ValueError, match="exists"):
+        catalog.create("a", dim=3)
+    with pytest.raises(KeyError):
+        catalog.get("missing")  # ≅ 404 (app_error.rs:38-44)
+
+
+def test_upsert_then_query_roundtrip(spark, catalog):
+    # ≅ upsert-then-query JSON equality (vector_database.rs:97-145):
+    # second upsert with same id replaces; read-back returns merged row.
+    c = catalog.create("docs", dim=3)
+    c.upsert(_df(spark, [(1, [1.0, 2.0, 3.0], "sora")]))
+    row = c.get(1)
+    assert row.name == "sora"
+    c.upsert(_df(spark, [(1, [9.0, 9.0, 9.0], "updated")]))
+    assert c.scan().count() == 1  # exactly one live row per id
+    assert c.get(1).name == "updated"
+    assert [round(x) for x in c.get(1).embedding] == [9, 9, 9]
+    assert c.get(404) is None
+
+
+def test_insert_append_and_delete(spark, catalog):
+    c = catalog.create("v", dim=2)
+    c.insert(_df(spark, [(1, [0.0, 0.0], "a"), (2, [1.0, 1.0], "b")]))
+    c.insert(_df(spark, [(3, [2.0, 2.0], "c")]))
+    assert c.scan().count() == 3
+    c.delete(F.col("id") == 2)
+    assert sorted(r.id for r in c.scan().collect()) == [1, 3]
+    # delete by id-set DataFrame (anti-join path)
+    c.delete(spark.createDataFrame([(3,)], "id long"))
+    assert [r.id for r in c.scan().collect()] == [1]
+
+
+def test_write_validation(spark, catalog):
+    c = catalog.create("strict", dim=3)
+    with pytest.raises(Exception, match="must be >= 1"):
+        c.insert(_df(spark, [(0, [1.0, 2.0, 3.0], "x")]))  # id >= 1 (insert.rs:12-14)
+    with pytest.raises(Exception, match="dim=3"):
+        c.insert(_df(spark, [(1, [1.0, 2.0], "x")]))  # strict dim-on-write
+
+
+def test_merge_upsert_updates_win(spark):
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    ups = spark.createDataFrame([(1, "new"), (3, "ins")], "id long, v string")
+    got = {r.id: r.v for r in merge_upsert(base, ups, ("id",)).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_upsert_schema_mismatch(spark):
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    ups = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(base, ups, ("id",))
+
+
+def test_delete_rows_predicate_and_idset(spark):
+    base = spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long")
+    assert delete_rows(base, F.col("v") > 20, ("id",)).count() == 3
+    ids = spark.createDataFrame([(0,), (1,)], "id long")
+    assert sorted(r.id for r in delete_rows(base, ids, ("id",)).collect()) == [2, 3, 4]
+
+
+def test_catalog_survives_restart(spark, tmp_path):
+    # durability divergence: the reference loses indexes on restart
+    # (in-memory DashMap, index_factory.rs:170-175); our catalog must not.
+    c1 = CollectionCatalog(spark, str(tmp_path))
+    col = c1.create("persist", dim=2)
+    col.insert(_df(spark, [(1, [1.0, 2.0], "x")])[["id", "embedding", "name"]])
+    c2 = CollectionCatalog(spark, str(tmp_path))
+    assert c2.list() == ["persist"]
+    assert c2.get("persist").get(1).name == "x"

@@ -7,6 +7,6 @@ Importing this package pulls in every query family.
 
 from vector_db_spark.queries.registry import ORACLES, QUERIES, query
 
-from vector_db_spark.queries import vector_queries  # noqa: E402,F401
+from vector_db_spark.queries import collection_queries, vector_queries  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

@@ -1,0 +1,109 @@
+"""DML query family: MERGE-upsert and delete-then-search verified against
+the oracle as pure dataflow over the fixtures (SURVEY.md §2.9 rows
+"upsert then read-back" / "delete then search").
+
+The oracle SQL simulates MERGE as `updates ∪ (base ANTI JOIN updates)` —
+the declarative definition of the semantics our `merge_upsert` implements
+with one window over a union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.vector import l2_norm
+from vector_db_spark.operators.collections import delete_rows, merge_upsert
+from vector_db_spark.operators.knn import knn
+from vector_db_spark.oracle import dot_sql, l2_sq_sql
+from vector_db_spark.queries.registry import query
+from vector_db_spark.queries.vector_queries import _emb, _qvec
+from vector_db_spark.sources.fixtures import load_table
+
+_NORM = f"round(sqrt({dot_sql('embedding', 'embedding')}), 6)"
+
+_UPSERT_ORACLE = f"""
+WITH maxid AS (SELECT max(vec_id) AS m FROM embeddings),
+updates AS (
+  SELECT vec_id, embedding, label + 100 AS label
+  FROM embeddings WHERE vec_id < 5
+  UNION ALL
+  SELECT e.vec_id + x.m + 1 AS vec_id, e.embedding, 999 AS label
+  FROM embeddings e, maxid x WHERE e.vec_id < 3
+),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT b.* FROM embeddings b
+  WHERE b.vec_id NOT IN (SELECT vec_id FROM updates)
+)
+SELECT m.vec_id, m.label, {_NORM.replace('embedding', 'm.embedding')} AS emb_norm
+FROM merged m, maxid x
+WHERE m.vec_id < 5 OR m.vec_id > x.m
+"""
+
+
+@query("upsert_readback", oracle=_UPSERT_ORACLE)
+def upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a batch that both updates existing ids (label += 100) and
+    inserts new ids (shifted past max, label 999), then read back the
+    touched keys. Exactly-one-live-row-per-id semantics
+    (vs reference stale-HNSW-vector bug, src/db/vector_database.rs:36-39)."""
+    emb = _emb(spark, sf_dir)
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    updates = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding", (F.col("label") + 100).alias("label"))
+        .unionByName(
+            emb.filter(F.col("vec_id") < 3).select(
+                (F.col("vec_id") + max_id + 1).alias("vec_id"),
+                "embedding",
+                F.lit(999).alias("label"),
+            )
+        )
+    )
+    merged = merge_upsert(emb, updates, ("vec_id",))
+    return (
+        merged.filter((F.col("vec_id") < 5) | (F.col("vec_id") > max_id))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+        )
+    )
+
+
+_L2_E = l2_sq_sql("e.embedding", "q.qv")
+_L2_R = l2_sq_sql("r.embedding", "q.qv")
+
+_DELETE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+victims AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_L2_E}, e.vec_id
+  LIMIT 5
+),
+remaining AS (
+  SELECT * FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+),
+top AS (
+  SELECT r.vec_id, {_L2_R} AS distance
+  FROM remaining r, q
+  ORDER BY distance, r.vec_id
+  LIMIT 10
+)
+SELECT vec_id, round(distance, 6) AS distance FROM top
+"""
+
+
+@query("delete_then_search", oracle=_DELETE_ORACLE)
+def delete_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove the 5 nearest ids (a *computed* id set, ≅ remove_vectors
+    src/core/index/faiss_index.rs:131-138 as broadcast anti-join), then
+    search again — the next ring of neighbors must surface."""
+    emb = _emb(spark, sf_dir)
+    qv = _qvec(spark, sf_dir)
+    victims = knn(emb, qv, 5, metric="l2").select("vec_id")
+    remaining = delete_rows(emb, victims, ("vec_id",))
+    res = knn(remaining, qv, 10, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
