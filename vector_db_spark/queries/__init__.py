@@ -7,6 +7,10 @@ Importing this package pulls in every query family.
 
 from vector_db_spark.queries.registry import ORACLES, QUERIES, query
 
-from vector_db_spark.queries import collection_queries, vector_queries  # noqa: E402,F401
+from vector_db_spark.queries import (  # noqa: E402,F401
+    collection_queries,
+    relational_queries,
+    vector_queries,
+)
 
 __all__ = ["ORACLES", "QUERIES", "query"]

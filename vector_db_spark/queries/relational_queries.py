@@ -1,0 +1,512 @@
+"""Relational query family (SURVEY.md §2.9 / M3).
+
+The reference has no relational operators at all (verified absence,
+SURVEY.md §2.8) — this family exercises what our engine gains from Spark
+SQL: multi-way joins (with explicit broadcast of small dimensions),
+aggregations (incl. ROLLUP), window functions (ranking, running totals,
+sessionization), set operations, semi-joins, and the scalar function
+library (string/date/math/JSON), all verified against DuckDB.
+
+Cross-engine determinism rules used throughout:
+- Float sums are never hash-compared raw: every SUM goes through
+  DECIMAL(38,6) (exact, summation-order-independent) and is cast back to
+  DOUBLE at the end; averages are exact-decimal-sum / count.
+- Timestamps are grouped via date_trunc-equivalent expressions and output
+  as formatted strings; epoch arithmetic uses integer microseconds
+  (`unix_micros` ≅ DuckDB `epoch_us`) — never truncated seconds.
+- Every query has a deterministic total order or is order-insensitive.
+
+Scale notes: nation/region/customer joins broadcast the small side
+explicitly (`F.broadcast`) — at 100 TB the lineitem side never shuffles
+for those; the orders⋈lineitem join shuffles on the join key, which AQE
+sizes at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.queries.registry import query
+from vector_db_spark.sources.fixtures import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col):
+    """Order-independent exact sum: cast each term to decimal, sum, back to
+    double. Bit-identical across engines regardless of partial-agg order."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style aggregation (Q1 shape): scan → filter → group → exact aggs
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing", oracle=_Q1_ORACLE)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.round(
+            _dsum(F.col("l_quantity")) / F.count(F.lit(1)), 6
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-way join + top-k by aggregate (Q3 shape)
+# --------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping", oracle=_Q3_ORACLE)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-way star join through region (Q5 shape) — dims broadcast
+# --------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_region", oracle=_Q5_ORACLE)
+def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-join (Q4 shape): orders with at least one late-shipped lineitem
+# --------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_semijoin", oracle=_Q4_ORACLE)
+def tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Join + agg with HAVING over part dimension
+# --------------------------------------------------------------------------
+
+_BRAND_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       round(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+HAVING COUNT(*) > 100
+"""
+
+
+@query("brand_part_agg", oracle=_BRAND_ORACLE)
+def brand_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            F.round(_dsum(F.col("p_retailprice")) / F.count(F.lit(1)), 6).alias(
+                "avg_price"
+            ),
+        )
+        .filter(F.col("n_items") > 100)
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregation
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_lineitem", oracle=_ROLLUP_ORACLE)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: ranking within partition (top-3 customers per nation)
+# --------------------------------------------------------------------------
+
+_TOPCUST_ORACLE = """
+SELECT n_name, c_name, round(c_acctbal, 6) AS acctbal, rnk
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+) JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk <= 3
+"""
+
+
+@query("window_top_customers", oracle=_TOPCUST_ORACLE)
+def window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_name", F.round("c_acctbal", 6).alias("acctbal"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: running total (exact-decimal cumulative sum)
+# --------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+@query("window_running_total", oracle=_RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped batch: tumbling window aggregation over events
+# --------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling", oracle=_TUMBLING_ORACLE)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via F.window — identical logical op to the
+    Structured Streaming version in streaming/ (same groupBy(window(...))),
+    verified here on the batch path."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + cumulative sum)
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@query("events_sessionization", oracle=_SESSION_ORACLE)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the batch path: lag-gap flag + running sum.
+    Integer-microsecond arithmetic (unix_micros ≅ epoch_us) so the 30-min
+    boundary is exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    micros = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            micros - F.lag(micros).over(order_w) > 1800 * 1_000_000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    with_session = flagged.withColumn("session_id", F.sum("new_session").over(cum_w))
+    return with_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over nation keys
+# --------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT n_nationkey, 'both' AS tag FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT n_nationkey, 'customers_only' AS tag FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+@query("set_ops_nations", oracle=_SETOPS_ORACLE)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    only = cust_nations.subtract(supp_nations).withColumn(
+        "tag", F.lit("customers_only")
+    )
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Scalar function library: string / date / math / JSON in one projection
+# --------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT event_id,
+       upper(event_type) AS etype_upper,
+       substr(event_type, 1, 3) AS etype_prefix,
+       concat(event_type, ':', CAST(user_id AS VARCHAR)) AS etype_user,
+       length(event_type) AS etype_len,
+       year(ts) AS y, month(ts) AS m, day(ts) AS d,
+       round(abs(value - 100.0), 6) AS centered,
+       round(sqrt(value), 6) AS value_sqrt,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+WHERE event_id < 500
+"""
+
+
+@query("scalar_functions", oracle=_SCALAR_ORACLE)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface the reference lacks entirely (it stores
+    JSON opaque and never computes on it, src/db/scalar_storage.rs:10-14):
+    string/date/math/JSON functions in one pushed-down projection."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.substring("event_type", 1, 3).alias("etype_prefix"),
+        F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "etype_user"
+        ),
+        F.length("event_type").alias("etype_len"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.round(F.abs(F.col("value") - 100.0), 6).alias("centered"),
+        F.round(F.sqrt("value"), 6).alias("value_sqrt"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation (pivot shape): daily funnel counts
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+         AS purchase_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_daily_funnel", oracle=_FUNNEL_ORACLE)
+def events_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def _cnt(etype):
+        return F.count(F.when(F.col("event_type") == etype, F.lit(1)))
+
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            _cnt("view").alias("views"),
+            _cnt("click").alias("clicks"),
+            _cnt("purchase").alias("purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(38,6)"),
+                )
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
