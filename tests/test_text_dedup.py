@@ -1,0 +1,154 @@
+"""Text-function and dedup-operator tests, incl. MinHash-LSH recall vs the
+exact Jaccard operator (SURVEY.md §5 strategy item 3: the oracle-verified
+exact op is the in-house ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from vector_db_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_neardup,
+    minhash_signatures,
+    simhash64,
+    simhash_candidates,
+)
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([("a b  c d",), ("x",)], "text string")
+    rows = df.select(
+        token_count(F.col("text")).alias("n"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    ).collect()
+    assert rows[0].n == 4
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].n == 1
+    assert rows[1].sh == []  # shorter than k -> empty, not null
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    res = {r.doc_id: (r.canonical_id, r.n_copies) for r in exact_dedup(df).collect()}
+    assert res == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_jaccard_pairs_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w5"),  # identical -> jaccard 1.0
+            (3, "z1 z2 z3 z4 z5"),  # disjoint -> no pair
+        ],
+        "doc_id long, text string",
+    )
+    rows = jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard == pytest.approx(1.0)
+
+
+def test_minhash_identical_docs_always_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=16)
+    cands = lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()
+    assert (1, 2) in [(r.a_id, r.b_id) for r in cands]
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH recall on real fixture data: at j >= 0.7 with 64 hashes / 16
+    bands the s-curve gives ~1-(1-0.7^4)^16 ≈ 0.99 expected recall."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert len(exact) >= 3, "fixture should contain high-jaccard pairs"
+    found = {
+        (r.a_id, r.b_id)
+        for r in minhash_neardup(docs, threshold=0.7).collect()
+    }
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall} over {len(exact)} true pairs"
+    assert found <= exact, "verification stage must kill false positives"
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "alpha beta gamma delta epsilon eta"),  # 1 word differs
+            (4, "one two three four five six"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    hashes = simhash64(df)
+    vals = {r.id: r.simhash for r in hashes.collect()}
+    assert vals[1] == vals[2]
+    # near-identical docs share most bits; unrelated docs differ in ~half
+    ham_13 = bin((vals[1] ^ vals[3]) & (2**64 - 1)).count("1")
+    ham_14 = bin((vals[1] ^ vals[4]) & (2**64 - 1)).count("1")
+    assert 0 < ham_13 < ham_14
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_candidates(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_simhash_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidates(simhash64(df), max_hamming=4, chunks=4)
+
+
+def test_lang_id_stopword_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "el perro y la casa de los gatos"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in df.select(
+        "doc_id", lang_id(F.col("text")).alias("pred")
+    ).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_score_orders_sensibly(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm " * 5), (2, "@@ ## !!")],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    q = {r.doc_id: r.q for r in rows}
+    assert q[1] > q[2]

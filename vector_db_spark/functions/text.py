@@ -1,0 +1,132 @@
+"""Text-analysis column functions for LLM-data-pipeline work.
+
+The reference stores text opaque and never computes on it
+(src/db/scalar_storage.rs:10-14); these are the text primitives a training
+corpus pipeline needs — tokenization, shingling, quality features,
+language-ID, fingerprinting — all as native Catalyst expressions
+(higher-order functions over split arrays), no Python in the hot path.
+
+Cross-engine notes: tokenization is a literal single-space split with
+empties dropped, and every ratio is expressed through length/replace
+arithmetic that DuckDB reproduces exactly — see pipeline_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language classifier.
+# Order matters: it is the deterministic argmax tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"),
+    "es": ("el", "la", "de", "los", "y", "es", "en", "un", "que", "por"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (single-space split, empties dropped)."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (the MinHash/Jaccard unit).
+    Texts shorter than k words yield an empty array."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (SimHash/fingerprint unit)."""
+    return F.when(
+        F.length(col) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                lambda i: F.substring(col, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Share of characters that are not [a-z0-9 ] (lowercased text)."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[a-z0-9 ]", "")
+    return F.when(
+        F.length(col) > 0, F.length(stripped) / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col: Column) -> Column:
+    n = token_count(col)
+    return F.when(n > 0, F.length(F.replace(col, F.lit(" "), F.lit(""))) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: stopword density + length
+    saturation + punctuation cleanliness. The standard cheap pre-filter
+    before expensive dedup/training steps."""
+    return (
+        stopword_ratio(col, "en") * 0.5
+        + F.least(token_count(col) / F.lit(100.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - punct_ratio(col)) * 0.2
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language classifier with deterministic priority-order
+    tie-break (the order of STOPWORDS)."""
+    scores = lang_scores(col)
+    langs = list(STOPWORDS)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [scores[o] for o in langs[langs.index(lang) + 1 :]]
+        expr = F.when(scores[lang] >= F.greatest(*later) if len(later) > 1 else scores[lang] >= later[0], F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
+    to spaces, collapse runs, trim."""
+    lowered = F.lower(col)
+    alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(alnum, " +", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex)."""
+    return F.md5(normalized_text(col))

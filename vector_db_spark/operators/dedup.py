@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines, 100 TB-first.
+
+Five strategies, in increasing fuzziness, all shuffle-conscious:
+
+- **exact_dedup** — md5-of-text hash groups; one hash-shuffle, map-side
+  partial aggregation.
+- **jaccard_pairs** — *exact* n-gram/shingle Jaccard via explode → shingle
+  join → group (pure relational; the inverted-index formulation that scales
+  instead of the O(n²) array-pair one).
+- **minhash_lsh** — MinHash signatures (xxhash64 family) banded into LSH
+  buckets; candidates only ever meet inside a bucket, then are verified
+  with exact Jaccard. Sub-quadratic near-dedup, the MapReduce-era standard.
+- **simhash** — 64-bit SimHash by token-hash bit voting (explode +
+  64 conditional sums, all codegen); near-dup = small Hamming distance,
+  candidate generation by 16-bit chunk equality (pigeonhole: hamming ≤ 3
+  ⇒ at least one of 4 chunks equal).
+- **embedding near-dup** — cosine threshold over vector pairs (delegates
+  to operators.knn.pairwise_similarity; LSH-blocked at scale).
+
+Every candidate-generation stage is an equi-join on a derived key —
+shuffle-partitionable, AQE-skew-splittable — never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row its content-hash group: adds ``content_hash``,
+    ``canonical_id`` (min id in group — the survivor) and ``n_copies``.
+    Filter ``id != canonical_id`` to drop duplicates."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle) inverted-index rows — distinct k-word shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard similar pairs via the inverted-index join:
+    explode shingles → self-equi-join on shingle → count intersections →
+    |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere; the shingle join is an
+    equi-join AQE can skew-split (pathologically common shingles are the
+    skew risk — pre-filter them upstream if needed)."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a_id"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("id").alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle). One narrow projection, no shuffle; the whole
+    signature family evaluates inside codegen."""
+    shingles = word_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(shingles) > 0, sig).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures (bands × rows = num_hashes) and emit candidate
+    pairs that collide in ≥1 band. Collision probability for true Jaccard j
+    is 1-(1-j^r)^b — with 16×4 the s-curve crosses ~0.5 at j≈0.5."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    banded = signatures.filter(F.col("signature").isNotNull()).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col("signature"), i * r + 1, r)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    left = banded.select("id", "bk")
+    right = banded.select(F.col("id").alias("id2"), F.col("bk").alias("bk2"))
+    return (
+        left.join(
+            right,
+            (F.col("bk.band") == F.col("bk2.band"))
+            & (F.col("bk.key") == F.col("bk2.key"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(F.col("id").alias("a_id"), F.col("id2").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_neardup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard: output ⊆ jaccard_pairs
+    with recall governed by the band s-curve. The full sub-quadratic
+    near-dedup pipeline in one call."""
+    sigs = minhash_signatures(df, num_hashes, id_col, text_col, k)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    exact = jaccard_pairs(df, threshold, id_col, text_col, k)
+    return cands.join(exact, ["a_id", "b_id"])
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash each, vote per bit
+    (+1/−1), sign → bit. All 64 votes are conditional sums in one grouped
+    aggregation — map-side partial agg applies, one shuffle by id."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    bits = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        bits = term if bits is None else bits.bitwiseXOR(term)
+    return voted.select("id", bits.alias("simhash"))
+
+
+def simhash_candidates(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over 64-bit
+    SimHashes. Pigeonhole blocking: split into ``chunks`` 16-bit pieces;
+    distance ≤ chunks−1 guarantees ≥1 equal chunk, so candidates meet via
+    an equi-join on (chunk index, chunk value), then exact popcount
+    verifies. Requires max_hamming < chunks."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    blocked = hashes.select("id", "simhash", F.explode(pieces).alias("p"))
+    left = blocked.select("id", "simhash", "p")
+    right = blocked.select(
+        F.col("id").alias("id2"), F.col("simhash").alias("simhash2"), F.col("p").alias("p2")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("p.chunk") == F.col("p2.chunk"))
+            & (F.col("p.val") == F.col("p2.val"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(
+            F.col("id").alias("a_id"),
+            F.col("id2").alias("b_id"),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -9,6 +9,7 @@ from vector_db_spark.queries.registry import ORACLES, QUERIES, query
 
 from vector_db_spark.queries import (  # noqa: E402,F401
     collection_queries,
+    pipeline_queries,
     relational_queries,
     vector_queries,
 )

@@ -1,0 +1,288 @@
+"""LLM-data-pipeline query family (SURVEY.md §7.1 M5, BASELINE.json
+north star): dedup (exact + fuzzy), text analysis, language-ID,
+fingerprinting, and embedding near-dup — over the `documents` /
+`embeddings` fixtures, oracle-verified wherever SQL-expressible.
+
+Tokenization parity contract with DuckDB: single-space split, empties
+dropped; every ratio is integer-arithmetic-then-one-divide; md5 on both
+engines returns lowercase hex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import (
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from vector_db_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_neardup,
+    simhash64,
+    simhash_candidates,
+)
+from vector_db_spark.operators.knn import pairwise_similarity
+from vector_db_spark.oracle import cosine_sim_sql
+from vector_db_spark.queries.registry import query
+from vector_db_spark.sources.fixtures import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy). The fixtures have no exact duplicates, so the
+# query injects them deterministically (re-insert the first 100 docs under
+# shifted ids) — the operator must find exactly those groups.
+# --------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+WITH maxid AS (SELECT max(doc_id) AS m FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + x.m + 1 AS doc_id, d.text
+  FROM documents d, maxid x WHERE d.doc_id < 100
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),
+grouped AS (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+         count(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM hashed
+)
+SELECT doc_id, canonical_id, n_copies FROM grouped WHERE n_copies > 1
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"), "text"
+        )
+    )
+    return (
+        exact_dedup(corpus, "text", "doc_id")
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id", "canonical_id", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram (3-word shingle) Jaccard near-dup — inverted-index join
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter p JOIN sizes sa ON p.a_id = sa.doc_id
+JOIN sizes sb ON p.b_id = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+"""
+
+
+@query("neardup_jaccard", oracle=_JACCARD_ORACLE)
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Text quality features
+# --------------------------------------------------------------------------
+
+_EN = "'the','a','of','and','to','in','is','it','that','for'"
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+  round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  round(CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) / len(toks), 6)
+    AS stop_ratio,
+  round(CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) / len(toks) * 0.5
+        + least(len(toks) / 100.0, 1.0) * 0.3
+        + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 0.2, 6) AS quality
+FROM base
+"""
+
+
+@query("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(avg_token_len(t), 6).alias("avg_tok_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, "en"), 6).alias("stop_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID (stopword-vote heuristic, deterministic tie-break)
+# --------------------------------------------------------------------------
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+from vector_db_spark.functions.text import STOPWORDS  # noqa: E402
+
+_H = {lang: _hits_sql(words) for lang, words in STOPWORDS.items()}
+
+_LANG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {_H['en']} AS h_en, {_H['de']} AS h_de, {_H['es']} AS h_es,
+         {_H['fr']} AS h_fr, {_H['zh']} AS h_zh
+  FROM base
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh) THEN 'en'
+    WHEN h_de >= greatest(h_es, h_fr, h_zh) THEN 'de'
+    WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+    WHEN h_fr >= h_zh THEN 'fr'
+    ELSE 'zh'
+  END AS lang_pred
+FROM scored
+"""
+
+
+@query("lang_id_predict", oracle=_LANG_ORACLE)
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (normalized md5)
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id < 100
+"""
+
+
+@query("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Corpus token statistics
+# --------------------------------------------------------------------------
+
+_TOKSTATS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens,
+       count(DISTINCT token) AS vocab_size
+FROM tok
+"""
+
+
+@query("token_stats", oracle=_TOKSTATS_ORACLE)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tok = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    return tok.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact pairwise over the vector corpus)
+# --------------------------------------------------------------------------
+
+_EMB_ORACLE = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({cosine_sim_sql('a.embedding', 'b.embedding')}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cosine_sim_sql('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@query("embedding_neardup", oracle=_EMB_ORACLE)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_similarity(emb, metric="cosine", threshold=0.4)
+    return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup: not expressible in portable SQL (engine
+# hash functions differ) → rows-only driver check; recall against the exact
+# operator is asserted in tests/test_dedup.py.
+# --------------------------------------------------------------------------
+
+
+@query("minhash_lsh_neardup")
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = minhash_neardup(_docs(spark, sf_dir), threshold=0.6)
+    return res.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("simhash_neardup")
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = simhash64(_docs(spark, sf_dir))
+    return simhash_candidates(hashes, max_hamming=3)
