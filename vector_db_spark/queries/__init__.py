@@ -8,6 +8,7 @@ Importing this package pulls in every query family.
 from vector_db_spark.queries.registry import ORACLES, QUERIES, query
 
 from vector_db_spark.queries import (  # noqa: E402,F401
+    ann_queries,
     collection_queries,
     pipeline_queries,
     relational_queries,

@@ -1,0 +1,43 @@
+"""Approximate-ANN query family (SURVEY.md §7.1 M4).
+
+`ann_ivf_full_probe` is the strict correctness gate: with nprobe == nlist
+the IVF path must reproduce exact kNN bit-for-bit, so the KMeans
+assignment + cell filter + rerank machinery is verified against the same
+DuckDB oracle as `knn_l2`. The reduced-probe and LSH variants are the
+actual approximate paths (rows-only; recall is asserted vs the exact
+operator in tests/test_ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+from vector_db_spark.queries.registry import query
+from vector_db_spark.queries.vector_queries import _emb, _knn_oracle, _L2, _qvec, K
+
+
+@query("ann_ivf_full_probe", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_ivf_probe")
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path: probe half the cells."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=4, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_lsh_cosine")
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    res = idx.search(_qvec(spark, sf_dir), K)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
