@@ -102,3 +102,48 @@ def test_topk_plan_is_take_ordered(corpus):
     # partition top-k, no global sort) — the 100 TB-scan-safety property.
     plan = knn(corpus, [1.0] * 8, 2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pairwise_blocked_matches_expression_path(spark):
+    from vector_db_spark.operators.knn import (
+        pairwise_similarity,
+        pairwise_similarity_blocked,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {
+        (r.a_id, r.b_id): r.score
+        for r in pairwise_similarity(emb, metric="cosine", threshold=0.4).collect()
+    }
+    for n_blocks in (1, 5, 16):
+        blocked = {
+            (r.a_id, r.b_id): r.score
+            for r in pairwise_similarity_blocked(
+                emb, metric="cosine", threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(blocked) == set(expr), f"pair set differs at B={n_blocks}"
+        for pair, s in blocked.items():
+            assert abs(s - expr[pair]) < 1e-9
+
+
+def test_pairwise_blocked_l2_metric(spark):
+    from vector_db_spark.operators.knn import (
+        pairwise_similarity,
+        pairwise_similarity_blocked,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {
+        (r.a_id, r.b_id)
+        for r in pairwise_similarity(emb, metric="l2", threshold=1.0).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in pairwise_similarity_blocked(
+            emb, metric="l2", threshold=1.0, n_blocks=8
+        ).collect()
+    }
+    assert blocked == expr

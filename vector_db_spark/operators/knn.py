@@ -183,7 +183,108 @@ def pairwise_similarity(
     cond = F.col("a_id") < F.col("b_id")
     if block_col:
         cond = cond & (F.col("a_blk") == F.col("b_blk"))
+    # The unblocked pair join is a broadcast nested loop with B broadcast;
+    # A is the streamed side and inherits the corpus's file partitioning —
+    # often ONE partition for a small dim table, serializing the whole
+    # O(n²) evaluation. Spread A across the cluster explicitly.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(par)
     pairs = a.join(b, cond)
     scored = pairs.select("a_id", "b_id", expr_fn(F.col("a_vec"), F.col("b_vec")).alias(out))
     keep = F.col(out) <= threshold if ascending else F.col(out) >= threshold
     return scored.filter(keep)
+
+
+def pairwise_similarity_blocked(
+    corpus: DataFrame,
+    *,
+    metric: str = "cosine",
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs similarity via grid-blocked float64 matmul — the
+    100 TB formulation of :func:`pairwise_similarity`.
+
+    Every vector lands in one of ``n_blocks`` hash blocks; the pair space
+    becomes the B(B+1)/2 block-grid cells. Each cell is one Arrow-batched
+    ``applyInPandas`` task that multiplies the two blocks' matrices with
+    BLAS and emits only qualifying pairs, so (a) the quadratic work is
+    vectorized instead of per-row expression evaluation, (b) it spreads
+    over B(B+1)/2 independent tasks, and (c) each task holds 2n/B vectors
+    — bounded by choosing B ~ n / rows_per_task. Replication cost: each
+    vector is shipped to B cells.
+
+    Scores are float64 BLAS sums, which can differ from the sequential-fold
+    expression path in the last bits — equal to ~1e-12, not bitwise.
+    """
+    expr_fn, ascending = _metric(metric)  # validates the metric name
+    out = SCORE_COL[metric]
+    b_count = int(n_blocks)
+    if b_count < 1:
+        raise ValueError("n_blocks must be >= 1")
+
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(b_count)).alias("blk"),
+    )
+    # Replicate each row into every grid cell (bi <= bj) its block touches.
+    cells = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(g)).cast("int").alias("bi"),
+                F.greatest(F.col("blk"), F.lit(g)).cast("int").alias("bj"),
+            )
+            for g in range(b_count)
+        ]
+    )
+    exploded = tagged.select(
+        "id", "vec", "blk", F.explode(F.array_distinct(cells)).alias("cell")
+    ).select("id", "vec", "blk", F.col("cell.bi").alias("bi"), F.col("cell.bj").alias("bj"))
+
+    import numpy as np
+    import pandas as pd
+
+    asc = ascending
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj] if bi != bj else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], out: []})
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in left["vec"]])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in right["vec"]])
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        if metric == "cosine":
+            ln = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+            rn = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+            sims = ln @ rn.T
+        elif metric == "ip":
+            sims = lm @ rm.T
+        else:  # l2 (squared): |a|² + |b|² − 2a·b
+            sims = (
+                (lm * lm).sum(axis=1)[:, None]
+                + (rm * rm).sum(axis=1)[None, :]
+                - 2.0 * (lm @ rm.T)
+            )
+        mask = sims <= thr if asc else sims >= thr
+        # Emit each unordered pair once, as (min_id, max_id).
+        ii, jj = np.nonzero(mask)
+        a_ids, b_ids, vals = lid[ii], rid[jj], sims[ii, jj]
+        if bi == bj:
+            keep = a_ids < b_ids  # upper triangle of a diagonal cell
+            a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
+        else:
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            a_ids, b_ids = lo, hi
+        return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, out: vals})
+
+    schema = f"a_id long, b_id long, {out} double"
+    return exploded.groupBy("bi", "bj").applyInPandas(cell_pairs, schema=schema)
