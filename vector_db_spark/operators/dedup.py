@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.text import word_shingles
+from vector_db_spark.operators.util import fan_out
 
 
 def exact_dedup(
@@ -52,7 +53,7 @@ def shingle_table(
     k: int = 3,
 ) -> DataFrame:
     """(id, shingle) inverted-index rows — distinct k-word shingles."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -110,7 +111,7 @@ def minhash_signatures(
     min-hash expressions reference it as a column instead of re-running
     split+slice per hash (CollapseProject keeps multi-referenced non-cheap
     aliases as a separate stage)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
@@ -188,7 +189,7 @@ def minhash_neardup(
     pointless; this was a measured 100× at sf0.1)."""
     sigs = minhash_signatures(df, num_hashes, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     )
@@ -216,7 +217,7 @@ def simhash64(
     """64-bit SimHash per document: explode tokens, hash each, vote per bit
     (+1/−1), sign → bit. All 64 votes are conditional sums in one grouped
     aggregation — map-side partial agg applies, one shuffle by id."""
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
