@@ -1,0 +1,122 @@
+"""Streaming-module tests: cross-micro-batch semantics (checkpoint resume,
+stateful dedup across batches, window parity streaming-vs-batch) that the
+oracle queries — which drain in one batch — don't exercise."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.collections import CollectionCatalog
+from vector_db_spark.sources.fixtures import load_table
+from vector_db_spark.streaming import (
+    read_event_stream,
+    read_vector_stream,
+    stream_upsert_into,
+    streaming_dedup,
+    tumbling_aggregate,
+)
+
+SF = "/root/testdata/sf0.001"
+TIMEOUT_MS = 120_000
+
+
+def _drain(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(TIMEOUT_MS)
+    return stream_df.sparkSession.table(name)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_stream_tumbling_matches_batch(spark, events):
+    stage = tempfile.mkdtemp()
+    events.write.mode("append").parquet(stage)
+    got = _drain(tumbling_aggregate(read_event_stream(spark, stage)), "t1", "complete")
+    want = tumbling_aggregate(events)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_across_batches(spark, events):
+    """Duplicates arriving in a LATER micro-batch (same checkpoint) are
+    still dropped — state survives the restart."""
+    stage = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp()
+    events.write.mode("append").parquet(stage)
+
+    def run():
+        # memory sink can't recover a checkpoint; the file sink can.
+        deduped = streaming_dedup(
+            read_event_stream(spark, stage), key_cols=("event_id",), watermark="365 days"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(TIMEOUT_MS)
+
+    run()
+    n_first = spark.read.parquet(sink).count()
+    events.write.mode("append").parquet(stage)  # same rows again, new batch
+    run()
+    n_after = spark.read.parquet(sink).count()
+    assert n_first == events.count()
+    assert n_after == n_first  # nothing new emitted: all duplicates
+
+
+def test_stream_upsert_idempotent_replay(spark):
+    """Re-running a drained query on the same checkpoint processes nothing
+    and the collection version/content is unchanged (foreachBatch + MERGE
+    replay safety)."""
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select((F.col("vec_id") + 1).alias("id"), "embedding")
+    stage, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    cat = CollectionCatalog(spark, tempfile.mkdtemp())
+    coll = cat.create("replay", dim=64)
+    base.write.mode("append").parquet(stage)
+
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    assert q.awaitTermination(TIMEOUT_MS)
+    v1, n1 = coll.info.version, coll.scan().count()
+
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    assert q.awaitTermination(TIMEOUT_MS)
+    assert coll.info.version == v1  # no batch ran
+    assert coll.scan().count() == n1
+
+
+def test_stream_upsert_merges_not_appends(spark):
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select((F.col("vec_id") + 1).alias("id"), "embedding").limit(50)
+    stage, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    cat = CollectionCatalog(spark, tempfile.mkdtemp())
+    coll = cat.create("m", dim=64)
+    base.write.mode("append").parquet(stage)
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    assert q.awaitTermination(TIMEOUT_MS)
+
+    base.select(
+        "id", F.transform("embedding", lambda x: (x * 3).cast("float")).alias("embedding")
+    ).write.mode("append").parquet(stage)
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    assert q.awaitTermination(TIMEOUT_MS)
+
+    assert coll.scan().count() == 50  # merged, not appended

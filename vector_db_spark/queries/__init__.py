@@ -12,6 +12,7 @@ from vector_db_spark.queries import (  # noqa: E402,F401
     collection_queries,
     pipeline_queries,
     relational_queries,
+    streaming_queries,
     vector_queries,
 )
 

@@ -1,0 +1,190 @@
+"""Structured Streaming query family (SURVEY.md §7.1 M5).
+
+Each query drives a real streaming pipeline (file source → watermarked
+stateful op → sink) with ``availableNow`` so it drains the fixture data and
+terminates deterministically; results land in a memory sink / collection
+and come back as a plain DataFrame the driver can hash against DuckDB.
+Streaming and batch share the same logical plans (streaming/windows.py), so
+a value-exact oracle exists for every query here — rare for streaming code.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.collections import CollectionCatalog
+from vector_db_spark.queries.registry import query
+from vector_db_spark.sources.fixtures import load_table
+from vector_db_spark.streaming.ingest import (
+    read_event_stream,
+    read_vector_stream,
+    stream_upsert_into,
+)
+from vector_db_spark.streaming.windows import (
+    session_aggregate,
+    streaming_dedup,
+    tumbling_aggregate,
+)
+
+_TIMEOUT_MS = 300_000
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Write the events fixture into a fresh staging dir (as arriving
+    files), converting the nanos timestamp on the way in."""
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    ev = load_table(spark, sf_dir, "events")
+    for _ in range(copies):
+        ev.write.mode("append").parquet(stage)
+    return stage
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink and
+    return the sink contents."""
+    name = "q" + uuid.uuid4().hex
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+    return stream_df.sparkSession.table(name)
+
+
+_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(files) → watermark → window(1h) groupBy → memory sink;
+    availableNow drains the fixture, complete mode emits every window, and
+    the result must equal the batch GROUP BY bit-for-bit."""
+    stage = _stage_events(spark, sf_dir)
+    agg = tumbling_aggregate(read_event_stream(spark, stage))
+    got = _drain(agg, "complete")
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_agg", oracle=_SESSION_ORACLE)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap-merging) on a stream — the stateful
+    streaming op the reference has no analogue for. The oracle rebuilds the
+    same sessions with the lag/cumsum island construction; session_window's
+    start is the first event's ts, so the two formulations agree exactly."""
+    stage = _stage_events(spark, sf_dir)
+    agg = session_aggregate(read_event_stream(spark, stage), gap="30 minutes")
+    got = _drain(agg, "complete")
+    return got.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
+    )
+
+
+_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@query("stream_dedup_events", oracle=_DEDUP_ORACLE)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture staged TWICE into the source dir → every event arrives
+    duplicated → dropDuplicatesWithinWatermark must restore exactly the
+    original per-type counts."""
+    stage = _stage_events(spark, sf_dir, copies=2)
+    deduped = streaming_dedup(read_event_stream(spark, stage), key_cols=("event_id",))
+    got = _drain(deduped, "append")
+    return got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_UPSERT_ORACLE = """
+SELECT vec_id + 1 AS id,
+       round(CAST(embedding[1] AS DOUBLE) * 2, 6) AS first_comp,
+       len(embedding) AS dim
+FROM embeddings WHERE vec_id + 1 <= 100
+UNION ALL
+SELECT vec_id + 1 AS id,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_comp,
+       len(embedding) AS dim
+FROM embeddings WHERE vec_id + 1 > 100
+"""
+
+
+@query("stream_upsert_readback", oracle=_UPSERT_ORACLE)
+def stream_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two micro-batches through foreachBatch-MERGE with a checkpoint
+    restart between them: batch 1 ingests the whole corpus, batch 2 (a new
+    query resuming the same checkpoint — only the new file is processed)
+    re-sends ids <= 100 with doubled vectors. MERGE semantics ⇒ still one
+    row per id, with the doubled value winning (the reference's upsert
+    contract, minus its stale-HNSW-vector bug)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select((F.col("vec_id") + 1).alias("id"), "embedding")
+    stage = tempfile.mkdtemp(prefix="stream_vecs_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    dim = len(base.select("embedding").head()[0])
+    coll = cat.create("streamed", dim=dim)
+
+    base.write.mode("append").parquet(stage)
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    q.awaitTermination(_TIMEOUT_MS)
+
+    base.filter(F.col("id") <= 100).select(
+        "id", F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding")
+    ).write.mode("append").parquet(stage)
+    q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
+    q.awaitTermination(_TIMEOUT_MS)
+
+    return coll.scan().select(
+        "id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
+        F.size("embedding").cast("long").alias("dim"),
+    )

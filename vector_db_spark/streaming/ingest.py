@@ -1,0 +1,101 @@
+"""Streaming ingest: file-source readStream + foreachBatch MERGE.
+
+≅ the reference's POST /insert / POST /upsert loop
+(src/router/handle/insert_index_handle.rs:14-61,
+src/router/handle/upsert_handle.rs:11-44), re-expressed as Structured
+Streaming micro-batches. Each micro-batch is MERGE-upserted into a
+``Collection`` inside ``foreachBatch`` — the batch DML layer is reused
+verbatim, so streaming and batch writes have identical semantics (one live
+row per id; the reference's stale-HNSW-vector upsert bug stays fixed in
+both paths).
+
+At 100 TB the file source is swapped for Kafka/Kinesis by changing only
+``read_*_stream``; the sink logic is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vector_db_spark.operators.collections import Collection
+
+VECTOR_STREAM_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_vector_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = VECTOR_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream of (id, embedding) rows from parquet files arriving in
+    ``path``. ``maxFilesPerTrigger`` bounds micro-batch size — the streaming
+    equivalent of capping request batch size."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = EVENT_STREAM_SCHEMA,
+) -> DataFrame:
+    """Stream of events-table rows (FIXTURES.md schema) from parquet files."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_upsert_into(
+    stream: DataFrame,
+    collection: Collection,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """MERGE every micro-batch into ``collection`` via foreachBatch.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops (batch-like test/backfill mode); ``False`` runs continuously.
+    Idempotence: foreachBatch can re-run a batch on recovery — MERGE on the
+    id key makes the replay a no-op, which is exactly why the sink is an
+    upsert and not a blind append.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        collection.upsert(batch)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,96 @@
+"""Event-time streaming aggregations: watermarked tumbling windows,
+native session windows, and stateful streaming dedup.
+
+The reference has no streaming surface at all (SURVEY.md §2.8); these are
+the operators a continuous training-data pipeline needs. All three work on
+*either* a streaming or a batch DataFrame — the plans are identical, which
+is what makes them oracle-verifiable: the driver runs them over the batch
+``events`` fixture and DuckDB reproduces the window arithmetic.
+
+Scale notes: watermark + tumbling window keeps state bounded to the lateness
+horizon; session windows shuffle once on the session key; streaming dedup
+state is bounded by the watermark (expired keys are dropped by Spark's state
+store GC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_aggregate(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per (window, event_type) count + value sum with a watermark for late
+    data. On a stream this emits finalized windows once the watermark
+    passes; on a batch frame the watermark is a no-op and the result equals
+    the batch GROUP BY — the parity the oracle checks."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("w"), type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user sessions via the native ``session_window`` (gap-based,
+    merging) — the streaming formulation of sessionization. Works on batch
+    frames too, where it matches the lag/cumsum island construction."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key stream: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` keeps
+    state bounded; plain ``dropDuplicates`` on a stream would grow state
+    forever). The streaming face of exact_dedup."""
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return stream.dropDuplicates(list(key_cols))
