@@ -1,0 +1,85 @@
+"""Multimodal plumbing tests: codec round-trips, mapInPandas schemas and
+row fan-out, resize law, the real-decoder NotImplementedError seam, and
+behavior across multiple input partitions (Arrow batch boundaries must not
+change results)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.multimodal import (
+    attach_audio,
+    attach_images,
+    attach_videos,
+    audio_features,
+    decode_audio_payload,
+    decode_image_payload,
+    decode_real_image,
+    decode_video_payload,
+    encode_audio,
+    encode_image,
+    encode_video,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_codec_round_trips():
+    img = decode_image_payload(encode_image(7, 4, 3, 3))
+    assert img.shape == (3, 4, 3) and img.dtype == np.uint8
+    vid = decode_video_payload(encode_video(7, 4, 3, 3, 5))
+    assert vid.shape == (5, 3, 4, 3)
+    rate, pcm = decode_audio_payload(encode_audio(7, 8000, 64))
+    assert rate == 8000 and pcm.shape == (64,) and pcm.dtype == np.int16
+
+
+def test_real_decoder_is_marked_unimplemented():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_real_image(b"\x89PNG")
+
+
+def test_image_features_schema_and_partition_invariance(spark):
+    base = spark.range(20).select(F.col("id").alias("doc_id"))
+    one = image_features(attach_images(base.coalesce(1))).collect()
+    many = image_features(attach_images(base.repartition(7))).collect()
+    assert {r.media_id: r.mean_px for r in one} == {
+        r.media_id: r.mean_px for r in many
+    }
+    r0 = one[0]
+    assert 0 <= r0.min_px <= r0.max_px <= 255
+    assert r0.width == 16 and r0.height == 16
+
+
+def test_resize_matches_numpy_reference(spark):
+    base = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = attach_images(base, width=16, height=16, channels=3)
+    resized = {r.media_id: bytes(r.data) for r in resize_images(media, 5, 5).collect()}
+    for r in media.collect():
+        src = decode_image_payload(bytes(r.data))
+        ys = (np.arange(5, dtype=np.int64) * 16) // 5
+        xs = (np.arange(5, dtype=np.int64) * 16) // 5
+        want = src[np.ix_(ys, xs)]
+        got = decode_image_payload(resized[r.media_id])
+        assert np.array_equal(got, want)
+
+
+def test_frame_sampling_fan_out(spark):
+    base = spark.range(4).select(F.col("id").alias("doc_id"))
+    vids = attach_videos(base, n_frames=12)
+    rows = sample_frames(vids, every=4).collect()
+    assert len(rows) == 4 * 3  # frames 0, 4, 8 per video
+    assert sorted({r.frame for r in rows}) == [0, 4, 8]
+
+
+def test_audio_features_values(spark):
+    base = spark.range(2).select(F.col("id").alias("doc_id"))
+    feats = {r.media_id: r for r in audio_features(attach_audio(base)).collect()}
+    for mid, r in feats.items():
+        _, pcm = decode_audio_payload(encode_audio(mid, 16000, 2048))
+        x = pcm.astype(np.int64)
+        assert r.rms == pytest.approx(float(np.sqrt((x * x).sum() / 2048)))
+        nonneg = x >= 0
+        assert r.zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())

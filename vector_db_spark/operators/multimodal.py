@@ -1,0 +1,342 @@
+"""Multimodal (image/audio/video) columns as binary payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The reference stores everything non-vector as opaque JSON and never computes
+on it (src/db/scalar_storage.rs:10-14); a training-data pipeline at 100 TB
+needs media columns: ``binary`` payload + a typed metadata struct, with
+decode / feature-extraction / resize / frame-sampling as vectorized Python
+stages. The Spark-side plumbing here — schemas, mapInPandas signatures,
+Arrow batch shapes, partition behavior — is real and tested.
+
+**The codec is a deterministic fake** (this container has no PIL/ffmpeg):
+payloads follow the SYNTH format below, generated and parsed with NumPy. A
+real deployment swaps `_decode_payload` for PIL/libsndfile/pyav behind the
+same interface; `decode_real_image` marks that seam with
+NotImplementedError. The fake's pixel law is integer arithmetic —
+``pixel[i] = (seed*K + i*Q) mod 256`` — chosen so every downstream feature
+is reproducible in portable SQL: the whole binary pipeline is
+oracle-verifiable end to end, which a PIL-backed codec could never be.
+
+SYNTH payload layout (big-endian u32 header then raw bytes):
+  image: [w, h, c] + w*h*c pixel bytes          (row-major, channel-last)
+  video: [w, h, c, n_frames] + frames bytes     (frame f pixel i: (seed*K + f*P + i*Q) % 256)
+  audio: [sample_rate, n_samples] + int16 LE    (sample i: ((seed*K + i*Q) % 65536) - 32768)
+
+Scale notes: mapInPandas streams Arrow record batches — constant memory per
+task regardless of corpus size; media tables partition like any other table
+(payload column excluded from dictionary encoding). Feature extraction
+emits narrow rows, so the wide binary column is pruned away immediately
+after the stage that needs it.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Pixel/sample law constants — mirrored in the SQL oracles (queries/
+# multimodal_queries.py). Changing one without the other breaks parity.
+K = 2654435761  # Knuth multiplicative hash constant
+P = 97003       # per-frame stride
+Q = 40503       # per-pixel/sample stride
+
+
+# --------------------------------------------------------------------------
+# Fake codec (deterministic stand-in for PIL/pyav/libsndfile)
+# --------------------------------------------------------------------------
+
+
+def _pixels(seed: int, n: int, frame: int = 0) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * K + frame * P + i * Q) % 256).astype(np.uint8)
+
+
+def _samples(seed: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * K + i * Q) % 65536) - 32768).astype(np.int16)
+
+
+def encode_image(seed: int, w: int, h: int, c: int = 3) -> bytes:
+    return _struct.pack(">III", w, h, c) + _pixels(seed, w * h * c).tobytes()
+
+
+def encode_video(seed: int, w: int, h: int, c: int, n_frames: int) -> bytes:
+    head = _struct.pack(">IIII", w, h, c, n_frames)
+    frames = [_pixels(seed, w * h * c, frame=f).tobytes() for f in range(n_frames)]
+    return head + b"".join(frames)
+
+
+def encode_audio(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    return _struct.pack(">II", sample_rate, n_samples) + _samples(
+        seed, n_samples
+    ).tobytes()
+
+
+def decode_image_payload(data: bytes) -> np.ndarray:
+    w, h, c = _struct.unpack(">III", data[:12])
+    return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, c)
+
+
+def decode_video_payload(data: bytes) -> np.ndarray:
+    w, h, c, n = _struct.unpack(">IIII", data[:16])
+    return np.frombuffer(data[16:], dtype=np.uint8).reshape(n, h, w, c)
+
+
+def decode_audio_payload(data: bytes) -> tuple[int, np.ndarray]:
+    rate, n = _struct.unpack(">II", data[:8])
+    return rate, np.frombuffer(data[8:], dtype=np.int16)
+
+
+def decode_real_image(data: bytes) -> np.ndarray:
+    """The seam where a real image library plugs in. Not available in this
+    environment — the SYNTH codec above is the tested stand-in."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL; use the SYNTH codec "
+            "(decode_image_payload) in this environment"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the library exists")
+
+
+# --------------------------------------------------------------------------
+# Media-table construction (binary column + typed metadata struct)
+# --------------------------------------------------------------------------
+
+IMAGE_TABLE_SCHEMA = (
+    "media_id long, data binary, "
+    "meta struct<width:int, height:int, channels:int, format:string>"
+)
+VIDEO_TABLE_SCHEMA = (
+    "media_id long, data binary, "
+    "meta struct<width:int, height:int, channels:int, n_frames:int, format:string>"
+)
+AUDIO_TABLE_SCHEMA = (
+    "media_id long, data binary, "
+    "meta struct<sample_rate:int, n_samples:int, format:string>"
+)
+
+
+def attach_images(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16,
+    channels: int = 3,
+) -> DataFrame:
+    """One SYNTH image per input row, seeded by id — the fixture stand-in
+    for an ingest that carries real bytes. Runs as one mapInPandas pass."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [encode_image(s, width, height, channels) for s in ids],
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "channels": channels,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
+
+
+def attach_videos(
+    df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8,
+    channels: int = 3, n_frames: int = 12,
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [
+                        encode_video(s, width, height, channels, n_frames) for s in ids
+                    ],
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "channels": channels,
+                            "n_frames": n_frames,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=VIDEO_TABLE_SCHEMA)
+
+
+def attach_audio(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000,
+    n_samples: int = 2048,
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [encode_audio(s, sample_rate, n_samples) for s in ids],
+                    "meta": [
+                        {
+                            "sample_rate": sample_rate,
+                            "n_samples": n_samples,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=AUDIO_TABLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Processing stages (decode → features / resize / frame-sample), each one
+# Arrow-batched mapInPandas with an explicit output schema.
+# --------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mean_px double, var_px double, "
+    "min_px int, max_px int"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode each image and emit summary features. The binary column dies
+    here — downstream stages carry only narrow numeric rows."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                img = decode_image_payload(bytes(data))
+                flat = img.astype(np.int64).ravel()
+                n = flat.shape[0]
+                s = int(flat.sum())
+                ss = int((flat * flat).sum())
+                mean = s / n
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_px": mean,
+                        "var_px": ss / n - mean * mean,
+                        "min_px": int(flat.min()),
+                        "max_px": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Nearest-neighbor resize: src_y = y*h // new_h, src_x = x*w // new_w.
+    Emits a new SYNTH payload + updated meta — a real pipeline chains this
+    before feature extraction or model input."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                img = decode_image_payload(bytes(data))
+                h, w, c = img.shape
+                ys = (np.arange(new_h, dtype=np.int64) * h) // new_h
+                xs = (np.arange(new_w, dtype=np.int64) * w) // new_w
+                resized = img[np.ix_(ys, xs)]
+                payload = (
+                    _struct.pack(">III", new_w, new_h, c)
+                    + np.ascontiguousarray(resized).tobytes()
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "data": payload,
+                        "meta": {
+                            "width": new_w,
+                            "height": new_h,
+                            "channels": int(c),
+                            "format": meta["format"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(rz, schema=IMAGE_TABLE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame int, mean_px double"
+
+
+def sample_frames(video: DataFrame, every: int = 4) -> DataFrame:
+    """Keep every ``every``-th frame, emit one row per sampled frame with
+    its mean pixel value — the shape of a frame-embedding fan-out stage
+    (one input row explodes to n_frames/every output rows)."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                frames = decode_video_payload(bytes(data))
+                for f in range(0, frames.shape[0], every):
+                    flat = frames[f].astype(np.int64).ravel()
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame": f,
+                            "mean_px": int(flat.sum()) / flat.shape[0],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(fs, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, rms double, zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode PCM and emit RMS + zero-crossing count (sign change between
+    consecutive samples; sign(x) := x >= 0)."""
+
+    def af(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rate, pcm = decode_audio_payload(bytes(data))
+                x = pcm.astype(np.int64)
+                n = x.shape[0]
+                rms = float(np.sqrt(int((x * x).sum()) / n))
+                nonneg = x >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "rms": rms,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(af, schema=AUDIO_FEATURES_SCHEMA)

@@ -10,6 +10,7 @@ from vector_db_spark.queries.registry import ORACLES, QUERIES, query
 from vector_db_spark.queries import (  # noqa: E402,F401
     ann_queries,
     collection_queries,
+    multimodal_queries,
     pipeline_queries,
     relational_queries,
     streaming_queries,
