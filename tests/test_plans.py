@@ -1,0 +1,60 @@
+"""Plan-shape pins for the flagship queries: these assert the physical
+properties the 100 TB design depends on, so a change that silently
+de-optimizes a plan (filter stops pushing, top-k becomes a global sort,
+a dim table stops broadcasting) fails here instead of on the cluster."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.knn import knn
+from vector_db_spark.plans import (
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    uses_whole_stage_codegen,
+)
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_knn_is_take_ordered_not_global_sort(emb):
+    res = knn(emb, [0.0] * 64, 10)
+    assert has_take_ordered(res)
+    assert "Exchange" not in res._jdf.queryExecution().executedPlan().toString().split(
+        "TakeOrderedAndProject"
+    )[0]
+
+
+def test_filtered_knn_pushes_predicate_to_scan(emb):
+    res = knn(emb, [0.0] * 64, 10, predicate=F.col("label") != 3)
+    pushed = pushed_filters(res)
+    assert any("Not(EqualTo(label,3))" in f for f in pushed), pushed
+
+
+def test_scan_prunes_unused_columns(emb):
+    # A projection of (vec_id, label) must not read the wide vector column.
+    res = emb.filter(F.col("label") == 1).select("vec_id", "label")
+    assert read_schema_columns(res) == {"vec_id", "label"}
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    assert has_broadcast_hash_join(j)
+
+
+def test_filter_stays_in_codegen(emb):
+    res = emb.filter(F.col("label") != 3).select("vec_id")
+    assert uses_whole_stage_codegen(res)
