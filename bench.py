@@ -43,8 +43,12 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_region",
+    "tpch_q17_small_qty",
+    "cube_lineitem",
     "window_top_customers",
     "events_sessionization",
+    "multimodal_image_features",
+    "stream_tumbling_agg",
 ]
 
 

@@ -51,6 +51,24 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs,
+# each optionally carrying its leading space (the GPT-2 pre-tokenizer shape,
+# minus unicode categories). Same regex dialect subset works in Java (Spark)
+# and RE2 (DuckDB), which keeps the oracle portable.
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens (see BPE_PATTERN). A real BPE vocab merge runs
+    on top of these; counting them approximates LLM token counts far better
+    than whitespace splitting on punctuation-heavy text."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams (SimHash/fingerprint unit)."""
     return F.when(

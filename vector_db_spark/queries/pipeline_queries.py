@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.text import (
     avg_token_len,
+    bpe_token_count,
     fingerprint,
     lang_id,
     punct_ratio,
@@ -250,6 +251,34 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.count(F.lit(1)).alias("total_tokens"),
         F.countDistinct("token").alias("vocab_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (vs whitespace) — LLM cost estimation primitive
+# --------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+SELECT doc_id,
+  len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe,
+  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
+  round(CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS DOUBLE)
+        / len(list_filter(string_split(text, ' '), t -> t <> '')), 6) AS bpe_per_word
+FROM documents WHERE doc_id < 200
+"""
+
+
+@query("bpe_token_stats", oracle=_BPE_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(t).alias("n_bpe"),
+        token_count(t).alias("n_ws"),
+        F.round(
+            bpe_token_count(t).cast("double") / token_count(t), 6
+        ).alias("bpe_per_word"),
     )
 
 

@@ -510,3 +510,149 @@ def events_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("purchase_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape), decorrelated the way a
+# planner would: per-part average joined back to the fact table.
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS below_avg_revenue,
+       COUNT(*) AS n_small_orders
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity)
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+@query("tpch_q17_small_qty", oracle=_Q17_ORACLE)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, hand-decorrelated: the per-key aggregate
+    is a groupBy + equi-join (exactly Catalyst's own rewrite). l_quantity
+    is integer-valued in the fixture, so the 0.5*avg threshold compare is
+    float-safe on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("below_avg_revenue"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT EXISTS anti-join (TPC-H Q22 shape): well-funded customers with no
+# urgent orders.
+# --------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > 1000.0
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@query("tpch_q22_no_urgent", oracle=_Q22_ORACLE)
+def tpch_q22_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join — the big side filters first, the
+    anti-join key set (urgent order custkeys) broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > 1000.0)
+        .join(F.broadcast(urgent.distinct()), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE (grouping sets over both keys + margins + grand total)
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_lineitem", oracle=_CUBE_ORACLE)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: order counts by priority, one column per order status
+# --------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_order_status", oracle=_PIVOT_ORACLE)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() with explicit values — one shuffle, no second pass to
+    discover the pivot domain (the explicit list is what makes this safe
+    at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
