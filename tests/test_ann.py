@@ -105,3 +105,63 @@ def test_lsh_self_match(emb, qvecs):
     rows = lsh.search(qvecs[21], 1, probe_radius=0).collect()
     assert rows[0].vec_id == 21  # a corpus vector always lands in its own bucket
     assert rows[0].score == pytest.approx(1.0)
+
+
+def test_ivf_batch_full_probe_matches_per_query(emb, ivf, qvecs):
+    from vector_db_spark.operators.knn import batch_knn
+
+    queries = emb.filter(F.col("vec_id").isin(list(qvecs))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf.search_batch(queries, 5, nprobe=16).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.vec_id
+        for r in batch_knn(emb, queries, 5, metric="l2").collect()
+    }
+    assert got == want
+
+
+def test_ivf_batch_reduced_probe_recall(emb, ivf, qvecs):
+    from vector_db_spark.operators.knn import batch_knn
+
+    queries = emb.filter(F.col("vec_id").isin(list(qvecs))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {}
+    for r in batch_knn(emb, queries, 10, metric="l2").collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in ivf.search_batch(queries, 10, nprobe=12).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.85
+
+
+def test_ivf_cosine_full_probe_is_exact(emb, qvecs):
+    idx = IvfIndex.build(emb, nlist=16, seed=42, metric="cosine")
+    qv = qvecs[7]
+    exact = [(r.vec_id, round(r.score, 6)) for r in knn(emb, qv, 10, metric="cosine").collect()]
+    full = [
+        (r.vec_id, round(r.score, 6))
+        for r in idx.search(qv, 10, nprobe=16).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_rejects_ip_metric(emb):
+    with pytest.raises(ValueError, match="IVF supports"):
+        IvfIndex.build(emb, nlist=4, metric="ip")
+
+
+def test_ivf_save_load_round_trips_metric(emb, tmp_path_factory, spark):
+    idx = IvfIndex.build(emb, nlist=4, seed=42, metric="cosine", max_iter=3)
+    path = str(tmp_path_factory.mktemp("ivfc"))
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.metric == "cosine"
+    assert loaded.id_col == "vec_id" and loaded.vec_col == "embedding"

@@ -32,26 +32,27 @@ import os
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_db_spark.functions.vector import normalize
 from vector_db_spark.operators.knn import knn
 
 _CLUSTER_COL = "cluster_id"
 
 
 def _kmeans_centroids(
-    corpus: DataFrame, vec_col: str, nlist: int, seed: int, max_iter: int
+    corpus: DataFrame, vec: Column, nlist: int, seed: int, max_iter: int
 ) -> list[list[float]]:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    feats = corpus.select(array_to_vector(vec).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
     return [c.tolist() for c in model.clusterCenters()]
 
 
-def _nearest_centroid_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin-distance cluster assignment as one native expression: the
     centroid list is tiny, so it inlines as literals and evaluates inside
     codegen — no MLlib model or Python needed at assignment time.
@@ -60,16 +61,16 @@ def _nearest_centroid_expr(vec_col: str, centroids: list[list[float]]) -> Column
     expression stays LINEAR in nlist (a chained when(d < best_d) rewrite
     doubles the tree per centroid — exponential — and OOMs the driver at
     nlist ≈ 16)."""
-    dists = F.array(*[_l2_to_literal(vec_col, c) for c in centroids])
+    dists = F.array(*[_l2_to_literal(vec, c) for c in centroids])
     # array_position is 1-based and takes the FIRST minimum: deterministic
     # tie-break toward the lower cluster id.
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _l2_to_literal(vec_col: str, center: Sequence[float]) -> Column:
+def _l2_to_literal(vec: Column, center: Sequence[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in center])
     return F.aggregate(
-        F.zip_with(F.col(vec_col), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
         lambda a, v: a + v,
     )
@@ -82,11 +83,13 @@ class IvfIndex:
         assignments: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        metric: str = "l2",
     ):
         self.centroids = centroids
         self.assignments = assignments  # corpus columns + cluster_id
         self.id_col = id_col
         self.vec_col = vec_col
+        self.metric = metric
 
     @staticmethod
     def build(
@@ -96,14 +99,25 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         max_iter: int = 20,
+        metric: str = "l2",
     ) -> "IvfIndex":
+        """``metric='l2'`` clusters raw vectors; ``metric='cosine'``
+        clusters L2-NORMALIZED vectors (unit sphere ⇒ L2 cell order is
+        rank-equivalent to cosine) while STORING raw vectors, so reranked
+        scores are bit-identical to exact cosine kNN. MIPS ('ip') has no
+        sound L2 quantizer and is rejected — use the exact path or LSH."""
         if nlist < 1:
             raise ValueError("nlist must be >= 1")
-        centroids = _kmeans_centroids(corpus, vec_col, nlist, seed, max_iter)
+        if metric not in ("l2", "cosine"):
+            raise ValueError(
+                f"IVF supports metrics ('l2', 'cosine'), got {metric!r}"
+            )
+        vec = F.col(vec_col) if metric == "l2" else normalize(F.col(vec_col))
+        centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
         assignments = corpus.withColumn(
-            _CLUSTER_COL, _nearest_centroid_expr(vec_col, centroids)
+            _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
         )
-        return IvfIndex(centroids, assignments, id_col, vec_col)
+        return IvfIndex(centroids, assignments, id_col, vec_col, metric)
 
     def save(self, path: str) -> None:
         """Persist as a cluster-partitioned table — search() after load()
@@ -112,28 +126,58 @@ class IvfIndex:
             os.path.join(path, "assignments")
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
+        import json
+
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {"metric": self.metric, "id_col": self.id_col, "vec_col": self.vec_col},
+                f,
+            )
 
     @staticmethod
     def load(
         spark: SparkSession,
         path: str,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
+        id_col: str | None = None,
+        vec_col: str | None = None,
     ) -> "IvfIndex":
+        import json
+
         centroids = np.load(os.path.join(path, "centroids.npy")).tolist()
         assignments = spark.read.parquet(os.path.join(path, "assignments"))
-        return IvfIndex(centroids, assignments, id_col, vec_col)
+        meta_path = os.path.join(path, "meta.json")
+        meta = {"metric": "l2", "id_col": "vec_id", "vec_col": "embedding"}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta.update(json.load(f))
+        return IvfIndex(
+            centroids,
+            assignments,
+            id_col or meta["id_col"],
+            vec_col or meta["vec_col"],
+            meta["metric"],
+        )
 
-    def probe_order(self, query: Sequence[float]) -> list[int]:
-        """Centroid ids by ascending distance to the query (driver-side —
-        nlist floats, not data)."""
-        c = np.asarray(self.centroids, dtype=np.float64)
+    def _query_point(self, query: Sequence[float]) -> np.ndarray:
+        """Query mapped into centroid space (unit sphere for cosine)."""
         q = np.asarray(list(query), dtype=np.float64)
+        c = np.asarray(self.centroids, dtype=np.float64)
         if q.shape[0] != c.shape[1]:
             raise ValueError(
                 f"dimension mismatch: query has {q.shape[0]} components, "
                 f"index dim is {c.shape[1]}"
             )
+        if self.metric == "cosine":
+            n = float(np.linalg.norm(q))
+            if n > 0:
+                q = q / n
+        return q
+
+    def probe_order(self, query: Sequence[float]) -> list[int]:
+        """Centroid ids by ascending distance to the query (driver-side —
+        nlist floats, not data)."""
+        c = np.asarray(self.centroids, dtype=np.float64)
+        q = self._query_point(query)
         d = ((c - q) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d, kind="stable")]
 
@@ -142,13 +186,14 @@ class IvfIndex:
         query: Sequence[float],
         k: int,
         nprobe: int = 4,
-        metric: str = "l2",
+        metric: str | None = None,
         predicate: Column | None = None,
     ) -> DataFrame:
         """Probe the ``nprobe`` nearest cells, exact-rerank inside them.
         ``nprobe >= nlist`` is exhaustive (== exact search)."""
         if nprobe < 1:
             raise ValueError("nprobe must be >= 1")
+        metric = metric or self.metric
         probes = self.probe_order(query)[:nprobe]
         cands = self.assignments.filter(F.col(_CLUSTER_COL).isin(probes))
         return knn(
@@ -159,6 +204,85 @@ class IvfIndex:
             vec_col=self.vec_col,
             id_col=self.id_col,
             predicate=predicate,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        metric: str | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k per query for a whole DataFrame of queries — the 100 TB
+        formulation: no driver-side loop over queries.
+
+        Plan: (1) score every (query, centroid) pair — centroids are a tiny
+        literal, so assignment is a narrow codegen'd projection over the
+        query table; (2) keep each query's ``nprobe`` nearest cells;
+        (3) equi-join that (query, cell) set against the cell-partitioned
+        corpus — candidates only materialize inside probed cells; (4) exact
+        rerank per query with one window. The corpus-side join key is the
+        partition column, so at scale step 3 is shuffle-on-cell with
+        pruning, never a cross join. ``nprobe >= nlist`` degenerates to
+        exact batch kNN (oracle-checked).
+
+        Returns (query_id, id, distance|score, rank).
+        """
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        metric = metric or self.metric
+        from vector_db_spark.operators.knn import SCORE_COL, _metric
+
+        expr_fn, ascending = _metric(metric)
+        out = SCORE_COL[metric]
+
+        # (1)+(2): nprobe nearest cells per query, via the same literal-
+        # centroid distance expression used for corpus assignment (queries
+        # map onto the unit sphere first when the index is cosine).
+        qvec = (
+            F.col(query_vec_col)
+            if self.metric == "l2"
+            else normalize(F.col(query_vec_col))
+        )
+        cell_dists = F.array(
+            *[_l2_to_literal(qvec, c) for c in self.centroids]
+        )
+        probed = (
+            queries.select(
+                query_id_col,
+                query_vec_col,
+                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
+            )
+            .withColumn(
+                "_cell_rank",
+                F.row_number().over(
+                    Window.partitionBy(query_id_col).orderBy(
+                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_cell_rank") <= nprobe)
+            .select(query_id_col, query_vec_col, _CLUSTER_COL)
+        )
+
+        # (3): candidates = corpus rows in probed cells, per query. The
+        # query side is small — broadcast it so the corpus never shuffles.
+        cands = self.assignments.join(F.broadcast(probed), on=_CLUSTER_COL)
+
+        # (4): exact rerank per query.
+        scored = cands.select(
+            query_id_col,
+            self.id_col,
+            expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(out),
+        )
+        order = F.col(out).asc() if ascending else F.col(out).desc()
+        w = Window.partitionBy(query_id_col).orderBy(order, F.col(self.id_col).asc())
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
 
 

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
 from vector_db_spark.queries.registry import query
-from vector_db_spark.queries.vector_queries import _emb, _knn_oracle, _L2, _qvec, K
+from vector_db_spark.queries.vector_queries import (
+    _COS,
+    _emb,
+    _knn_oracle,
+    _L2,
+    _qvec,
+    K,
+)
 
 
 @query("ann_ivf_full_probe", oracle=_knn_oracle(_L2, "distance", "ASC"))
@@ -40,4 +47,50 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
     res = idx.search(_qvec(spark, sf_dir), K)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+from vector_db_spark.queries.vector_queries import (  # noqa: E402
+    _BATCH_K,
+    _BATCH_ORACLE,
+)
+
+
+@query("ann_ivf_batch_full_probe", oracle=_BATCH_ORACLE)
+def ann_ivf_batch_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN, exhaustively probed — must reproduce exact batch kNN
+    (same oracle as knn_batch), proving the per-query cell-probe join +
+    window rerank machinery before any approximation is dialed in."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=8, metric="l2")
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@query("ann_ivf_batch_probe")
+def ann_ivf_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate batch path: half the cells probed per query."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=4, metric="l2")
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@query("ann_ivf_cosine_full_probe", oracle=_knn_oracle(_COS, "score", "DESC"))
+def ann_ivf_cosine_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine IVF (cells on the unit sphere, raw vectors stored): at full
+    probe the reranked scores are bit-identical to exact cosine kNN."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="cosine")
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
     return res.select("vec_id", F.round("score", 6).alias("score"))
