@@ -109,3 +109,45 @@ def test_catalog_survives_restart(spark, tmp_path):
     c2 = CollectionCatalog(spark, str(tmp_path))
     assert c2.list() == ["persist"]
     assert c2.get("persist").get(1).name == "x"
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.skew import salted_aggregate
+    from vector_db_spark.sources.fixtures import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r.l_returnflag: (r.n_rows, r.sum_l_extendedprice, r.min_l_quantity, r.max_l_quantity)
+        for r in salted_aggregate(
+            li, ["l_returnflag"], n_salts=8,
+            sum_cols=["l_extendedprice"], min_cols=["l_quantity"], max_cols=["l_quantity"],
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.n, r.s, r.mn, r.mx)
+        for r in li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sketches_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.sources.fixtures import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    ).head()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50 - row.p50_exact) / row.p50_exact < 0.02

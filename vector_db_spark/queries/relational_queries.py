@@ -656,3 +656,54 @@ def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted two-stage aggregation: must equal the direct GROUP BY exactly
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_extendedprice,
+       MIN(l_quantity) AS min_l_quantity,
+       MAX(l_quantity) AS max_l_quantity
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("salted_agg_lineitem", oracle=_SALTED_ORACLE)
+def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof aggregation (operators/skew.py): l_returnflag has only
+    3 values — exactly the shape where one reducer would own a third of a
+    100 TB table. The salted two-stage plan must be value-identical to the
+    direct GROUP BY."""
+    from vector_db_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        n_salts=16,
+        sum_cols=["l_extendedprice"],
+        min_cols=["l_quantity"],
+        max_cols=["l_quantity"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketches: HLL distinct count + approximate quantiles (rows-only — sketch
+# internals differ across engines; accuracy is asserted vs exact in tests)
+# --------------------------------------------------------------------------
+
+
+@query("sketch_stats_orders")
+def sketch_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
