@@ -1,0 +1,106 @@
+"""ANN recall harness: recall@k of the approximate paths vs the
+oracle-verified exact operator (BASELINE.md target: recall@10 ≥ 0.95 at
+tuned params, sf0.1).
+
+Usage: python tools/recall_bench.py [sf_dir] — prints one JSON line:
+{"metric":"ann_recall@10", "value":<ivf tuned recall>, "ivf":{nprobe:r},
+ "lsh":{radius:r}, "n_queries":N, "sf":...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex  # noqa: E402
+from vector_db_spark.operators.knn import batch_knn  # noqa: E402
+from vector_db_spark.session import get_spark  # noqa: E402
+from vector_db_spark.sources.fixtures import load_table  # noqa: E402
+
+K = 10
+N_QUERIES = 50
+NLIST = 32
+IVF_PROBES = (4, 8, 16, 24)
+LSH_RADII = (0, 1)
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def _recall(exact: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
+    per_q = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1:
+        sf_dir = sys.argv[1]
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("recall_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .cache()
+    )
+
+    exact_l2 = _topk_sets(batch_knn(emb, queries, K, metric="l2").collect())
+    exact_cos = _topk_sets(batch_knn(emb, queries, K, metric="cosine").collect())
+
+    ivf = IvfIndex.build(emb, nlist=NLIST, seed=42)
+    ivf.assignments.cache().count()
+    ivf_recalls = {
+        str(np_): round(
+            _recall(exact_l2, _topk_sets(ivf.search_batch(queries, K, nprobe=np_).collect())),
+            4,
+        )
+        for np_ in IVF_PROBES
+    }
+
+    dim = len(queries.select("query_vec").head()[0])
+    lsh = CosineLshIndex.build(emb, dim=dim, n_bits=6, n_tables=8, seed=42)
+    lsh.buckets.cache().count()
+    qvecs = {
+        r.query_id: [float(x) for x in r.query_vec] for r in queries.collect()
+    }
+    lsh_recalls = {}
+    for radius in LSH_RADII:
+        approx = {
+            qid: {r.vec_id for r in lsh.search(qv, K, probe_radius=radius).collect()}
+            for qid, qv in qvecs.items()
+        }
+        lsh_recalls[str(radius)] = round(_recall(exact_cos, approx), 4)
+
+    tuned = ivf_recalls[str(IVF_PROBES[-1])]
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall@10",
+                "value": tuned,
+                "ivf": ivf_recalls,
+                "lsh": lsh_recalls,
+                "n_queries": N_QUERIES,
+                "nlist": NLIST,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

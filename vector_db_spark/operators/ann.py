@@ -42,14 +42,61 @@ _CLUSTER_COL = "cluster_id"
 
 
 def _kmeans_centroids(
-    corpus: DataFrame, vec: Column, nlist: int, seed: int, max_iter: int
+    corpus: DataFrame,
+    vec: Column,
+    nlist: int,
+    seed: int,
+    max_iter: int,
+    sample_per_cell: int = 256,
 ) -> list[list[float]]:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Train the coarse quantizer on a bounded SAMPLE, driver-side.
 
-    feats = corpus.select(array_to_vector(vec).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    return [c.tolist() for c in model.clusterCenters()]
+    This is how IVF quantizers are actually trained at scale (faiss trains
+    on 39×nlist–256×nlist points, not the corpus): one distributed
+    ``sample().limit()`` pulls ≤ nlist*sample_per_cell vectors to the
+    driver, then seeded Lloyd's iterations run in NumPy. Training cost is
+    O(sample) and independent of corpus size — fitting a distributed
+    KMeans over 100 TB to place 1k centroids would be pure waste. Cell
+    ASSIGNMENT stays fully distributed (literal-centroid codegen
+    expression over the whole corpus)."""
+    target = nlist * sample_per_cell
+    n = corpus.count()
+    sampled = corpus.select(vec.alias("v"))
+    if n > target:
+        # over-sample slightly so limit() almost always hits target rows
+        sampled = sampled.sample(fraction=min(1.0, 1.2 * target / n), seed=seed)
+    pts = np.asarray(
+        [r.v for r in sampled.limit(target).collect()], dtype=np.float64
+    )
+    if pts.shape[0] < nlist:
+        raise ValueError(
+            f"nlist={nlist} exceeds available training vectors ({pts.shape[0]})"
+        )
+    rng = np.random.RandomState(seed)
+    centroids = pts[rng.choice(pts.shape[0], size=nlist, replace=False)]
+    for _ in range(max_iter):
+        # assign: (sample, nlist) distance matrix via |a|² − 2a·c + |c|²
+        d = (
+            (pts * pts).sum(axis=1)[:, None]
+            - 2.0 * (pts @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        moved = False
+        for j in range(nlist):
+            members = pts[assign == j]
+            if len(members):
+                new = members.mean(axis=0)
+                if not np.array_equal(new, centroids[j]):
+                    centroids[j] = new
+                    moved = True
+            else:
+                # re-seed an empty cell on the farthest point (k-means++)
+                centroids[j] = pts[d.min(axis=1).argmax()]
+                moved = True
+        if not moved:
+            break
+    return [c.tolist() for c in centroids]
 
 
 def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
