@@ -58,8 +58,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0-norm inputs yield NULL (division by zero)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; 0-norm inputs yield NULL (guarded — under ANSI
+    mode, Spark 4's default, a bare division would raise DIVIDE_BY_ZERO;
+    found by the hypothesis identity property in tests/test_properties.py)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def normalize(a: Column) -> Column:
