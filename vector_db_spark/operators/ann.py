@@ -32,6 +32,7 @@ import os
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -356,30 +357,32 @@ class CosineLshIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "CosineLshIndex":
+        """All n_tables·n_bits hyperplane projections evaluate as ONE
+        Arrow-batched matmul per partition — (batch × dim) @ (dim ×
+        n_tables·n_bits), signs packed to per-table bucket ids — instead
+        of n_tables·n_bits interpreted fold expressions over the corpus.
+        The bucket step is the whole LSH build cost at scale, so it gets
+        the BLAS treatment like the other quadratic-adjacent kernels."""
         rng = np.random.RandomState(seed)
         planes = rng.normal(size=(n_tables, n_bits, dim))
-        entries = []
-        for t in range(n_tables):
-            bucket = F.lit(0).cast("long")
-            for j in range(n_bits):
-                dot = F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in planes[t, j]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                bucket = bucket.bitwiseXOR(
-                    F.shiftleft(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), j)
-                )
-            entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-        long_form = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            F.explode(F.array(*entries)).alias("tb"),
-        ).select("id", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        flat = planes.reshape(n_tables * n_bits, dim).T.copy()  # (dim, T*B)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+
+        @F.pandas_udf("array<long>")
+        def _buckets(vecs: pd.Series) -> pd.Series:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            bits = (v @ flat >= 0).astype(np.int64)  # (n, T*B)
+            b = (bits.reshape(len(v), n_tables, n_bits) * weights).sum(axis=2)
+            return pd.Series(list(b))
+
+        long_form = (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                _buckets(F.col(vec_col)).alias("_bk"),
+            )
+            .select("id", "vec", F.posexplode("_bk").alias("table", "bucket"))
+        )
         return CosineLshIndex(planes, long_form, id_col, vec_col)
 
     def query_buckets(
