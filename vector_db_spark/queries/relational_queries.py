@@ -707,3 +707,50 @@ def sketch_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Source/sink round-trips: events → JSON-lines / CSV → read back with an
+# explicit schema → aggregate must match the parquet original exactly
+# --------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    from vector_db_spark.sources.generic import read_table, write_table
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix=f"events_{fmt}_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    write_table(ev.select(*cols), stage, fmt=fmt)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    back = read_table(spark, stage, fmt=fmt, schema=schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+@query("json_roundtrip_events", oracle=_ROUNDTRIP_ORACLE)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → explicit-schema read → aggregate: doubles and
+    ISO-8601 UTC timestamps must survive the text round-trip bit-for-bit."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("csv_roundtrip_events", oracle=_ROUNDTRIP_ORACLE)
+def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")

@@ -1,0 +1,62 @@
+"""Generic file sources/sinks beyond the fixture parquet.
+
+The reference's only storage interface is RocksDB point KV
+(src/db/scalar_storage.rs); an analytics engine needs interchange formats.
+Thin, opinionated wrappers over the DataFrame reader/writer:
+
+- JSON is line-delimited (one object per row — the streamable/splittable
+  form); timestamps serialize as ISO-8601 UTC and round-trip under the
+  session's UTC timezone.
+- CSV writes a header and reads with an explicit schema — never
+  inferSchema in pipelines (a second full scan at 100 TB, and type guesses
+  drift between runs).
+- Readers take an explicit schema for exactly that reason; parquet is the
+  only self-describing format allowed to omit it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
+    if fmt != "parquet" and schema is None:
+        raise ValueError(
+            f"{fmt} requires an explicit schema (inferSchema re-scans the "
+            "input and guesses types; forbidden in pipelines)"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path)
