@@ -120,3 +120,61 @@ def test_stream_upsert_merges_not_appends(spark):
     assert q.awaitTermination(TIMEOUT_MS)
 
     assert coll.scan().count() == 50  # merged, not appended
+
+
+def test_quota_sample_state_survives_batches(spark, events):
+    """Key quotas must hold ACROSS micro-batches: replaying the same data
+    in a second batch admits nothing new."""
+    import tempfile
+
+    from vector_db_spark.streaming.ingest import read_event_stream
+    from vector_db_spark.streaming.stateful import quota_sample
+
+    stage, ckpt, sink = tempfile.mkdtemp(), tempfile.mkdtemp(), tempfile.mkdtemp()
+    events.write.mode("append").parquet(stage)
+
+    def run():
+        kept = quota_sample(
+            read_event_stream(spark, stage).select("event_id", "user_id", "value"),
+            key_cols=("user_id",),
+            quota=3,
+            order_col="event_id",
+        )
+        q = (
+            kept.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(TIMEOUT_MS)
+
+    run()
+    first = spark.read.parquet(sink)
+    per_user = first.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_user)
+    n1 = first.count()
+
+    events.write.mode("append").parquet(stage)  # same events again
+    run()
+    assert spark.read.parquet(sink).count() == n1  # quotas already filled
+
+
+def test_quota_sample_batch_mode_matches_window_rank(spark, events):
+    from pyspark.sql import Window
+
+    from vector_db_spark.streaming.stateful import quota_sample
+
+    got = quota_sample(
+        events.select("event_id", "user_id"), key_cols=("user_id",), quota=5,
+        order_col="event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    want = (
+        events.select("event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -188,3 +188,41 @@ def stream_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
         F.size("embedding").cast("long").alias("dim"),
     )
+
+
+_QUOTA = 20
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS kept_value
+FROM ranked WHERE rn <= {_QUOTA}
+GROUP BY user_id
+"""
+
+
+@query("stream_quota_sample", oracle=_QUOTA_ORACLE)
+def stream_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): admit at most
+    N events per user across the whole stream, first-come by event_id.
+    The per-key admitted count lives in the state store; the oracle is the
+    batch window-rank formulation of the same policy."""
+    from vector_db_spark.streaming.stateful import quota_sample
+
+    stage = _stage_events(spark, sf_dir)
+    kept = quota_sample(
+        read_event_stream(spark, stage).select("event_id", "user_id", "value"),
+        key_cols=("user_id",),
+        quota=_QUOTA,
+        order_col="event_id",
+    )
+    got = _drain(kept, "append")
+    return got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("kept_value"),
+    )
