@@ -152,3 +152,31 @@ def test_quality_score_orders_sensibly(spark):
     rows = df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
     q = {r.doc_id: r.q for r in rows}
     assert q[1] > q[2]
+
+
+def test_connected_components_transitive_chain(spark):
+    from vector_db_spark.operators.dedup import connected_components, dedup_clusters
+
+    # chain 1-2-3-4 plus isolated pair (10, 11): one component each
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    clusters = {
+        r.cluster_id: (r.n_members, list(r.member_ids))
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: (4, [1, 2, 3, 4]), 10: (2, [10, 11])}
+
+
+def test_connected_components_long_path_converges(spark):
+    from vector_db_spark.operators.dedup import connected_components
+
+    n = 30  # path graph: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a_id long, b_id long"
+    )
+    comp = connected_components(pairs, max_iter=40).collect()
+    assert {r.cluster_id for r in comp} == {1}
+    assert len(comp) == n

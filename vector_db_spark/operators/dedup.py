@@ -312,3 +312,71 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-pair graph → duplicate CLUSTERS: (id, cluster_id) where
+    cluster_id is the minimum id reachable through any chain of pairs.
+
+    Near-dup detection emits PAIRS; dedup policy needs COMPONENTS (keep one
+    canonical doc per transitive group — A~B, B~C must collapse A,B,C
+    together even when A~C was never emitted). Algorithm: min-label
+    propagation — each round every vertex takes the min of its own label
+    and its neighbors' labels; converges in <= component-diameter rounds
+    (near-dup components are shallow in practice). Each round is one
+    equi-join + groupBy-min; labels are localCheckpoint'ed to cut lineage,
+    and the loop exits early on a converged round (one count per round,
+    metadata-cheap next to the join).
+
+    Input: (a_id, b_id) columns. Output: (id, cluster_id) for every vertex
+    that appears in some pair.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        propagated = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster summary per duplicate group: canonical (minimum) id and
+    member count — the rows a dedup job acts on (keep canonical, drop the
+    rest)."""
+    comp = connected_components(pairs, max_iter)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("id")).alias("member_ids"),
+    )

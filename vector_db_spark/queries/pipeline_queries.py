@@ -331,3 +331,42 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = simhash64(_docs(spark, sf_dir))
     return simhash_candidates(hashes, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: near-dup pairs → connected components → canonical id.
+# Oracle: recursive CTE computing min reachable id over the same pair set.
+# --------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a_id, b_id FROM ({_JACCARD_ORACLE.replace('round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard', 'CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard')})
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+verts AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the exact-Jaccard pair graph via iterative
+    min-label propagation (operators/dedup.connected_components): A~B and
+    B~C collapse into one cluster even when A~C was never emitted. The
+    oracle walks the same edges with a recursive CTE."""
+    from vector_db_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
