@@ -147,3 +147,50 @@ def test_pairwise_blocked_l2_metric(spark):
         ).collect()
     }
     assert blocked == expr
+
+
+def test_quantizer_round_trip_error_bounded(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.quantize import ScalarQuantizer
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sq = ScalarQuantizer.fit(emb)
+    rows = (
+        sq.quantize(emb)
+        .select("embedding", sq.decode(F.col("codes")).alias("recon"))
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        xr = np.asarray(r.recon, dtype=np.float64)
+        span = np.asarray(sq.span)
+        # affine int8 code: error <= half a quantization step per dim
+        assert (np.abs(x - xr) <= span / 255.0 / 2 + 1e-12).all()
+
+
+def test_quantized_knn_recall(spark):
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.operators.quantize import ScalarQuantizer
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sq = ScalarQuantizer.fit(emb)
+    codes = sq.quantize(emb).select("vec_id", "codes").cache()
+    recalls = []
+    for vid in (0, 7, 21):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == vid).head().embedding]
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        quant = {r.vec_id for r in sq.knn_quantized(codes, qv, 10).collect()}
+        recalls.append(len(exact & quant) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9
+    codes.unpersist()
+
+
+def test_quantizer_validation():
+    from vector_db_spark.operators.quantize import ScalarQuantizer
+
+    with pytest.raises(ValueError, match="mismatch"):
+        ScalarQuantizer([0.0], [1.0, 2.0])

@@ -159,3 +159,62 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization: kNN over reconstructed vectors, value-exact —
+# the oracle re-derives codes + reconstruction with identical arithmetic
+# --------------------------------------------------------------------------
+
+_RECON = """
+dims AS (
+  SELECT i,
+         min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         max(CAST(embedding[i] AS DOUBLE)) AS hi
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dims
+),
+recon AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i ->
+           s.lo_a[i]
+           + (CASE WHEN s.hi_a[i] > s.lo_a[i]
+                THEN greatest(0, least(255,
+                  floor((CAST(e.embedding[i] AS DOUBLE) - s.lo_a[i]) * 255.0
+                        / (s.hi_a[i] - s.lo_a[i]) + 0.5)))
+                ELSE 0 END)
+             * (s.hi_a[i] - s.lo_a[i]) / 255.0
+         ) AS xr
+  FROM embeddings e CROSS JOIN stats s
+)
+"""
+
+_QUANT_ORACLE = f"""
+WITH {_RECON},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+top AS (
+  SELECT r.vec_id, {l2_sq_sql("r.xr", "q.qv")} AS distance
+  FROM recon r, q
+  ORDER BY distance, r.vec_id
+  LIMIT {K}
+)
+SELECT vec_id, round(distance, 6) AS distance FROM top
+"""
+
+
+@query("knn_quantized_l2", oracle=_QUANT_ORACLE)
+def knn_quantized_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over int8-quantized vectors (operators/quantize.py): the scan
+    carries 1/4 the bytes; distances use the affine reconstruction. The
+    floor(x+0.5) codec is the arithmetic all engines agree on, so even the
+    quantized path is value-exact against the oracle."""
+    from vector_db_spark.operators.quantize import ScalarQuantizer
+
+    emb = _emb(spark, sf_dir)
+    sq = ScalarQuantizer.fit(emb)
+    codes = sq.quantize(emb).select("vec_id", "codes")
+    res = sq.knn_quantized(codes, _qvec(spark, sf_dir), K)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
