@@ -32,11 +32,14 @@ HEADLINE = [
     "knn_cosine",
     "knn_filtered_neq",
     "knn_batch",
+    "knn_quantized_l2",
     "ann_ivf_probe",
+    "ann_ivf_batch_probe",
     "ann_lsh_cosine",
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "dedup_clusters",
     "embedding_neardup",
     "embedding_neardup_blocked",
     "text_quality",
