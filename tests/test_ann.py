@@ -153,9 +153,30 @@ def test_ivf_cosine_full_probe_is_exact(emb, qvecs):
     assert full == exact
 
 
-def test_ivf_rejects_ip_metric(emb):
+def test_ivf_rejects_unknown_metric(emb):
     with pytest.raises(ValueError, match="IVF supports"):
-        IvfIndex.build(emb, nlist=4, metric="ip")
+        IvfIndex.build(emb, nlist=4, metric="hamming")
+
+
+def test_ivf_ip_full_probe_is_exact(emb, qvecs):
+    idx = IvfIndex.build(emb, nlist=16, seed=42, metric="ip", max_iter=5)
+    qv = qvecs[333]
+    exact = [(r.vec_id, round(r.score, 6)) for r in knn(emb, qv, 10, metric="ip").collect()]
+    full = [
+        (r.vec_id, round(r.score, 6))
+        for r in idx.search(qv, 10, nprobe=16).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_ip_reduced_probe_recall(emb, qvecs):
+    idx = IvfIndex.build(emb, nlist=16, seed=42, metric="ip", max_iter=10)
+    recalls = []
+    for qv in qvecs.values():
+        exact = [r.vec_id for r in knn(emb, qv, 10, metric="ip").collect()]
+        approx = [r.vec_id for r in idx.search(qv, 10, nprobe=12).collect()]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8
 
 
 def test_ivf_save_load_round_trips_metric(emb, tmp_path_factory, spark):

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.vector import normalize
+from vector_db_spark.functions.vector import dot, normalize
 from vector_db_spark.operators.knn import knn
 
 _CLUSTER_COL = "cluster_id"
@@ -138,6 +138,7 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.metric = metric
+        self.max_sq_norm: float | None = None  # set for metric='ip' builds
 
     @staticmethod
     def build(
@@ -151,21 +152,39 @@ class IvfIndex:
     ) -> "IvfIndex":
         """``metric='l2'`` clusters raw vectors; ``metric='cosine'``
         clusters L2-NORMALIZED vectors (unit sphere ⇒ L2 cell order is
-        rank-equivalent to cosine) while STORING raw vectors, so reranked
-        scores are bit-identical to exact cosine kNN. MIPS ('ip') has no
-        sound L2 quantizer and is rejected — use the exact path or LSH."""
+        rank-equivalent to cosine); ``metric='ip'`` (MIPS) clusters the
+        AUGMENTED vectors [x, sqrt(M²−‖x‖²)] with M = max corpus norm —
+        the standard reduction that turns max-inner-product into L2
+        nearest-neighbor in dim+1. In every case RAW vectors are stored
+        and reranked with the true metric, so full-probe results are
+        bit-identical to the exact operator."""
         if nlist < 1:
             raise ValueError("nlist must be >= 1")
-        if metric not in ("l2", "cosine"):
+        if metric not in ("l2", "cosine", "ip"):
             raise ValueError(
-                f"IVF supports metrics ('l2', 'cosine'), got {metric!r}"
+                f"IVF supports metrics ('l2', 'cosine', 'ip'), got {metric!r}"
             )
-        vec = F.col(vec_col) if metric == "l2" else normalize(F.col(vec_col))
+        if metric == "l2":
+            vec = F.col(vec_col)
+            aug = None
+        elif metric == "cosine":
+            vec = normalize(F.col(vec_col))
+            aug = None
+        else:  # ip → MIPS augmentation
+            sq_norm = dot(F.col(vec_col), F.col(vec_col))
+            max_sq = float(corpus.agg(F.max(sq_norm)).head()[0])
+            aug = max_sq
+            vec = F.concat(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
+            )
         centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
         assignments = corpus.withColumn(
             _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
         )
-        return IvfIndex(centroids, assignments, id_col, vec_col, metric)
+        idx = IvfIndex(centroids, assignments, id_col, vec_col, metric)
+        idx.max_sq_norm = aug
+        return idx
 
     def save(self, path: str) -> None:
         """Persist as a cluster-partitioned table — search() after load()
@@ -207,18 +226,23 @@ class IvfIndex:
         )
 
     def _query_point(self, query: Sequence[float]) -> np.ndarray:
-        """Query mapped into centroid space (unit sphere for cosine)."""
+        """Query mapped into centroid space: unit sphere for cosine,
+        zero-augmented [q, 0] for ip (queries sit on the augmentation
+        hyperplane in the MIPS reduction)."""
         q = np.asarray(list(query), dtype=np.float64)
         c = np.asarray(self.centroids, dtype=np.float64)
-        if q.shape[0] != c.shape[1]:
+        expect = c.shape[1] - 1 if self.metric == "ip" else c.shape[1]
+        if q.shape[0] != expect:
             raise ValueError(
                 f"dimension mismatch: query has {q.shape[0]} components, "
-                f"index dim is {c.shape[1]}"
+                f"index dim is {expect}"
             )
         if self.metric == "cosine":
             n = float(np.linalg.norm(q))
             if n > 0:
                 q = q / n
+        elif self.metric == "ip":
+            q = np.concatenate([q, [0.0]])
         return q
 
     def probe_order(self, query: Sequence[float]) -> list[int]:
@@ -291,11 +315,15 @@ class IvfIndex:
         # (1)+(2): nprobe nearest cells per query, via the same literal-
         # centroid distance expression used for corpus assignment (queries
         # map onto the unit sphere first when the index is cosine).
-        qvec = (
-            F.col(query_vec_col)
-            if self.metric == "l2"
-            else normalize(F.col(query_vec_col))
-        )
+        if self.metric == "l2":
+            qvec = F.col(query_vec_col)
+        elif self.metric == "cosine":
+            qvec = normalize(F.col(query_vec_col))
+        else:  # ip: queries sit on the augmentation hyperplane
+            qvec = F.concat(
+                F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
+                F.array(F.lit(0.0)),
+            )
         cell_dists = F.array(
             *[_l2_to_literal(qvec, c) for c in self.centroids]
         )

@@ -17,6 +17,7 @@ from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
 from vector_db_spark.queries.registry import query
 from vector_db_spark.queries.vector_queries import (
     _COS,
+    _IP,
     _emb,
     _knn_oracle,
     _L2,
@@ -92,5 +93,16 @@ def ann_ivf_cosine_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the reranked scores are bit-identical to exact cosine kNN."""
     emb = _emb(spark, sf_dir)
     idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="cosine")
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("ann_ivf_ip_full_probe", oracle=_knn_oracle(_IP, "score", "DESC"))
+def ann_ivf_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS IVF (cells over [x, sqrt(M²−|x|²)] augmented vectors — the
+    reduction that makes max-inner-product an L2 problem): at full probe
+    the raw-dot rerank is bit-identical to exact IP kNN."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="ip")
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
     return res.select("vec_id", F.round("score", 6).alias("score"))
