@@ -186,3 +186,20 @@ def test_ivf_save_load_round_trips_metric(emb, tmp_path_factory, spark):
     loaded = IvfIndex.load(spark, path)
     assert loaded.metric == "cosine"
     assert loaded.id_col == "vec_id" and loaded.vec_col == "embedding"
+
+
+def test_ivf_batch_shuffle_join_matches_broadcast(emb, ivf, qvecs):
+    queries = emb.filter(F.col("vec_id").isin(list(qvecs))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bc = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf.search_batch(queries, 5, nprobe=16).collect()
+    }
+    sj = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf.search_batch(
+            queries, 5, nprobe=16, broadcast_queries=False
+        ).collect()
+    }
+    assert bc == sj

@@ -58,3 +58,25 @@ def test_small_dim_join_broadcasts(spark):
 def test_filter_stays_in_codegen(emb):
     res = emb.filter(F.col("label") != 3).select("vec_id")
     assert uses_whole_stage_codegen(res)
+
+
+def test_batch_knn_broadcasts_query_side(spark, emb):
+    from vector_db_spark.operators.knn import batch_knn
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = batch_knn(emb, queries, 5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_agg_is_two_stage(spark):
+    from vector_db_spark.operators.skew import salted_aggregate
+    from vector_db_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    res = salted_aggregate(li, ["l_returnflag"], sum_cols=["l_extendedprice"])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # two aggregation exchanges: (keys, salt) then keys
+    assert plan.count("Exchange hashpartitioning") >= 2

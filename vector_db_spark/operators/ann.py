@@ -286,6 +286,7 @@ class IvfIndex:
         metric: str | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        broadcast_queries: bool = True,
     ) -> DataFrame:
         """Top-k per query for a whole DataFrame of queries — the 100 TB
         formulation: no driver-side loop over queries.
@@ -345,9 +346,15 @@ class IvfIndex:
             .select(query_id_col, query_vec_col, _CLUSTER_COL)
         )
 
-        # (3): candidates = corpus rows in probed cells, per query. The
-        # query side is small — broadcast it so the corpus never shuffles.
-        cands = self.assignments.join(F.broadcast(probed), on=_CLUSTER_COL)
+        # (3): candidates = corpus rows in probed cells, per query.
+        # broadcast_queries=True (the common case: query set ≪ corpus)
+        # ships the probed (query, cell) set to every executor — the
+        # corpus never moves. For query sets too large to broadcast,
+        # broadcast_queries=False shuffles BOTH sides on cluster_id — an
+        # equi-join on the corpus's existing partition column, so the
+        # corpus side is a co-located (often zero-move) shuffle.
+        probe_side = F.broadcast(probed) if broadcast_queries else probed
+        cands = self.assignments.join(probe_side, on=_CLUSTER_COL)
 
         # (4): exact rerank per query.
         scored = cands.select(
