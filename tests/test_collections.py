@@ -151,3 +151,57 @@ def test_sketches_close_to_exact(spark):
     ).head()
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50 - row.p50_exact) / row.p50_exact < 0.02
+
+
+def _vec_df(spark, n=200, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    data = [(i + 1, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    return spark.createDataFrame(data, "id long, embedding array<float>")
+
+
+def test_collection_index_lifecycle_ivf(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("vecs", dim=8, metric="l2", index_type="ivf")
+    df = _vec_df(spark)
+    coll.insert(df)
+    coll.build_index(nlist=4, max_iter=5)
+
+    qv = [0.0] * 8
+    got = [r.id for r in coll.search(qv, 5, nprobe=4).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
+    assert got == want  # full probe == exact
+
+    # mutations invalidate the index: stale search must refuse
+    coll.upsert(df.limit(1).select("id", F.col("embedding")))
+    with pytest.raises(ValueError, match="rebuild"):
+        coll.search(qv, 5)
+    coll.build_index(nlist=4, max_iter=5)
+    assert len(coll.search(qv, 5, nprobe=4).collect()) == 5
+
+
+def test_collection_exact_search_and_lsh_validation(spark, tmp_path):
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    exact = cat.create("e", dim=8, metric="ip", index_type="exact")
+    exact.insert(_vec_df(spark, n=50))
+    assert len(exact.search([1.0] * 8, 3).collect()) == 3
+
+    lsh = cat.create("l", dim=8, metric="l2", index_type="lsh")
+    lsh.insert(_vec_df(spark, n=50))
+    with pytest.raises(ValueError, match="cosine"):
+        lsh.build_index()
+
+    lshc = cat.create("lc", dim=8, metric="cosine", index_type="lsh")
+    lshc.insert(_vec_df(spark, n=50))
+    with pytest.raises(ValueError, match="build_index"):
+        lshc.search([1.0] * 8, 3)
+    lshc.build_index(n_bits=4, n_tables=4)
+    assert len(lshc.search([1.0] * 8, 3, probe_radius=1).collect()) == 3

@@ -420,6 +420,28 @@ class CosineLshIndex:
         )
         return CosineLshIndex(planes, long_form, id_col, vec_col)
 
+    def save(self, path: str) -> None:
+        """Persist buckets partitioned by (table, bucket) — search() after
+        load() prunes to the probed bucket partitions."""
+        self.buckets.write.mode("overwrite").partitionBy("table", "bucket").parquet(
+            os.path.join(path, "buckets")
+        )
+        np.save(os.path.join(path, "planes.npy"), self.planes)
+        import json
+
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "CosineLshIndex":
+        import json
+
+        planes = np.load(os.path.join(path, "planes.npy"))
+        buckets = spark.read.parquet(os.path.join(path, "buckets"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return CosineLshIndex(planes, buckets, meta["id_col"], meta["vec_col"])
+
     def query_buckets(
         self, query: Sequence[float], probe_radius: int = 0
     ) -> list[tuple[int, int]]:

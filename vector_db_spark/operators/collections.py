@@ -249,3 +249,97 @@ class Collection:
             return None
         rows = cur.filter(F.col(self.info.id_col) == id_value).limit(1).collect()
         return rows[0] if rows else None
+
+    # -- index lifecycle (≅ create_index + search dispatch,
+    #    src/core/index_factory.rs:75-163 +
+    #    src/router/handle/search_index_handle.rs:67-94) ------------------
+
+    def _index_dir(self) -> str:
+        return os.path.join(self.catalog.root, self.info.name, "index")
+
+    def build_index(self, **params) -> None:
+        """Build (or rebuild) the collection's ANN artifact per its
+        declared index_type. 'exact' needs no artifact. The artifact
+        records the snapshot version it was built from; search() refuses a
+        stale index instead of silently serving it — the exact inverse of
+        the reference's stale-HNSW-upsert behavior
+        (src/db/vector_database.rs:36-39)."""
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("cannot index an empty collection")
+        path = self._index_dir()
+        if self.info.index_type == "exact":
+            return
+        if self.info.index_type == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            idx = IvfIndex.build(
+                cur,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                metric=self.info.metric,
+                **params,
+            )
+            idx.save(path)
+        else:  # lsh
+            from vector_db_spark.operators.ann import CosineLshIndex
+
+            if self.info.metric != "cosine":
+                raise ValueError("lsh index supports only the cosine metric")
+            idx = CosineLshIndex.build(
+                cur,
+                dim=self.info.dim,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                **params,
+            )
+            idx.save(path)
+        with open(os.path.join(path, "indexed_version.json"), "w") as f:
+            json.dump({"version": self.info.version}, f)
+
+    def _indexed_version(self) -> int | None:
+        p = os.path.join(self._index_dir(), "indexed_version.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def search(self, query, k: int, predicate: Column | None = None, **params):
+        """Top-k search routed by the collection's index_type (the
+        reference's per-backend dispatch). Approximate paths raise if the
+        index predates the current snapshot — rebuild_index after
+        mutations; stale results are never served silently."""
+        from vector_db_spark.operators.knn import knn
+
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("collection is empty")
+        if self.info.index_type == "exact":
+            return knn(
+                cur,
+                query,
+                k,
+                metric=self.info.metric,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                predicate=predicate,
+            )
+        iv = self._indexed_version()
+        if iv is None:
+            raise ValueError("no index built; call build_index() first")
+        if iv != self.info.version:
+            raise ValueError(
+                f"index built at v{iv} but collection is at "
+                f"v{self.info.version}; call build_index() to rebuild"
+            )
+        if self.info.index_type == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            idx = IvfIndex.load(self.catalog.spark, self._index_dir())
+            return idx.search(query, k, predicate=predicate, **params)
+        from vector_db_spark.operators.ann import CosineLshIndex
+
+        if predicate is not None:
+            raise ValueError("lsh search does not support predicates yet")
+        idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
+        return idx.search(query, k, **params)

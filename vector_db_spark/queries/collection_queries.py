@@ -107,3 +107,43 @@ def delete_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining = delete_rows(emb, victims, ("vec_id",))
     res = knn(remaining, qv, 10, metric="l2")
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# --------------------------------------------------------------------------
+# Full index lifecycle through the Collection API: create → insert →
+# build_index(ivf) → search (full probe ⇒ exact, reference hot path
+# end-to-end: create_index_handle + insert + search_index_handle dispatch)
+# --------------------------------------------------------------------------
+
+_LIFECYCLE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id + 1 AS id, {l2_sq_sql("e.embedding", "q.qv")} AS distance
+  FROM embeddings e, q
+  ORDER BY distance, id
+  LIMIT 10
+)
+SELECT id, round(distance, 6) AS distance FROM top
+"""
+
+
+@query("collection_index_lifecycle", oracle=_LIFECYCLE_ORACLE)
+def collection_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole object lifecycle as one verified flow:
+    catalog create (≅ IndexKey registry), validated insert, batch index
+    build, dispatch-by-index-type search. nprobe=nlist makes the IVF path
+    exact, so the DuckDB oracle is plain kNN."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    coll = cat.create("lifecycle", dim=64, metric="l2", index_type="ivf")
+    coll.insert(
+        emb.select((F.col("vec_id") + 1).alias("id"), "embedding")
+    )
+    coll.build_index(nlist=8, max_iter=5)
+    qv = _qvec(spark, sf_dir)
+    res = coll.search(qv, 10, nprobe=8)
+    return res.select("id", F.round("distance", 6).alias("distance"))
