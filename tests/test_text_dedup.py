@@ -180,3 +180,43 @@ def test_connected_components_long_path_converges(spark):
     comp = connected_components(pairs, max_iter=40).collect()
     assert {r.cluster_id for r in comp} == {1}
     assert len(comp) == n
+
+
+def test_sampling_is_repartition_proof_and_disjoint(spark):
+    from vector_db_spark.operators.sampling import (
+        deterministic_sample,
+        train_eval_split,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    a = {r.doc_id for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(13), 0.3, "doc_id").collect()
+    }
+    assert a == b  # partitioning must not change membership
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n
+
+    train, ev = train_eval_split(docs, "doc_id", eval_fraction=0.1)
+    t = {r.doc_id for r in train.collect()}
+    e = {r.doc_id for r in ev.collect()}
+    assert t.isdisjoint(e) and len(t) + len(e) == n
+
+
+def test_sampling_validation(spark):
+    from vector_db_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_eval_split,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(docs, 1.5, "doc_id")
+    with pytest.raises(ValueError, match="fractions"):
+        stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
+    with pytest.raises(ValueError, match="eval_fraction"):
+        train_eval_split(docs, "doc_id", eval_fraction=0.0)

@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and re-rolls when the
+input re-partitions — unacceptable for reproducible corpus splits. These
+operators sample by CONTENT HASH of a key: a row's fate depends only on
+its key and the salt, so samples are stable across runs, clusters,
+repartitionings, and engines (md5 is the one hash Spark and DuckDB share,
+which also makes every sampling query value-exact against the oracle).
+
+- ``hash_bucket`` — uniform bucket in [0, buckets) from md5(key ‖ salt).
+- ``deterministic_sample`` — keep a fixed fraction.
+- ``stratified_sample`` — per-stratum fractions (cap a dominant language,
+  upweight a rare one).
+- ``train_eval_split`` — disjoint splits that stay disjoint forever; new
+  data lands on the same side its key always had (no eval contamination
+  when the corpus grows).
+
+All pure codegen expressions — sampling at 100 TB is a pushed-down filter,
+not a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic uniform bucket: first 8 md5 hex digits of
+    (key ‖ salt) as an integer, mod ``buckets``."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per key hash (repartition-proof)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(fraction * BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep fractions; strata missing from ``fractions`` get
+    ``default_fraction``."""
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    cut = F.lit(int(default_fraction * BUCKETS))
+    for stratum, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * BUCKETS))
+        ).otherwise(cut)
+    return df.filter(hash_bucket(F.col(key_col), salt) < cut)
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float = 0.01,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) with hash-disjoint keys: eval membership is a property
+    of the key, so later ingests can never leak eval keys into train."""
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError("eval_fraction must be in (0, 1)")
+    cut = int(eval_fraction * BUCKETS)
+    bucket = hash_bucket(F.col(key_col), salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)

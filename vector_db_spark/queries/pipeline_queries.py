@@ -370,3 +370,37 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (md5 hash-bucket — the one hash both
+# engines share, so sampling itself is oracle-verified)
+# --------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8)) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+)
+SELECT doc_id, lang FROM bucketed
+WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 ELSE 1000 END
+"""
+
+
+@query("stratified_sample_docs", oracle=_SAMPLE_ORACLE)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartition-proof per-language sampling: keep 50% of en, 20% of de,
+    10% elsewhere, decided purely by md5(doc_id, salt)."""
+    from vector_db_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.2},
+        default_fraction=0.1,
+        key_col="doc_id",
+        salt="s1",
+    )
