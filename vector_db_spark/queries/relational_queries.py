@@ -754,3 +754,144 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("csv_roundtrip_events", oracle=_ROUNDTRIP_ORACLE)
 def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: shipping volume between nation pairs, year extracted in-join
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_nation_volume", oracle=_Q7_ORACLE)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aliases of the same broadcast dim (nation) with a disjunctive
+    pair predicate — the join shape AQE can't help with unless the dims
+    broadcast, which they do."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier counts by part attributes with a NOT IN exclusion
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_cnt", oracle=_Q16_ORACLE)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null key set = broadcast anti-join; distinct
+    count per group on top."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested semi-joins — suppliers of parts that shipped in volume
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%a%' AND l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 100
+)
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20_volume_suppliers", oracle=_Q20_ORACLE)
+def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    heavy = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
