@@ -895,3 +895,74 @@ def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows: 2h windows sliding 1h — every event lands in 2 windows
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH contrib AS (
+  SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, value
+  FROM events CROSS JOIN generate_series(0, 1) AS t(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM contrib
+GROUP BY window_start, event_type
+"""
+
+
+@query("events_sliding", oracle=_SLIDING_ORACLE)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window with slide < duration: each event contributes to
+    duration/slide windows (the oracle replicates rows explicitly)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact order statistics: median / p90 per group
+# --------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("median_order_price", oracle=_MEDIAN_ORACLE)
+def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (order statistics with linear interpolation —
+    percentile ≅ quantile_cont). Rounded to 4 dp: the two engines
+    interpolate with differently-associated but mathematically equal
+    expressions."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
