@@ -28,8 +28,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.text import word_shingles
+from vector_db_spark.functions.text import char_ngrams, word_shingles
 from vector_db_spark.operators.util import fan_out
+
+
+def _shingle_expr(text_col: str, k: int, unit: str) -> "F.Column":
+    """Distinct shingle array: k-word shingles or k-char n-grams."""
+    if unit == "word":
+        return word_shingles(F.col(text_col), k)
+    if unit == "char":
+        return char_ngrams(F.col(text_col), k)
+    raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
 
 
 def exact_dedup(
@@ -53,11 +62,14 @@ def shingle_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows — distinct k-word shingles."""
+    """(id, shingle) inverted-index rows — distinct k-word shingles (or
+    k-char n-grams with ``unit='char'``, the robust choice for languages
+    without whitespace tokenization)."""
     return fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        F.explode(_shingle_expr(text_col, k, unit)).alias("shingle"),
     )
 
 
@@ -67,13 +79,14 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact shingle-Jaccard similar pairs via the inverted-index join:
     explode shingles → self-equi-join on shingle → count intersections →
     |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere; the shingle join is an
     equi-join AQE can skew-split (pathologically common shingles are the
     skew risk — pre-filter them upstream if needed)."""
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = shingle_table(df, id_col, text_col, k, unit)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")

@@ -404,3 +404,42 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         salt="s1",
     )
+
+
+# --------------------------------------------------------------------------
+# Char 5-gram Jaccard near-dup — the tokenizer-free variant (CJK-safe)
+# --------------------------------------------------------------------------
+
+_CHAR_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(length(text) - 4, 0)),
+    i -> substr(text, i, 5)
+  ))) AS shingle
+  FROM documents WHERE doc_id < 300
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter p JOIN sizes sa ON p.a_id = sa.doc_id
+JOIN sizes sb ON p.b_id = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@query("neardup_char_jaccard", oracle=_CHAR_JACCARD_ORACLE)
+def neardup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard (unit='char'): no tokenizer assumption, so
+    it works on whitespace-free scripts; same inverted-index join shape."""
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 300),
+        threshold=0.5,
+        k=5,
+        unit="char",
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
