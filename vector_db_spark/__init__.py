@@ -22,3 +22,61 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Curated public API — the operator surface a user composes directly.
+from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex  # noqa: E402
+from vector_db_spark.operators.collections import (  # noqa: E402
+    Collection,
+    CollectionCatalog,
+    delete_rows,
+    merge_upsert,
+)
+from vector_db_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    dedup_clusters,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_neardup,
+    simhash64,
+    simhash_candidates,
+)
+from vector_db_spark.operators.knn import (  # noqa: E402
+    batch_knn,
+    knn,
+    pairwise_similarity,
+    pairwise_similarity_blocked,
+)
+from vector_db_spark.operators.quantize import ScalarQuantizer  # noqa: E402
+from vector_db_spark.operators.sampling import (  # noqa: E402
+    deterministic_sample,
+    stratified_sample,
+    train_eval_split,
+)
+from vector_db_spark.operators.skew import salted_aggregate  # noqa: E402
+from vector_db_spark.session import get_spark  # noqa: E402
+
+__all__ = [
+    "Collection",
+    "CollectionCatalog",
+    "CosineLshIndex",
+    "IvfIndex",
+    "ScalarQuantizer",
+    "batch_knn",
+    "connected_components",
+    "dedup_clusters",
+    "delete_rows",
+    "deterministic_sample",
+    "exact_dedup",
+    "get_spark",
+    "jaccard_pairs",
+    "knn",
+    "merge_upsert",
+    "minhash_neardup",
+    "pairwise_similarity",
+    "pairwise_similarity_blocked",
+    "salted_aggregate",
+    "simhash64",
+    "simhash_candidates",
+    "stratified_sample",
+    "train_eval_split",
+]
