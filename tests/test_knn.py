@@ -194,3 +194,44 @@ def test_quantizer_validation():
 
     with pytest.raises(ValueError, match="mismatch"):
         ScalarQuantizer([0.0], [1.0, 2.0])
+
+
+def test_hybrid_search_properties(spark):
+    from vector_db_spark.operators.hybrid import hybrid_search
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id").cache()
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).head().embedding]
+
+    rows = hybrid_search(corpus, "spark query vector", qv, 10).collect()
+    assert len(rows) == 10
+    # fused scores are sorted desc with id tiebreak
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a pure-vector heavy hitter must surface: top-1 cosine is in the fused set
+    top_vec = knn(corpus, qv, 1, metric="cosine", id_col="doc_id").head().doc_id
+    fetched = {
+        r.id for r in hybrid_search(corpus, "spark query vector", qv, 50).collect()
+    }
+    assert top_vec in fetched
+    corpus.unpersist()
+
+
+def test_hybrid_search_validation(spark):
+    from vector_db_spark.operators.hybrid import hybrid_search
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="k must"):
+        hybrid_search(docs, "x", [0.0], 0)
+    with pytest.raises(ValueError, match="fetch"):
+        hybrid_search(docs, "x", [0.0], 10, fetch=5)
+    with pytest.raises(ValueError, match="token"):
+        hybrid_search(docs, "   ", [0.0], 1)

@@ -40,6 +40,7 @@ from vector_db_spark.operators.dedup import (  # noqa: E402
     simhash64,
     simhash_candidates,
 )
+from vector_db_spark.operators.hybrid import hybrid_search  # noqa: E402
 from vector_db_spark.operators.knn import (  # noqa: E402
     batch_knn,
     knn,
@@ -68,6 +69,7 @@ __all__ = [
     "deterministic_sample",
     "exact_dedup",
     "get_spark",
+    "hybrid_search",
     "jaccard_pairs",
     "knn",
     "merge_upsert",

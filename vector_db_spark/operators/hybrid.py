@@ -1,0 +1,110 @@
+"""Hybrid (keyword + vector) search with reciprocal-rank fusion.
+
+The modern vector-store query shape the reference never reached: retrieve
+by BOTH a text query and an embedding, fuse with RRF
+(Cormack/Clarke/Büttcher):  score(d) = Σ_lists 1/(k + rank_list(d)).
+
+Scale-first decomposition — RRF needs ranks, and global ranks need a
+global sort, so the operator never ranks the corpus:
+
+1. each modality independently takes its top ``fetch`` candidates —
+   ``ORDER BY score LIMIT fetch`` = TakeOrderedAndProject (per-partition
+   heaps, no global sort, no shuffle);
+2. ranks are assigned within the two fetch-sized candidate lists (a
+   window over ≤ fetch rows — driver-scale, not corpus-scale);
+3. the lists full-outer-join on id; a document missing from a list simply
+   contributes nothing for that list (classic RRF);
+4. top-k of the fused score.
+
+Keyword relevance is query-token overlap count (distinct-token hit count
+— a deliberately simple, portable relevance kernel; swap in BM25 weights
+without changing the fusion shape). All ties break by id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import tokens
+from vector_db_spark.functions.vector import cosine_sim
+from vector_db_spark.operators.knn import query_literal
+
+
+def keyword_overlap(text_col: Column, query_tokens: Sequence[str]) -> Column:
+    """How many distinct query tokens appear in the text."""
+    toks = sorted(set(query_tokens))
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text_col)),
+            F.array(*[F.lit(t) for t in toks]),
+        )
+    )
+
+
+def hybrid_search(
+    corpus: DataFrame,
+    query_text: str,
+    query_vec: Sequence[float],
+    k: int,
+    *,
+    fetch: int = 100,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by RRF over the keyword and vector candidate lists.
+
+    Returns (id, text_rank, vec_rank, rrf_score) — NULL rank means the
+    document reached the fused top-k through the other modality alone.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if fetch < k:
+        raise ValueError("fetch must be >= k")
+    qtoks = [t for t in query_text.split(" ") if t]
+    if not qtoks:
+        raise ValueError("query_text must contain at least one token")
+
+    tscore = keyword_overlap(F.col(text_col), qtoks)
+    text_cands = (
+        corpus.select(F.col(id_col).alias("id"), tscore.alias("tscore"))
+        .filter(F.col("tscore") > 0)
+        .orderBy(F.col("tscore").desc(), F.col("id").asc())
+        .limit(fetch)
+        .withColumn(
+            "text_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("tscore").desc(), F.col("id").asc())
+            ),
+        )
+        .select("id", "text_rank")
+    )
+
+    vscore = cosine_sim(F.col(vec_col), query_literal(query_vec))
+    vec_cands = (
+        corpus.select(F.col(id_col).alias("id"), vscore.alias("vscore"))
+        .orderBy(F.col("vscore").desc(), F.col("id").asc())
+        .limit(fetch)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("vscore").desc(), F.col("id").asc())
+            ),
+        )
+        .select("id", "vec_rank")
+    )
+
+    fused = text_cands.join(vec_cands, "id", "full_outer").select(
+        "id",
+        "text_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)

@@ -443,3 +443,68 @@ def neardup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit="char",
     )
     return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Hybrid search: keyword + vector with reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_HQUERY_TEXT = "spark query vector join fast"
+_HQ_TOKS = "['spark','query','vector','join','fast']"
+
+_HYBRID_ORACLE = f"""
+WITH corpus AS (
+  SELECT d.doc_id AS id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+tc AS (
+  SELECT id,
+         len(list_intersect(
+           list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
+           {_HQ_TOKS})) AS tscore
+  FROM corpus
+),
+ttop AS (
+  SELECT id, row_number() OVER (ORDER BY tscore DESC, id) AS text_rank
+  FROM (SELECT * FROM tc WHERE tscore > 0 ORDER BY tscore DESC, id LIMIT 100)
+),
+vc AS (
+  SELECT c.id, {cosine_sim_sql('c.embedding', 'q.qv')} AS vscore
+  FROM corpus c, q
+),
+vtop AS (
+  SELECT id, row_number() OVER (ORDER BY vscore DESC, id) AS vec_rank
+  FROM (SELECT * FROM vc ORDER BY vscore DESC, id LIMIT 100)
+),
+fused AS (
+  SELECT COALESCE(t.id, v.id) AS id, t.text_rank, v.vec_rank,
+         COALESCE(CAST(1.0 AS DOUBLE)/(60 + t.text_rank), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE)/(60 + v.vec_rank), 0.0) AS rrf_score
+  FROM ttop t FULL OUTER JOIN vtop v ON t.id = v.id
+)
+SELECT id, text_rank, vec_rank, round(rrf_score, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, id LIMIT 10
+"""
+
+
+@query("hybrid_search_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword + vector retrieval fused with RRF (operators/hybrid.py):
+    each modality takes its top-100 via TakeOrderedAndProject, ranks are
+    assigned inside the candidate lists only, and a full outer join fuses
+    them — the corpus is never globally sorted."""
+    from vector_db_spark.operators.hybrid import hybrid_search
+    from vector_db_spark.queries.vector_queries import _qvec
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id")
+    res = hybrid_search(
+        corpus, _HQUERY_TEXT, _qvec(spark, sf_dir), 10, fetch=100
+    )
+    return res.select(
+        "id", "text_rank", "vec_rank", F.round("rrf_score", 6).alias("rrf_score")
+    )
