@@ -220,3 +220,25 @@ def test_sampling_validation(spark):
         stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
     with pytest.raises(ValueError, match="eval_fraction"):
         train_eval_split(docs, "doc_id", eval_fraction=0.0)
+
+
+def test_bm25_basic_ranking(spark):
+    from vector_db_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),          # high tf of one term
+            (2, "spark query"),                 # two matching terms
+            (3, "nothing relevant here"),       # no match
+            (4, "query query spark query"),     # high tf both
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, "spark query", 10).collect()
+    got_ids = [r.id for r in rows]
+    assert 3 not in got_ids            # non-matching doc never scored
+    assert got_ids[0] == 4             # most matches of both terms wins
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+    with pytest.raises(ValueError, match="token"):
+        bm25_topk(docs, "  ", 5)

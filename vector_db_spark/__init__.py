@@ -40,6 +40,7 @@ from vector_db_spark.operators.dedup import (  # noqa: E402
     simhash64,
     simhash_candidates,
 )
+from vector_db_spark.operators.bm25 import bm25_scores, bm25_topk  # noqa: E402
 from vector_db_spark.operators.hybrid import hybrid_search  # noqa: E402
 from vector_db_spark.operators.knn import (  # noqa: E402
     batch_knn,
@@ -63,6 +64,8 @@ __all__ = [
     "IvfIndex",
     "ScalarQuantizer",
     "batch_knn",
+    "bm25_scores",
+    "bm25_topk",
     "connected_components",
     "dedup_clusters",
     "delete_rows",

@@ -508,3 +508,50 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "id", "text_rank", "vec_rank", F.round("rrf_score", 6).alias("rrf_score")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword ranking (Okapi, Lucene idf form) — full arithmetic parity
+# --------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+docs AS (SELECT id, toks, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+postings AS (
+  SELECT d.id, d.dl, t.term,
+         CAST(len(list_filter(d.toks, x -> x = t.term)) AS DOUBLE) AS tf
+  FROM docs d
+  CROSS JOIN (SELECT unnest(['fast', 'query', 'spark', 'vector']) AS term) t
+  WHERE list_contains(d.toks, t.term)
+),
+dfs AS (SELECT term, count(DISTINCT id) AS df FROM postings GROUP BY term),
+contribs AS (
+  SELECT p.id, p.term,
+         ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (1.0 - 0.75 + (0.75 * p.dl) / s.avgdl)) AS contrib
+  FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s
+),
+scored AS (
+  SELECT id, SUM(contrib ORDER BY term) AS score FROM contribs GROUP BY id
+),
+top AS (SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 20)
+SELECT id, round(score, 6) AS score FROM top
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query (operators/bm25.py): postings
+    restricted to query terms before any shuffle, df/avgdl as small
+    aggregates, contributions folded in term order for bit parity."""
+    from vector_db_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = bm25_topk(docs, "spark query vector fast", 20)
+    return res.select("id", F.round("score", 6).alias("score"))
