@@ -235,3 +235,21 @@ def test_hybrid_search_validation(spark):
         hybrid_search(docs, "x", [0.0], 10, fetch=5)
     with pytest.raises(ValueError, match="token"):
         hybrid_search(docs, "   ", [0.0], 1)
+
+
+def test_hybrid_search_bm25_kernel(spark):
+    from vector_db_spark.operators.hybrid import hybrid_search
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id")
+    qv = [0.1] * 64
+    rows = hybrid_search(corpus, "spark query", qv, 10, keyword="bm25").collect()
+    assert len(rows) == 10
+    with pytest.raises(ValueError, match="keyword"):
+        hybrid_search(corpus, "spark", qv, 5, keyword="tfidf")

@@ -52,12 +52,15 @@ def hybrid_search(
     *,
     fetch: int = 100,
     rrf_k: int = 60,
+    keyword: str = "overlap",
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k by RRF over the keyword and vector candidate lists.
 
+    ``keyword`` picks the text relevance kernel: ``'overlap'`` (distinct
+    query-token hit count — cheapest) or ``'bm25'`` (operators/bm25.py).
     Returns (id, text_rank, vec_rank, rrf_score) — NULL rank means the
     document reached the fused top-k through the other modality alone.
     """
@@ -69,11 +72,22 @@ def hybrid_search(
     if not qtoks:
         raise ValueError("query_text must contain at least one token")
 
-    tscore = keyword_overlap(F.col(text_col), qtoks)
+    if keyword == "overlap":
+        tscore = keyword_overlap(F.col(text_col), qtoks)
+        scored_text = corpus.select(
+            F.col(id_col).alias("id"), tscore.cast("double").alias("tscore")
+        ).filter(F.col("tscore") > 0)
+    elif keyword == "bm25":
+        from vector_db_spark.operators.bm25 import bm25_scores
+
+        scored_text = bm25_scores(
+            corpus, query_text, id_col=id_col, text_col=text_col
+        ).select("id", F.col("score").alias("tscore"))
+    else:
+        raise ValueError(f"keyword must be 'overlap' or 'bm25', got {keyword!r}")
+
     text_cands = (
-        corpus.select(F.col(id_col).alias("id"), tscore.alias("tscore"))
-        .filter(F.col("tscore") > 0)
-        .orderBy(F.col("tscore").desc(), F.col("id").asc())
+        scored_text.orderBy(F.col("tscore").desc(), F.col("id").asc())
         .limit(fetch)
         .withColumn(
             "text_rank",
