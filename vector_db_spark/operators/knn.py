@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.vector import cosine_sim, dot, l2_sq
+from vector_db_spark.functions.vector import cosine_sim, dot, l2_norm, l2_sq
 
 # metric name -> (distance/score expression builder, ascending?)
 _METRICS = {
@@ -170,14 +170,23 @@ def pairwise_similarity(
     """
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
+    # For cosine, norms are per-ROW quantities: compute them once on each
+    # side before the pair join so the per-pair expression is a single dot
+    # fold instead of dot + two norms (3× the interpreted-HOF work on an
+    # O(n²) frame). Same expression on the same data ⇒ bit-identical score.
+    norm_cols = (
+        [l2_norm(F.col(vec_col)).alias("a_norm")] if metric == "cosine" else []
+    )
     a = corpus.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
+        *norm_cols,
         *([F.col(block_col).alias("a_blk")] if block_col else []),
     )
     b = corpus.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
+        *([l2_norm(F.col(vec_col)).alias("b_norm")] if metric == "cosine" else []),
         *([F.col(block_col).alias("b_blk")] if block_col else []),
     )
     cond = F.col("a_id") < F.col("b_id")
@@ -190,7 +199,13 @@ def pairwise_similarity(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     a = a.repartition(par)
     pairs = a.join(b, cond)
-    scored = pairs.select("a_id", "b_id", expr_fn(F.col("a_vec"), F.col("b_vec")).alias(out))
+    if metric == "cosine":
+        denom = F.col("a_norm") * F.col("b_norm")
+        # zero-norm guard matches cosine_sim (NULL, not ANSI div-by-zero)
+        score = F.when(denom != 0.0, dot(F.col("a_vec"), F.col("b_vec")) / denom)
+    else:
+        score = expr_fn(F.col("a_vec"), F.col("b_vec"))
+    scored = pairs.select("a_id", "b_id", score.alias(out))
     keep = F.col(out) <= threshold if ascending else F.col(out) >= threshold
     return scored.filter(keep)
 

@@ -966,3 +966,40 @@ def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Typed JSON parsing: props string → struct via from_json (vs the untyped
+# get_json_object path in scalar_functions)
+# --------------------------------------------------------------------------
+
+_PROPS_STRUCT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("events_props_struct", oracle=_PROPS_STRUCT_ORACLE)
+def events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON props column: from_json with a declared
+    struct schema (typed, codegen-friendly) instead of per-field
+    get_json_object string extraction."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k:bigint>")
+    ).filter(F.col("p.k").isNotNull())
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_with_k"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
