@@ -80,3 +80,36 @@ def test_salted_agg_is_two_stage(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     # two aggregation exchanges: (keys, salt) then keys
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vector_db_spark.sources.fixtures import load_table
+    from vector_db_spark.sources.generic import write_clustered
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "clustered")
+    write_clustered(orders, path, ["o_orderkey"], n_files=8)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    # file key ranges must not overlap: footer stats alone can route a
+    # point lookup to exactly one file
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({hi1} > {lo2})"

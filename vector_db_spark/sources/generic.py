@@ -60,3 +60,31 @@ def read_table(
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.format(fmt).load(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with range-clustering on ``cluster_cols``: rows are
+    range-partitioned then sorted within each file, so every file's
+    min/max footer stats cover a narrow, non-overlapping slice of the
+    cluster key. Point lookups and range scans on those columns then skip
+    whole files/row-groups from footers alone — the poor-man's Z-order
+    (single-dimension case of it) that needs no table format.
+
+    ``repartitionByRange`` does one range shuffle (sampling the key
+    distribution); ``sortWithinPartitions`` is a per-file local sort, no
+    second shuffle."""
+    cols = [str(c) for c in cluster_cols]
+    if not cols:
+        raise ValueError("cluster_cols must be non-empty")
+    out = df
+    if n_files is not None:
+        out = out.repartitionByRange(n_files, *cols)
+    else:
+        out = out.repartitionByRange(*cols)
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
