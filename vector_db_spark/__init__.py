@@ -55,6 +55,10 @@ from vector_db_spark.operators.sampling import (  # noqa: E402
     train_eval_split,
 )
 from vector_db_spark.operators.skew import salted_aggregate  # noqa: E402
+from vector_db_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    range_join_events,
+)
 from vector_db_spark.session import get_spark  # noqa: E402
 
 __all__ = [
@@ -63,6 +67,7 @@ __all__ = [
     "CosineLshIndex",
     "IvfIndex",
     "ScalarQuantizer",
+    "asof_join",
     "batch_knn",
     "bm25_scores",
     "bm25_topk",
@@ -79,6 +84,7 @@ __all__ = [
     "minhash_neardup",
     "pairwise_similarity",
     "pairwise_similarity_blocked",
+    "range_join_events",
     "salted_aggregate",
     "simhash64",
     "simhash_candidates",

@@ -1,0 +1,150 @@
+"""Temporal joins Spark lacks as primitives: as-of join and banded range
+join — composed from one shuffle each, never a cross join.
+
+**asof_join** — for every left row, the latest right row with
+``right.ts <= left.ts`` (optionally within ``tolerance``), per key. The
+kdb/pandas `merge_asof` semantics, built with the union trick:
+
+    union(left tagged 0, right tagged 1)
+    → window per key ordered by (ts, tag DESC)
+    → last non-null right-payload carried forward
+    → keep left rows
+
+One hash shuffle on the key; state per row is O(payload). DuckDB has a
+native ASOF JOIN, which is the oracle.
+
+**range_join_events** — all (a, b) pairs per key with
+``0 < b.ts − a.ts <= window``. Naive formulation is an inequality join
+(cartesian per key); the scalable one buckets time into window-sized
+epochs and equi-joins each left bucket to its own and the next bucket —
+join keys are (key, bucket), perfectly shuffle-partitionable, and the
+inequality shrinks to a residual filter. Standard interval-bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows + the most recent right row at-or-before their timestamp.
+
+    ``right_cols`` are the right-side payload columns to carry (each lands
+    as ``<name><suffix>``); rows with no prior right row get NULLs, or —
+    with ``tolerance_seconds`` — also when the match is older than the
+    tolerance. Ties on ts (a right row exactly at left.ts) DO match.
+    """
+    if not right_cols:
+        raise ValueError("right_cols must name at least one payload column")
+    keys = list(key_cols)
+    payload = list(right_cols)
+
+    lhs = left.withColumn("__tag", F.lit(0))
+    for c in payload:
+        lhs = lhs.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lhs = lhs.withColumn("__rts", F.lit(None).cast(right.schema[ts_col].dataType))
+
+    rhs = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__tag"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(ts_col).alias("__rts"),
+    )
+    left_cols = [c for c in left.columns]
+    union = lhs.select(
+        *left_cols, "__tag", *[f"__p_{c}" for c in payload], "__rts"
+    ).unionByName(
+        rhs.select(
+            *keys,
+            F.col(ts_col),
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in keys and c != ts_col],
+            "__tag",
+            *[f"__p_{c}" for c in payload],
+            "__rts",
+        ),
+        allowMissingColumns=False,
+    )
+
+    # right rows sort BEFORE left rows at equal ts (tag DESC) so an
+    # exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = union.select(
+        *left_cols,
+        "__tag",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__c_rts"),
+    )
+
+    out = carried.filter(F.col("__tag") == 0)
+    stale: Column | None = None
+    if tolerance_seconds is not None:
+        age = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__c_rts"))
+        stale = F.col("__c_rts").isNull() | (age > tolerance_seconds * 1_000_000)
+    for c in payload:
+        val = F.col(f"__c_{c}")
+        if stale is not None:
+            val = F.when(~stale, val)
+        out = out.withColumn(f"{c}{suffix}", val)
+    return out.select(
+        *left_cols, *[f"{c}{suffix}" for c in payload]
+    )
+
+
+def range_join_events(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    window_seconds: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """All ordered pairs (a, b) per key with 0 < b.ts − a.ts <= window.
+
+    Bucketed formulation: epoch = floor(unix_micros/window); each a-bucket
+    equi-joins b in {epoch, epoch+1} (a pair within the window spans at
+    most one bucket boundary), then the exact inequality filters. The join
+    is on (keys, bucket) — hash-shuffleable, skew-splittable — and the
+    per-task pair space is bounded by bucket occupancy, not key cardinality.
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    keys = list(key_cols)
+    win_us = window_seconds * 1_000_000
+    epoch = (F.unix_micros(F.col(ts_col)) / win_us).cast("long")
+
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("a_id"),
+        F.unix_micros(F.col(ts_col)).alias("a_us"),
+        epoch.alias("__bucket"),
+    )
+    b = df.select(
+        *keys,
+        F.col(id_col).alias("b_id"),
+        F.unix_micros(F.col(ts_col)).alias("b_us"),
+        F.explode(F.array(epoch, epoch - 1)).alias("__bucket"),
+    )
+    pairs = a.join(b, [*keys, "__bucket"])
+    return (
+        pairs.filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= win_us)
+        )
+        .select(*keys, "a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+    )

@@ -1003,3 +1003,75 @@ def events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p.k").alias("min_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join: each click joined to the user's latest purchase at-or-before
+# (DuckDB's native ASOF JOIN is the oracle). Right side deduped per
+# (user, ts) so tie selection is deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       round(r.pvalue, 6) AS pvalue_asof
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@query("asof_click_purchase", oracle=_ASOF_ORACLE)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join (operators/temporal.py): union + per-key carry-forward
+    window — one hash shuffle, the kdb/merge_asof semantics Spark has no
+    primitive for."""
+    from vector_db_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    res = asof_join(
+        clicks, purchases, key_cols=("user_id",), ts_col="ts",
+        right_cols=("pvalue",),
+    )
+    return res.select(
+        "event_id", "user_id", F.round("pvalue_asof", 6).alias("pvalue_asof")
+    )
+
+
+# --------------------------------------------------------------------------
+# Banded range join: event pairs per user within a 10-minute window
+# --------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+"""
+
+
+@query("range_join_pairs", oracle=_RANGE_ORACLE)
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_join_events: time bucketed into window-sized epochs, each
+    bucket equi-joined to itself and its successor, inequality as residual
+    filter — the interval join without a per-key cartesian."""
+    from vector_db_spark.operators.temporal import range_join_events
+
+    ev = _t(spark, sf_dir, "events")
+    return range_join_events(ev, key_cols=("user_id",), window_seconds=600)
