@@ -555,3 +555,104 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     res = bm25_topk(docs, "spark query vector fast", 20)
     return res.select("id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: exact top-20 tokens by corpus frequency
+# --------------------------------------------------------------------------
+
+_HEAVY_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@query("heavy_hitter_tokens", oracle=_HEAVY_ORACLE)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: explode → count → TakeOrdered(20).
+    The map-side partial agg means the shuffle carries one row per
+    (partition, token), not one per occurrence."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data preparation: quality gate → exact dedup →
+# deterministic sample → per-language output stats. One composite plan.
+# --------------------------------------------------------------------------
+
+_PREP_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         CAST(len(list_filter(toks,
+           t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+           AS DOUBLE) / len(toks) * 0.5
+         + least(len(toks) / 100.0, 1.0) * 0.3
+         + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(text)) * 0.2 AS q
+  FROM scored
+),
+gated AS (SELECT * FROM quality WHERE q >= 0.3),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'prep'), 1, 8))
+             AS BIGINT) % 10000 < 8000
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS mean_quality
+FROM sampled GROUP BY lang
+"""
+
+
+@query("pipeline_prepare_corpus", oracle=_PREP_ORACLE)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-data flow as ONE declarative plan: quality gate →
+    exact dedup (min-id survivor) → 80% deterministic sample → per-language
+    stats. Catalyst pipelines the quality filter into the scan; dedup is
+    the only shuffle before the final aggregate."""
+    from vector_db_spark.operators.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(F.col("text"))
+    gated = docs.select(
+        "doc_id", "lang", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        q.alias("q"),
+    ).filter(F.col("q") >= 0.3)
+    deduped = (
+        exact_dedup(gated, "text", "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+    )
+    sampled = deterministic_sample(deduped, 0.8, "doc_id", salt="prep")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+    )
