@@ -1,0 +1,119 @@
+"""Product-quantization tests: codec determinism (ADC distance equals the
+exact distance to the reconstruction), recall vs the oracle-verified exact
+operator, rerank refinement, and the binary-codes storage contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.knn import knn
+from vector_db_spark.operators.pq import ProductQuantizer
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+QIDS = [0, 7, 21, 100, 333]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def pq(emb):
+    return ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+
+
+@pytest.fixture(scope="module")
+def encoded(emb, pq):
+    df = pq.encode(emb).select("vec_id", "pq_codes").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvecs(emb):
+    rows = emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    return {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+
+def test_codes_are_m_bytes(encoded, pq):
+    rows = encoded.limit(5).collect()
+    assert all(isinstance(r.pq_codes, (bytes, bytearray)) for r in rows)
+    assert all(len(r.pq_codes) == pq.m for r in rows)
+
+
+def test_adc_equals_distance_to_reconstruction(emb, encoded, pq, qvecs):
+    """The codec's defining identity: ADC(q, codes(x)) == ||q - recon(x)||²."""
+    qv = np.asarray(qvecs[0])
+    got = {
+        r.vec_id: r.distance
+        for r in pq.search(encoded, list(qv), 5).collect()
+    }
+    codes = {
+        r.vec_id: r.pq_codes
+        for r in encoded.filter(F.col("vec_id").isin(list(got))).collect()
+    }
+    for vid, dist in got.items():
+        recon = pq.reconstruct(codes[vid])
+        assert dist == pytest.approx(float(((qv - recon) ** 2).sum()), rel=1e-9)
+
+
+def test_fit_is_deterministic(emb):
+    a = ProductQuantizer.fit(emb, m=4, ksub=16, seed=7, iters=3)
+    b = ProductQuantizer.fit(emb, m=4, ksub=16, seed=7, iters=3)
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_adc_recall(emb, encoded, pq, qvecs):
+    recalls = []
+    for qv in qvecs.values():
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        approx = {r.vec_id for r in pq.search(encoded, qv, 10).collect()}
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    # Uniform-random 64-d vectors are PQ's worst case (distance
+    # concentration): raw ADC ranking is noisy by construction and the
+    # rerank path below is the accuracy story. Floor pins non-degeneracy.
+    assert mean >= 0.4, f"raw ADC recall@10 {mean} (measured ~0.6 at build)"
+
+
+def test_rerank_beats_raw_adc(emb, encoded, pq, qvecs):
+    raw, rr = [], []
+    for qv in qvecs.values():
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        a = {r.vec_id for r in pq.search(encoded, qv, 10).collect()}
+        b = {
+            r.vec_id
+            for r in pq.search(encoded, qv, 10, rerank=emb, shortlist=50).collect()
+        }
+        raw.append(len(exact & a) / 10)
+        rr.append(len(exact & b) / 10)
+    assert sum(rr) >= sum(raw)
+    assert sum(rr) / len(rr) >= 0.8, f"reranked recall@10 {sum(rr)/len(rr)}"
+
+
+def test_rerank_distances_are_exact(emb, encoded, pq, qvecs):
+    qv = qvecs[7]
+    res = pq.search(encoded, qv, 5, rerank=emb, shortlist=100).collect()
+    exact = {r.vec_id: r.distance for r in knn(emb, qv, 200).collect()}
+    for r in res:
+        assert r.distance == pytest.approx(exact[r.vec_id], rel=1e-6)
+
+
+def test_validation(emb, encoded, pq):
+    with pytest.raises(ValueError, match="divisible"):
+        ProductQuantizer.fit(emb, m=7)
+    with pytest.raises(ValueError, match="ksub"):
+        ProductQuantizer.fit(emb, m=8, ksub=512)
+    with pytest.raises(ValueError, match="k must be"):
+        pq.search(encoded, [0.0] * 64, 0)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        pq.adc_table([1.0, 2.0])
+    with pytest.raises(ValueError, match="shortlist"):
+        pq.search(encoded, [0.0] * 64, 10, rerank=emb, shortlist=5)

@@ -48,6 +48,7 @@ from vector_db_spark.operators.knn import (  # noqa: E402
     pairwise_similarity,
     pairwise_similarity_blocked,
 )
+from vector_db_spark.operators.pq import ProductQuantizer  # noqa: E402
 from vector_db_spark.operators.quantize import ScalarQuantizer  # noqa: E402
 from vector_db_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
@@ -66,6 +67,7 @@ __all__ = [
     "CollectionCatalog",
     "CosineLshIndex",
     "IvfIndex",
+    "ProductQuantizer",
     "ScalarQuantizer",
     "asof_join",
     "batch_knn",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+from vector_db_spark.operators.pq import ProductQuantizer
 from vector_db_spark.queries.registry import query
 from vector_db_spark.queries.vector_queries import (
     _COS,
@@ -95,6 +96,33 @@ def ann_ivf_cosine_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="cosine")
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
     return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _pq(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+    return emb, pqz, pqz.encode(emb).select("vec_id", "pq_codes")
+
+
+@query("pq_adc_knn")
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain search: top-k by asymmetric distance over the
+    M-byte PQ codes column alone (rows-only; codec + recall pinned in
+    tests/test_pq.py)."""
+    _, pqz, enc = _pq(spark, sf_dir)
+    res = pqz.search(enc, _qvec(spark, sf_dir), K)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("pq_rerank_full_shortlist", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def pq_rerank_full_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ correctness gate: with the ADC shortlist covering the whole
+    corpus, encode → ADC → shortlist → raw-vector rerank must reproduce
+    exact kNN bit-for-bit (same oracle as knn_l2) — proving the whole
+    pipeline before the shortlist is tightened for scale."""
+    emb, pqz, enc = _pq(spark, sf_dir)
+    res = pqz.search(enc, _qvec(spark, sf_dir), K, rerank=emb, shortlist=10_000_000)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
 @query("ann_ivf_ip_full_probe", oracle=_knn_oracle(_IP, "score", "DESC"))
