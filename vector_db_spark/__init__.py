@@ -48,6 +48,7 @@ from vector_db_spark.operators.knn import (  # noqa: E402
     pairwise_similarity,
     pairwise_similarity_blocked,
 )
+from vector_db_spark.operators.packing import pack_sequences  # noqa: E402
 from vector_db_spark.operators.pq import ProductQuantizer  # noqa: E402
 from vector_db_spark.operators.quantize import ScalarQuantizer  # noqa: E402
 from vector_db_spark.operators.sampling import (  # noqa: E402
@@ -84,6 +85,7 @@ __all__ = [
     "knn",
     "merge_upsert",
     "minhash_neardup",
+    "pack_sequences",
     "pairwise_similarity",
     "pairwise_similarity_blocked",
     "range_join_events",

@@ -136,6 +136,75 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """ALL word n-gram occurrences (not distinct — repetition analysis
+    needs multiplicities; `word_shingles` is the distinct variant)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_word_frac(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token — the
+    Gopher-style repetition filter signal. Computed entirely row-local
+    (nested higher-order functions, no explode/shuffle): O(tokens ×
+    distinct) per row in codegen, zero data movement at any corpus size."""
+    toks = tokens(col)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    return F.when(
+        F.size(toks) > 0, F.array_max(counts) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that belong to an n-gram seen
+    more than once in the document (Gopher "duplicate n-gram fraction").
+    Row-local like `top_word_frac` — the repetition filters never shuffle."""
+    grams = word_ngrams(col, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    dup_occ = F.aggregate(
+        counts,
+        F.lit(0),
+        lambda s, c: s + F.when(c > 1, c).otherwise(F.lit(0)),
+    )
+    return F.when(
+        F.size(grams) > 0, dup_occ / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns pinned to the regex subset Java (Spark) and RE2 (DuckDB)
+# evaluate identically — no backrefs, no lookaround.
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_PATTERN = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def email_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(EMAIL_PATTERN), 0))
+
+
+def phone_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PHONE_PATTERN), 0))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / phone occurrence with a typed placeholder.
+    Order matters and is pinned: emails first (a phone-looking digit run
+    inside an address must not be half-redacted), then phones."""
+    no_email = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
     to spaces, collapse runs, trim."""

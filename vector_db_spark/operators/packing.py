@@ -1,0 +1,69 @@
+"""Sequence packing — assign documents to fixed-token training sequences.
+
+The last step of a training-data pipeline: concatenate documents (in a
+deterministic order) and cut the stream into ``max_tokens``-sized packs,
+recording for each document which pack it starts in and at what offset.
+The reference has no analogue (it never computes on text,
+src/db/scalar_storage.rs:10-14); this is north-star territory.
+
+Spark mapping — the "chunked cumulative sum" formulation:
+- documents are hash-bucketed by md5(id ‖ salt) (`sampling.hash_bucket`,
+  the engine-portable hash), giving B independent streams;
+- within a bucket, docs are ordered by id and a running token total is a
+  window ``sum() over (partition by bucket order by id)``;
+- a doc's pack is ``floor((cum - n_tokens) / max_tokens)`` — the chunk its
+  first token lands in — and its offset is the remainder.
+
+Scale: ONE shuffle (hash partition by bucket + in-partition sort); bucket
+count is the parallelism knob, so 100 TB packs as B independent sorted
+streams with no global sort and no driver state. Deterministic under any
+input partitioning (bucket and order derive from ids alone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import token_count
+from vector_db_spark.operators.sampling import hash_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """→ (id, bucket, n_tokens, pack_id, start_off): the pack each doc
+    starts in. ``count_col`` supplies precomputed token counts; otherwise
+    whitespace tokens of ``text_col`` are counted."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    n: Column = F.col(count_col) if count_col else token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), salt, buckets).alias("bucket"),
+            n.cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "bucket",
+            "n_tokens",
+            F.floor(start / max_tokens).alias("pack_id"),
+            (start % max_tokens).alias("start_off"),
+        )
+    )

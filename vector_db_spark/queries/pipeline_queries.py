@@ -656,3 +656,100 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("q"), 6).alias("mean_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality filters (Gopher-style), PII redaction, sequence packing
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / len(toks) ELSE 0 END, 6) AS top_word_frac,
+  round(CASE WHEN len(grams) > 0 THEN CAST(list_sum(list_transform(list_distinct(grams), gg -> CASE WHEN len(list_filter(grams, y -> y = gg)) > 1 THEN len(list_filter(grams, y -> y = gg)) ELSE 0 END)) AS DOUBLE) / len(grams) ELSE 0 END, 6) AS dup_2gram_frac
+FROM g
+"""
+
+
+@query("repetition_quality", oracle=_REP_ORACLE)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-word fraction, duplicate-2-gram
+    fraction) computed row-local via nested higher-order functions — the
+    repetition pre-filter never shuffles at any corpus size."""
+    from vector_db_spark.functions.text import dup_ngram_frac, top_word_frac
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(top_word_frac(F.col("text")), 6).alias("top_word_frac"),
+        F.round(dup_ngram_frac(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+    )
+
+
+_PII_ORACLE = """
+WITH s AS (
+  SELECT doc_id, concat('contact ', source, '.team@example.org or +1-555-',
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' :: ', text) AS s
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(s, '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM s
+"""
+
+
+@query("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized contact strings (the fixture corpus holds
+    none, so the query plants a deterministic email+phone per doc from its
+    own columns — both engines synthesize, detect, and redact identically).
+    Patterns are pinned to the Java∩RE2 regex subset; emails redact before
+    phones so digit runs inside addresses can't be half-redacted."""
+    from vector_db_spark.functions.text import email_count, phone_count, redact_pii
+
+    s = F.concat(
+        F.lit("contact "), F.col("source"), F.lit(".team@example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        email_count(s).alias("n_emails"),
+        phone_count(s).alias("n_phones"),
+        F.md5(redact_pii(s)).alias("redacted_md5"),
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 8)) AS BIGINT) % 8 AS bucket,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+  CAST((cum - n_tokens) % 512 AS BIGINT) AS start_off
+FROM c
+"""
+
+
+@query("pack_sequences_docs", oracle=_PACK_ORACLE)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: md5-bucketed doc streams, window
+    cumsum, chunk cut at 512 tokens — one shuffle total (SURVEY.md §9)."""
+    from vector_db_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=512, buckets=8, salt="pk")
