@@ -36,6 +36,8 @@ HEADLINE = [
     "ann_ivf_probe",
     "ann_ivf_batch_probe",
     "ann_lsh_cosine",
+    "pq_adc_knn",
+    "ivfpq_probe",
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash_neardup",
@@ -43,6 +45,9 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_blocked",
     "text_quality",
+    "repetition_quality",
+    "pii_redaction",
+    "pack_sequences_docs",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_region",

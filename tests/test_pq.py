@@ -117,3 +117,78 @@ def test_validation(emb, encoded, pq):
         pq.adc_table([1.0, 2.0])
     with pytest.raises(ValueError, match="shortlist"):
         pq.search(encoded, [0.0] * 64, 10, rerank=emb, shortlist=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition
+# ---------------------------------------------------------------------------
+
+from vector_db_spark.operators.ivfpq import IvfPqIndex  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    idx.encoded.cache().count()
+    return idx
+
+
+def test_ivfpq_full_probe_full_shortlist_is_exact(emb, ivfpq, qvecs):
+    qv = qvecs[0]
+    exact = [(r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in ivfpq.search(qv, 10, nprobe=8, shortlist=10_000_000).collect()
+    ]
+    assert got == exact
+
+
+def test_ivfpq_tuned_recall(emb, ivfpq, qvecs):
+    recalls = []
+    for qv in qvecs.values():
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        approx = {
+            r.vec_id
+            for r in ivfpq.search(qv, 10, nprobe=6, shortlist=100).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.75, f"IVF-PQ recall@10 {mean} (measured ~0.9 at build)"
+
+
+def test_ivfpq_residual_adc_identity(emb, ivfpq, qvecs):
+    """ADC distance == ||q − (centroid + recon(residual codes))||²."""
+    import numpy as np
+
+    qv = np.asarray(qvecs[7])
+    got = {r.vec_id: r.distance for r in ivfpq.search(qv.tolist(), 5, nprobe=8).collect()}
+    rows = ivfpq.encoded.filter(F.col("vec_id").isin(list(got))).collect()
+    cents = np.asarray(ivfpq.ivf.centroids)
+    for r in rows:
+        resid_q = qv - cents[r.cluster_id]
+        recon = ivfpq.pq.reconstruct(r.pq_codes)
+        want = float(((resid_q - recon) ** 2).sum())
+        assert got[r.vec_id] == pytest.approx(want, rel=1e-9)
+
+
+def test_ivfpq_save_load_prunes_partitions(emb, ivfpq, qvecs, tmp_path_factory, spark):
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    ivfpq.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    res = loaded.search(qvecs[21], 5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert len(res.collect()) == 5
+    # loaded index reproduces the in-memory index's results
+    a = [r.vec_id for r in ivfpq.search(qvecs[21], 5, nprobe=8, shortlist=50).collect()]
+    b = [r.vec_id for r in loaded.search(qvecs[21], 5, nprobe=8, shortlist=50).collect()]
+    assert a == b
+
+
+def test_ivfpq_validation(ivfpq):
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq.search([0.0] * 64, 0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq.search([0.0] * 64, 5, nprobe=0)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        ivfpq.search([0.0] * 3, 5)

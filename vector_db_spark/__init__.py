@@ -48,6 +48,7 @@ from vector_db_spark.operators.knn import (  # noqa: E402
     pairwise_similarity,
     pairwise_similarity_blocked,
 )
+from vector_db_spark.operators.ivfpq import IvfPqIndex  # noqa: E402
 from vector_db_spark.operators.packing import pack_sequences  # noqa: E402
 from vector_db_spark.operators.pq import ProductQuantizer  # noqa: E402
 from vector_db_spark.operators.quantize import ScalarQuantizer  # noqa: E402
@@ -68,6 +69,7 @@ __all__ = [
     "CollectionCatalog",
     "CosineLshIndex",
     "IvfIndex",
+    "IvfPqIndex",
     "ProductQuantizer",
     "ScalarQuantizer",
     "asof_join",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+from vector_db_spark.operators.ivfpq import IvfPqIndex
 from vector_db_spark.operators.pq import ProductQuantizer
 from vector_db_spark.queries.registry import query
 from vector_db_spark.queries.vector_queries import (
@@ -122,6 +123,27 @@ def pq_rerank_full_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline before the shortlist is tightened for scale."""
     emb, pqz, enc = _pq(spark, sf_dir)
     res = pqz.search(enc, _qvec(spark, sf_dir), K, rerank=emb, shortlist=10_000_000)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ivfpq_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ correctness gate: full probe + corpus-sized shortlist
+    must reproduce exact kNN bit-for-bit — verifying cell assignment,
+    residual encoding, per-cell ADC tables, and the rerank join at once."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ivfpq_probe")
+def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ path: probe half the cells, ADC over M-byte
+    codes, 10×k shortlist rerank (rows-only; recall pinned in tests)."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=4, shortlist=100)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
