@@ -149,34 +149,62 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a sorted
+    array — one linear aggregate pass with (prev, run, best) struct state.
+    Elements are never '' (tokens()/word_ngrams() drop empties), so the
+    '' sentinel in the initial state cannot collide."""
+    run_next = lambda s, t: F.when(t == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda s, t: F.struct(
+            t.alias("prev"),
+            run_next(s, t).alias("run"),
+            F.greatest(s["best"], run_next(s, t)).alias("best"),
+        ),
+        lambda s: s["best"],
+    )
+
+
 def top_word_frac(col: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token — the
     Gopher-style repetition filter signal. Computed entirely row-local
-    (nested higher-order functions, no explode/shuffle): O(tokens ×
-    distinct) per row in codegen, zero data movement at any corpus size."""
+    (sort the token array, then one linear run-length aggregate): O(tokens
+    log tokens) per row, no explode/shuffle, zero data movement at any
+    corpus size."""
     toks = tokens(col)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda d: F.size(F.filter(toks, lambda t: t == d)),
-    )
     return F.when(
-        F.size(toks) > 0, F.array_max(counts) / F.size(toks)
+        F.size(toks) > 0, _max_run(F.array_sort(toks)) / F.size(toks)
     ).otherwise(F.lit(0.0))
 
 
 def dup_ngram_frac(col: Column, n: int = 2) -> Column:
     """Fraction of word n-gram occurrences that belong to an n-gram seen
     more than once in the document (Gopher "duplicate n-gram fraction").
-    Row-local like `top_word_frac` — the repetition filters never shuffle."""
+    Row-local like `top_word_frac`: sort the gram array, then one linear
+    aggregate sums the lengths of all runs longer than 1."""
     grams = word_ngrams(col, n)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
-    )
+    srt = F.array_sort(grams)
+    run_next = lambda s, g: F.when(g == s["prev"], s["run"] + 1).otherwise(F.lit(1))
     dup_occ = F.aggregate(
-        counts,
-        F.lit(0),
-        lambda s, c: s + F.when(c > 1, c).otherwise(F.lit(0)),
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")
+        ),
+        lambda s, g: F.struct(
+            g.alias("prev"),
+            run_next(s, g).alias("run"),
+            (
+                s["dup"]
+                + F.when((g != s["prev"]) & (s["run"] > 1), s["run"]).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup"),
+        ),
+        lambda s: s["dup"] + F.when(s["run"] > 1, s["run"]).otherwise(F.lit(0)),
     )
     return F.when(
         F.size(grams) > 0, dup_occ / F.size(grams)
