@@ -242,3 +242,41 @@ def test_bm25_basic_ranking(spark):
 
     with pytest.raises(ValueError, match="token"):
         bm25_topk(docs, "  ", 5)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_ngram_contamination(spark):
+    from vector_db_spark.operators.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps away"),  # leak
+            (2, "totally unrelated words only here"),  # clean
+            (3, "quick brown fox appears"),  # one shared gram
+            (4, "too short"),  # < n words, no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert set(rows) == {1, 3}  # clean + gram-less docs omitted
+    # doc 1: 7 distinct 3-grams, 3 of them benchmark grams
+    assert rows[1].n_grams == 7 and rows[1].n_contaminated == 3
+    assert rows[1].contaminated_frac == pytest.approx(3 / 7)
+    assert rows[3].n_grams == 2 and rows[3].n_contaminated == 1
+
+
+def test_ngram_contamination_validation(spark):
+    from vector_db_spark.operators.decontam import ngram_contamination
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_contamination(df, df, n=0)

@@ -48,6 +48,7 @@ from vector_db_spark.operators.knn import (  # noqa: E402
     pairwise_similarity,
     pairwise_similarity_blocked,
 )
+from vector_db_spark.operators.decontam import ngram_contamination  # noqa: E402
 from vector_db_spark.operators.ivfpq import IvfPqIndex  # noqa: E402
 from vector_db_spark.operators.packing import pack_sequences  # noqa: E402
 from vector_db_spark.operators.pq import ProductQuantizer  # noqa: E402
@@ -87,6 +88,7 @@ __all__ = [
     "knn",
     "merge_upsert",
     "minhash_neardup",
+    "ngram_contamination",
     "pack_sequences",
     "pairwise_similarity",
     "pairwise_similarity_blocked",

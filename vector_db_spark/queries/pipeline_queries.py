@@ -85,6 +85,73 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination — word-3-gram overlap vs a held-out eval set
+# --------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+maxid AS (SELECT max(doc_id) AS m FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT b.doc_id + x.m + 1 AS doc_id, 'leak marker ' || b.text AS text
+  FROM bench b, maxid x
+),
+btoks AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM bench),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM btoks
+),
+ctoks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM corpus),
+cgrams AS (
+  SELECT doc_id, len(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_grams,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM ctoks
+)
+SELECT c.doc_id,
+       CAST(c.n_grams AS INT) AS n_grams,
+       CAST(count(*) AS INT) AS n_contaminated,
+       round(CAST(count(*) AS DOUBLE) / c.n_grams, 6) AS contaminated_frac
+FROM cgrams c JOIN bgrams b ON c.gram = b.gram
+GROUP BY c.doc_id, c.n_grams
+"""
+
+
+@query("decontamination", oracle=_DECONTAM_ORACLE)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any word 3-gram with a benchmark set
+    (every-97th doc plays the eval suite; its texts are re-injected under
+    shifted ids as known leaks). Benchmark grams broadcast; corpus is
+    scanned once — the standard pre-training decontamination sweep."""
+    from vector_db_spark.operators.decontam import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            F.concat(F.lit("leak marker "), F.col("text")).alias("text"),
+        )
+    )
+    res = ngram_contamination(corpus, bench, n=3)
+    return res.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram (3-word shingle) Jaccard near-dup — inverted-index join
 # --------------------------------------------------------------------------
 
