@@ -5,7 +5,8 @@ registry; ``__spark_entry__.py`` exposes the registry to the driver.
 Importing this package pulls in every query family.
 """
 
-from vector_db_spark.queries.registry import ORACLES, QUERIES, query
+from vector_db_spark.queries.registry import ORACLES, query
+from vector_db_spark.queries.registry import QUERIES as _REGISTERED
 
 from vector_db_spark.queries import (  # noqa: E402,F401
     ann_queries,
@@ -16,5 +17,64 @@ from vector_db_spark.queries import (  # noqa: E402,F401
     streaming_queries,
     vector_queries,
 )
+
+# The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
+# ``queries()``.  Registration order (module import order) put the whole
+# relational/streaming/temporal block 51st-82nd in round 1, so those queries
+# never got a hard CORRECTNESS row despite passing the oracle locally
+# (VERDICT.md round 1, "Next round" item 1).  This explicit priority list
+# front-loads (a) everything unattested in CORRECTNESS_r01.json and (b) new
+# round-2 queries; previously-attested queries rotate to the back and keep
+# their r1 attestation.
+_VERIFY_FIRST = [
+    # relational block (r1 positions 51-66, all oracle-backed)
+    "tpch_q4_semijoin",
+    "tpch_q5_region",
+    "tpch_q7_nation_volume",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q20_volume_suppliers",
+    "tpch_q22_no_urgent",
+    "brand_part_agg",
+    "rollup_lineitem",
+    "cube_lineitem",
+    "pivot_order_status",
+    "window_top_customers",
+    "window_running_total",
+    "median_order_price",
+    "set_ops_nations",
+    "scalar_functions",
+    # events / semi-structured
+    "events_tumbling",
+    "events_sliding",
+    "events_sessionization",
+    "events_daily_funnel",
+    "events_props_struct",
+    # skew / sketches
+    "salted_agg_lineitem",
+    "sketch_stats_orders",
+    # sources round-trips
+    "json_roundtrip_events",
+    "csv_roundtrip_events",
+    # temporal
+    "asof_click_purchase",
+    "range_join_pairs",
+    # structured streaming (batch/stream parity oracles)
+    "stream_tumbling_agg",
+    "stream_session_agg",
+    "stream_dedup_events",
+    "stream_upsert_readback",
+    "stream_quota_sample",
+    # --- new in round 2 (appended as they are implemented) ---
+]
+
+
+def _ordered(registered: dict) -> dict:
+    out = {k: registered[k] for k in _VERIFY_FIRST if k in registered}
+    out.update((k, v) for k, v in registered.items() if k not in out)
+    return out
+
+
+QUERIES = _ordered(_REGISTERED)
 
 __all__ = ["ORACLES", "QUERIES", "query"]
