@@ -66,6 +66,15 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    """L2-normalize an array<numeric> column (returns array<double>)."""
+    """L2-normalize an array<numeric> column (returns array<double>).
+
+    Zero-norm vectors pass through unnormalized (all-zero) instead of
+    raising DIVIDE_BY_ZERO under ANSI mode — mirrors cosine_sim's guard,
+    and keeps centroid training/assignment finite when a corpus contains
+    zero embeddings.
+    """
     norm = l2_norm(a)
-    return F.transform(_as_double(a), lambda x: x / norm)
+    doubled = _as_double(a)
+    return F.when(norm != 0.0, F.transform(doubled, lambda x: x / norm)).otherwise(
+        doubled
+    )

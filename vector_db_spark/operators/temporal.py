@@ -76,10 +76,16 @@ def asof_join(
     )
 
     # right rows sort BEFORE left rows at equal ts (tag DESC) so an
-    # exactly-simultaneous right row is visible to the left row.
+    # exactly-simultaneous right row is visible to the left row; the payload
+    # struct is a deterministic final tie-break so which of several equal-ts
+    # right rows is carried does not depend on partition order.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__tag").desc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__tag").desc(),
+            F.struct(*[F.col(f"__p_{c}") for c in payload]).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = union.select(
@@ -126,7 +132,12 @@ def range_join_events(
         raise ValueError("window_seconds must be >= 1")
     keys = list(key_cols)
     win_us = window_seconds * 1_000_000
-    epoch = (F.unix_micros(F.col(ts_col)) / win_us).cast("long")
+    # Pure-integer floor division: pmod makes the remainder non-negative, so
+    # (us - rem) is the exact floor multiple even for pre-1970 timestamps,
+    # and the quotient is exact (no double round-trip at bucket boundaries).
+    us = F.unix_micros(F.col(ts_col))
+    rem = F.pmod(us, F.lit(win_us))
+    epoch = ((us - rem) / F.lit(win_us)).cast("long")
 
     a = df.select(
         *keys,

@@ -62,15 +62,30 @@ def quota_sample(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         admitted = state.get[0] if state.exists else 0
-        for pdf in batches:
-            if admitted >= quota:
-                break
-            if order_col:
-                pdf = pdf.sort_values(order_col, kind="stable")
-            take = pdf.head(quota - admitted)
-            admitted += len(take)
-            if len(take):
-                yield take[cols]
+        remaining = quota - admitted
+        if order_col:
+            # A key group may span several Arrow chunks within one
+            # micro-batch; admission must be globally ordered by order_col
+            # across all of them (matching the batch path's window rank).
+            # Memory stays bounded: after each chunk only the current best
+            # `remaining` rows are kept.
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                if remaining <= 0:
+                    break
+                merged = pdf if best is None else pd.concat([best, pdf])
+                best = merged.sort_values(order_col, kind="stable").head(remaining)
+            if best is not None and len(best):
+                admitted += len(best)
+                yield best[cols]
+        else:
+            for pdf in batches:
+                if admitted >= quota:
+                    break
+                take = pdf.head(quota - admitted)
+                admitted += len(take)
+                if len(take):
+                    yield take[cols]
         state.update((admitted,))
 
     return stream.groupBy(*key_cols).applyInPandasWithState(
