@@ -100,6 +100,40 @@ def test_lsh_multiprobe_recall(emb, qvecs):
     lsh.buckets.unpersist()
 
 
+def test_lsh_filtered_exhaustive_is_exact(emb, qvecs):
+    # n_bits=1 + probe_radius=1 probes every bucket of every table, so the
+    # filtered search must equal exact filtered cosine kNN.
+    lsh = CosineLshIndex.build(emb, dim=64, n_bits=1, n_tables=2, seed=42)
+    qv = qvecs[7]
+    pred = F.col("label") == 3
+    exact = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn(emb, qv, 10, metric="cosine", predicate=pred).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in lsh.search(qv, 10, probe_radius=1, predicate=pred).collect()
+    ]
+    assert got == exact
+
+
+def test_lsh_filtered_subset_of_exact_filtered(emb, qvecs):
+    # Realistic buckets: every filtered-LSH hit must satisfy the predicate
+    # and appear in the exact filtered ranking's candidate universe.
+    lsh = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=8, seed=42)
+    qv = qvecs[21]
+    pred = F.col("label") == 3
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    exact50 = [
+        r.vec_id
+        for r in knn(emb, qv, 50, metric="cosine", predicate=pred).collect()
+    ]
+    got = lsh.search(qv, 10, probe_radius=1, predicate=pred).collect()
+    assert all(labels[r.vec_id] == 3 for r in got)
+    hits = [r.vec_id for r in got]
+    assert _recall(exact50[:10], hits) >= 0.5  # candidates are predicate-thinned
+
+
 def test_lsh_self_match(emb, qvecs):
     lsh = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
     rows = lsh.search(qvecs[21], 1, probe_radius=0).collect()

@@ -410,13 +410,19 @@ class CosineLshIndex:
             b = (bits.reshape(len(v), n_tables, n_bits) * weights).sum(axis=2)
             return pd.Series(list(b))
 
+        # Non-vector corpus columns ride along into the bucket table so a
+        # filtered search can evaluate its predicate on the candidates —
+        # the Spark analogue of the reference's predicate-during-traversal
+        # filtered_search (reference: src/core/index/usearch_index.rs:68-85).
+        extras = [c for c in corpus.columns if c not in (id_col, vec_col)]
         long_form = (
             corpus.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
+                *extras,
                 _buckets(F.col(vec_col)).alias("_bk"),
             )
-            .select("id", "vec", F.posexplode("_bk").alias("table", "bucket"))
+            .select("id", "vec", *extras, F.posexplode("_bk").alias("table", "bucket"))
         )
         return CosineLshIndex(planes, long_form, id_col, vec_col)
 
@@ -471,16 +477,35 @@ class CosineLshIndex:
         k: int,
         metric: str = "cosine",
         probe_radius: int = 1,
+        predicate: Column | None = None,
     ) -> DataFrame:
         """Union of probed-bucket candidates over all tables, exact-reranked.
         At scale the buckets frame is stored partitioned by (table, bucket)
-        so this filter is pure partition pruning."""
+        so this filter is pure partition pruning.
+
+        ``predicate`` filters candidates BEFORE the rerank (pre-filter, so
+        the result is min(k, matching candidates) — same contract as exact
+        filtered kNN; ≅ usearch filtered_search,
+        reference: src/core/index/usearch_index.rs:68-85)."""
         pairs = self.query_buckets(query, probe_radius)
         cond = None
         for t, b in pairs:
             c = (F.col("table") == t) & (F.col("bucket") == b)
             cond = c if cond is None else (cond | c)
+        extras = [
+            c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
+        ]
         cands = self.buckets.filter(cond).select(
-            F.col("id").alias(self.id_col), F.col("vec").alias(self.vec_col)
+            F.col("id").alias(self.id_col),
+            F.col("vec").alias(self.vec_col),
+            *extras,
         ).dropDuplicates([self.id_col])
-        return knn(cands, query, k, metric=metric, vec_col=self.vec_col, id_col=self.id_col)
+        return knn(
+            cands,
+            query,
+            k,
+            metric=metric,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            predicate=predicate,
+        )

@@ -339,7 +339,5 @@ class Collection:
             return idx.search(query, k, predicate=predicate, **params)
         from vector_db_spark.operators.ann import CosineLshIndex
 
-        if predicate is not None:
-            raise ValueError("lsh search does not support predicates yet")
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
-        return idx.search(query, k, **params)
+        return idx.search(query, k, predicate=predicate, **params)

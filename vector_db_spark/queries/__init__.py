@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "stream_upsert_readback",
     "stream_quota_sample",
     # --- new in round 2 (appended as they are implemented) ---
+    "ann_lsh_filtered_exhaustive",
 ]
 
 

@@ -53,6 +53,38 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@query(
+    "ann_lsh_filtered_exhaustive",
+    oracle=_knn_oracle(_COS, "score", "DESC", "WHERE e.label = 3"),
+)
+def ann_lsh_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered-LSH correctness gate: with n_bits=1 and probe_radius=1
+    every bucket of every table is probed, so candidates = the whole corpus
+    and filtered LSH must reproduce exact filtered cosine kNN bit-for-bit
+    (same oracle as knn_filtered_eq's cosine analogue) — verifying the
+    predicate-through-candidates path (≅ usearch filtered_search,
+    reference: src/core/index/usearch_index.rs:68-85)."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=1, n_tables=2, seed=42)
+    res = idx.search(
+        _qvec(spark, sf_dir), K, probe_radius=1, predicate=F.col("label") == 3
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("ann_lsh_filtered")
+def ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production filtered-LSH path: realistic bucket count, multiprobe,
+    predicate applied to candidates before rerank (rows-only; subset-of-
+    exact-filtered + predicate-satisfaction pinned in tests/test_ann.py)."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    res = idx.search(
+        _qvec(spark, sf_dir), K, probe_radius=1, predicate=F.col("label") == 3
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 from vector_db_spark.queries.vector_queries import (  # noqa: E402
     _BATCH_K,
     _BATCH_ORACLE,
