@@ -25,24 +25,24 @@ from vector_db_spark.queries import QUERIES  # noqa: E402
 from vector_db_spark.session import get_spark  # noqa: E402
 
 # Representative engine paths: exact kNN (3 metrics + filter + batch), the
-# ANN build+probe pipeline, LLM-pipeline dedup/text ops, and the relational
-# join/agg/window suite. Names must exist in the queries() registry.
+# ANN search paths (probe cost from a SAVED index — build is timed once,
+# separately, as ann_index_build; round-1 bench conflated the two and the
+# readings were ~90% KMeans/PQ fit), LLM-pipeline dedup/text ops, and the
+# relational join/agg/window suite. Names must exist in the queries()
+# registry, except the ann_*_search/ann_index_build entries which come from
+# the persisted-index harness below. The unblocked embedding_neardup
+# (O(n²) BroadcastNestedLoopJoin) is deliberately NOT here — it exists only
+# as the oracle cross-check for the blocked variant.
 HEADLINE = [
     "knn_l2",
     "knn_cosine",
     "knn_filtered_neq",
     "knn_batch",
     "knn_quantized_l2",
-    "ann_ivf_probe",
-    "ann_ivf_batch_probe",
-    "ann_lsh_cosine",
-    "pq_adc_knn",
-    "ivfpq_probe",
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",
-    "embedding_neardup",
     "embedding_neardup_blocked",
     "text_quality",
     "repetition_quality",
@@ -59,6 +59,63 @@ HEADLINE = [
     "stream_tumbling_agg",
 ]
 
+K = 10
+
+
+def ann_search_suite(spark, sf_dir: str, root: str):
+    """Build + persist every ANN index family ONCE (returned as the
+    ``ann_index_build`` timing), then hand back search thunks that load
+    from the saved artifacts — so the per-query numbers measure what
+    matters at 100 TB: partition-pruned probe cost, not quantizer fits.
+    IVF search from a saved index is parquet partition pruning on
+    cluster_id (pinned in tests/test_plans.py / tests/test_ann.py)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+    from vector_db_spark.operators.pq import ProductQuantizer
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    shutil.rmtree(root, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    IvfIndex.build(emb, nlist=8, seed=42, max_iter=5).save(f"{root}/ivf")
+    CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42).save(
+        f"{root}/lsh"
+    )
+    IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5).save(
+        f"{root}/ivfpq"
+    )
+    pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+    pqz.encode(emb).select("vec_id", "pq_codes").write.mode("overwrite").parquet(
+        f"{root}/pq_codes"
+    )
+    build_sec = time.perf_counter() - t0
+
+    ivf = IvfIndex.load(spark, f"{root}/ivf")
+    lsh = CosineLshIndex.load(spark, f"{root}/lsh")
+    ivfpq = IvfPqIndex.load(spark, f"{root}/ivfpq")
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    batch_queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    searches = {
+        "ann_ivf_search": lambda: ivf.search(qv, K, nprobe=4),
+        "ann_ivf_batch_search": lambda: ivf.search_batch(batch_queries, 5, nprobe=4),
+        "ann_lsh_search": lambda: lsh.search(qv, K),
+        "pq_adc_search": lambda: pqz.search(codes, qv, K),
+        "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
+    }
+    return build_sec, searches
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +131,15 @@ def main() -> None:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    build_sec, searches = ann_search_suite(
+        spark, sf_dir, "/tmp/spark_graft_bench_ann"
+    )
+    timings["ann_index_build"] = round(build_sec, 3)
+    for name, thunk in searches.items():
+        t0 = time.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

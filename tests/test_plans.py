@@ -82,6 +82,31 @@ def test_salted_agg_is_two_stage(spark):
     assert plan.count("Exchange hashpartitioning") >= 2
 
 
+def test_headline_neardup_plans_have_no_nested_loop_join(spark):
+    # The bench's near-dup paths must all be bucketed/blocked equi-joins:
+    # an O(n²) BroadcastNestedLoopJoin sneaking into a headline plan is the
+    # one shape that cannot survive a 100× scale-up. (The unblocked
+    # pairwise op still exists, but only as the oracle cross-check.)
+    import bench
+    from vector_db_spark.queries import QUERIES
+
+    for name in [
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "embedding_neardup_blocked",
+        "dedup_clusters",
+    ]:
+        assert name in bench.HEADLINE
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "embedding_neardup" not in bench.HEADLINE
+
+
 def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     import pyarrow.parquet as pq
 
