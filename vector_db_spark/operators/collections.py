@@ -10,25 +10,40 @@ Two layers:
    stale-HNSW-vector bug (upsert leaves the old vector searchable,
    src/db/vector_database.rs:36-39 "unimplemented"): exactly one live row
    per key, everywhere (SURVEY.md §7.3.3).
-2. **`CollectionCatalog` / `Collection`** — a tiny versioned-snapshot store
-   over parquet directories. Each mutation writes a new immutable version
-   dir and flips a catalog pointer (poor-man's snapshot isolation; at
+2. **`CollectionCatalog` / `Collection`** — a versioned snapshot store over
+   HASH-BUCKETED parquet: rows live in ``pmod(xxhash64(id), B)`` buckets,
+   and each mutation writes ONLY the buckets containing affected keys to a
+   new immutable version dir. A per-version manifest maps every bucket to
+   the version dir holding its current data, so unchanged buckets are
+   shared between snapshots by reference — the copy-on-write granularity
+   is a bucket, not the corpus (round-1's full-snapshot rewrite was the
+   one DML scale-killer: one upserted row = full-corpus write). At
    production scale this slot is filled by Delta/Iceberg with the same
-   MERGE semantics — the API is the stable part). The catalog row
+   MERGE semantics — the API is the stable part. The catalog row
    ``(name, dim, metric, index_type)`` ≅ the reference's ``IndexKey``
    registry (src/core/index_factory.rs:24-29,70-72).
 
 Scale notes: ``merge_upsert`` is one hash-shuffle on the key (same cost
 class as Delta MERGE's join); ``delete_rows`` broadcasts the (small) id set
-as an anti-join, so the big side never shuffles.
+as an anti-join, so the big side never shuffles. A keyed mutation touching
+``u`` distinct keys reads and rewrites at most ``min(u, B)`` buckets —
+O(corpus/B) bytes per bucket — and the old-bucket read is path-pruned (the
+manifest enumerates exactly the dirs to scan). Size ``n_buckets`` so one
+bucket ≈ one comfortable task (at 100 TB with B=65536, a bucket is ~1.5 GB).
+The catalog is guarded by an OS file lock: concurrent writers serialize on
+read-modify-write instead of losing updates (the reference gets this from
+DashMap + per-index mutex, src/core/index_factory.rs:70-72; 10-thread test
+mirrored in tests/test_collections.py).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 from collections.abc import Sequence
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -98,6 +113,7 @@ class CollectionInfo:
     version: int = 0
     id_col: str = "id"
     vec_col: str = "embedding"
+    n_buckets: int = 16
 
 
 class CollectionCatalog:
@@ -111,6 +127,20 @@ class CollectionCatalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._path = os.path.join(root, "_catalog.json")
+        self._lock_path = os.path.join(root, "_catalog.lock")
+
+    @contextmanager
+    def _locked(self):
+        """Exclusive OS file lock (flock) held across every catalog
+        read-modify-write: two concurrent writers serialize instead of
+        the second silently dropping the first's update. ≅ the reference's
+        DashMap + per-index mutex (src/core/index_factory.rs:70-72)."""
+        with open(self._lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _load(self) -> dict[str, dict]:
         if not os.path.exists(self._path):
@@ -130,6 +160,7 @@ class CollectionCatalog:
         dim: int,
         metric: str = "l2",
         index_type: str = "exact",
+        n_buckets: int = 16,
     ) -> "Collection":
         # Validation semantics preserved from the reference
         # (src/models/request/create.rs:12-14 dim >= 1;
@@ -142,12 +173,21 @@ class CollectionCatalog:
             raise ValueError(
                 f"unknown index_type {index_type!r}; expected {VALID_INDEX_TYPES}"
             )
-        data = self._load()
-        if name in data:
-            raise ValueError(f"collection {name!r} already exists")
-        info = CollectionInfo(name=name, dim=dim, metric=metric, index_type=index_type)
-        data[name] = asdict(info)
-        self._save(data)
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        with self._locked():
+            data = self._load()
+            if name in data:
+                raise ValueError(f"collection {name!r} already exists")
+            info = CollectionInfo(
+                name=name,
+                dim=dim,
+                metric=metric,
+                index_type=index_type,
+                n_buckets=n_buckets,
+            )
+            data[name] = asdict(info)
+            self._save(data)
         return Collection(self, info)
 
     def get(self, name: str) -> "Collection":
@@ -160,15 +200,17 @@ class CollectionCatalog:
         return sorted(self._load())
 
     def drop(self, name: str) -> None:
-        data = self._load()
-        data.pop(name, None)
-        self._save(data)
+        with self._locked():
+            data = self._load()
+            data.pop(name, None)
+            self._save(data)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def _bump(self, name: str, version: int) -> None:
-        data = self._load()
-        data[name]["version"] = version
-        self._save(data)
+        with self._locked():
+            data = self._load()
+            data[name]["version"] = version
+            self._save(data)
 
 
 class Collection:
@@ -205,46 +247,172 @@ class Collection:
             *others,
         )
 
-    def scan(self) -> DataFrame:
-        """Current snapshot as a DataFrame (empty if never written)."""
-        path = self._vdir(self.info.version)
-        if not os.path.exists(path):
-            return None  # caller-visible "empty collection" sentinel
-        return self.catalog.spark.read.parquet(path)
+    # -- bucketed snapshot storage ---------------------------------------
+    #
+    # Layout per version dir v{N}: parquet under __bucket=<b>/ for ONLY the
+    # buckets that mutation touched, plus _manifest.json mapping EVERY live
+    # bucket to the version dir holding its current data. scan() reads the
+    # manifest's leaf dirs; unchanged buckets are shared across snapshots.
 
-    def _write_version(self, df: DataFrame) -> None:
+    def _bucket_expr(self) -> Column:
+        # cast to long first: Spark's xxhash64 hashes IntegerType and
+        # LongType differently, and bucket routing must not depend on the
+        # caller's id width
+        return F.pmod(
+            F.xxhash64(F.col(self.info.id_col).cast("long")),
+            F.lit(self.info.n_buckets),
+        ).cast("int")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._vdir(version), "_manifest.json")
+
+    def _manifest(self, version: int) -> dict[str, int] | None:
+        p = self._manifest_path(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _bucket_paths(self, manifest: dict[str, int], buckets=None) -> list[str]:
+        sel = manifest if buckets is None else {
+            str(b): manifest[str(b)] for b in buckets if str(b) in manifest
+        }
+        return [
+            os.path.join(self._vdir(dv), f"__bucket={b}") for b, dv in sel.items()
+        ]
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.catalog.root, self.info.name, "_schema.json")
+
+    def _read_buckets(self, manifest: dict[str, int], buckets=None) -> DataFrame | None:
+        paths = self._bucket_paths(manifest, buckets)
+        if not paths:
+            return None
+        return self.catalog.spark.read.parquet(*paths)
+
+    def scan(self) -> DataFrame:
+        """Current snapshot as a DataFrame (None if never written)."""
+        manifest = self._manifest(self.info.version)
+        if manifest is None:
+            return None  # caller-visible "empty collection" sentinel
+        df = self._read_buckets(manifest)
+        if df is not None:
+            return df
+        # all rows deleted: empty frame with the recorded schema
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_path()) as f:
+            schema = StructType.fromJson(json.load(f))
+        return self.catalog.spark.createDataFrame([], schema)
+
+    def _write_buckets(
+        self, df: DataFrame, changed: Sequence[int], base: dict[str, int]
+    ) -> None:
+        """Write ``df``'s rows for the ``changed`` buckets into a new
+        version dir and publish a manifest that keeps every other bucket
+        pointing at its existing dir — bucket-granular copy-on-write."""
         new_version = self.info.version + 1
-        df.write.mode("overwrite").parquet(self._vdir(new_version))
+        out = self._vdir(new_version)
+        bucketed = df.withColumn("__bucket", self._bucket_expr())
+        (
+            bucketed.filter(F.col("__bucket").isin([int(b) for b in changed]))
+            # cluster each bucket's rows into one task → one file per bucket
+            .repartition(max(1, min(len(changed), 32)), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        # a changed bucket that ended up empty (all its rows deleted) writes
+        # no dir — it must leave the manifest entirely
+        present = {
+            int(d.split("=")[1])
+            for d in os.listdir(out)
+            if d.startswith("__bucket=")
+        }
+        manifest = {b: dv for b, dv in base.items() if int(b) not in set(changed)}
+        manifest.update({str(b): new_version for b in sorted(present)})
+        if not os.path.exists(self._schema_path()):
+            with open(self._schema_path(), "w") as f:
+                json.dump(df.schema.jsonValue(), f)
+        with open(self._manifest_path(new_version), "w") as f:
+            json.dump(manifest, f, indent=1)
         self.catalog._bump(self.info.name, new_version)
         self.info.version = new_version
+
+    def _changed_buckets(self, df: DataFrame) -> list[int]:
+        """Distinct buckets hit by a keyed mutation (≤ n_buckets values —
+        a driver-safe collect)."""
+        return [
+            r.b
+            for r in df.select(self._bucket_expr().alias("b")).distinct().collect()
+        ]
 
     def insert(self, df: DataFrame) -> None:
         """Append-only ingest (≅ POST /insert,
         src/router/handle/insert_index_handle.rs:14-61). No dedup by design —
-        upsert is the keyed path, exactly like the reference."""
-        cur = self.scan()
+        upsert is the keyed path, exactly like the reference. Rewrites only
+        the buckets the new rows hash into."""
         df = self._validated(df)
-        self._write_version(df if cur is None else cur.unionByName(df))
+        base = self._manifest(self.info.version) or {}
+        changed = self._changed_buckets(df)
+        old = self._read_buckets(base, changed)
+        merged = df if old is None else old.unionByName(df)
+        self._write_buckets(merged, changed, base)
 
     def upsert(self, df: DataFrame) -> None:
         """≅ POST /upsert (src/router/handle/upsert_handle.rs:11-44) with
-        MERGE semantics everywhere — one live row per id."""
-        cur = self.scan()
+        MERGE semantics everywhere — one live row per id. Reads and
+        rewrites only the buckets containing upserted keys."""
         df = self._validated(df)
-        self._write_version(
-            df if cur is None else merge_upsert(cur, df, (self.info.id_col,))
+        base = self._manifest(self.info.version) or {}
+        changed = self._changed_buckets(df)
+        old = self._read_buckets(base, changed)
+        merged = (
+            df if old is None else merge_upsert(old, df, (self.info.id_col,))
         )
+        self._write_buckets(merged, changed, base)
 
     def delete(self, target: DataFrame | Column) -> None:
-        cur = self.scan()
-        if cur is None:
+        """Keyed deletes (id-set DataFrame) touch only the keys' buckets;
+        predicate deletes can hit any row, so every bucket rewrites."""
+        base = self._manifest(self.info.version)
+        if base is None:
             return
-        self._write_version(delete_rows(cur, target, (self.info.id_col,)))
+        if isinstance(target, Column):
+            changed = [int(b) for b in base]
+        else:
+            keyed = target.select(self.info.id_col)
+            changed = [b for b in self._changed_buckets(keyed) if str(b) in base]
+        if not changed:
+            return
+        old = self._read_buckets(base, changed)
+        remaining = delete_rows(old, target, (self.info.id_col,))
+        self._write_buckets(remaining, changed, base)
 
     def get(self, id_value: int):
         """Point lookup (≅ POST /query, src/router/handle/query_handle.rs:
-        12-33): returns the full row or None."""
-        cur = self.scan()
+        12-33): returns the full row or None. Reads ONLY the key's bucket —
+        1/n_buckets of the corpus — by computing the bucket id first (a
+        one-row local job, so the hash is bit-identical to write-side
+        routing)."""
+        manifest = self._manifest(self.info.version)
+        if manifest is None:
+            return None
+        spark = self.catalog.spark
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(int(id_value)).cast("long")),
+                    F.lit(self.info.n_buckets),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .head()
+            .b
+        )
+        cur = self._read_buckets(manifest, [b])
         if cur is None:
             return None
         rows = cur.filter(F.col(self.info.id_col) == id_value).limit(1).collect()
