@@ -237,3 +237,18 @@ def test_ivf_batch_shuffle_join_matches_broadcast(emb, ivf, qvecs):
         ).collect()
     }
     assert bc == sj
+
+
+def test_lsh_registered_params_recall(emb, qvecs):
+    # Pin recall at EXACTLY the registered ann_lsh_cosine query's build
+    # parameters (queries/ann_queries.py: n_bits=6, n_tables=4, radius=1).
+    lsh = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    lsh.buckets.cache().count()
+    recalls = []
+    for qv in qvecs.values():
+        exact = [r.vec_id for r in knn(emb, qv, 10, metric="cosine").collect()]
+        approx = [r.vec_id for r in lsh.search(qv, 10, probe_radius=1).collect()]
+        recalls.append(_recall(exact, approx))
+    mean = sum(recalls) / len(recalls)
+    lsh.buckets.unpersist()
+    assert mean >= 0.6, f"registered-params LSH recall@10 {mean}"

@@ -192,3 +192,19 @@ def test_ivfpq_validation(ivfpq):
         ivfpq.search([0.0] * 64, 5, nprobe=0)
     with pytest.raises(ValueError, match="dimension mismatch"):
         ivfpq.search([0.0] * 3, 5)
+
+
+def test_ivfpq_probe_registered_params_recall(emb, ivfpq, qvecs):
+    # Pin recall at EXACTLY the registered ivfpq_probe query's parameters
+    # (queries/ann_queries.py: nprobe=4 of nlist=8, shortlist=100) so the
+    # driver-visible approximate path can't silently degrade.
+    recalls = []
+    for qv in qvecs.values():
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        approx = {
+            r.vec_id
+            for r in ivfpq.search(qv, 10, nprobe=4, shortlist=100).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.6, f"ivfpq_probe-params recall@10 {mean} (measured ~0.8 at build)"
