@@ -74,6 +74,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     from pyspark.sql import functions as F
 
     from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+    from vector_db_spark.operators.graph import GraphAnnIndex
     from vector_db_spark.operators.ivfpq import IvfPqIndex
     from vector_db_spark.operators.pq import ProductQuantizer
     from vector_db_spark.sources.fixtures import load_table
@@ -97,11 +98,15 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     pqz.encode(emb).select("vec_id", "pq_codes").write.mode("overwrite").parquet(
         f"{root}/pq_codes"
     )
+    GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42).save(
+        f"{root}/graph"
+    )
     build_sec = time.perf_counter() - t0
 
     ivf = IvfIndex.load(spark, f"{root}/ivf")
     lsh = CosineLshIndex.load(spark, f"{root}/lsh")
     ivfpq = IvfPqIndex.load(spark, f"{root}/ivfpq")
+    gr = GraphAnnIndex.load(spark, f"{root}/graph")
     codes = spark.read.parquet(f"{root}/pq_codes")
     batch_queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -113,6 +118,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ann_lsh_search": lambda: lsh.search(qv, K),
         "pq_adc_search": lambda: pqz.search(codes, qv, K),
         "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
+        "ann_graph_search": lambda: gr.search(qv, K, nprobe=4, ef_search=200),
     }
     return build_sec, searches
 

@@ -1,0 +1,117 @@
+"""Per-cell NSW graph ANN tests: exhaustive configuration == exact kNN,
+recall at tuned params (the reference HNSW regime M=16/ef=200,
+src/core/index/hnsw_index.rs:21-35), sub-linear probe cost vs a full cell
+scan, and partition pruning from a saved index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.graph import GraphAnnIndex, _beam, _nsw_build
+from vector_db_spark.operators.knn import knn
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+QIDS = [0, 7, 21, 100, 333]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def qvecs(emb):
+    rows = emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    return {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def graph(emb):
+    idx = GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42)
+    idx.graph.cache().count()
+    return idx
+
+
+def test_exhaustive_config_is_exact(emb, graph, qvecs):
+    # nprobe = nlist and ef >= corpus: the beam visits every node of every
+    # (connected) cell graph, so the result must equal exact kNN.
+    for vid in (0, 333):
+        qv = qvecs[vid]
+        exact = [
+            (r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()
+        ]
+        got = [
+            (r.vec_id, round(r.distance, 6))
+            for r in graph.search(qv, 10, nprobe=8, ef_search=10**6).collect()
+        ]
+        assert got == exact
+
+
+def test_recall_at_reference_regime(emb, graph, qvecs):
+    # The reference's serving regime: ef_search=200
+    # (src/core/index_factory.rs:110-114). Target from VERDICT r1 item 8.
+    recalls = []
+    for qv in qvecs.values():
+        exact = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        approx = {
+            r.vec_id
+            for r in graph.search(qv, 10, nprobe=6, ef_search=200).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.95, f"graph ANN recall@10 {mean}"
+
+
+def test_beam_probe_cost_below_full_scan_at_equal_recall():
+    # The point of a graph over IVF's full-cell rerank: IVF probing this
+    # cell evaluates all n distances; the beam reaches the same top-10
+    # (recall 1.0) at under half that, and the ef knob trades recall for
+    # a ~10x cheaper probe. 5000 iid-gaussian points are the adversarial
+    # case — real embedding corpora cluster and fare better. Deterministic:
+    # seeded data, deterministic build + beam.
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(5000, 64))
+    adj = _nsw_build(vecs, m=16, ef_construction=200)
+    q = vecs[7]
+    brute = set(np.argsort(((vecs - q) ** 2).sum(axis=1), kind="stable")[:10].tolist())
+    pos, _, n_evals = _beam(vecs, adj, q, ef=200)
+    assert set(pos[:10]) == brute  # equal recall to the full scan...
+    assert n_evals < 0.6 * len(vecs), n_evals  # ...at sub-scan probe cost
+    _, _, n_evals_small = _beam(vecs, adj, q, ef=20)
+    assert n_evals_small < 0.15 * len(vecs), n_evals_small
+
+
+def test_cosine_exhaustive_matches_exact(emb, qvecs):
+    idx = GraphAnnIndex.build(
+        emb, nlist=4, m=16, ef_construction=200, seed=42, metric="cosine"
+    )
+    qv = qvecs[21]
+    exact = [r.vec_id for r in knn(emb, qv, 10, metric="cosine").collect()]
+    got = [r.vec_id for r in idx.search(qv, 10, nprobe=4, ef_search=10**6).collect()]
+    assert got == exact
+
+
+def test_save_load_prunes_partitions(graph, tmp_path_factory, spark, qvecs):
+    path = str(tmp_path_factory.mktemp("graph"))
+    graph.save(path)
+    loaded = GraphAnnIndex.load(spark, path)
+    res = loaded.search(qvecs[0], 5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert len(res.collect()) == 5
+    assert loaded.metric == "l2" and loaded.centroids == graph.centroids
+
+
+def test_validation(emb, graph):
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        graph.search([0.0] * 3, 5)
+    with pytest.raises(ValueError, match="nprobe"):
+        graph.search([0.0] * 64, 5, nprobe=0)
+    with pytest.raises(ValueError, match="supports"):
+        GraphAnnIndex.build(emb, metric="hamming")

@@ -86,6 +86,21 @@ def main() -> None:
         }
         lsh_recalls[str(radius)] = round(_recall(exact_cos, approx), 4)
 
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    gr = GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42)
+    gr.graph.cache().count()
+    graph_recalls = {}
+    for nprobe in (4, 6, 8):
+        approx = {
+            qid: {
+                r.vec_id
+                for r in gr.search(qv, K, nprobe=nprobe, ef_search=200).collect()
+            }
+            for qid, qv in qvecs.items()
+        }
+        graph_recalls[str(nprobe)] = round(_recall(exact_l2, approx), 4)
+
     tuned = ivf_recalls[str(IVF_PROBES[-1])]
     print(
         json.dumps(
@@ -94,6 +109,7 @@ def main() -> None:
                 "value": tuned,
                 "ivf": ivf_recalls,
                 "lsh": lsh_recalls,
+                "graph": graph_recalls,
                 "n_queries": N_QUERIES,
                 "nlist": NLIST,
                 "sf": sf,

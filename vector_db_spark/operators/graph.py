@@ -1,0 +1,270 @@
+"""Per-cell navigable-small-world graph ANN — the HNSW-equivalent path.
+
+The reference's main approximate backend is a monolithic in-process HNSW
+(reference: src/core/index/hnsw_index.rs:21-35, M=16 / ef_construction=200;
+src/core/index_factory.rs:110-114) — a pointer-chasing graph that cannot be
+a DataFrame and cannot be built monolithically at 100 TB. The Spark-native
+reformulation composes the two public building blocks:
+
+- **Coarse partitioning**: the IVF KMeans quantizer (operators/ann.py)
+  splits the corpus into cells — at scale, cluster-partitioned parquet, so
+  probing is partition pruning (identical 100 TB story to IvfIndex).
+- **Per-cell graph**: inside each cell an NSW graph (Malkov & Yashunin,
+  "Efficient and robust approximate nearest neighbor search using
+  Hierarchical Navigable Small World graphs", level-0 regime: flat graph,
+  greedy beam insertion, M links per new node, degree cap 2M) is built in
+  one ``applyInPandas`` group — Arrow-batched, embarrassingly parallel
+  across cells, no driver involvement. The artifact is the corpus plus a
+  ``neighbors array<long>`` adjacency column, partition-pruned on probe.
+
+Search probes the ``nprobe`` nearest cells (driver-side centroid ranking,
+same as IVF), runs a beam search per cell (``ef_search`` beam), and merges
+per-cell top-k with one global TakeOrdered(k). Distance-evaluation count
+per probed cell is O(ef·M·path), not O(cell) — the sub-linear probe that
+justifies a graph over IVF's full-cell rerank at equal recall (asserted in
+tests/test_graph.py). With ``ef_search >= cell size`` and ``nprobe =
+nlist`` the beam visits every (connected) node, so the exhaustive
+configuration reproduces exact kNN — the oracle gate.
+
+Metrics: l2 (squared, engine convention) and cosine. Cosine builds the
+graph on L2-normalized vectors — on the unit sphere ``‖a−b‖² = 2−2cosθ``,
+so l2 beam order is cosine order and the output score is ``1 − d/2``
+exactly.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from vector_db_spark.operators.ann import (
+    _CLUSTER_COL,
+    _kmeans_centroids,
+    _nearest_centroid_expr,
+)
+
+NEIGHBOR_COL = "neighbors"
+
+
+def _beam(
+    vecs: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    ef: int,
+    entry: int = 0,
+) -> tuple[list[int], list[float], int]:
+    """Greedy beam search (the paper's SEARCH-LAYER): expand the closest
+    unexpanded candidate until it is farther than the worst of the ``ef``
+    best. Returns (positions by ascending distance, distances, #distance
+    evaluations). Ties break on position — deterministic."""
+    d0 = float(((vecs[entry] - q) ** 2).sum())
+    n_evals = 1
+    visited = {entry}
+    cand = [(d0, entry)]  # min-heap: next to expand
+    best = [(-d0, entry)]  # max-heap of the ef closest so far
+    while cand:
+        dc, c = heapq.heappop(cand)
+        if len(best) >= ef and dc > -best[0][0]:
+            break
+        nbrs = [b for b in adj[c] if b not in visited]
+        if not nbrs:
+            continue
+        visited.update(nbrs)
+        dn = ((vecs[nbrs] - q) ** 2).sum(axis=1)
+        n_evals += len(nbrs)
+        for dj, j in zip(dn, nbrs):
+            dj = float(dj)
+            if len(best) < ef or dj < -best[0][0]:
+                heapq.heappush(cand, (dj, j))
+                heapq.heappush(best, (-dj, j))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    ordered = sorted((-bd, j) for bd, j in best)
+    return [j for _, j in ordered], [d for d, _ in ordered], n_evals
+
+
+def _nsw_build(vecs: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
+    """Incremental NSW construction: each node links to its ``m`` beam-found
+    nearest existing nodes (undirected); degree capped at 2m by keeping the
+    closest (the paper's M_max0 = 2M level-0 cap). Insertion order is the
+    caller's row order — sort by id first for determinism."""
+    n = len(vecs)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found, _, _ = _beam(vecs, adj, vecs[i], ef_construction)
+        sel = found[:m]
+        adj[i] = list(sel)
+        for j in sel:
+            adj[j].append(i)
+            if len(adj[j]) > 2 * m:
+                d = ((vecs[adj[j]] - vecs[j]) ** 2).sum(axis=1)
+                keep = np.argsort(d, kind="stable")[: 2 * m]
+                adj[j] = [adj[j][t] for t in keep]
+    return adj
+
+
+class GraphAnnIndex:
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        graph: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        metric: str = "l2",
+    ):
+        self.centroids = centroids
+        self.graph = graph  # corpus columns + cluster_id + neighbors
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.metric = metric
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        nlist: int = 8,
+        m: int = 16,
+        ef_construction: int = 200,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        metric: str = "l2",
+        max_iter: int = 20,
+    ) -> "GraphAnnIndex":
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"graph index supports ('l2', 'cosine'), got {metric!r}")
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        from vector_db_spark.functions.vector import normalize
+
+        vec = F.col(vec_col) if metric == "l2" else normalize(F.col(vec_col))
+        centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
+        assignments = corpus.withColumn(
+            _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
+        )
+        out_schema = StructType(
+            list(assignments.schema.fields)
+            + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
+        )
+        cosine = metric == "cosine"
+
+        def _build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if cosine:
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            adj = _nsw_build(vecs, m, ef_construction)
+            ids = pdf[id_col].to_numpy()
+            pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
+            return pdf
+
+        graph = assignments.groupBy(_CLUSTER_COL).applyInPandas(
+            _build_cell, out_schema
+        )
+        return GraphAnnIndex(centroids, graph, id_col, vec_col, metric)
+
+    def save(self, path: str) -> None:
+        """Cluster-partitioned parquet: search() after load() prunes to the
+        probed cells, exactly like IvfIndex."""
+        self.graph.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
+            os.path.join(path, "graph")
+        )
+        np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {"metric": self.metric, "id_col": self.id_col, "vec_col": self.vec_col},
+                f,
+            )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "GraphAnnIndex":
+        centroids = np.load(os.path.join(path, "centroids.npy")).tolist()
+        graph = spark.read.parquet(os.path.join(path, "graph"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return GraphAnnIndex(
+            centroids, graph, meta["id_col"], meta["vec_col"], meta["metric"]
+        )
+
+    def _query_point(self, query: Sequence[float]) -> np.ndarray:
+        q = np.asarray(list(query), dtype=np.float64)
+        dim = len(self.centroids[0])
+        if q.shape[0] != dim:
+            raise ValueError(
+                f"dimension mismatch: query has {q.shape[0]} components, "
+                f"index dim is {dim}"
+            )
+        if self.metric == "cosine":
+            n = float(np.linalg.norm(q))
+            if n > 0:
+                q = q / n
+        return q
+
+    def probe_order(self, query: Sequence[float]) -> list[int]:
+        c = np.asarray(self.centroids, dtype=np.float64)
+        q = self._query_point(query)
+        d = ((c - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")]
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        nprobe: int = 2,
+        ef_search: int = 200,
+    ) -> DataFrame:
+        """Beam search each of the ``nprobe`` nearest cells, merge with one
+        global TakeOrdered(k). Output: (id, distance) for l2, (id, score)
+        for cosine — same contract as the exact/IVF operators."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        q = self._query_point(query)
+        probes = self.probe_order(query)[:nprobe]
+        cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probes))
+        id_col, vec_col, cosine = self.id_col, self.vec_col, self.metric == "cosine"
+        ef = max(ef_search, k)
+
+        out_schema = f"{id_col} long, distance double"
+
+        def _search_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            ids = pdf[id_col].to_numpy()
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if cosine:
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            # neighbor ids -> positions (ids are sorted: vectorized searchsorted)
+            adj = [
+                list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
+                if len(nbrs)
+                else []
+                for nbrs in pdf[NEIGHBOR_COL]
+            ]
+            pos, dists, _ = _beam(vecs, adj, q, ef)
+            top = pos[:k]
+            return pd.DataFrame(
+                {id_col: ids[top], "distance": dists[: len(top)]}
+            )
+
+        per_cell = cells.groupBy(_CLUSTER_COL).applyInPandas(
+            _search_cell, out_schema
+        )
+        merged = per_cell.orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        ).limit(k)
+        if cosine:
+            # unit sphere: cos = 1 − ‖a−b‖²/2, exact
+            return merged.select(
+                id_col, (F.lit(1.0) - F.col("distance") / 2).alias("score")
+            ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return merged

@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "stream_quota_sample",
     # --- new in round 2 (appended as they are implemented) ---
     "ann_lsh_filtered_exhaustive",
+    "ann_graph_exhaustive",
 ]
 
 

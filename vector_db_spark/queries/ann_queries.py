@@ -179,6 +179,35 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query("ann_graph_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ann_graph_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-ANN correctness gate: nprobe = nlist + unbounded beam
+    visits every node of every connected cell graph, so per-cell NSW beam
+    search + global TakeOrdered merge must reproduce exact kNN bit-for-bit
+    (same oracle as knn_l2) — verifying cell assignment, adjacency
+    construction, and the beam machinery before approximation is dialed
+    in. (HNSW-equivalent path; reference: src/core/index/hnsw_index.rs.)"""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, ef_search=10**6)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_graph_nsw")
+def ann_graph_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production graph path: reference serving regime (M=16,
+    ef_search=200, src/core/index_factory.rs:110-114), 6 of 8 cells probed
+    (rows-only; recall@10 >= 0.95 pinned in tests/test_graph.py)."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=6, ef_search=200)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 @query("ann_ivf_ip_full_probe", oracle=_knn_oracle(_IP, "score", "DESC"))
 def ann_ivf_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS IVF (cells over [x, sqrt(M²−|x|²)] augmented vectors — the
