@@ -290,3 +290,45 @@ def test_catalog_concurrent_writers_lose_no_update(spark, tmp_path):
     with ThreadPoolExecutor(max_workers=10) as pool:
         list(pool.map(make, range(10)))
     assert cat.list() == [f"c{i:02d}" for i in range(10)]
+
+
+def test_docstore_schemaless_roundtrip(spark, tmp_path):
+    from vector_db_spark.operators.collections import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "docs"), n_buckets=4)
+    docs = spark.createDataFrame(
+        [
+            (1, '{"kind": "a", "n": 3, "nested": {"x": 1}}'),
+            (2, '{"kind": "b"}'),
+            (3, '[1, 2, 3]'),  # non-object values are legal (schemaless)
+        ],
+        "id long, doc string",
+    )
+    store.put(docs)
+    assert store.get(2).doc == '{"kind": "b"}'
+    got = {r.id: (r.kind, r.x) for r in store.extract(kind="$.kind", x="$.nested.x").collect()}
+    assert got == {1: ("a", "1"), 2: ("b", None), 3: (None, None)}
+    typed = {r.id: r.n for r in store.typed("kind string, n long").collect()}
+    assert typed[1] == 3 and typed[2] is None
+    # overwrite-whole-doc semantics (vector_database.rs:76-79)
+    store.put(spark.createDataFrame([(2, '{"kind": "z"}')], "id long, doc string"))
+    assert store.scan().count() == 3
+    assert store.get(2).doc == '{"kind": "z"}'
+    # keyed delete
+    store.delete(spark.createDataFrame([(1,)], "id long"))
+    assert sorted(r.id for r in store.scan().collect()) == [2, 3]
+
+
+def test_docstore_validation_and_restart(spark, tmp_path):
+    from vector_db_spark.operators.collections import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "d2"), n_buckets=4)
+    with pytest.raises(ValueError, match="exactly columns"):
+        store.put(spark.createDataFrame([(1, "x", "y")], "id long, doc string, extra string"))
+    with pytest.raises(Exception, match="must be >= 1"):
+        store.put(spark.createDataFrame([(0, "{}")], "id long, doc string"))
+    store.put(spark.createDataFrame([(5, '{"a": 1}')], "id long, doc string"))
+    # restart: a new handle on the same root sees the data
+    again = DocumentStore(spark, str(tmp_path / "d2"))
+    assert again.get(5).doc == '{"a": 1}'
+    assert again._store_n_buckets == 4

@@ -213,54 +213,57 @@ class CollectionCatalog:
             self._save(data)
 
 
-class Collection:
-    """One vector collection: versioned parquet snapshots + MERGE DML."""
+class _BucketedStore:
+    """Bucket-granular copy-on-write parquet storage engine, shared by
+    ``Collection`` (typed, vector-bearing) and ``DocumentStore``
+    (schemaless JSON). Consumers provide five accessors (`_store_spark`,
+    `_store_dir`, `_store_id_col`, `_store_n_buckets`, `_store_version`),
+    a `_publish_version(v)` hook, and `_validated(df)`.
 
-    def __init__(self, catalog: CollectionCatalog, info: CollectionInfo):
-        self.catalog = catalog
-        self.info = info
+    Layout per version dir v{N}: parquet under __bucket=<b>/ for ONLY the
+    buckets the mutation touched, plus _manifest.json mapping EVERY live
+    bucket to the version dir holding its current data. scan() reads the
+    manifest's leaf dirs; unchanged buckets are shared across snapshots.
+    """
 
-    def _vdir(self, version: int) -> str:
-        return os.path.join(self.catalog.root, self.info.name, f"v{version:06d}")
+    # accessors overridden by consumers -----------------------------------
+    @property
+    def _store_spark(self) -> SparkSession:
+        raise NotImplementedError
+
+    @property
+    def _store_dir(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def _store_id_col(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def _store_n_buckets(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def _store_version(self) -> int:
+        raise NotImplementedError
+
+    def _publish_version(self, version: int) -> None:
+        raise NotImplementedError
 
     def _validated(self, df: DataFrame) -> DataFrame:
-        """Schema-on-write enforcement (strict divergence from the
-        reference's validate-nothing ingest, SURVEY.md §1.3): ids >= 1
-        (src/models/request/insert.rs:12-14) and exact declared dim. The
-        guards are plan-level raise_error branches — no extra validation
-        job, the write itself fails on bad rows."""
-        iid, vec = self.info.id_col, self.info.vec_col
-        checked_id = F.when(F.col(iid) >= 1, F.col(iid)).otherwise(
-            F.raise_error(F.lit(f"{iid} must be >= 1"))
-        )
-        checked_vec = F.when(
-            F.size(F.col(vec)) == self.info.dim, F.col(vec)
-        ).otherwise(
-            F.raise_error(
-                F.lit(f"{vec} must have exactly dim={self.info.dim} components")
-            )
-        )
-        others = [c for c in df.columns if c not in (iid, vec)]
-        return df.select(
-            checked_id.alias(iid),
-            F.transform(checked_vec, lambda x: x.cast("float")).alias(vec),
-            *others,
-        )
+        return df
 
-    # -- bucketed snapshot storage ---------------------------------------
-    #
-    # Layout per version dir v{N}: parquet under __bucket=<b>/ for ONLY the
-    # buckets that mutation touched, plus _manifest.json mapping EVERY live
-    # bucket to the version dir holding its current data. scan() reads the
-    # manifest's leaf dirs; unchanged buckets are shared across snapshots.
+    # engine ---------------------------------------------------------------
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self._store_dir, f"v{version:06d}")
 
     def _bucket_expr(self) -> Column:
         # cast to long first: Spark's xxhash64 hashes IntegerType and
         # LongType differently, and bucket routing must not depend on the
         # caller's id width
         return F.pmod(
-            F.xxhash64(F.col(self.info.id_col).cast("long")),
-            F.lit(self.info.n_buckets),
+            F.xxhash64(F.col(self._store_id_col).cast("long")),
+            F.lit(self._store_n_buckets),
         ).cast("int")
 
     def _manifest_path(self, version: int) -> str:
@@ -282,17 +285,17 @@ class Collection:
         ]
 
     def _schema_path(self) -> str:
-        return os.path.join(self.catalog.root, self.info.name, "_schema.json")
+        return os.path.join(self._store_dir, "_schema.json")
 
     def _read_buckets(self, manifest: dict[str, int], buckets=None) -> DataFrame | None:
         paths = self._bucket_paths(manifest, buckets)
         if not paths:
             return None
-        return self.catalog.spark.read.parquet(*paths)
+        return self._store_spark.read.parquet(*paths)
 
     def scan(self) -> DataFrame:
         """Current snapshot as a DataFrame (None if never written)."""
-        manifest = self._manifest(self.info.version)
+        manifest = self._manifest(self._store_version)
         if manifest is None:
             return None  # caller-visible "empty collection" sentinel
         df = self._read_buckets(manifest)
@@ -303,7 +306,7 @@ class Collection:
 
         with open(self._schema_path()) as f:
             schema = StructType.fromJson(json.load(f))
-        return self.catalog.spark.createDataFrame([], schema)
+        return self._store_spark.createDataFrame([], schema)
 
     def _write_buckets(
         self, df: DataFrame, changed: Sequence[int], base: dict[str, int]
@@ -311,7 +314,7 @@ class Collection:
         """Write ``df``'s rows for the ``changed`` buckets into a new
         version dir and publish a manifest that keeps every other bucket
         pointing at its existing dir — bucket-granular copy-on-write."""
-        new_version = self.info.version + 1
+        new_version = self._store_version + 1
         out = self._vdir(new_version)
         bucketed = df.withColumn("__bucket", self._bucket_expr())
         (
@@ -336,8 +339,7 @@ class Collection:
                 json.dump(df.schema.jsonValue(), f)
         with open(self._manifest_path(new_version), "w") as f:
             json.dump(manifest, f, indent=1)
-        self.catalog._bump(self.info.name, new_version)
-        self.info.version = new_version
+        self._publish_version(new_version)
 
     def _changed_buckets(self, df: DataFrame) -> list[int]:
         """Distinct buckets hit by a keyed mutation (≤ n_buckets values —
@@ -353,7 +355,7 @@ class Collection:
         upsert is the keyed path, exactly like the reference. Rewrites only
         the buckets the new rows hash into."""
         df = self._validated(df)
-        base = self._manifest(self.info.version) or {}
+        base = self._manifest(self._store_version) or {}
         changed = self._changed_buckets(df)
         old = self._read_buckets(base, changed)
         merged = df if old is None else old.unionByName(df)
@@ -364,29 +366,29 @@ class Collection:
         MERGE semantics everywhere — one live row per id. Reads and
         rewrites only the buckets containing upserted keys."""
         df = self._validated(df)
-        base = self._manifest(self.info.version) or {}
+        base = self._manifest(self._store_version) or {}
         changed = self._changed_buckets(df)
         old = self._read_buckets(base, changed)
         merged = (
-            df if old is None else merge_upsert(old, df, (self.info.id_col,))
+            df if old is None else merge_upsert(old, df, (self._store_id_col,))
         )
         self._write_buckets(merged, changed, base)
 
     def delete(self, target: DataFrame | Column) -> None:
         """Keyed deletes (id-set DataFrame) touch only the keys' buckets;
         predicate deletes can hit any row, so every bucket rewrites."""
-        base = self._manifest(self.info.version)
+        base = self._manifest(self._store_version)
         if base is None:
             return
         if isinstance(target, Column):
             changed = [int(b) for b in base]
         else:
-            keyed = target.select(self.info.id_col)
+            keyed = target.select(self._store_id_col)
             changed = [b for b in self._changed_buckets(keyed) if str(b) in base]
         if not changed:
             return
         old = self._read_buckets(base, changed)
-        remaining = delete_rows(old, target, (self.info.id_col,))
+        remaining = delete_rows(old, target, (self._store_id_col,))
         self._write_buckets(remaining, changed, base)
 
     def get(self, id_value: int):
@@ -395,16 +397,15 @@ class Collection:
         1/n_buckets of the corpus — by computing the bucket id first (a
         one-row local job, so the hash is bit-identical to write-side
         routing)."""
-        manifest = self._manifest(self.info.version)
+        manifest = self._manifest(self._store_version)
         if manifest is None:
             return None
-        spark = self.catalog.spark
         b = (
-            spark.range(1)
+            self._store_spark.range(1)
             .select(
                 F.pmod(
                     F.xxhash64(F.lit(int(id_value)).cast("long")),
-                    F.lit(self.info.n_buckets),
+                    F.lit(self._store_n_buckets),
                 )
                 .cast("int")
                 .alias("b")
@@ -415,8 +416,64 @@ class Collection:
         cur = self._read_buckets(manifest, [b])
         if cur is None:
             return None
-        rows = cur.filter(F.col(self.info.id_col) == id_value).limit(1).collect()
+        rows = cur.filter(F.col(self._store_id_col) == id_value).limit(1).collect()
         return rows[0] if rows else None
+
+
+class Collection(_BucketedStore):
+    """One vector collection: versioned parquet snapshots + MERGE DML."""
+
+    def __init__(self, catalog: CollectionCatalog, info: CollectionInfo):
+        self.catalog = catalog
+        self.info = info
+
+    @property
+    def _store_spark(self) -> SparkSession:
+        return self.catalog.spark
+
+    @property
+    def _store_dir(self) -> str:
+        return os.path.join(self.catalog.root, self.info.name)
+
+    @property
+    def _store_id_col(self) -> str:
+        return self.info.id_col
+
+    @property
+    def _store_n_buckets(self) -> int:
+        return self.info.n_buckets
+
+    @property
+    def _store_version(self) -> int:
+        return self.info.version
+
+    def _publish_version(self, version: int) -> None:
+        self.catalog._bump(self.info.name, version)
+        self.info.version = version
+
+    def _validated(self, df: DataFrame) -> DataFrame:
+        """Schema-on-write enforcement (strict divergence from the
+        reference's validate-nothing ingest, SURVEY.md §1.3): ids >= 1
+        (src/models/request/insert.rs:12-14) and exact declared dim. The
+        guards are plan-level raise_error branches — no extra validation
+        job, the write itself fails on bad rows."""
+        iid, vec = self.info.id_col, self.info.vec_col
+        checked_id = F.when(F.col(iid) >= 1, F.col(iid)).otherwise(
+            F.raise_error(F.lit(f"{iid} must be >= 1"))
+        )
+        checked_vec = F.when(
+            F.size(F.col(vec)) == self.info.dim, F.col(vec)
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"{vec} must have exactly dim={self.info.dim} components")
+            )
+        )
+        others = [c for c in df.columns if c not in (iid, vec)]
+        return df.select(
+            checked_id.alias(iid),
+            F.transform(checked_vec, lambda x: x.cast("float")).alias(vec),
+            *others,
+        )
 
     # -- index lifecycle (≅ create_index + search dispatch,
     #    src/core/index_factory.rs:75-163 +
@@ -509,3 +566,132 @@ class Collection:
 
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
         return idx.search(query, k, predicate=predicate, **params)
+
+
+class DocumentStore(_BucketedStore):
+    """Schemaless per-id JSON document store ≅ the reference's scalar
+    storage (src/db/scalar_storage.rs:10-14: an arbitrary
+    ``serde_json::Value`` per id, no declared columns).
+
+    This is the deliberate inverse of ``Collection``'s schema-on-write
+    (SURVEY.md §2.2 item 9): the payload is ONE opaque JSON string column
+    (``doc``); structure is imposed at READ time — ``extract()`` projects
+    JSON paths as typed columns (``get_json_object``, codegen'd JVM-side),
+    ``typed()`` applies a full ``from_json`` schema. Malformed JSON is not
+    rejected at write (the reference's handler receives pre-parsed JSON, so
+    bad payloads 400 at the wire; here they surface as NULLs on read —
+    documented schema-on-read semantics).
+
+    Storage/versioning/DML are the same bucketed copy-on-write engine as
+    ``Collection`` — a 1-doc put rewrites one bucket, point lookups read
+    one bucket — with a flock-guarded meta file in place of the catalog.
+    """
+
+    ID_COL = "id"
+    DOC_COL = "doc"
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._meta_path = os.path.join(root, "_docstore.json")
+        self._lock_path = os.path.join(root, "_docstore.lock")
+        if not os.path.exists(self._meta_path):
+            with self._locked():
+                if not os.path.exists(self._meta_path):
+                    self._write_meta({"version": 0, "n_buckets": n_buckets})
+        self._meta = self._read_meta()
+
+    @contextmanager
+    def _locked(self):
+        with open(self._lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    # _BucketedStore accessors ---------------------------------------------
+    @property
+    def _store_spark(self) -> SparkSession:
+        return self.spark
+
+    @property
+    def _store_dir(self) -> str:
+        return self.root
+
+    @property
+    def _store_id_col(self) -> str:
+        return self.ID_COL
+
+    @property
+    def _store_n_buckets(self) -> int:
+        return int(self._meta["n_buckets"])
+
+    @property
+    def _store_version(self) -> int:
+        return int(self._meta["version"])
+
+    def _publish_version(self, version: int) -> None:
+        with self._locked():
+            meta = self._read_meta()
+            meta["version"] = version
+            self._write_meta(meta)
+        self._meta = meta
+
+    def _validated(self, df: DataFrame) -> DataFrame:
+        """ids >= 1 (shared with Collection, src/models/request/insert.rs:
+        12-14); the doc itself is intentionally unvalidated (schemaless)."""
+        if set(df.columns) != {self.ID_COL, self.DOC_COL}:
+            raise ValueError(
+                f"document frame must have exactly columns "
+                f"({self.ID_COL!r}, {self.DOC_COL!r}), got {sorted(df.columns)}"
+            )
+        checked_id = F.when(F.col(self.ID_COL) >= 1, F.col(self.ID_COL)).otherwise(
+            F.raise_error(F.lit(f"{self.ID_COL} must be >= 1"))
+        )
+        return df.select(
+            checked_id.cast("long").alias(self.ID_COL),
+            F.col(self.DOC_COL).cast("string").alias(self.DOC_COL),
+        )
+
+    # schemaless surface ---------------------------------------------------
+    def put(self, df: DataFrame) -> None:
+        """MERGE a (id, doc) frame — the reference's scalar-doc overwrite
+        semantics (src/db/vector_database.rs:76-79: upsert replaces the
+        whole document)."""
+        self.upsert(df)
+
+    def extract(self, **paths: str) -> DataFrame:
+        """Project JSON paths as string columns: ``extract(k="$.k")`` →
+        (id, k). get_json_object stays in codegen; missing keys are NULL."""
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("document store is empty")
+        return cur.select(
+            self.ID_COL,
+            *[
+                F.get_json_object(F.col(self.DOC_COL), p).alias(name)
+                for name, p in paths.items()
+            ],
+        )
+
+    def typed(self, schema: str) -> DataFrame:
+        """Impose a full schema at read time: (id, parsed struct fields).
+        ``schema`` is a DDL string, e.g. ``"k long, tag string"``."""
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("document store is empty")
+        return cur.select(
+            self.ID_COL, F.from_json(F.col(self.DOC_COL), schema).alias("_s")
+        ).select(self.ID_COL, "_s.*")

@@ -68,6 +68,15 @@ _VERIFY_FIRST = [
     # --- new in round 2 (appended as they are implemented) ---
     "ann_lsh_filtered_exhaustive",
     "ann_graph_exhaustive",
+    "ann_lsh_filtered",
+    "ann_graph_nsw",
+    "docstore_extract",
+    # re-attest under round-2 bucketed collection storage (the r1 rows
+    # verified the old full-snapshot engine)
+    "upsert_readback",
+    "delete_then_search",
+    "collection_index_lifecycle",
+    "point_lookup",
 ]
 
 

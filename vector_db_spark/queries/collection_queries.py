@@ -147,3 +147,35 @@ def collection_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _qvec(spark, sf_dir)
     res = coll.search(qv, 10, nprobe=8)
     return res.select("id", F.round("distance", 6).alias("distance"))
+
+
+# --------------------------------------------------------------------------
+# Schemaless document store: put JSON docs, impose structure at read time
+# (≅ reference scalar storage, src/db/scalar_storage.rs:10-14)
+# --------------------------------------------------------------------------
+
+_DOCSTORE_ORACLE = """
+SELECT event_id + 1 AS id,
+       json_extract_string(props, '$.k') AS k,
+       json_extract_string(props, '$.missing') AS missing
+FROM events
+WHERE event_id < 200
+ORDER BY id
+"""
+
+
+@query("docstore_extract", oracle=_DOCSTORE_ORACLE)
+def docstore_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless round-trip: put the events' raw JSON props as opaque
+    per-id documents, then project typed fields back out with JSON-path
+    extraction — schema-on-read. Missing keys are NULL on both engines."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import DocumentStore
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    store = DocumentStore(spark, tempfile.mkdtemp(prefix="docs_"))
+    store.put(
+        ev.select((F.col("event_id") + 1).alias("id"), F.col("props").alias("doc"))
+    )
+    return store.extract(k="$.k", missing="$.missing")
