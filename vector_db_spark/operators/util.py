@@ -15,9 +15,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     cores exist. At real scale the input already has >= slots partitions and
     this is a no-op — the extra shuffle is only ever paid on inputs small
     enough for it to be free.
+
+    The check reads the scan's FILE list (driver-side metadata, no physical
+    planning) instead of ``df.rdd.getNumPartitions()``, which forces an
+    RDD conversion of the whole plan per call (VERDICT r1 wart). File count
+    under-counts actual scan partitions when maxPartitionBytes splits big
+    files — erring toward a repartition that only ever triggers on small
+    inputs. Non-file plans (already-shuffled/in-memory inputs) pass through
+    untouched: their partitioning was chosen by an upstream exchange.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
