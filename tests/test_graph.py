@@ -115,3 +115,58 @@ def test_validation(emb, graph):
         graph.search([0.0] * 64, 5, nprobe=0)
     with pytest.raises(ValueError, match="supports"):
         GraphAnnIndex.build(emb, metric="hamming")
+
+
+def test_filtered_exhaustive_matches_exact_filtered(emb, graph, qvecs):
+    pred = F.col("label") == 3
+    qv = qvecs[100]
+    exact = [
+        (r.vec_id, round(r.distance, 6))
+        for r in knn(emb, qv, 10, predicate=pred).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in graph.search(qv, 10, nprobe=8, ef_search=10**6, predicate=pred).collect()
+    ]
+    assert got == exact
+
+
+def test_filtered_beam_traverses_blocked_nodes():
+    # A corridor graph where every interior node is filtered out: a
+    # post-filter over an unfiltered beam would stall at the entry (the
+    # beam would terminate before reaching the far end), but admit-during-
+    # traversal must walk through the blocked corridor and return the far
+    # endpoint as the only admitted match near the query.
+    vecs = np.asarray([[float(i)] for i in range(20)], dtype=np.float64)
+    adj = [[i - 1, i + 1][slice(1 if i == 0 else 0, 2 if i < 19 else 1)] for i in range(20)]
+    allowed = np.zeros(20, dtype=bool)
+    allowed[0] = allowed[19] = True
+    q = np.asarray([19.0])
+    pos, dists, _ = _beam(vecs, adj, q, ef=2, entry=0, allowed=allowed)
+    assert pos[0] == 19 and dists[0] == 0.0
+
+
+def test_collection_graph_index_lifecycle(spark, tmp_path):
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(300)],
+        "id long, embedding array<float>, tag int",
+    )
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("g", dim=8, metric="l2", index_type="graph")
+    coll.insert(df)
+    coll.build_index(nlist=4, max_iter=5)
+    qv = [0.0] * 8
+    got = [r.id for r in coll.search(qv, 5, nprobe=4, ef_search=10**6).collect()]
+    want = [
+        r.id
+        for r in __import__("vector_db_spark.operators.knn", fromlist=["knn"])
+        .knn(coll.scan(), qv, 5, id_col="id")
+        .collect()
+    ]
+    assert got == want
+    filt = coll.search(qv, 5, nprobe=4, ef_search=10**6, predicate=F.col("tag") == 1)
+    tags = {r.id % 3 for r in filt.collect()}  # id i+1 has tag i%3 → (id-1)%3==1
+    assert all((i - 1) % 3 == 1 for i in [r.id for r in filt.collect()])

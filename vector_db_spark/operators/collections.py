@@ -51,8 +51,9 @@ from pyspark.sql import functions as F
 
 VALID_METRICS = ("l2", "ip", "cosine")
 # ≅ IndexType {FLAT, HNSW, USEARCH} (src/core/index_factory.rs:17-22);
-# ours name search strategies, not libraries.
-VALID_INDEX_TYPES = ("exact", "lsh", "ivf")
+# ours name search strategies, not libraries: 'graph' is the
+# HNSW-equivalent (per-cell NSW, operators/graph.py).
+VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph")
 
 
 def merge_upsert(
@@ -506,6 +507,19 @@ class Collection(_BucketedStore):
                 **params,
             )
             idx.save(path)
+        elif self.info.index_type == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            if self.info.metric not in ("l2", "cosine"):
+                raise ValueError("graph index supports metrics ('l2', 'cosine')")
+            idx = GraphAnnIndex.build(
+                cur,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                metric=self.info.metric,
+                **params,
+            )
+            idx.save(path)
         else:  # lsh
             from vector_db_spark.operators.ann import CosineLshIndex
 
@@ -562,6 +576,11 @@ class Collection(_BucketedStore):
 
             idx = IvfIndex.load(self.catalog.spark, self._index_dir())
             return idx.search(query, k, predicate=predicate, **params)
+        if self.info.index_type == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            gidx = GraphAnnIndex.load(self.catalog.spark, self._index_dir())
+            return gidx.search(query, k, predicate=predicate, **params)
         from vector_db_spark.operators.ann import CosineLshIndex
 
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())

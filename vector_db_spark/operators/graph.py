@@ -60,16 +60,26 @@ def _beam(
     q: np.ndarray,
     ef: int,
     entry: int = 0,
+    allowed: np.ndarray | None = None,
 ) -> tuple[list[int], list[float], int]:
     """Greedy beam search (the paper's SEARCH-LAYER): expand the closest
     unexpanded candidate until it is farther than the worst of the ``ef``
     best. Returns (positions by ascending distance, distances, #distance
-    evaluations). Ties break on position — deterministic."""
+    evaluations). Ties break on position — deterministic.
+
+    ``allowed`` (bool mask) implements predicate-during-traversal
+    (≅ usearch filtered_search, reference:
+    src/core/index/usearch_index.rs:68-85): disallowed nodes are TRAVERSED
+    (they keep the graph connected and route the beam) but never admitted
+    into the result set — the filtered-HNSW semantics, not a post-filter.
+    """
     d0 = float(((vecs[entry] - q) ** 2).sum())
     n_evals = 1
     visited = {entry}
     cand = [(d0, entry)]  # min-heap: next to expand
-    best = [(-d0, entry)]  # max-heap of the ef closest so far
+    best: list[tuple[float, int]] = []  # max-heap of the ef closest ADMITTED
+    if allowed is None or allowed[entry]:
+        best.append((-d0, entry))
     while cand:
         dc, c = heapq.heappop(cand)
         if len(best) >= ef and dc > -best[0][0]:
@@ -84,9 +94,10 @@ def _beam(
             dj = float(dj)
             if len(best) < ef or dj < -best[0][0]:
                 heapq.heappush(cand, (dj, j))
-                heapq.heappush(best, (-dj, j))
-                if len(best) > ef:
-                    heapq.heappop(best)
+                if allowed is None or allowed[j]:
+                    heapq.heappush(best, (-dj, j))
+                    if len(best) > ef:
+                        heapq.heappop(best)
     ordered = sorted((-bd, j) for bd, j in best)
     return [j for _, j in ordered], [d for d, _ in ordered], n_evals
 
@@ -220,10 +231,18 @@ class GraphAnnIndex:
         k: int,
         nprobe: int = 2,
         ef_search: int = 200,
+        predicate: Column | None = None,
     ) -> DataFrame:
         """Beam search each of the ``nprobe`` nearest cells, merge with one
         global TakeOrdered(k). Output: (id, distance) for l2, (id, score)
-        for cosine — same contract as the exact/IVF operators."""
+        for cosine — same contract as the exact/IVF operators.
+
+        ``predicate`` gives filtered-HNSW semantics (≅ usearch
+        filtered_search, reference: src/core/index/usearch_index.rs:68-85):
+        it is evaluated JVM-side into a boolean column, and the beam
+        TRAVERSES non-matching nodes (keeping the graph connected) while
+        admitting only matching ones — not a post-filter, so a selective
+        predicate cannot strand the search in a filtered-out region."""
         if k < 1:
             raise ValueError("k must be >= 1")
         if nprobe < 1:
@@ -231,6 +250,9 @@ class GraphAnnIndex:
         q = self._query_point(query)
         probes = self.probe_order(query)[:nprobe]
         cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probes))
+        if predicate is not None:
+            cells = cells.withColumn("__pass", predicate.cast("boolean"))
+        filtered = predicate is not None
         id_col, vec_col, cosine = self.id_col, self.vec_col, self.metric == "cosine"
         ef = max(ef_search, k)
 
@@ -250,7 +272,10 @@ class GraphAnnIndex:
                 else []
                 for nbrs in pdf[NEIGHBOR_COL]
             ]
-            pos, dists, _ = _beam(vecs, adj, q, ef)
+            allowed = (
+                pdf["__pass"].fillna(False).to_numpy(dtype=bool) if filtered else None
+            )
+            pos, dists, _ = _beam(vecs, adj, q, ef, allowed=allowed)
             top = pos[:k]
             return pd.DataFrame(
                 {id_col: ids[top], "distance": dists[: len(top)]}

@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     # --- new in round 2 (appended as they are implemented) ---
     "ann_lsh_filtered_exhaustive",
     "ann_graph_exhaustive",
+    "ann_graph_filtered_exhaustive",
     "ann_lsh_filtered",
     "ann_graph_nsw",
     "docstore_extract",

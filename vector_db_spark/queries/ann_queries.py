@@ -208,6 +208,29 @@ def ann_graph_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query(
+    "ann_graph_filtered_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"),
+)
+def ann_graph_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-graph correctness gate: unbounded beam + all cells probed,
+    predicate admitted-during-traversal (non-matching nodes still route the
+    beam, ≅ usearch filtered_search, reference:
+    src/core/index/usearch_index.rs:68-85) must equal exact filtered kNN."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5)
+    res = idx.search(
+        _qvec(spark, sf_dir),
+        K,
+        nprobe=8,
+        ef_search=10**6,
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 @query("ann_ivf_ip_full_probe", oracle=_knn_oracle(_IP, "score", "DESC"))
 def ann_ivf_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS IVF (cells over [x, sqrt(M²−|x|²)] augmented vectors — the
