@@ -14,6 +14,7 @@ from vector_db_spark.queries import (  # noqa: E402,F401
     multimodal_queries,
     pipeline_queries,
     relational_queries,
+    relational_queries2,
     streaming_queries,
     vector_queries,
 )
@@ -72,6 +73,14 @@ _VERIFY_FIRST = [
     "ann_lsh_filtered",
     "ann_graph_nsw",
     "docstore_extract",
+    "tpch_q2_min_cost",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "window_event_gaps",
+    "ntile_customer_quartiles",
     # re-attest under round-2 bucketed collection storage (the r1 rows
     # verified the old full-snapshot engine)
     "upsert_readback",
