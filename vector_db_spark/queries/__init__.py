@@ -81,6 +81,8 @@ _VERIFY_FIRST = [
     "tpch_q19_disjunctive",
     "window_event_gaps",
     "ntile_customer_quartiles",
+    "stream_sliding_agg",
+    "stream_static_enrich",
     # re-attest under round-2 bucketed collection storage (the r1 rows
     # verified the old full-snapshot engine)
     "upsert_readback",

@@ -226,3 +226,59 @@ def stream_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("kept_value"),
     )
+
+
+from vector_db_spark.queries.relational_queries import _SLIDING_ORACLE  # noqa: E402
+from vector_db_spark.streaming.windows import (  # noqa: E402
+    sliding_aggregate,
+    stream_static_enrich,
+)
+
+
+@query("stream_sliding_agg", oracle=_SLIDING_ORACLE)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows on a stream (duration 2h, slide 1h): every event
+    lands in two windows; the result must equal the batch events_sliding
+    query bit-for-bit (shared oracle)."""
+    stage = _stage_events(spark, sf_dir)
+    agg = sliding_aggregate(read_event_stream(spark, stage))
+    got = _drain(agg, "complete")
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
+    )
+
+
+_ENRICH_ORACLE = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+@query("stream_static_enrich", oracle=_ENRICH_ORACLE)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    static customer dim per micro-batch, then aggregates by the attached
+    segment. The oracle is the plain batch join+GROUP BY."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_enrich(
+        stream, dim, stream.user_id == F.col("c_custkey")
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    got = _drain(agg, "complete")
+    return got.select(
+        "segment",
+        "n_events",
+        F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
+    )

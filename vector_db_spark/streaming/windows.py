@@ -94,3 +94,48 @@ def streaming_dedup(
             list(key_cols)
         )
     return stream.dropDuplicates(list(key_cols))
+
+
+def sliding_aggregate(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event contributes to
+    duration/slide overlapping windows. State per key is bounded by
+    (duration/slide) live windows x the watermark horizon. Batch/stream
+    plan parity as with tumbling_aggregate."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_duration, slide).alias("w"), type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static equi-join (enrichment): the static dim is broadcast
+    and re-resolved per micro-batch (so a refreshed dim table is picked up
+    on the next batch — Structured Streaming's documented semantics). The
+    streaming side never shuffles for the join; at scale this is THE way
+    to attach dimension attributes to an event stream."""
+    return stream.join(F.broadcast(dim), on, how)
