@@ -106,3 +106,29 @@ def test_pack_sequences_count_col_and_validation(docs):
         pack_sequences(docs, 0)
     with pytest.raises(ValueError, match="buckets"):
         pack_sequences(docs, 10, buckets=0)
+
+
+def test_with_repetition_signals_matches_direct(spark):
+    from vector_db_spark.functions.text import (
+        dup_ngram_frac,
+        top_word_frac,
+        with_repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a a"), (2, "one two one two one"), (3, ""), (4, "x")],
+        "id long, text string",
+    )
+    direct = {
+        r.id: (round(r.t, 9), round(r.d, 9))
+        for r in df.select(
+            "id",
+            top_word_frac(F.col("text")).alias("t"),
+            dup_ngram_frac(F.col("text"), 2).alias("d"),
+        ).collect()
+    }
+    staged = {
+        r.id: (round(r.top_word_frac, 9), round(r.dup_ngram_frac, 9))
+        for r in with_repetition_signals(df, "text", 2).collect()
+    }
+    assert staged == direct

@@ -749,13 +749,19 @@ FROM g
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top-word fraction, duplicate-2-gram
     fraction) computed row-local via nested higher-order functions — the
-    repetition pre-filter never shuffles at any corpus size."""
-    from vector_db_spark.functions.text import dup_ngram_frac, top_word_frac
+    repetition pre-filter never shuffles at any corpus size. Uses the
+    two-projection formulation (functions/text.with_repetition_signals) so
+    the token/gram arrays materialize once instead of re-splitting per
+    reference."""
+    from vector_db_spark.functions.text import with_repetition_signals
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(top_word_frac(F.col("text")), 6).alias("top_word_frac"),
-        F.round(dup_ngram_frac(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+    return (
+        with_repetition_signals(_docs(spark, sf_dir), "text", 2)
+        .select(
+            "doc_id",
+            F.round(F.col("top_word_frac"), 6).alias("top_word_frac"),
+            F.round(F.col("dup_ngram_frac"), 6).alias("dup_2gram_frac"),
+        )
     )
 
 
