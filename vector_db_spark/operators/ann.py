@@ -188,9 +188,15 @@ class IvfIndex:
 
     def save(self, path: str) -> None:
         """Persist as a cluster-partitioned table — search() after load()
-        prunes to the probed partitions (the 100 TB story)."""
-        self.assignments.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
-            os.path.join(path, "assignments")
+        prunes to the probed partitions (the 100 TB story). Repartitioned
+        on the cell key so each cell dir is one file committed by one task
+        (at production nlist in the thousands, an unpartitioned write
+        serializes the dir commits and sprays small files)."""
+        (
+            self.assignments.repartition(_CLUSTER_COL)
+            .write.mode("overwrite")
+            .partitionBy(_CLUSTER_COL)
+            .parquet(os.path.join(path, "assignments"))
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         import json
@@ -428,9 +434,16 @@ class CosineLshIndex:
 
     def save(self, path: str) -> None:
         """Persist buckets partitioned by (table, bucket) — search() after
-        load() prunes to the probed bucket partitions."""
-        self.buckets.write.mode("overwrite").partitionBy("table", "bucket").parquet(
-            os.path.join(path, "buckets")
+        load() prunes to the probed bucket partitions. The repartition on
+        the partition keys spreads the 256-dir commit across tasks (a
+        single writer commits dirs sequentially — measured 5.5 s → sub-s
+        at sf0.1) and guarantees exactly one file per bucket dir at any
+        corpus size instead of one-per-upstream-task small files."""
+        (
+            self.buckets.repartition("table", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("table", "bucket")
+            .parquet(os.path.join(path, "buckets"))
         )
         np.save(os.path.join(path, "planes.npy"), self.planes)
         import json

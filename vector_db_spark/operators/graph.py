@@ -184,9 +184,13 @@ class GraphAnnIndex:
 
     def save(self, path: str) -> None:
         """Cluster-partitioned parquet: search() after load() prunes to the
-        probed cells, exactly like IvfIndex."""
-        self.graph.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
-            os.path.join(path, "graph")
+        probed cells, exactly like IvfIndex (one file per cell dir — see
+        IvfIndex.save on why the repartition precedes the write)."""
+        (
+            self.graph.repartition(_CLUSTER_COL)
+            .write.mode("overwrite")
+            .partitionBy(_CLUSTER_COL)
+            .parquet(os.path.join(path, "graph"))
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         with open(os.path.join(path, "meta.json"), "w") as f:

@@ -108,9 +108,13 @@ class IvfPqIndex:
 
     def save(self, path: str) -> None:
         """Cell-partitioned codes table + tiny driver artifacts — after
-        load(), probing is parquet partition pruning over M-byte rows."""
-        self.encoded.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
-            os.path.join(path, "encoded")
+        load(), probing is parquet partition pruning over M-byte rows.
+        One file per cell dir (see IvfIndex.save on the repartition)."""
+        (
+            self.encoded.repartition(_CLUSTER_COL)
+            .write.mode("overwrite")
+            .partitionBy(_CLUSTER_COL)
+            .parquet(os.path.join(path, "encoded"))
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.ivf.centroids))
         np.save(os.path.join(path, "codebooks.npy"), self.pq.codebooks)
