@@ -329,3 +329,307 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 6).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q6: forecast revenue change — pure filter + single agg
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast", oracle=_Q6_ORACLE)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: the canonical scan-heavy aggregate. Every predicate is
+    scan-pushable (date range, discount band, quantity cap) and the agg
+    is a map-side partial sum — the whole query is one codegen'd stage
+    with no exchange except the final 1-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share within a region, by year
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       round(
+         CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                       AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS nation
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of a region's yearly order volume. The
+    nation table enters TWICE under different roles (supplier nation
+    names the share; customer nation routes region membership) — both
+    sides broadcast, as do customer/supplier/region; the only shuffle is
+    lineitem⋈orders on the orderkey, then one grouped conditional-sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                _dsum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / _dsum(F.col("volume")),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: priority-class line counts by line status
+# (fixture has no l_shipmode/l_commitdate — the join + dual conditional
+#  count shape is preserved on l_linestatus and the shipdate window)
+# --------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@query("tpch_q12_priority_class", oracle=_Q12_ORACLE)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape: fact-fact join with the selective filter pushed to the
+    lineitem scan, then two complementary conditional counts in one
+    grouped agg (never two passes)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution (outer join + double aggregate)
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_custdist", oracle=_Q13_ORACLE)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: LEFT OUTER join keeps order-less customers (count 0 must be a
+    bucket in the distribution — an inner join silently drops it), with
+    the non-join predicate folded INTO the join condition, not applied
+    after (post-filtering a left join re-drops the NULL rows). First agg
+    shuffles on custkey; the distribution agg is tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier(s) by period revenue — agg + own-max scalar subquery
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: period revenue per supplier, keep the max (with ties). The
+    scalar subquery becomes a 1-row broadcast cross join against the
+    revenue aggregate — no global sort, no second scan of lineitem (the
+    max reads the same aggregate the filter reads; both engines compute
+    the identical DECIMAL-summed doubles, so the equality is exact)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    maxrev = revenue.agg(F.max("total_revenue").alias("__max"))
+    return (
+        revenue.crossJoin(F.broadcast(maxrev))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: sole-blamed supplier in multi-supplier orders
+# (fixture has no l_commitdate/l_receiptdate — 'R' returnflag stands in
+#  for "late"; the EXISTS / NOT EXISTS correlated pair is preserved)
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21_sole_blame", oracle=_Q21_ORACLE)
+def tpch_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's EXISTS / NOT EXISTS pair as left-semi + left-anti joins, both
+    equi on the orderkey (the suppkey inequality rides as a residual
+    condition, so the joins stay shuffle-hash, never nested-loop). Final
+    top-10 is TakeOrdered over the per-name counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("lo"), F.col("l_suppkey").alias("ls")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("lo2"), F.col("l_suppkey").alias("ls2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("lo3"), F.col("l_suppkey").alias("ls3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("lo") == F.col("lo2")) & (F.col("ls") != F.col("ls2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("lo") == F.col("lo3")) & (F.col("ls") != F.col("ls3")),
+            "left_anti",
+        )
+        .join(orders.select("o_orderkey"), F.col("lo") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("ls") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
