@@ -132,3 +132,101 @@ def test_with_repetition_signals_matches_direct(spark):
         for r in with_repetition_signals(df, "text", 2).collect()
     }
     assert staged == direct
+
+
+def test_unigram_lm_train_and_score(spark):
+    from vector_db_spark.operators.lm import UnigramLm, train_unigram, score_documents
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a zz"), (3, "")],
+        "doc_id long, text string",
+    )
+    lm = train_unigram(df, top_v=2)
+    # vocab = top-2 by (count desc, token asc): a(4), b(1) beats zz(1) on token order
+    assert lm.vocab == {"a": 4, "b": 1}
+    assert lm.total_tokens == 6
+    rows = {r.doc_id: r for r in score_documents(df, lm).collect()}
+    import math
+
+    lq = lambda c: math.floor(math.log((c if c > 0 else 0.5) / 6) * 1_000_000)
+    assert rows[1].n_tokens == 4 and rows[1].oov_count == 0
+    assert rows[1].logq_micro_sum == 3 * lq(4) + lq(1)
+    assert rows[2].oov_count == 1
+    assert rows[2].logq_micro_sum == lq(4) + lq(0)
+    assert rows[3].n_tokens == 0 and rows[3].lm_score is None
+    # score is mean nats/token of the micro-nat sum (Spark rounds HALF_UP;
+    # python's round() is HALF_EVEN, so compare with a half-ulp tolerance)
+    assert abs(rows[1].lm_score - rows[1].logq_micro_sum / 4e6) < 1e-6
+    with pytest.raises(ValueError, match="total_tokens"):
+        UnigramLm({}, 0)
+
+
+def test_perplexity_filter_keeps_typical_docs(spark):
+    from vector_db_spark.operators.lm import (
+        perplexity_filter,
+        score_documents,
+        train_unigram,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)] + [
+        (100, "zq xv qq zz vv xx")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_unigram(df, top_v=6)
+    scored = score_documents(df, lm)
+    kept = perplexity_filter(scored, min_score=-3.0)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 100 not in ids and 0 in ids
+
+
+def test_c4_filter_verdicts_first_failure_order(spark):
+    from vector_db_spark.operators.filtering import c4_rules, filter_verdicts
+
+    long_ok = " ".join(["ab cd ef gh"] * 15)          # 60 tokens, varied enough? no: dup grams
+    df = spark.createDataFrame(
+        [
+            (1, "tiny doc"),                           # too_short
+            (2, " ".join(f"w{i}" for i in range(60))), # kept
+            (3, " ".join(["x"] * 60)),                 # top_word (not word_len: len 1 < 2 min triggers first? sum_len=60, 2*n=120 -> word_len)
+        ],
+        "doc_id long, text string",
+    )
+    v = {r.doc_id: r.verdict for r in filter_verdicts(df).collect()}
+    assert v[1] == "too_short"
+    assert v[2] == "kept"
+    assert v[3] == "word_len"  # mean token length 1 < 2 fires before top_word
+
+
+def test_c4_keep_documents_subset(spark):
+    from vector_db_spark.operators.filtering import filter_verdicts, keep_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}{i}" for j in range(80))) for i in range(10)]
+        + [(99, "short")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in keep_documents(df).collect()}
+    verdicts = {r.doc_id: r.verdict for r in filter_verdicts(df).collect()}
+    assert kept == {d for d, v in verdicts.items() if v == "kept"}
+    assert 99 not in kept
+
+
+def test_importance_sample_monotone_and_deterministic(spark):
+    from vector_db_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100) / 100.0) for i in range(2000)], "id long, w double"
+    )
+    s1 = {r.id for r in importance_sample(df, F.col("w"), "id", salt="t").collect()}
+    s2 = {
+        r.id
+        for r in importance_sample(
+            df.repartition(7), F.col("w"), "id", salt="t"
+        ).collect()
+    }
+    assert s1 == s2  # repartition-proof
+    # weight 0 never kept; weight ~1 nearly always kept
+    zero_w = {r.id for r in df.filter(F.col("w") == 0.0).collect()}
+    assert not (s1 & zero_w)
+    high = [r.id for r in df.filter(F.col("w") >= 0.95).collect()]
+    assert len(s1 & set(high)) > 0.8 * len(high)

@@ -81,3 +81,23 @@ def train_eval_split(
     cut = int(eval_fraction * BUCKETS)
     bucket = hash_bucket(F.col(key_col), salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def importance_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row keep probability = ``weight`` (clamped to [0, 1]):
+    quality-weighted corpus downsampling where better documents survive
+    proportionally more often, still decided purely by content hash so the
+    sample is repartition- and rerun-stable. ``weight`` is any Column
+    expression (a quality score, a per-domain target rate, ...); the
+    comparison happens in integer bucket space so an integer-valued weight
+    expression makes the query value-exact against the SQL oracle."""
+    cut = F.least(
+        F.lit(BUCKETS).cast("long"),
+        F.greatest(F.lit(0).cast("long"), (weight * BUCKETS).cast("long")),
+    )
+    return df.filter(hash_bucket(F.col(key_col), salt) < cut)

@@ -826,3 +826,185 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.packing import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), max_tokens=512, buckets=8, salt="pk")
+
+
+_LM_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM tok GROUP BY token
+  ORDER BY cnt DESC, token ASC
+  LIMIT 16
+),
+logq AS (
+  SELECT token, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lq
+  FROM vocab, tot
+),
+dt AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+scored AS (
+  SELECT dt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN l.lq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
+         CAST(SUM(COALESCE(l.lq,
+              (SELECT CAST(floor(ln(0.5 / total) * 1000000) AS BIGINT) FROM tot)
+         )) AS BIGINT) AS logq_micro_sum
+  FROM dt LEFT JOIN logq l ON dt.token = l.token
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.oov_count, 0) AS oov_count,
+       COALESCE(s.logq_micro_sum, 0) AS logq_micro_sum,
+       CASE WHEN s.n_tokens > 0 THEN
+         round(CAST(s.logq_micro_sum AS DOUBLE)
+               / (CAST(s.n_tokens AS DOUBLE) * 1000000.0), 6)
+       END AS lm_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+@query("unigram_lm_score", oracle=_LM_ORACLE)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: train token frequencies with
+    ONE corpus shuffle + a bounded driver collect (top-16 vocabulary so
+    the OOV floor is exercised on the fixture's 31-token vocabulary),
+    then score every document row-locally — the vocabulary rides into
+    codegen as a literal map and log-probs sum as integer micro-nats, so
+    the scoring stage adds zero exchanges and is bit-reproducible across
+    engines (integer sums are order-free; float folds are not)."""
+    from vector_db_spark.operators.lm import score_documents, train_unigram
+
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram(docs, top_v=16)
+    return score_documents(docs, lm)
+
+
+_C4_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS sum_len,
+    COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) AS max_run,
+    len(grams) AS n_grams,
+    COALESCE(list_sum(list_transform(list_distinct(grams), gg ->
+      CASE WHEN len(list_filter(grams, y -> y = gg)) > 1
+           THEN len(list_filter(grams, y -> y = gg)) ELSE 0 END)), 0) AS dup_occ
+  FROM g
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN n < 50 THEN 'too_short'
+              WHEN n > 2000 THEN 'too_long'
+              WHEN sum_len < 2 * n OR sum_len > 10 * n THEN 'word_len'
+              WHEN max_run * 100 > 30 * n THEN 'top_word'
+              WHEN dup_occ * 100 > 20 * n_grams THEN 'dup_gram'
+              ELSE 'kept' END AS verdict
+  FROM m
+)
+GROUP BY verdict
+"""
+
+
+@query("c4_filter_summary", oracle=_C4_ORACLE)
+def c4_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop stage as ONE row-local CASE projection +
+    a tiny verdict groupBy: every document gets its first-failing rule
+    (length bounds, mean word length, top-word share, duplicate-2-gram
+    mass). All rules are integer comparisons, so verdicts are bit-exact
+    across engines — a float fraction threshold would make keep/drop
+    rounding-dependent."""
+    from vector_db_spark.operators.filtering import filter_summary
+
+    return filter_summary(_docs(spark, sf_dir))
+
+
+_IMPORTANCE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'imp'), 1, 8)) AS BIGINT)
+      % 10000 AS b
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM t
+WHERE b < least(CAST(10000 AS BIGINT),
+                greatest(CAST(0 AS BIGINT),
+                         CAST((CAST(n_tokens AS DOUBLE) / 400.0) * 10000 AS BIGINT)))
+"""
+
+
+@query("importance_sample_docs", oracle=_IMPORTANCE_ORACLE)
+def importance_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep probability rises linearly with
+    document length (p = n_tokens/400, capped at 1), decided purely by
+    content hash — longer documents survive proportionally more often and
+    the sample never re-rolls under repartitioning. A pushable filter:
+    zero shuffle at any corpus size."""
+    from vector_db_spark.functions.text import token_count
+    from vector_db_spark.operators.sampling import importance_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return importance_sample(
+        docs,
+        weight=F.col("n_tokens").cast("double") / 400.0,
+        key_col="doc_id",
+        salt="imp",
+    )
+
+
+_SOURCE_PROFILE_ORACLE = """
+WITH f AS (
+  SELECT source, lang, n_chars,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM f
+GROUP BY source
+"""
+
+
+@query("source_profile", oracle=_SOURCE_PROFILE_ORACLE)
+def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health profile (doc volume, language spread,
+    char mass, near-dup rate via content fingerprint) — the dashboard a
+    curation run reads before choosing per-source mixing weights. One
+    shuffle on the source key; the fingerprint is row-local."""
+    from vector_db_spark.functions.text import fingerprint
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang", "n_chars", fingerprint(F.col("text")).alias("fp")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
