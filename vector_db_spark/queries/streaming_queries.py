@@ -282,3 +282,46 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
     )
+
+
+_SS_JOIN_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@query("stream_stream_join", oracle=_SS_JOIN_ORACLE)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks and purchases are
+    two independent file streams; a purchase attributes to a click of the
+    same user within 30 minutes. Watermarks on BOTH sides bound the join
+    state (buffered rows age out as the opposite watermark passes), which
+    is the only stream-stream join shape that survives unbounded input.
+    The oracle is the identical interval join run as a batch query."""
+    from vector_db_spark.streaming.windows import stream_stream_interval_join
+
+    stage = _stage_events(spark, sf_dir)
+    clicks = read_event_stream(spark, stage).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", "ts")
+    purchases = read_event_stream(spark, stage).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts")
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", max_delay="30 minutes"
+    )
+    got = _drain(joined, "append")
+    return got.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+    )

@@ -218,3 +218,38 @@ def knn_quantized_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = sq.quantize(emb).select("vec_id", "codes")
     res = sq.knn_quantized(codes, _qvec(spark, sf_dir), K)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, 64) t(i)
+)
+SELECT label,
+       CAST(pos AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(v * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE)
+         / (COUNT(*) * 281474976710656.0) AS centroid,
+       round(
+         CAST(SUM(CAST(v * v * 79228162514264337593543950336.0 AS DECIMAL(38,0))) AS DOUBLE)
+           / (COUNT(*) * 79228162514264337593543950336.0)
+         - (CAST(SUM(CAST(v * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE)
+            / (COUNT(*) * 281474976710656.0))
+           * (CAST(SUM(CAST(v * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE)
+              / (COUNT(*) * 281474976710656.0)), 12) AS variance
+FROM e
+GROUP BY label, pos
+"""
+
+
+@query("label_centroids", oracle=_CENTROID_ORACLE)
+def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + per-dimension variance in one grouped
+    pass over the posexploded corpus. Float parity is engineered, not
+    tolerated: values sum as 2^48-scaled DECIMAL(38,0) (exact and
+    order-free — the fixture floats are exact multiples of 2^-48; a double
+    sum would depend on shuffle order), squares as 2^96-scaled decimals
+    (power-of-two scaling is an exponent shift, exact for any double)."""
+    from vector_db_spark.operators.vector_stats import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))

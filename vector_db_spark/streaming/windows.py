@@ -139,3 +139,43 @@ def stream_static_enrich(
     streaming side never shuffles for the join; at scale this is THE way
     to attach dimension attributes to an event stream."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_delay: str = "30 minutes",
+    left_wm: str = "2 hours",
+    right_wm: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: a right row
+    matches a left row with the same key when it lands inside
+    [left.ts, left.ts + max_delay]. Both sides carry watermarks, which is
+    what BOUNDS the join state: Spark can discard a buffered left row
+    once the right watermark passes its interval end (and vice versa), so
+    state is O(rate x delay window), never the whole history — the only
+    formulation of a stream-stream join that survives an unbounded
+    stream. Columns are prefixed l_/r_ to keep the output schema stable.
+
+    On batch inputs the same function degrades to a plain interval
+    equi-join (the watermark calls are skipped), which is what makes the
+    batch-parity oracle possible."""
+    l = left
+    r = right
+    if l.isStreaming:
+        l = l.withWatermark(ts_col, left_wm)
+    if r.isStreaming:
+        r = r.withWatermark(ts_col, right_wm)
+    lsel = l.select([F.col(c).alias(f"l_{c}") for c in l.columns])
+    rsel = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    return lsel.join(
+        rsel,
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_delay}")
+        ),
+    )
