@@ -42,6 +42,20 @@ from vector_db_spark.operators.knn import knn
 _CLUSTER_COL = "cluster_id"
 
 
+def write_partitioned(df: DataFrame, cols: list[str], path: str, n_dirs: int) -> None:
+    """Partitioned parquet write with an adaptive pre-shuffle: when the
+    partition-key cardinality is large, an unshuffled write makes every
+    task commit (up to) every dir — serialized dir commits and a
+    small-file spray (measured: one task committing 256 LSH bucket dirs
+    took 5.5 s; the repartitioned write is sub-second and yields exactly
+    one file per dir). When the cardinality is small (an 8-cell IVF), the
+    commit cost is trivial and the extra shuffle is pure overhead — so
+    only shuffle past a dir-count threshold."""
+    if n_dirs > 32:
+        df = df.repartition(*cols)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     vec: Column,
@@ -188,15 +202,14 @@ class IvfIndex:
 
     def save(self, path: str) -> None:
         """Persist as a cluster-partitioned table — search() after load()
-        prunes to the probed partitions (the 100 TB story). Repartitioned
-        on the cell key so each cell dir is one file committed by one task
-        (at production nlist in the thousands, an unpartitioned write
-        serializes the dir commits and sprays small files)."""
-        (
-            self.assignments.repartition(_CLUSTER_COL)
-            .write.mode("overwrite")
-            .partitionBy(_CLUSTER_COL)
-            .parquet(os.path.join(path, "assignments"))
+        prunes to the probed partitions (the 100 TB story). At production
+        nlist (thousands of cell dirs) the write pre-shuffles on the cell
+        key so each dir is one file from one task; see write_partitioned."""
+        write_partitioned(
+            self.assignments,
+            [_CLUSTER_COL],
+            os.path.join(path, "assignments"),
+            n_dirs=len(self.centroids),
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         import json
@@ -434,16 +447,15 @@ class CosineLshIndex:
 
     def save(self, path: str) -> None:
         """Persist buckets partitioned by (table, bucket) — search() after
-        load() prunes to the probed bucket partitions. The repartition on
-        the partition keys spreads the 256-dir commit across tasks (a
-        single writer commits dirs sequentially — measured 5.5 s → sub-s
-        at sf0.1) and guarantees exactly one file per bucket dir at any
-        corpus size instead of one-per-upstream-task small files."""
-        (
-            self.buckets.repartition("table", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("table", "bucket")
-            .parquet(os.path.join(path, "buckets"))
+        load() prunes to the probed bucket partitions. n_tables · 2^n_bits
+        dirs is always past the shuffle threshold, so this write gets the
+        pre-shuffle (one file per bucket dir; see write_partitioned)."""
+        n_tables, n_bits = self.planes.shape[0], self.planes.shape[1]
+        write_partitioned(
+            self.buckets,
+            ["table", "bucket"],
+            os.path.join(path, "buckets"),
+            n_dirs=n_tables * (1 << n_bits),
         )
         np.save(os.path.join(path, "planes.npy"), self.planes)
         import json

@@ -184,13 +184,15 @@ class GraphAnnIndex:
 
     def save(self, path: str) -> None:
         """Cluster-partitioned parquet: search() after load() prunes to the
-        probed cells, exactly like IvfIndex (one file per cell dir — see
-        IvfIndex.save on why the repartition precedes the write)."""
-        (
-            self.graph.repartition(_CLUSTER_COL)
-            .write.mode("overwrite")
-            .partitionBy(_CLUSTER_COL)
-            .parquet(os.path.join(path, "graph"))
+        probed cells, exactly like IvfIndex (adaptive pre-shuffle for
+        large cell counts — see ann.write_partitioned)."""
+        from vector_db_spark.operators.ann import write_partitioned
+
+        write_partitioned(
+            self.graph,
+            [_CLUSTER_COL],
+            os.path.join(path, "graph"),
+            n_dirs=len(self.centroids),
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         with open(os.path.join(path, "meta.json"), "w") as f:

@@ -109,12 +109,14 @@ class IvfPqIndex:
     def save(self, path: str) -> None:
         """Cell-partitioned codes table + tiny driver artifacts — after
         load(), probing is parquet partition pruning over M-byte rows.
-        One file per cell dir (see IvfIndex.save on the repartition)."""
-        (
-            self.encoded.repartition(_CLUSTER_COL)
-            .write.mode("overwrite")
-            .partitionBy(_CLUSTER_COL)
-            .parquet(os.path.join(path, "encoded"))
+        Adaptive pre-shuffle for large cell counts (ann.write_partitioned)."""
+        from vector_db_spark.operators.ann import write_partitioned
+
+        write_partitioned(
+            self.encoded,
+            [_CLUSTER_COL],
+            os.path.join(path, "encoded"),
+            n_dirs=len(self.ivf.centroids),
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.ivf.centroids))
         np.save(os.path.join(path, "codebooks.npy"), self.pq.codebooks)
