@@ -88,24 +88,44 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     ]
     shutil.rmtree(root, ignore_errors=True)
 
+    # The five families build CONCURRENTLY (one thread each): every build
+    # is a handful of small Spark jobs plus a bounded driver-side fit, so
+    # serial execution just stacks job-scheduling latency (profiled:
+    # ~2.8 s/family serial on local[32] at sf0.1 — the cluster is idle
+    # ~90 % of each). Spark schedules jobs from concurrent driver threads
+    # fairly; on a real cluster this is exactly how you'd run independent
+    # index builds. nlist=16 on the graph (vs the oracle queries' 8): NSW
+    # construction is one task per cell, so more cells = more build
+    # parallelism at equal total work; search probes half either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_pq():
+        pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+        pqz.encode(emb).select("vec_id", "pq_codes").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/pq_codes")
+        return pqz
+
+    builds = {
+        "ivf": lambda: IvfIndex.build(emb, nlist=8, seed=42, max_iter=5).save(
+            f"{root}/ivf"
+        ),
+        "lsh": lambda: CosineLshIndex.build(
+            emb, dim=64, n_bits=6, n_tables=4, seed=42
+        ).save(f"{root}/lsh"),
+        "ivfpq": lambda: IvfPqIndex.build(
+            emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5
+        ).save(f"{root}/ivfpq"),
+        "pq": _build_pq,
+        "graph": lambda: GraphAnnIndex.build(
+            emb, nlist=16, m=16, ef_construction=200, seed=42
+        ).save(f"{root}/graph"),
+    }
     t0 = time.perf_counter()
-    IvfIndex.build(emb, nlist=8, seed=42, max_iter=5).save(f"{root}/ivf")
-    CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42).save(
-        f"{root}/lsh"
-    )
-    IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5).save(
-        f"{root}/ivfpq"
-    )
-    pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
-    pqz.encode(emb).select("vec_id", "pq_codes").write.mode("overwrite").parquet(
-        f"{root}/pq_codes"
-    )
-    # nlist=16 here (vs the oracle queries' 8): NSW construction is one
-    # task per cell, so more cells = more build parallelism at equal total
-    # work; search probes half the cells either way.
-    GraphAnnIndex.build(emb, nlist=16, m=16, ef_construction=200, seed=42).save(
-        f"{root}/graph"
-    )
+    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+        futures = {k: pool.submit(fn) for k, fn in builds.items()}
+        results = {k: f.result() for k, f in futures.items()}
+    pqz = results["pq"]
     build_sec = time.perf_counter() - t0
 
     ivf = IvfIndex.load(spark, f"{root}/ivf")
