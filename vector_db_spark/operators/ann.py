@@ -434,6 +434,13 @@ class CosineLshIndex:
         # the Spark analogue of the reference's predicate-during-traversal
         # filtered_search (reference: src/core/index/usearch_index.rs:68-85).
         extras = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        # posexplode_OUTER, deliberately: plain posexplode lets Catalyst's
+        # InferFiltersFromGenerate add `size(_bk)>0 AND _bk IS NOT NULL`,
+        # which predicate-pushdown then rewrites through the alias into a
+        # SECOND ArrowEvalPython of the bucket matmul below the first
+        # (measured 2× the build cost). _buckets always returns exactly
+        # n_tables entries, so outer-vs-inner semantics are identical here
+        # and the inference (which skips outer generates) never fires.
         long_form = (
             corpus.select(
                 F.col(id_col).alias("id"),
@@ -441,7 +448,10 @@ class CosineLshIndex:
                 *extras,
                 _buckets(F.col(vec_col)).alias("_bk"),
             )
-            .select("id", "vec", *extras, F.posexplode("_bk").alias("table", "bucket"))
+            .select(
+                "id", "vec", *extras,
+                F.posexplode_outer("_bk").alias("table", "bucket"),
+            )
         )
         return CosineLshIndex(planes, long_form, id_col, vec_col)
 

@@ -188,20 +188,28 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    banded = signatures.filter(F.col("signature").isNotNull()).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice(F.col("signature"), i * r + 1, r)).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
+    # Null-signature docs (no shingles) are skipped via explode-of-NULL
+    # rather than a standalone isNotNull filter: a Filter on the UDF output
+    # gets pushed below the fan_out Exchange, where Catalyst re-evaluates
+    # the ENTIRE signature UDF a second time on the pre-repartition (i.e.
+    # file-parallel, nearly serial) scan just to decide the predicate —
+    # measured 3.7 s vs 1.2 s for sig→banded at sf0.1. Keeping the null
+    # handling inside the projection leaves exactly one ArrowEvalPython in
+    # the plan (hash(slice(NULL)) would otherwise bucket all null-sig docs
+    # together on the seed value).
+    band_arr = F.when(
+        F.col("signature").isNotNull(),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.hash(F.slice(F.col("signature"), i * r + 1, r)).alias("key"),
+                )
+                for i in range(bands)
+            ]
+        ),
     )
+    banded = signatures.select("id", F.explode(band_arr).alias("bk"))
     buckets = banded.groupBy("bk.band", "bk.key").agg(
         F.array_sort(F.collect_set("id")).alias("ids")
     )
