@@ -138,3 +138,67 @@ def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     # point lookup to exactly one file
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges ({hi1} > {lo2})"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from vector_db_spark.sources.fixtures import load_table
+    from vector_db_spark.sources.generic import write_bucketed
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "pin_li", ["l_orderkey"], n_buckets=4)
+    write_bucketed(orders, "pin_orders", ["o_orderkey"], n_buckets=4)
+    li_b = spark.table("pin_li")
+    o_b = spark.table("pin_orders")
+    # Disable broadcast so the bucketed layout (not a tiny-SF broadcast)
+    # carries the join; this is the 100 TB shape where neither side fits.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_global_shuffle_is_total_order_without_single_task(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.sampling import global_shuffle
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = global_shuffle(docs, key_col="doc_id", n_partitions=4)
+    # no single-partition global sort/window in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    # total order: per-partition (min, max) key ranges are disjoint and
+    # each partition is locally sorted
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "shuffle_key"
+    ).collect()
+    by_pid: dict[int, list[str]] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.shuffle_key)
+    assert len(by_pid) >= 2
+    bounds = []
+    for pid, keys in by_pid.items():
+        assert keys == sorted(keys), f"partition {pid} not locally sorted"
+        bounds.append((keys[0], keys[-1]))
+    bounds.sort()
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo, "partition key ranges overlap"
+    # determinism: same input, same order
+    again = [
+        r.shuffle_key
+        for r in global_shuffle(docs, key_col="doc_id", n_partitions=4)
+        .select("shuffle_key")
+        .collect()
+    ]
+    assert sorted(again) == sorted(k for ks in by_pid.values() for k in ks)

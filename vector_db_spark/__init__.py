@@ -55,6 +55,7 @@ from vector_db_spark.operators.pq import ProductQuantizer  # noqa: E402
 from vector_db_spark.operators.quantize import ScalarQuantizer  # noqa: E402
 from vector_db_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
+    global_shuffle,
     stratified_sample,
     train_eval_split,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "dedup_clusters",
     "delete_rows",
     "deterministic_sample",
+    "global_shuffle",
     "exact_dedup",
     "get_spark",
     "hybrid_search",

@@ -83,6 +83,31 @@ def train_eval_split(
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
 
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic whole-corpus shuffle for training-order randomization:
+    every row gets ``shuffle_key`` = md5(key ‖ salt) and the frame comes
+    back range-partitioned + locally sorted on it — a TOTAL order across
+    output partitions, reproducible across runs/clusters/engines.
+
+    Deliberately NOT ``ORDER BY rand()`` (irreproducible) and NOT a global
+    ``row_number()`` (a no-partition window collapses to ONE task — the
+    classic 100 TB scale-killer). ``repartitionByRange`` does one sampled
+    range shuffle; the within-partition sort is local. Writing the result
+    preserves order per file, which is all a training loader consumes."""
+    key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("shuffle_key", key)
+    if n_partitions is not None:
+        out = out.repartitionByRange(n_partitions, "shuffle_key")
+    else:
+        out = out.repartitionByRange("shuffle_key")
+    return out.sortWithinPartitions("shuffle_key")
+
+
 def importance_sample(
     df: DataFrame,
     weight: Column,

@@ -474,6 +474,52 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hash-disjoint train/eval split + deterministic global shuffle: the two
+# bookends of corpus preparation. Split membership is a property of the key
+# (new ingests can never leak eval keys into train); shuffle order is
+# md5-derived, so it is reproducible across runs/clusters/engines and needs
+# no single-task global window.
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)) AS BIGINT)
+                 % 10000 < 200 THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@query("train_eval_split_docs", oracle=_SPLIT_ORACLE)
+def train_eval_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc split label from the hash-disjoint 2% eval split."""
+    from vector_db_spark.operators.sampling import train_eval_split
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    train, eval_ = train_eval_split(docs, key_col="doc_id", eval_fraction=0.02)
+    return train.withColumn("split", F.lit("train")).unionByName(
+        eval_.withColumn("split", F.lit("eval"))
+    )
+
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS shuffle_key
+FROM documents
+"""
+
+
+@query("training_shuffle_docs", oracle=_SHUFFLE_ORACLE)
+def training_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: range-partitioned total order on an
+    md5 shuffle key (never ORDER BY rand(), never a global row_number —
+    see operators.sampling.global_shuffle). The total-order property is
+    asserted in tests/test_pipeline_ops.py; the oracle verifies the key."""
+    from vector_db_spark.operators.sampling import global_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return global_shuffle(docs, key_col="doc_id", n_partitions=8)
+
+
+# --------------------------------------------------------------------------
 # Char 5-gram Jaccard near-dup — the tokenizer-free variant (CJK-safe)
 # --------------------------------------------------------------------------
 

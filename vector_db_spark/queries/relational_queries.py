@@ -756,6 +756,68 @@ def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
 
 
+@query("orc_roundtrip_events", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read back → aggregate: the columnar interchange
+    format of the Hive/Trino world, self-describing like parquet."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: lineitem and orders pre-bucketed on the join key
+# join with ZERO exchanges (pinned in tests/test_plans.py) — one write-time
+# shuffle amortized over every later join/agg on that key, THE layout move
+# for repeated big-to-big joins at 100 TB.
+# --------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("bucketed_join_revenue", oracle=_BUCKETED_JOIN_ORACLE)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over a bucketed lineitem ⋈ orders join.
+
+    Both sides are written ``bucketBy(8, orderkey)`` catalog tables, so
+    the join plan has no Exchange on either side — bucket i of lineitem
+    meets bucket i of orders in the same task. The aggregation on
+    o_orderpriority still shuffles (different key); at scale you'd pick
+    the bucket key to serve the hottest join, exactly as here."""
+    from vector_db_spark.sources.generic import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    write_bucketed(li, "bj_lineitem", ["l_orderkey"], n_buckets=8)
+    write_bucketed(orders, "bj_orders", ["o_orderkey"], n_buckets=8)
+    li_b = spark.table("bj_lineitem")
+    o_b = spark.table("bj_orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Q7 shape: shipping volume between nation pairs, year extracted in-join
 # --------------------------------------------------------------------------

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Bucketed catalog tables (sources.generic.write_bucketed) land in
+        # tmp, not the process cwd — the in-memory catalog is per-session,
+        # so the warehouse is scratch space, never a durable artifact.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
     )
     if master is not None:
         builder = builder.master(master)

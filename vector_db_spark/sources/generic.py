@@ -10,18 +10,23 @@ Thin, opinionated wrappers over the DataFrame reader/writer:
 - CSV writes a header and reads with an explicit schema — never
   inferSchema in pipelines (a second full scan at 100 TB, and type guesses
   drift between runs).
-- Readers take an explicit schema for exactly that reason; parquet is the
-  only self-describing format allowed to omit it.
+- ORC rides the same wrapper: columnar like parquet (self-describing, so
+  the schema may be omitted), the interchange format of the Hive/Trino
+  world.
+- Readers take an explicit schema for exactly that reason; parquet and ORC
+  are the only self-describing formats allowed to omit it.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "json", "csv", "orc")
+_SELF_DESCRIBING = ("parquet", "orc")
 
 
 def write_table(
@@ -49,7 +54,7 @@ def read_table(
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
-    if fmt != "parquet" and schema is None:
+    if fmt not in _SELF_DESCRIBING and schema is None:
         raise ValueError(
             f"{fmt} requires an explicit schema (inferSchema re-scans the "
             "input and guesses types; forbidden in pipelines)"
@@ -88,3 +93,44 @@ def write_clustered(
     else:
         out = out.repartitionByRange(*cols)
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, optionally sorted, catalog table (``bucketBy`` +
+    ``saveAsTable`` — bucketed layout needs the catalog to carry the
+    bucket spec; a plain path write discards it).
+
+    THE join strategy for repeated big-to-big joins at 100 TB: two tables
+    bucketed by the same key into the same bucket count join with ZERO
+    Exchange — each task reads matching bucket files from both sides
+    (sorted buckets also skip the in-task sort). One shuffle at write
+    time replaces a shuffle in every subsequent join/aggregate on that
+    key. Pinned shuffle-free in tests/test_plans.py."""
+    cols = [str(c) for c in bucket_cols]
+    if not cols:
+        raise ValueError("bucket_cols must be non-empty")
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # The in-memory catalog is per-session but the warehouse dir is
+        # not: a managed-table dir left by a dead session would fail the
+        # CREATE ("location already exists"). Drop both catalog entry and
+        # stale dir before writing.
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), table.lower()),
+            ignore_errors=True,
+        )
+    writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort_cols:
+        writer = writer.sortBy(*[str(c) for c in sort_cols])
+    writer.format("parquet").saveAsTable(table)
