@@ -37,7 +37,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_spark.operators.ann import _CLUSTER_COL, IvfIndex
@@ -141,6 +141,7 @@ class IvfPqIndex:
         nprobe: int = 4,
         shortlist: int = 0,
         rerank: DataFrame | None = None,
+        predicate: Column | None = None,
     ) -> DataFrame:
         """ADC over probed cells (+ optional raw-vector shortlist rerank).
 
@@ -149,6 +150,13 @@ class IvfPqIndex:
         if given, else the index's own frame, which retains the vector
         column — are exact-reranked. ``shortlist=0`` and ``rerank=None``
         returns raw ADC distances.
+
+        ``predicate`` pre-filters the probed cells' rows before ADC
+        scoring (min(k, matches) contract, same as every other family;
+        ≅ usearch filtered_search, reference:
+        src/core/index/usearch_index.rs:68-85). It composes with cell
+        pruning: the scan reads only probed partitions AND pushes the
+        metadata predicate down within them.
         """
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -172,6 +180,8 @@ class IvfPqIndex:
             )
 
         cands = self.encoded.filter(F.col(_CLUSTER_COL).isin(probes))
+        if predicate is not None:
+            cands = cands.filter(predicate)
         scored = cands.select(
             self.id_col,
             _adc(F.col("pq_codes"), F.col(_CLUSTER_COL)).alias("distance"),

@@ -45,7 +45,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -176,6 +176,7 @@ class ProductQuantizer:
         code_col: str = "pq_codes",
         rerank: DataFrame | None = None,
         shortlist: int = 0,
+        predicate: Column | None = None,
     ) -> DataFrame:
         """ADC top-k over the codes column (the only column scanned).
 
@@ -183,9 +184,19 @@ class ProductQuantizer:
         ``shortlist``-size candidate set (default 4·k) and exact squared-L2
         on the raw vectors of those L rows produces the final ordering —
         the faiss IVFPQ+refine pattern.
+
+        ``predicate`` pre-filters the encoded corpus before ADC scoring
+        (result = top-k of matching rows, min(k, matches) — the same
+        contract as exact filtered kNN and the IVF/LSH/graph paths;
+        ≅ usearch filtered_search, reference:
+        src/core/index/usearch_index.rs:68-85). Metadata predicates push
+        to the parquet scan of the codes table, so a filtered ADC pass
+        reads even fewer bytes than an unfiltered one.
         """
         if k < 1:
             raise ValueError("k must be >= 1")
+        if predicate is not None:
+            encoded = encoded.filter(predicate)
         scored = self._adc_scores(encoded, query, code_col)
         if rerank is None:
             return scored.orderBy(

@@ -169,6 +169,50 @@ def ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query(
+    "pq_filtered_rerank_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"),
+)
+def pq_filtered_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-PQ correctness gate: predicate pre-filters the codes scan
+    before ADC (min(k, matches) contract), and with a corpus-sized
+    shortlist the rerank must reproduce exact FILTERED kNN bit-for-bit —
+    completing the filtered-search matrix across every index family
+    (exact, IVF, LSH, graph, PQ, IVF-PQ; ≅ usearch filtered_search,
+    reference: src/core/index/usearch_index.rs:68-85)."""
+    emb, pqz, _ = _pq(spark, sf_dir)
+    enc = pqz.encode(emb).select("vec_id", "label", "pq_codes")
+    res = pqz.search(
+        enc,
+        _qvec(spark, sf_dir),
+        K,
+        rerank=emb,
+        shortlist=10_000_000,
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "ivfpq_filtered_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"),
+)
+def ivfpq_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF-PQ gate: the predicate composes with cell pruning
+    (probed partitions only, metadata pushdown within them); at full
+    probe + corpus shortlist it must equal exact filtered kNN."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    res = idx.search(
+        _qvec(spark, sf_dir),
+        K,
+        nprobe=8,
+        shortlist=10_000_000,
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 @query("ivfpq_probe")
 def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF-PQ path: probe half the cells, ADC over M-byte
