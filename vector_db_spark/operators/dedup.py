@@ -81,36 +81,70 @@ def jaccard_pairs(
     k: int = 3,
     unit: str = "word",
 ) -> DataFrame:
-    """Exact shingle-Jaccard similar pairs via the inverted-index join:
-    explode shingles → self-equi-join on shingle → count intersections →
-    |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere; the shingle join is an
-    equi-join AQE can skew-split (pathologically common shingles are the
-    skew risk — pre-filter them upstream if needed)."""
-    sh = shingle_table(df, id_col, text_col, k, unit)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("id").alias("a_id"), "shingle")
-    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    """Exact shingle-Jaccard similar pairs via the inverted index:
+    |A∩B| from per-shingle co-occurrence, |A∪B| = |A|+|B|−|A∩B|.
+
+    ONE corpus pass: each doc's (distinct) shingle count rides along into
+    the explode, shingle buckets form by groupBy, and in-bucket ordered
+    pairs carry both sizes — so intersection counting needs no self-join
+    (which would evaluate the shingle pipeline once per side) and no
+    join back to a sizes table (a third evaluation). Two shuffles total:
+    by shingle, then by pair. The pair multiset is identical to the
+    classic a⋈b formulation — pathologically common shingles are the
+    same quadratic skew risk either way; pre-filter them upstream if
+    needed."""
+    # Stage the shingle array as a column FIRST: putting size(arr) and
+    # explode(arr) in one select would inline the (expensive) shingling
+    # expression twice at analysis; through the staged attribute both
+    # reference one evaluation. explode_OUTER + post-Generate null filter,
+    # not plain explode: InferFiltersFromGenerate would add predicates on
+    # the staged attribute that pushdown re-expands into extra shingling
+    # evaluations below the projection (same trap as the LSH bucket build;
+    # a filter on the GENERATED column cannot sink below the Generate).
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_expr(text_col, k, unit).alias("_arr"),
+        )
+        .select(
+            "id", F.size("_arr").alias("n"), F.explode_outer("_arr").alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.struct(F.col("id"), F.col("n")))).alias(
+            "members"
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("a_id"),
+                    y["id"].alias("b_id"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        buckets.filter(F.size("members") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.a_id", "p.b_id", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col("id").alias("a_id"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col("id").alias("b_id"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "a_id",
+        "b_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 _MERSENNE31 = 2_147_483_647  # 2^31 − 1
@@ -401,6 +435,13 @@ def connected_components(
 
     Input: (a_id, b_id) columns. Output: (id, cluster_id) for every vertex
     that appears in some pair.
+
+    Convergence detection is one aggregate per round, not a join: labels
+    are monotonically non-increasing under min-propagation, so the global
+    label sum strictly decreases iff ANY label changed — sum unchanged ⟺
+    fixed point. The sum runs over the freshly checkpointed labels
+    (metadata-cheap) where the old new-vs-old anti-join cost a full join
+    job per round.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -411,28 +452,23 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).head()[0]
 
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("cluster_id")).head()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
