@@ -106,26 +106,39 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).parquet(f"{root}/pq_codes")
         return pqz
 
-    builds = {
-        "ivf": lambda: IvfIndex.build(emb, nlist=8, seed=42, max_iter=5).save(
-            f"{root}/ivf"
-        ),
-        "lsh": lambda: CosineLshIndex.build(
-            emb, dim=64, n_bits=6, n_tables=4, seed=42
-        ).save(f"{root}/lsh"),
-        "ivfpq": lambda: IvfPqIndex.build(
-            emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5
-        ).save(f"{root}/ivfpq"),
-        "pq": _build_pq,
-        "graph": lambda: GraphAnnIndex.build(
-            emb, nlist=16, m=16, ef_construction=200, seed=42
-        ).save(f"{root}/graph"),
-    }
+    def _build_ivf_and_ivfpq(pool):
+        # One KMeans fit serves both: IVF-PQ composes over a trained
+        # coarse quantizer (the faiss shape) instead of refitting the
+        # identical nlist/seed KMeans. The plain-IVF save and the PQ
+        # encode then proceed concurrently.
+        ivf = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+        save_f = pool.submit(ivf.save, f"{root}/ivf")
+        IvfPqIndex.build(
+            emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, ivf=ivf
+        ).save(f"{root}/ivfpq")
+        save_f.result()
+
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
-        futures = {k: pool.submit(fn) for k, fn in builds.items()}
-        results = {k: f.result() for k, f in futures.items()}
-    pqz = results["pq"]
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futures = [
+            pool.submit(_build_ivf_and_ivfpq, pool),
+            pool.submit(
+                lambda: CosineLshIndex.build(
+                    emb, dim=64, n_bits=6, n_tables=4, seed=42
+                ).save(f"{root}/lsh")
+            ),
+            pool.submit(_build_pq),
+            pool.submit(
+                lambda: GraphAnnIndex.build(
+                    emb, nlist=16, m=16, ef_construction=200, seed=42
+                ).save(f"{root}/graph")
+            ),
+        ]
+        pqz = None
+        for f in futures:
+            r = f.result()
+            if isinstance(r, ProductQuantizer):
+                pqz = r
     build_sec = time.perf_counter() - t0
 
     ivf = IvfIndex.load(spark, f"{root}/ivf")

@@ -76,16 +76,24 @@ class IvfPqIndex:
         pq_iters: int = 10,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        ivf: IvfIndex | None = None,
     ) -> "IvfPqIndex":
-        ivf = IvfIndex.build(
-            corpus,
-            nlist=nlist,
-            seed=seed,
-            id_col=id_col,
-            vec_col=vec_col,
-            max_iter=max_iter,
-            metric="l2",
-        )
+        """``ivf`` accepts a pre-built L2 coarse quantizer over the same
+        corpus — the faiss composition (IndexIVFPQ wraps a trained
+        quantizer); a deployment that maintains a plain IVF index reuses
+        its KMeans fit and assignments instead of refitting."""
+        if ivf is None:
+            ivf = IvfIndex.build(
+                corpus,
+                nlist=nlist,
+                seed=seed,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_iter=max_iter,
+                metric="l2",
+            )
+        elif ivf.metric != "l2":
+            raise ValueError("IVF-PQ residual encoding requires an L2 IVF")
         # Residual = x − centroid[cell], computed as a literal-array lookup
         # inside codegen — assignment and residual never leave the JVM.
         resid = F.zip_with(
