@@ -33,14 +33,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert to a
-        # microsecond timestamp with integer division (DuckDB's reader
-        # truncates ns→µs the same way, keeping oracle parity).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+        # generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+        # others. Normalize both to a session-TZ (UTC) TIMESTAMP so every
+        # downstream `unix_micros`/`window` call sees one type:
+        #  - nanos: vectorized reader rejects it, so read the raw int64
+        #    (nanosAsLong) and integer-divide to µs — DuckDB's reader
+        #    truncates ns→µs the same way, keeping oracle parity;
+        #  - µs-naive: Spark infers TIMESTAMP_NTZ; cast re-tags the naive
+        #    value as a UTC instant (session TZ is pinned UTC), which is
+        #    exactly how DuckDB treats it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
