@@ -1,0 +1,106 @@
+"""Binary (sign) quantization + Hamming search (operators/binary.py).
+
+Codec identity is checked against a NumPy popcount reference, the search
+against brute-force sign-mismatch counting; the plan pin asserts the
+Hamming top-k keeps the exact-kNN shape (TakeOrderedAndProject, no
+exchange)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.binary import (
+    BITS_PER_WORD,
+    _sign_bits,
+    binary_quantize,
+    binarize,
+    hamming,
+    hamming_shortlist_rerank,
+    knn_hamming,
+)
+
+
+def _np_hamming(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.sum((a > 0) != (b > 0)))
+
+
+@pytest.fixture()
+def vecs():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((40, 64)).astype(np.float32)
+
+
+@pytest.fixture()
+def corpus(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pack_matches_driver_side(spark, vecs):
+    # JVM binarize() and driver-side _sign_bits() must agree word-for-word
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs[:10])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.codes)
+        for r in df.select("vec_id", binarize(F.col("embedding"), 64).alias("codes")).collect()
+    }
+    for i in range(10):
+        assert got[i] == _sign_bits([float(x) for x in vecs[i]])
+
+
+def test_words_fit_signed_int(vecs):
+    # all-positive vector saturates every bit of every word: must stay <= INT_MAX
+    full = _sign_bits([1.0] * 64)
+    assert all(0 <= w <= 2**31 - 1 for w in full)
+    assert len(full) == -(-64 // BITS_PER_WORD)
+
+
+def test_hamming_distance_matches_numpy(spark, corpus, vecs):
+    q = [float(x) for x in vecs[0]]
+    coded = binary_quantize(corpus, dim=64)
+    qcol = F.array(*[F.lit(w) for w in _sign_bits(q)])
+    got = {
+        r.vec_id: r.h
+        for r in coded.select("vec_id", hamming(F.col("codes"), qcol).alias("h")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _np_hamming(v, np.asarray(q)), f"row {i}"
+
+
+def test_knn_hamming_order_and_self_match(spark, corpus, vecs):
+    q = [float(x) for x in vecs[3]]
+    rows = knn_hamming(binary_quantize(corpus, dim=64), q, 5).collect()
+    assert rows[0].vec_id == 3 and rows[0].hamming == 0
+    ref = sorted(
+        (( _np_hamming(v, np.asarray(q)), i) for i, v in enumerate(vecs)),
+    )[:5]
+    assert [(r.hamming, r.vec_id) for r in rows] == ref
+
+
+def test_rerank_exhaustive_equals_exact(spark, corpus, vecs):
+    # shortlist >= corpus size degenerates to exact kNN
+    from vector_db_spark.operators.knn import knn
+
+    q = [float(x) for x in vecs[5]]
+    got = hamming_shortlist_rerank(corpus, q, 5, shortlist=40).collect()
+    exact = knn(corpus, q, 5).collect()
+    assert [(r.vec_id, round(r.distance, 6)) for r in got] == [
+        (r.vec_id, round(r.distance, 6)) for r in exact
+    ]
+
+
+def test_rerank_validates_shortlist(corpus, vecs):
+    with pytest.raises(ValueError, match="shortlist"):
+        hamming_shortlist_rerank(corpus, [0.0] * 64, 10, shortlist=5)
+
+
+def test_knn_hamming_plan_is_takeordered_no_exchange(spark, corpus):
+    plan = knn_hamming(
+        binary_quantize(corpus, dim=64), [0.5] * 64, 3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

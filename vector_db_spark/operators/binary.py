@@ -1,0 +1,164 @@
+"""1-bit (sign) binary quantization with Hamming-distance search.
+
+The most aggressive point on the compression ladder the engine offers
+(float32 -> int8 in operators/quantize.py -> PQ codes in operators/pq.py ->
+1 bit/dimension here). The reference exposes compressed variants through
+faiss factory strings (reference: src/core/index_factory.rs:110-114 builds
+from index-type enums; faiss's own `IndexBinaryFlat` is the native
+analogue); the capability that matters at 100 TB is scan bytes: a
+64-dim float32 embedding is 256 bytes, its sign code is 12 bytes — a ~21×
+cut, which at 100 TB turns a full-corpus candidate scan into ~3 TB of IO.
+
+Codec: bit_d = (x_d > 0), packed 31 bits per int word
+(dimension j of word w sits at bit position j). Hamming distance
+is then `sum_w popcount(a_w XOR b_w)` — XOR + bit_count are native JVM
+expressions inside whole-stage codegen; the search plan is the same
+shuffle-free TakeOrderedAndProject as exact kNN (operators/knn.py).
+
+Sign binarization is data-independent (threshold 0), so the DuckDB oracle
+can reproduce the distance exactly from the raw floats without seeing the
+packed codes: Hamming == count of dimensions whose signs disagree.
+
+The intended scale pattern is two-stage: Hamming shortlist over the tiny
+codes column (32× fewer bytes than the raw scan), then exact re-rank of
+the shortlist against full-precision vectors — `hamming_shortlist_rerank`.
+Both stages are deterministic (ties broken by id at BOTH cuts), so even
+the composed pipeline is value-exact against SQL.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.knn import _metric
+
+BITS_PER_WORD = 31  # int words, positions 0..30: the full-word sum tops out
+# at 2^31 - 1 == INT_MAX, so the packed value never overflows the signed int
+
+
+def _sign_bits(vec: Sequence[float]) -> list[int]:
+    """Driver-side packing of a query vector (mirrors `binarize`)."""
+    words: list[int] = []
+    for w in range(0, len(vec), BITS_PER_WORD):
+        word = 0
+        for j, x in enumerate(vec[w : w + BITS_PER_WORD]):
+            if float(x) > 0.0:
+                word |= 1 << j
+        words.append(word)
+    return words
+
+
+def binarize(vec: Column, dim: int) -> Column:
+    """array<float> -> array<int> sign codes, 31 dims per word.
+
+    The packing is a static sum of `IF(x > 0, 1<<j, 0)` terms — pure
+    whole-stage-codegen arithmetic, no Python, no shuffle.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    words = []
+    for w in range(0, dim, BITS_PER_WORD):
+        terms = [
+            F.when(
+                F.element_at(vec, w + j + 1).cast("double") > 0.0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(min(BITS_PER_WORD, dim - w))
+        ]
+        words.append(functools.reduce(operator.add, terms).cast("int"))
+    return F.array(*words)
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed code arrays (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def binary_quantize(
+    df: DataFrame, vec_col: str = "embedding", code_col: str = "codes", dim: int | None = None
+) -> DataFrame:
+    """Attach the packed sign-code column (the 12-byte scan artifact)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    return df.withColumn(code_col, binarize(F.col(vec_col), dim))
+
+
+def knn_hamming(
+    codes: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    code_col: str = "codes",
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Top-k by Hamming distance over packed codes.
+
+    Plans as TakeOrderedAndProject over the codes scan — zero exchanges,
+    per-partition local top-k, only k rows per partition reach the driver
+    (same shape as exact kNN; reference search surface:
+    src/router/handle/search_index_handle.rs:46-102).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qwords = _sign_bits(query)
+    qcol = F.array(*[F.lit(w) for w in qwords])
+    df = codes
+    if predicate is not None:
+        df = df.filter(predicate)
+    out = df.select(id_col, hamming(F.col(code_col), qcol).alias("hamming"))
+    return out.orderBy(F.col("hamming").asc(), F.col(id_col).asc()).limit(k)
+
+
+def hamming_shortlist_rerank(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    shortlist: int = 100,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Two-stage search: Hamming shortlist on sign codes, exact re-rank.
+
+    Stage 1 ranks by (hamming, id) — deterministic cut; stage 2 joins the
+    shortlist ids back to the full-precision vectors (a broadcast of
+    `shortlist` rows against the corpus — the big side never shuffles)
+    and re-ranks with the exact metric. At scale stage 1 reads the codes
+    column only (~21× fewer bytes); stage 2 touches `shortlist` rows.
+    """
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    if dim is None:
+        dim = len(query)
+    coded = binary_quantize(corpus, vec_col=vec_col, dim=dim)
+    cand = knn_hamming(
+        coded,
+        query,
+        shortlist,
+        code_col="codes",
+        id_col=id_col,
+        predicate=predicate,
+    ).select(id_col)
+    expr_fn, ascending = _metric(metric)
+    from vector_db_spark.operators.knn import SCORE_COL, query_literal
+
+    out = SCORE_COL[metric]
+    joined = corpus.join(F.broadcast(cand), id_col)
+    scored = joined.select(
+        id_col, expr_fn(F.col(vec_col), query_literal(query)).alias(out)
+    )
+    order = F.col(out).asc() if ascending else F.col(out).desc()
+    return scored.orderBy(order, F.col(id_col).asc()).limit(k)

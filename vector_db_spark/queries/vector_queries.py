@@ -253,3 +253,66 @@ def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.vector_stats import label_centroids
 
     return label_centroids(_emb(spark, sf_dir))
+
+
+_HAMMING = (
+    "CAST(length(list_filter(range(1, 65), "
+    "i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS BIGINT)"
+)
+
+_HAMMING_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+top AS (
+  SELECT e.vec_id, {_HAMMING} AS hamming
+  FROM embeddings e, q
+  ORDER BY hamming ASC, e.vec_id
+  LIMIT {K}
+)
+SELECT vec_id, hamming FROM top
+"""
+
+
+@query("knn_hamming", oracle=_HAMMING_ORACLE)
+def knn_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit sign codes
+    (operators/binary.py): the scan artifact is 8 bytes/vector (32× under
+    float32), distance is XOR+popcount inside codegen, and the plan is the
+    same shuffle-free TakeOrderedAndProject as exact kNN. Sign packing is
+    data-independent, so DuckDB reproduces the distance from raw floats."""
+    from vector_db_spark.operators.binary import binary_quantize, knn_hamming
+
+    emb = _emb(spark, sf_dir)
+    codes = binary_quantize(emb, dim=64).select("vec_id", "codes")
+    return knn_hamming(codes, _qvec(spark, sf_dir), K)
+
+
+_HAMMING_RERANK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+short AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY {_HAMMING} ASC, e.vec_id
+  LIMIT 100
+),
+top AS (
+  SELECT e.vec_id, {_L2} AS distance
+  FROM embeddings e, q, short s
+  WHERE e.vec_id = s.vec_id
+  ORDER BY distance ASC, e.vec_id
+  LIMIT {K}
+)
+SELECT vec_id, round(distance, 6) AS distance FROM top
+"""
+
+
+@query("knn_hamming_rerank", oracle=_HAMMING_RERANK_ORACLE)
+def knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search: Hamming shortlist (codes-only scan) -> exact L2
+    re-rank of the 100-row shortlist. Both cuts tie-break by id, so the
+    composed pipeline is value-exact against the nested-CTE oracle."""
+    from vector_db_spark.operators.binary import hamming_shortlist_rerank
+
+    res = hamming_shortlist_rerank(
+        _emb(spark, sf_dir), _qvec(spark, sf_dir), K, shortlist=100, metric="l2"
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
