@@ -252,3 +252,118 @@ def test_lsh_registered_params_recall(emb, qvecs):
     mean = sum(recalls) / len(recalls)
     lsh.buckets.unpersist()
     assert mean >= 0.6, f"registered-params LSH recall@10 {mean}"
+
+
+def test_ivf_append_then_full_probe_is_exact(emb, qvecs, spark):
+    # build on half, append the rest: full probe == exact over the union
+    idx = IvfIndex.build(emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42)
+    idx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    qv = qvecs[21]
+    got = [(r.vec_id, round(r.distance, 6)) for r in idx.search(qv, 10, nprobe=8).collect()]
+    exact = [(r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()]
+    assert got == exact
+
+
+def test_ivf_append_to_saved_index_adds_files_only(emb, tmp_path_factory, spark):
+    import glob
+    import os
+
+    path = str(tmp_path_factory.mktemp("ivf_append"))
+    first = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    idx = IvfIndex.build(first, nlist=4, seed=42)
+    idx.save(path)
+    files = lambda: {  # noqa: E731
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "assignments", "**", "*.parquet"), recursive=True)
+    }
+    before = files()
+    IvfIndex.load(spark, path).append(rest, path=path)
+    after = files()
+    # every pre-append file survives untouched; new files were added
+    assert set(before) <= set(after)
+    assert all(after[f] == before[f] for f in before)
+    assert len(after) > len(before)
+    # reloaded index sees the full corpus and searches it exactly
+    re = IvfIndex.load(spark, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
+    got = [(r.vec_id, round(r.distance, 6)) for r in re.search(qv, 10, nprobe=4).collect()]
+    exact = [(r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()]
+    assert got == exact
+
+
+def test_range_search_exact_operator(emb, qvecs):
+    from vector_db_spark.operators.knn import range_search
+
+    qv = qvecs[0]
+    got = range_search(emb, qv, 1.6).collect()
+    # brute-force reference via the exact kNN distance expression
+    all_d = {r.vec_id: r.distance for r in knn(emb, qv, 10_000).collect()}
+    want = sorted((d, i) for i, d in all_d.items() if d <= 1.6)
+    assert [(r.distance, r.vec_id) for r in got] == want
+    assert all(r.distance <= 1.6 for r in got)
+
+
+def test_ivf_range_search_matches_exact_and_prunes(emb, ivf, qvecs):
+    from vector_db_spark.operators.knn import range_search
+
+    qv = qvecs[333]
+    got = [(r.vec_id, round(r.distance, 6)) for r in ivf.range_search(qv, 1.6).collect()]
+    want = [
+        (r.vec_id, round(r.distance, 6)) for r in range_search(emb, qv, 1.6).collect()
+    ]
+    assert got == want
+    # a tighter radius must also stay exact (empty-or-few result)
+    tight = 0.2
+    got_t = [(r.vec_id, round(r.distance, 6)) for r in ivf.range_search(qv, tight).collect()]
+    want_t = [
+        (r.vec_id, round(r.distance, 6)) for r in range_search(emb, qv, tight).collect()
+    ]
+    assert got_t == want_t
+
+
+def test_ivf_range_search_prunes_clustered_cells(spark):
+    # Triangle-inequality pruning shows its teeth on CLUSTERED data (on a
+    # near-uniform high-dim blob every cell overlaps every query ball —
+    # the fixture corpus exercises exactness above, this one pruning):
+    # two blobs 10 apart, query inside blob A with a radius that cannot
+    # reach blob B ⇒ blob-B cells must be provably excluded.
+    import numpy as np
+
+    from vector_db_spark.operators.knn import range_search
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0.0, 0.1, (60, 8))
+    b = rng.normal(10.0, 0.1, (60, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex.build(df, nlist=4, seed=42)
+    qv = [float(x) for x in a[0]]
+    got = [(r.vec_id, round(r.distance, 6)) for r in idx.range_search(qv, 1.0).collect()]
+    want = [(r.vec_id, round(r.distance, 6)) for r in range_search(df, qv, 1.0).collect()]
+    assert got == want
+    assert len(got) > 0
+    q = idx._query_point(qv)
+    c = np.asarray(idx.centroids)
+    center_d = np.sqrt(((c - q) ** 2).sum(axis=1))
+    radii = idx.ensure_cell_radii()
+    surviving = sum(1 for i in range(len(radii)) if center_d[i] - radii[i] <= 1.0)
+    assert surviving < len(radii)
+
+
+def test_ivf_range_search_cosine_and_radii_persist(emb, tmp_path_factory, spark, qvecs):
+    from vector_db_spark.operators.knn import range_search
+
+    idx = IvfIndex.build(emb, nlist=8, seed=42, metric="cosine")
+    qv = qvecs[7]
+    got = [(r.vec_id, round(r.score, 6)) for r in idx.range_search(qv, 0.55).collect()]
+    want = [
+        (r.vec_id, round(r.score, 6))
+        for r in range_search(emb, qv, 0.55, metric="cosine").collect()
+    ]
+    assert got == want
+    # radii computed above are persisted through save/load
+    path = str(tmp_path_factory.mktemp("ivf_radii"))
+    idx.save(path)
+    re = IvfIndex.load(spark, path)
+    assert re.cell_radii == idx.cell_radii

@@ -153,6 +153,7 @@ class IvfIndex:
         self.vec_col = vec_col
         self.metric = metric
         self.max_sq_norm: float | None = None  # set for metric='ip' builds
+        self.cell_radii: list[float] | None = None  # lazy, see ensure_cell_radii
 
     @staticmethod
     def build(
@@ -216,7 +217,13 @@ class IvfIndex:
 
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
-                {"metric": self.metric, "id_col": self.id_col, "vec_col": self.vec_col},
+                {
+                    "metric": self.metric,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "max_sq_norm": self.max_sq_norm,
+                    "cell_radii": self.cell_radii,
+                },
                 f,
             )
 
@@ -236,12 +243,135 @@ class IvfIndex:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta.update(json.load(f))
-        return IvfIndex(
+        idx = IvfIndex(
             centroids,
             assignments,
             id_col or meta["id_col"],
             vec_col or meta["vec_col"],
             meta["metric"],
+        )
+        idx.max_sq_norm = meta.get("max_sq_norm")
+        idx.cell_radii = meta.get("cell_radii")
+        return idx
+
+    def _mapped_vec(self, col: Column) -> Column:
+        """A corpus vector mapped into centroid (assignment) space —
+        identity for l2, unit sphere for cosine, [x, sqrt(M²−‖x‖²)] for
+        the MIPS reduction (M from the original build)."""
+        if self.metric == "l2":
+            return col
+        if self.metric == "cosine":
+            return normalize(col)
+        sq_norm = dot(col, col)
+        return F.concat(
+            F.transform(col, lambda x: x.cast("double")),
+            F.array(F.sqrt(F.greatest(F.lit(float(self.max_sq_norm)) - sq_norm, F.lit(0.0)))),
+        )
+
+    def ensure_cell_radii(self) -> list[float]:
+        """Per-cell covering radius max_{x∈cell} ‖map(x) − c_cell‖ (one
+        grouped aggregate, nlist floats to the driver). Computed lazily so
+        plain top-k builds never pay for it; persisted by save()."""
+        if self.cell_radii is None:
+            mapped = self._mapped_vec(F.col(self.vec_col))
+            dists = F.array(*[_l2_to_literal(mapped, c) for c in self.centroids])
+            per_cell = (
+                self.assignments.select(
+                    F.col(_CLUSTER_COL),
+                    F.sqrt(F.element_at(dists, F.col(_CLUSTER_COL) + 1)).alias("__d"),
+                )
+                .groupBy(_CLUSTER_COL)
+                .agg(F.max("__d").alias("__r"))
+                .collect()
+            )
+            radii = [0.0] * len(self.centroids)
+            for r in per_cell:
+                radii[r[_CLUSTER_COL]] = float(r["__r"])
+            self.cell_radii = radii
+        return self.cell_radii
+
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "IvfIndex":
+        """Incremental index maintenance: assign ``new_rows`` to the
+        EXISTING centroids and (when ``path`` is given) append only the
+        new files into the cell-partitioned layout — no rebuild, no
+        rewrite of existing data. This is the faiss ``IndexIVF.add``
+        analogue (and what the reference's insert does to its in-memory
+        graphs, src/router/handle/insert_handle.rs): at 100 TB a daily
+        ingest touches only the files it adds, while the quantizer stays
+        frozen until a scheduled re-train.
+
+        For metric='ip' the augmentation reuses the build-time M; new
+        vectors with ‖x‖ > M clamp to the cell boundary (probe recall may
+        dip for them until re-train — raw vectors are stored, so
+        full-probe/exhaustive results stay exact regardless).
+
+        Cell radii are invalidated (recomputed lazily over the unioned
+        corpus on the next range_search).
+        """
+        assigned = new_rows.withColumn(
+            _CLUSTER_COL,
+            _nearest_centroid_expr(self._mapped_vec(F.col(self.vec_col)), self.centroids),
+        )
+        if path is not None:
+            assigned.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
+                os.path.join(path, "assignments")
+            )
+        self.assignments = self.assignments.unionByName(assigned)
+        self.cell_radii = None
+        return self
+
+    def range_search(
+        self,
+        query: Sequence[float],
+        threshold: float,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """All rows within a metric threshold, scanning only the cells the
+        triangle inequality cannot rule out — LOSSLESS pruning, unlike
+        top-k probes: a row at distance d from the query sits in a cell
+        whose centroid is within d + r_cell of the query, so any cell with
+        ‖q − c‖ − r_cell > radius provably holds no match. The threshold
+        maps into centroid space per metric (l2: squared-L2 ≤ t ⇒ radius
+        √t; cosine: sim ≥ t ⇔ ‖q̂ − x̂‖² ≤ 2−2t; ip: sim ≥ t ⇔ augmented
+        L2² ≤ ‖q‖² + M² − 2t), then matches are re-filtered with the true
+        metric — value-exact against the unindexed operator at any nlist.
+        After save(), the cell filter is parquet partition pruning."""
+        from vector_db_spark.operators.knn import range_search as exact_range
+
+        q = self._query_point(query)
+        if self.metric == "l2":
+            radius_sq = float(threshold)
+        elif self.metric == "cosine":
+            radius_sq = max(0.0, 2.0 - 2.0 * float(threshold))
+        else:  # ip
+            radius_sq = float(np.dot(q, q)) + float(self.max_sq_norm) - 2.0 * float(threshold)
+        if radius_sq < 0.0:
+            return exact_range(
+                self.assignments.limit(0),
+                query,
+                threshold,
+                metric=self.metric,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+            )
+        radius = float(np.sqrt(radius_sq))
+        c = np.asarray(self.centroids, dtype=np.float64)
+        center_d = np.sqrt(((c - q) ** 2).sum(axis=1))
+        radii = self.ensure_cell_radii()
+        cells = [
+            int(i)
+            for i in range(len(self.centroids))
+            if center_d[i] - radii[i] <= radius
+        ]
+        cands = self.assignments.filter(F.col(_CLUSTER_COL).isin(cells))
+        return exact_range(
+            cands,
+            query,
+            threshold,
+            metric=self.metric,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            predicate=predicate,
         )
 
     def _query_point(self, query: Sequence[float]) -> np.ndarray:

@@ -153,6 +153,37 @@ def batch_knn(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    query: Sequence[float] | Column,
+    threshold: float,
+    *,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All rows within a metric threshold of the query (faiss
+    ``range_search`` semantics): l2 keeps squared-L2 <= threshold, ip and
+    cosine keep score >= threshold. Unlike top-k there is no LIMIT — the
+    result size is data-dependent — so the plan is a pushed-down filter
+    over the scan plus a sort of only the matching rows; the corpus never
+    shuffles. Ordered by (metric, id) for determinism."""
+    expr_fn, ascending = _metric(metric)
+    out = SCORE_COL[metric]
+    qcol = query if isinstance(query, Column) else query_literal(query)
+    df = corpus
+    if predicate is not None:
+        df = df.filter(predicate)
+    scored = df.select(id_col, *keep_cols, expr_fn(F.col(vec_col), qcol).alias(out))
+    keep = scored.filter(
+        F.col(out) <= float(threshold) if ascending else F.col(out) >= float(threshold)
+    )
+    order = F.col(out).asc() if ascending else F.col(out).desc()
+    return keep.orderBy(order, F.col(id_col).asc())
+
+
 def pairwise_similarity(
     corpus: DataFrame,
     *,

@@ -284,3 +284,43 @@ def ann_ivf_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="ip")
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
     return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("ann_ivf_append_full_probe", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ann_ivf_append_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance gate: build the quantizer + index on HALF
+    the corpus, `append` the other half (frozen centroids, append-only
+    files — operators/ann.py IvfIndex.append), then full-probe. Must
+    reproduce exact kNN over the FULL corpus bit-for-bit, proving appended
+    rows are assigned/searched identically to built rows."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5
+    )
+    idx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_RANGE_THRESHOLD = 1.6
+
+_RANGE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+m AS (SELECT e.vec_id, {_L2} AS distance FROM embeddings e, q)
+SELECT vec_id, round(distance, 6) AS distance
+FROM m WHERE distance <= {_RANGE_THRESHOLD}
+ORDER BY distance, vec_id
+"""
+
+
+@query("ann_ivf_range_search", oracle=_RANGE_ORACLE)
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """faiss-style range search (all rows with squared-L2 <= t) through
+    the IVF index: the triangle inequality prunes cells LOSSLESSLY
+    (per-cell covering radii), so unlike top-k probes this is value-exact
+    against the unindexed filter at ANY nlist/nprobe — an indexed query
+    with a hard oracle row and real partition pruning."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    res = idx.range_search(_qvec(spark, sf_dir), _RANGE_THRESHOLD)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
