@@ -280,3 +280,50 @@ def test_ngram_contamination_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n must be"):
         ngram_contamination(df, df, n=0)
+
+
+def test_chunk_dedup_drops_cross_doc_boilerplate(spark):
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),   # first copy of boiler: kept
+            (2, f"{boiler} {uniq_b}"),   # later copy: boiler dropped
+            (3, boiler),                  # every chunk a dup: doc disappears
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, chunk_words=4).collect()}
+    assert out[1].clean_text == f"{boiler} {uniq_a}"
+    assert out[1].n_dropped == 0
+    assert out[2].clean_text == uniq_b
+    assert out[2].n_dropped == 1
+    assert out[2].n_chunks == 2
+    assert 3 not in out
+
+
+def test_chunk_dedup_within_doc_and_partial_tail(spark):
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    # same chunk twice within one doc + a short trailing chunk
+    docs = spark.createDataFrame(
+        [(1, "x y x y z")],
+        "doc_id long, text string",
+    )
+    out = chunk_dedup(docs, chunk_words=2).collect()[0]
+    # chunks: "x y", "x y", "z" -> second "x y" dropped
+    assert out.clean_text == "x y z"
+    assert out.n_chunks == 3 and out.n_dropped == 1
+
+
+def test_chunk_dedup_validates(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_words"):
+        chunk_dedup(docs, chunk_words=0)

@@ -1054,3 +1054,37 @@ def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+_CHUNK_DEDUP_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+e AS (SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words)+1)) AS ord FROM w),
+ch AS (
+  SELECT doc_id, CAST((ord - 1) // 20 AS INT) AS chunk_idx,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM e GROUP BY doc_id, (ord - 1) // 20
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_chunks
+  FROM ch
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+       n_chunks,
+       CAST(n_chunks - count(*) AS INT) AS n_dropped
+FROM ranked WHERE rn = 1
+GROUP BY doc_id, n_chunks
+"""
+
+
+@query("chunk_dedup_docs", oracle=_CHUNK_DEDUP_ORACLE)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at 20-word-chunk granularity (operators/dedup.py
+    chunk_dedup) — the CCNet line-dedup recipe: cross-document boilerplate
+    chunks are dropped (globally-first copy survives), unique prose stays,
+    and the cleaned text reassembles in position order."""
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
