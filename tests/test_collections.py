@@ -332,3 +332,26 @@ def test_docstore_validation_and_restart(spark, tmp_path):
     again = DocumentStore(spark, str(tmp_path / "d2"))
     assert again.get(5).doc == '{"a": 1}'
     assert again._store_n_buckets == 4
+
+
+def test_time_travel_scan_at(spark, catalog):
+    coll = catalog.create("tt", dim=2, n_buckets=4)
+    coll.insert(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "id long, embedding array<float>",
+        )
+    )  # v1
+    coll.delete(spark.createDataFrame([(2,)], "id long"))  # v2
+    coll.upsert(
+        spark.createDataFrame([(3, [9.0, 9.0])], "id long, embedding array<float>")
+    )  # v3
+    assert coll.versions() == [1, 2, 3]
+    v1 = {r.id: list(r.embedding) for r in coll.scan_at(1).collect()}
+    assert v1 == {1: [1.0, 0.0], 2: [0.0, 1.0], 3: [1.0, 1.0]}
+    v2 = {r.id: list(r.embedding) for r in coll.scan_at(2).collect()}
+    assert set(v2) == {1, 3} and v2[3] == [1.0, 1.0]
+    live = {r.id: list(r.embedding) for r in coll.scan().collect()}
+    assert set(live) == {1, 3} and live[3] == [9.0, 9.0]
+    with pytest.raises(ValueError, match="version 9"):
+        coll.scan_at(9)

@@ -309,6 +309,40 @@ class _BucketedStore:
             schema = StructType.fromJson(json.load(f))
         return self._store_spark.createDataFrame([], schema)
 
+    def versions(self) -> list[int]:
+        """All readable snapshot versions (every version dir keeps its
+        manifest forever — dirs are immutable once published)."""
+        if not os.path.isdir(self._store_dir):
+            return []
+        out = []
+        for d in sorted(os.listdir(self._store_dir)):
+            if d.startswith("v") and os.path.exists(
+                os.path.join(self._store_dir, d, "_manifest.json")
+            ):
+                out.append(int(d[1:]))
+        return out
+
+    def scan_at(self, version: int) -> DataFrame:
+        """Snapshot-as-of read (Delta/Iceberg time travel): version dirs
+        and their manifests are immutable, so any historical state
+        reconstructs by reading THAT version's manifest — unchanged
+        buckets resolve to older dirs exactly as the live scan does. At
+        100 TB this costs the same as a current read (the manifest is the
+        only per-version metadata); retention GC would prune old dirs."""
+        manifest = self._manifest(version)
+        if manifest is None:
+            raise ValueError(
+                f"version {version} does not exist; have {self.versions()}"
+            )
+        df = self._read_buckets(manifest)
+        if df is not None:
+            return df
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_path()) as f:
+            schema = StructType.fromJson(json.load(f))
+        return self._store_spark.createDataFrame([], schema)
+
     def _write_buckets(
         self, df: DataFrame, changed: Sequence[int], base: dict[str, int]
     ) -> None:

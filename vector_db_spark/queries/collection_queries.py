@@ -179,3 +179,47 @@ def docstore_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select((F.col("event_id") + 1).alias("id"), F.col("props").alias("doc"))
     )
     return store.extract(k="$.k", missing="$.missing")
+
+
+_TT_DOT = dot_sql("e.embedding", "e.embedding")
+
+_TIME_TRAVEL_ORACLE = f"""
+SELECT 'v1' AS snap, e.vec_id + 1 AS id, round(sqrt({_TT_DOT}), 6) AS emb_norm
+FROM embeddings e WHERE e.vec_id + 1 <= 60
+UNION ALL
+SELECT 'live' AS snap, e.vec_id + 1 AS id,
+       round(sqrt({_TT_DOT}) * 2, 6) AS emb_norm
+FROM embeddings e WHERE e.vec_id + 1 BETWEEN 51 AND 60
+"""
+
+
+@query("collection_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def collection_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of reads over the bucketed store: insert (v1), delete
+    ids 1-50 (v2), upsert ids 51-60 with doubled vectors (v3) — then read
+    BOTH v1 and the live snapshot. v1 must show the original corpus
+    untouched (deletes/updates invisible), live must show only the update
+    survivors. Doubling is a power-of-two scale, so the doubled norm is
+    bitwise 2x the original and the oracle reproduces both snapshots from
+    the raw fixture."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_tt_"))
+    coll = cat.create("tt", dim=64, metric="l2")
+    base = emb.select((F.col("vec_id") + 1).alias("id"), "embedding")
+    coll.insert(base)                                      # v1
+    coll.delete(spark.range(1, 51).select("id"))           # v2
+    coll.upsert(                                           # v3
+        base.filter(F.col("id").between(51, 60)).select(
+            "id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+        )
+    )
+    norm6 = lambda df: F.round(l2_norm(df["embedding"]), 6).alias("emb_norm")  # noqa: E731
+    v1 = coll.scan_at(1).filter(F.col("id") <= 60)
+    live = coll.scan().filter(F.col("id") <= 60)
+    return v1.select(F.lit("v1").alias("snap"), "id", norm6(v1)).unionByName(
+        live.select(F.lit("live").alias("snap"), "id", norm6(live))
+    )
