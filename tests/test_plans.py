@@ -202,3 +202,31 @@ def test_global_shuffle_is_total_order_without_single_task(spark):
         .collect()
     ]
     assert sorted(again) == sorted(k for ks in by_pid.values() for k in ks)
+
+
+def test_salted_join_matches_plain_join_and_salts_the_key(spark):
+    from vector_db_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(40)] + [(2, 0, 5.0)],
+        "k long, line int, v double",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, tag string"
+    )
+    got = salted_join(large, small, ["k"], n_salts=8, salt_on=["k", "line"])
+    plain = large.join(small, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # the physical join key must include the salt column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    # left join keeps unmatched large rows exactly like the plain left join
+    lg = salted_join(
+        large.unionByName(spark.createDataFrame([(9, 0, 0.0)], "k long, line int, v double")),
+        small, ["k"], n_salts=4, how="left",
+    )
+    assert lg.filter("k = 9").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(large, small, ["k"], how="full")

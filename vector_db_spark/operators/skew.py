@@ -73,3 +73,45 @@ def salted_aggregate(
         + [F.max(f"__pmax_{c}").alias(f"max_{c}") for c in max_cols]
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    *,
+    salt_on: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi-join for hot join keys.
+
+    The regime AQE's skew splitting doesn't cover: the build side is too
+    big to broadcast AND the probe side has hot keys, so a plain
+    shuffle-join sends a hot key's every row through one task. Fix:
+    the small side is replicated ``n_salts`` times (explode of a literal
+    sequence — n_salts·|small| rows through its exchange), the large side
+    computes a CONTENT-derived salt in [0, n_salts) from ``salt_on``
+    columns (repartition-proof — never random()), and the join key becomes
+    (keys, salt): the hot key now spreads over n_salts tasks.
+
+    ``salt_on`` must functionally spread rows WITHIN a key (e.g. the line
+    number within an order); it defaults to the key itself, which only
+    spreads storage skew — pass real columns for hot-key spread.
+    Result is bit-identical to ``large.join(small, keys, how)`` (each
+    large row meets exactly the one small replica carrying its salt).
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(keys)
+    spread = list(salt_on) or keys
+    salted_large = large.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*[F.col(c) for c in spread]), F.lit(n_salts)).cast("int"),
+    )
+    replicated = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_large.join(replicated, [*keys, _SALT], how).drop(_SALT)

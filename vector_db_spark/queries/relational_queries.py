@@ -1137,3 +1137,45 @@ def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return range_join_events(ev, key_cols=("user_id",), window_seconds=600)
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("salted_join_priority_revenue", oracle=_SALTED_JOIN_ORACLE)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-join-key-proof equi-join (operators/skew.py salted_join): the
+    orders side replicates over 16 salts, lineitem salts by its line
+    number content hash, and the join key becomes (orderkey, salt) — a
+    hot order's lines spread over 16 tasks instead of one. Must be
+    value-identical to the plain join (each row meets exactly one
+    replica)."""
+    from vector_db_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        orders.select("o_orderkey", "o_orderpriority").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        ),
+        ["l_orderkey"],
+        n_salts=16,
+        salt_on=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
