@@ -246,3 +246,48 @@ def test_centroid_vectors_wide_form(spark):
     long = {(r.label, r.pos): r for r in label_centroids(df).collect()}
     assert long[(0, 0)].centroid == 2.0
     assert abs(long[(0, 0)].variance - 1.0) < 1e-9
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.hybrid import mmr_rerank
+    from vector_db_spark.operators.knn import knn
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.standard_normal((30, 8)))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in rng.standard_normal(8)]
+    got = [r.vec_id for r in mmr_rerank(df, q, 5, shortlist=30, lam=1.0).collect()]
+    want = [r.vec_id for r in knn(df, q, 5, metric="cosine").collect()]
+    assert got == want
+
+
+def test_mmr_demotes_duplicate_of_top_hit(spark):
+    from vector_db_spark.operators.hybrid import mmr_rerank
+
+    # ids 1 and 2 are identical vectors (both ≈ the query); id 3 is
+    # nearly orthogonal (slightly relevant). Pure relevance would return
+    # [1, 2]; MMR must interleave
+    # the diverse id 3 before the duplicate.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.1, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r.vec_id for r in mmr_rerank(df, [1.0, 0.0], 3, shortlist=3, lam=0.4).collect()]
+    assert got == [1, 3, 2]
+    # selection order is recorded
+    ranks = [r.rank for r in mmr_rerank(df, [1.0, 0.0], 3, shortlist=3, lam=0.4).collect()]
+    assert ranks == [1, 2, 3]
+
+
+def test_mmr_validation(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.hybrid import mmr_rerank
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, [1.0, 0.0], 1, lam=1.5)
+    with _pytest.raises(ValueError, match="shortlist"):
+        mmr_rerank(df, [1.0, 0.0], 5, shortlist=2)

@@ -122,3 +122,84 @@ def hybrid_search(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    shortlist: int = 100,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998): greedily pick argmax  λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    so near-duplicate hits don't crowd the result the way a pure
+    similarity cut does.
+
+    Scale shape: the DISTRIBUTED part is the candidate fetch — exact
+    cosine top-``shortlist`` (TakeOrderedAndProject over the corpus scan,
+    same plan as knn). The greedy selection is inherently sequential in k
+    and sees only the shortlist (≤ shortlist·dim floats), so it runs
+    driver-side in NumPy — bounded by user parameters, never by corpus
+    size; the corpus itself is never collected. λ=1 degenerates to the
+    plain relevance order (pinned in tests); all ties break by id.
+
+    Returns (rank, id, relevance, mmr_score) in selection order.
+    """
+    import numpy as np
+
+    from vector_db_spark.operators.knn import knn
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    cand = knn(
+        corpus,
+        query,
+        shortlist,
+        metric="cosine",
+        vec_col=vec_col,
+        id_col=id_col,
+        predicate=predicate,
+        keep_cols=(vec_col,),
+    ).collect()
+    if not cand:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "rank int, %s long, relevance double, mmr_score double" % id_col
+        )
+    ids = np.array([r[id_col] for r in cand])
+    rel = np.array([float(r.score) for r in cand])
+    vecs = np.array([[float(x) for x in r[vec_col]] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T  # shortlist×shortlist — parameter-bounded
+    chosen: list[int] = []
+    out_rows = []
+    remaining = list(range(len(cand)))
+    for rank in range(min(k, len(cand))):
+        if chosen:
+            penalty = sims[np.ix_(remaining, chosen)].max(axis=1)
+        else:
+            penalty = np.zeros(len(remaining))
+        scores = lam * rel[remaining] - (1.0 - lam) * penalty
+        # argmax with ties toward the lower id (stable + explicit)
+        best_pos = max(
+            range(len(remaining)),
+            key=lambda p: (scores[p], -int(ids[remaining[p]])),
+        )
+        best = remaining.pop(best_pos)
+        chosen.append(best)
+        out_rows.append(
+            (rank + 1, int(ids[best]), float(rel[best]), float(scores[best_pos]))
+        )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, %s long, relevance double, mmr_score double" % id_col
+    )

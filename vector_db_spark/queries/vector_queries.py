@@ -316,3 +316,15 @@ def knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), _qvec(spark, sf_dir), K, shortlist=100, metric="l2"
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("mmr_rerank_diverse")
+def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (operators/hybrid.py mmr_rerank): cosine
+    top-100 shortlist distributed (TakeOrderedAndProject), then greedy
+    MMR selection at λ=0.5. Greedy argmax chains are not SQL-expressible —
+    rows-only here; λ=1-degeneracy and duplicate-demotion are pinned in
+    tests/test_pipeline_ops.py."""
+    from vector_db_spark.operators.hybrid import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, shortlist=100, lam=0.5)
