@@ -81,11 +81,17 @@ _VERIFY_FIRST = [
     "stream_sliding_agg",
     "stream_static_enrich",
     # re-attest under round-2 bucketed collection storage (the r1 rows
-    # verified the old full-snapshot engine)
-    "upsert_readback",
-    "delete_then_search",
+    # verified the old full-snapshot engine): the lifecycle flow covers
+    # store insert + index build + search dispatch, and time travel covers
+    # bucketed insert/delete/upsert + snapshot readback — together they
+    # subsume the dataflow-only upsert/delete rows, which rotate out on
+    # their r1 attestation.
     "collection_index_lifecycle",
-    "point_lookup",
+    "collection_time_travel",
+    # round-2 session additions, never driver-attested
+    "ann_ivf_append_full_probe",
+    "ann_ivf_range_search",
+    "chunk_dedup_docs",
     # rows-only probe paths: their exhaustive SQL-backed counterparts are in
     # the window above, and recall pins in tests/test_ann.py guard the probe
     # quality — a rows-only driver row adds less than a hash-match row, so
