@@ -224,3 +224,53 @@ def test_stream_stream_join_interval_bounds(spark):
     )
     out = stream_stream_interval_join(left, right, key="user_id")
     assert [r.r_event_id for r in out.collect()] == [20]
+
+
+def test_stream_ann_search_multibatch_and_resume(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.knn import batch_knn
+    from vector_db_spark.sources.fixtures import load_table
+    from vector_db_spark.streaming.ingest import stream_ann_search
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex.build(emb, nlist=4, seed=42, max_iter=5)
+    qdir, out, ckpt = str(tmp_path / "q"), str(tmp_path / "r"), str(tmp_path / "c")
+
+    def _stage(ids):
+        (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+            .repartition(len(ids), "query_id")
+            .write.mode("append")
+            .parquet(qdir)
+        )
+
+    def _drain():
+        qstream = (
+            spark.readStream.schema("query_id long, query_vec array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        q = stream_ann_search(qstream, idx, 3, ckpt, out, nprobe=4, metric="l2")
+        q.awaitTermination(120_000)
+
+    _stage([0, 7, 21])
+    _drain()
+    n_batches_first = len(glob.glob(out + "/batch=*"))
+    assert n_batches_first > 1  # maxFilesPerTrigger=1 -> real micro-batches
+    _stage([100, 333])
+    _drain()  # same checkpoint: only the NEW files are processed
+    got = spark.read.parquet(out)
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 21, 100, 333])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = batch_knn(emb, queries, 3, metric="l2")
+    assert sorted(
+        [(r.query_id, r.rank, r.vec_id, round(r.distance, 6)) for r in got.collect()]
+    ) == sorted(
+        [(r.query_id, r.rank, r.vec_id, round(r.distance, 6)) for r in want.collect()]
+    )

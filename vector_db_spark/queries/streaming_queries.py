@@ -325,3 +325,50 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("purchase_id"),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
     )
+
+
+from vector_db_spark.queries.vector_queries import _BATCH_K, _BATCH_ORACLE  # noqa: E402
+
+
+@query("stream_ann_search", oracle=_BATCH_ORACLE)
+def stream_ann_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online vector serving: a stream of query vectors (one FILE each —
+    maxFilesPerTrigger=1 forces genuinely separate micro-batches) probes a
+    persisted IVF index via foreachBatch search_batch. Full probe makes
+    every per-query result exact, and per-query independence makes the
+    union over micro-batches equal the one-shot batch — so the oracle is
+    the same SQL as knn_batch/ann_ivf_batch_full_probe."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.streaming.ingest import stream_ann_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+
+    qdir = tempfile.mkdtemp(prefix="stream_annq_")
+    (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .repartition(5, "query_id")
+        .write.mode("append")
+        .parquet(qdir)
+    )
+    qstream = (
+        spark.readStream.schema("query_id long, query_vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    out = tempfile.mkdtemp(prefix="stream_annr_")
+    q = stream_ann_search(
+        qstream,
+        idx,
+        _BATCH_K,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
+        out_path=out,
+        nprobe=8,
+        metric="l2",
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+    res = spark.read.parquet(out)
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )

@@ -15,6 +15,8 @@ At 100 TB the file source is swapped for Kafka/Kinesis by changing only
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
@@ -99,3 +101,48 @@ def stream_upsert_into(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ann_search(
+    stream_queries: DataFrame,
+    index,
+    k: int,
+    checkpoint_dir: str,
+    out_path: str,
+    nprobe: int = 4,
+    metric: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Serve a STREAM of query vectors against a persisted ANN index — the
+    online half of the reference's search surface (POST /search,
+    src/router/handle/search_index_handle.rs:46-102) on Structured
+    Streaming: queries arrive continuously, the corpus-side index is a
+    static cell-partitioned table.
+
+    Every micro-batch runs the set-oriented probe (IvfIndex.search_batch:
+    per-query cell pruning + window rerank — the corpus never shuffles),
+    and lands its results under ``out_path/batch=<id>`` with overwrite —
+    idempotent under foreachBatch replay, unlike a bare append. Per-query
+    results are independent, so the union over batches is invariant to
+    micro-batch boundaries: draining the same queries as ONE batch (or as
+    a plain batch job) produces identical rows, which is the value-exact
+    oracle.
+    """
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index.search_batch(batch, k, nprobe=nprobe, metric=metric).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch={batch_id}"))
+
+    writer = (
+        stream_queries.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
