@@ -291,3 +291,43 @@ def test_mmr_validation(spark):
         mmr_rerank(df, [1.0, 0.0], 1, lam=1.5)
     with _pytest.raises(ValueError, match="shortlist"):
         mmr_rerank(df, [1.0, 0.0], 5, shortlist=2)
+
+
+def test_bigram_lm_backoff_arithmetic(spark):
+    import math
+
+    from vector_db_spark.operators.lm import (
+        LQ_BACKOFF,
+        score_documents_bigram,
+        train_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    lm = train_bigram(docs, top_v=10, top_b=10)
+    # corpus tokens: a,b,a,b,a,b,c -> total 7; bigrams: ab,ba,ab + ab,bc
+    assert lm.uni.vocab == {"a": 3, "b": 3, "c": 1}
+    assert lm.uni.total_tokens == 7
+    assert set(lm.bigram_lq) == {"a b", "b a", "b c"}
+    # p(b|a) = 3/3 -> lq 0
+    assert lm.bigram_lq["a b"] == 0
+    # p(a|b) = 1/3 (b starts 3 bigrams: ba, bc... b appears as t1 in
+    # "b a" and "b c" plus the second "a b" doc-1 pair's predecessor —
+    # ctx(b) counts b-as-first: doc1 has "b a"; doc2 "b c"; so ctx(b)=2? no:
+    # doc1 bigrams: "a b","b a","a b" -> b first once; doc2: "a b","b c" ->
+    # b first once => ctx(b)=2, cnt("b a")=1 -> p=1/2
+    assert lm.bigram_lq["b a"] == math.floor(math.log(1 / 2) * 1_000_000)
+    got = {r.doc_id: r for r in score_documents_bigram(docs, lm).collect()}
+    # doc 1: first token 'a' unigram + pairs ab(0), ba(ln .5), ab(0)
+    uni_a = lm.uni.logq_micro(3)
+    assert got[1].logq_micro_sum == uni_a + 0 + lm.bigram_lq["b a"] + 0
+    assert got[1].bigram_hits == 3
+    # doc 3 (empty): zero tokens, NULL score
+    assert got[3].n_tokens == 0 and got[3].lm_score is None
+    # backoff path: a doc with an unseen pair 'c a' scores LQ_BACKOFF + uni(a)
+    probe = spark.createDataFrame([(9, "c a")], "doc_id long, text string")
+    row = score_documents_bigram(probe, lm).collect()[0]
+    assert row.logq_micro_sum == lm.uni.logq_micro(1) + LQ_BACKOFF + uni_a
+    assert row.bigram_hits == 0

@@ -124,3 +124,152 @@ def perplexity_filter(
     """Keep documents at or above the score floor (drop gibberish /
     far-from-corpus text). A pure pushable filter over the scored frame."""
     return scored.filter(F.col(score_col) >= F.lit(min_score))
+
+
+LQ_BACKOFF = math.floor(math.log(0.4) * 1_000_000)  # stupid-backoff penalty
+
+
+class BigramLm:
+    """Frozen bigram model with stupid backoff over a ``UnigramLm``.
+
+    p(b|a) = cnt(ab)/ctx(a) for the top-B bigrams; unseen bigrams back
+    off to 0.4·p_uni(b). Quantization is DECOMPOSED so integer sums stay
+    engine-exact: the backoff term is ``LQ_BACKOFF + uni_lq(b)`` (two
+    separately-floored micro-nat integers added), never
+    ``floor(ln(0.4·p))`` — that is the model definition, and the SQL
+    oracle implements the identical decomposition."""
+
+    def __init__(self, uni: UnigramLm, bigram_lq: dict[str, int]):
+        self.uni = uni
+        self.bigram_lq = bigram_lq  # "a b" -> micro-nat log p(b|a)
+
+
+def train_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 16,
+    top_b: int = 32,
+) -> BigramLm:
+    """Two token-granularity shuffles (bigram groupBy, context groupBy),
+    each with map-side partial aggregation, then two bounded TakeOrdered
+    collects — driver state is O(V + B), corpus-size-independent.
+    Bigrams are adjacent-token pairs WITHIN a document (no cross-doc
+    pairs); the context count of ``a`` is how often ``a`` starts a bigram
+    (= occurrences excluding document-final positions)."""
+    uni = train_unigram(df, text_col=text_col, top_v=top_v)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = fan_out(df).select(F.explode(pair_arr).alias("bigram"))
+    bcounts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    top = bcounts.orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    ).limit(top_b)
+    ctx = (
+        pairs.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("t1"))
+        .groupBy("t1")
+        .agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    )
+    rows = (
+        top.withColumn("t1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(ctx, "t1")
+        .select("bigram", "cnt", "ctx_cnt")
+        .collect()
+    )
+    lq = {
+        r.bigram: math.floor(math.log(r.cnt / r.ctx_cnt) * 1_000_000) for r in rows
+    }
+    return BigramLm(uni, lq)
+
+
+def score_documents_bigram(
+    df: DataFrame,
+    lm: BigramLm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-local bigram scoring, zero shuffle: the first token scores its
+    unigram micro-nats, every later token scores its bigram micro-nats or
+    the decomposed backoff. Returns ``n_tokens``, ``bigram_hits`` (pairs
+    found in the top-B table), the integer ``logq_micro_sum`` and the
+    mean-nats ``lm_score`` — all order-free exact, like the unigram path."""
+    uni_map = F.create_map(
+        *[
+            x
+            for t, c in sorted(lm.uni.vocab.items())
+            for x in (F.lit(t), F.lit(lm.uni.logq_micro(c)))
+        ]
+    )
+    oov = F.lit(lm.uni.logq_micro(0))
+    bi_map = (
+        F.create_map(
+            *[
+                x
+                for b, q in sorted(lm.bigram_lq.items())
+                for x in (F.lit(b), F.lit(q))
+            ]
+        )
+        if lm.bigram_lq
+        else None
+    )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def uni_lq(tcol):
+        return F.coalesce(F.try_element_at(uni_map, tcol), oov)
+
+    def pair_lq(i):
+        key = F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i))
+        fallback = F.lit(LQ_BACKOFF) + uni_lq(F.element_at(toks, i))
+        if bi_map is None:
+            return fallback
+        return F.coalesce(F.try_element_at(bi_map, key), fallback)
+
+    rest = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(2), n), pair_lq)
+    ).otherwise(F.array().cast("array<bigint>"))
+    rest_sum = F.aggregate(
+        rest, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    hits = (
+        F.size(
+            F.filter(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(2), n),
+                        lambda i: F.try_element_at(
+                            bi_map,
+                            F.concat_ws(
+                                " ",
+                                F.element_at(toks, i - 1),
+                                F.element_at(toks, i),
+                            ),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
+                lambda x: x.isNotNull(),
+            )
+        )
+        if bi_map is not None
+        else F.lit(0)
+    )
+    total = F.when(n > 0, uni_lq(F.element_at(toks, 1)).cast("long") + rest_sum)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        hits.cast("long").alias("bigram_hits"),
+        F.coalesce(total, F.lit(0).cast("long")).alias("logq_micro_sum"),
+        F.when(
+            n > 0,
+            F.round(total.cast("double") / (n.cast("double") * 1_000_000.0), 6),
+        ).alias("lm_score"),
+    )

@@ -1088,3 +1088,82 @@ def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.dedup import chunk_dedup
 
     return chunk_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+from vector_db_spark.operators.lm import LQ_BACKOFF  # noqa: E402
+
+_BIGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, unnest(toks) AS token, unnest(range(1, len(toks)+1)) AS ord
+  FROM w
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM dt),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM dt GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT 16
+),
+uni AS (
+  SELECT token, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lq
+  FROM vocab, tot
+),
+oovq AS (SELECT CAST(floor(ln(0.5 / total) * 1000000) AS BIGINT) AS lq FROM tot),
+bg AS (
+  SELECT a.doc_id, a.ord, a.token || ' ' || b.token AS bigram
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS t1, COUNT(*) AS ctx_cnt FROM bg GROUP BY 1),
+topb AS (
+  SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+  ORDER BY cnt DESC, bigram ASC LIMIT 32
+),
+bq AS (
+  SELECT t.bigram,
+         CAST(floor(ln(CAST(t.cnt AS DOUBLE) / c.ctx_cnt) * 1000000) AS BIGINT) AS lq
+  FROM topb t JOIN ctx c ON split_part(t.bigram, ' ', 1) = c.t1
+),
+scored_tok AS (
+  SELECT d.doc_id,
+         CASE WHEN d.ord = 1 THEN COALESCE(u.lq, (SELECT lq FROM oovq))
+              ELSE COALESCE(b2.lq, {LQ_BACKOFF} + COALESCE(u.lq, (SELECT lq FROM oovq)))
+         END AS lq,
+         CASE WHEN d.ord > 1 AND b2.lq IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM dt d
+  LEFT JOIN bg g ON g.doc_id = d.doc_id AND g.ord = d.ord - 1
+  LEFT JOIN bq b2 ON b2.bigram = g.bigram
+  LEFT JOIN uni u ON d.token = u.token
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(hit) AS BIGINT) AS bigram_hits,
+         CAST(SUM(lq) AS BIGINT) AS logq_micro_sum
+  FROM scored_tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.bigram_hits, 0) AS bigram_hits,
+       COALESCE(s.logq_micro_sum, 0) AS logq_micro_sum,
+       CASE WHEN s.n_tokens > 0 THEN
+         round(CAST(s.logq_micro_sum AS DOUBLE)
+               / (CAST(s.n_tokens AS DOUBLE) * 1000000.0), 6)
+       END AS lm_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+@query("bigram_lm_score", oracle=_BIGRAM_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (operators/lm.py BigramLm) — the
+    next rung above unigram scoring on the CCNet/KenLM ladder: adjacent-
+    pair conditionals for the top-B bigrams, 0.4-penalty backoff to the
+    unigram table otherwise. Training is two bounded-collect shuffles;
+    scoring is zero-shuffle literal-map lookups with integer micro-nat
+    sums, so the giant 5-CTE oracle reproduces every score bit-for-bit."""
+    from vector_db_spark.operators.lm import score_documents_bigram, train_bigram
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = train_bigram(docs, top_v=16, top_b=32)
+    return score_documents_bigram(docs, lm)

@@ -1179,3 +1179,44 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_MOVING_AVG_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 6) AS trailing_avg
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("events_moving_avg", oracle=_MOVING_AVG_ORACLE)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user moving average — the time-RANGE window
+    frame (every event aggregates its user's events in [ts-1h, ts]).
+    Frames are value-ranges over epoch-µs, so tied timestamps share a
+    frame deterministically; the windowed sum stays DECIMAL until the
+    final divide so the fold order inside the frame can't perturb the
+    float result. One shuffle (hash by user_id), per-partition sort —
+    no global sort at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trailing_avg"),
+    )
