@@ -327,3 +327,61 @@ def test_chunk_dedup_validates(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="chunk_words"):
         chunk_dedup(docs, chunk_words=0)
+
+
+def test_semantic_dedup_blocking_recall(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.dedup import semantic_dedup, semantic_pairs
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    emb.count()
+    exact = semantic_pairs(emb, n_clusters=1, threshold=0.4)
+    blocked = semantic_pairs(emb, n_clusters=4, threshold=0.4)
+    exact_set = {(r.a_id, r.b_id) for r in exact.collect()}
+    blocked_set = {(r.a_id, r.b_id) for r in blocked.collect()}
+    # blocking can only MISS pairs, never invent them
+    assert blocked_set <= exact_set
+    assert exact_set, "fixture must contain planted near-dup pairs"
+    # the fixture's planted pairs are WEAKLY similar (cos 0.4-0.5 — below
+    # SemDeDup's intended near-identical regime), so only a loose floor
+    # holds here; the true-duplicate recall test below uses planted
+    # cos≈0.99 pairs where the paper's co-clustering premise applies
+    assert len(blocked_set) / len(exact_set) >= 0.6
+    # verdict shape: every id present exactly once; canonical rows kept
+    verdict = semantic_dedup(emb, n_clusters=4, threshold=0.4)
+    assert verdict.count() == emb.count()
+    kept = verdict.filter("keep")
+    assert kept.filter(F.col("canonical_id") != F.col("vec_id")).count() == 0
+    emb.unpersist()
+
+
+def test_semantic_dedup_finds_true_near_dups_across_clusters(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.dedup import semantic_dedup, semantic_pairs
+
+    # 4 well-separated concept blobs; 10 docs get a near-identical twin
+    # (cos ≈ 0.999). SemDeDup blocking must find EVERY twin pair, because
+    # near-identical vectors cannot land in different KMeans cells.
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    vid = 0
+    twins = []
+    for b in range(4):
+        for i in range(25):
+            v = centers[b] + rng.standard_normal(16) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            if i < 10 and b == 0:
+                rows.append((vid + 1000, [float(x) for x in v + rng.standard_normal(16) * 1e-3]))
+                twins.append((vid, vid + 1000))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a_id, r.b_id) for r in semantic_pairs(df, n_clusters=4, threshold=0.999).collect()}
+    assert set(twins) <= got
+    verdict = semantic_dedup(df, n_clusters=4, threshold=0.999)
+    dropped = {r.vec_id for r in verdict.filter("NOT keep").collect()}
+    assert {b for _, b in twins} <= dropped  # the twin (higher id) drops
+    assert not dropped & {a for a, _ in twins}  # canonicals survive

@@ -555,3 +555,95 @@ def chunk_dedup(
             (F.col("n_chunks") - F.col("n_kept")).cast("int").alias("n_dropped"),
         )
     )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup blocking (Abbas et al. 2023, arXiv:2303.09540): embedding
+    near-duplicates are searched only WITHIN a KMeans cell — the paper's
+    observation is that semantic duplicates land in the same cluster, so
+    the O(n²) pair space shrinks to Σ|cell|². ``n_clusters`` plays the
+    paper's k: scale it with the corpus so cells stay bounded (they use
+    k=50k for LAION); ``n_clusters=1`` degenerates to the exact all-pairs
+    operator, which is how the pipeline is oracle-verified.
+
+    Plan: one cosine-space KMeans assignment (operators/ann.IvfIndex —
+    bounded-sample fit, literal-centroid codegen assignment), one shuffle
+    by cell, one Arrow-batched BLAS gram matrix per cell. Emits
+    (a_id, b_id, sim) with a_id < b_id and sim >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_db_spark.operators.ann import IvfIndex
+
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    idx = IvfIndex.build(
+        df.select(id_col, vec_col),
+        nlist=n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+        metric="cosine",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = v / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "sim": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    return idx.assignments.groupBy("cluster_id").applyInPandas(
+        cell_pairs, schema="a_id long, b_id long, sim double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Full SemDeDup verdict: cluster-blocked cosine pairs → transitive
+    duplicate components (min-label propagation) → keep exactly the
+    canonical (minimum-id) member of every component. Returns one row per
+    input: (id, canonical_id, keep) — filter ``keep`` to materialize the
+    deduplicated corpus."""
+    pairs = semantic_pairs(
+        df, n_clusters, threshold, id_col, vec_col, seed, max_iter
+    )
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    out = df.select(id_col).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    canonical = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        canonical.alias("canonical_id"),
+        (canonical == F.col(id_col)).alias("keep"),
+    )

@@ -1167,3 +1167,56 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     lm = train_bigram(docs, top_v=16, top_b=32)
     return score_documents_bigram(docs, lm)
+
+
+_SEM_COS = cosine_sim_sql("a.embedding", "b.embedding")
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_SEM_COS} >= 0.4
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+verts AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, min(label) AS canonical FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.canonical, e.vec_id) AS canonical_id,
+       COALESCE(c.canonical, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+
+
+@query("semantic_dedup_exhaustive", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup correctness gate (operators/dedup.semantic_dedup): with
+    n_clusters=1 the cluster blocking degenerates to exact all-pairs
+    cosine, so the cluster-assign → per-cell BLAS pairs → min-label
+    components → keep-canonical pipeline must reproduce the recursive-CTE
+    oracle exactly."""
+    from vector_db_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=1, threshold=0.4)
+
+
+@query("semantic_dedup_clustered")
+def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup path: pairs only within KMeans cells
+    (rows-only — blocking recall vs the exhaustive gate is pinned in
+    tests/test_text_dedup.py; at corpus scale n_clusters grows with n so
+    cells stay bounded)."""
+    from vector_db_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
