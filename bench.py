@@ -41,7 +41,11 @@ HEADLINE = [
     "knn_filtered_neq",
     "knn_batch",
     "knn_quantized_l2",
+    "knn_hamming_rerank",
     "dedup_exact",
+    "chunk_dedup_docs",
+    "semantic_dedup_clustered",
+    "bigram_lm_score",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",
@@ -56,6 +60,7 @@ HEADLINE = [
     "tpch_q17_small_qty",
     "cube_lineitem",
     "window_top_customers",
+    "events_moving_avg",
     "events_sessionization",
     "multimodal_image_features",
     "stream_tumbling_agg",

@@ -331,3 +331,34 @@ def test_bigram_lm_backoff_arithmetic(spark):
     row = score_documents_bigram(probe, lm).collect()[0]
     assert row.logq_micro_sum == lm.uni.logq_micro(1) + LQ_BACKOFF + uni_a
     assert row.bigram_hits == 0
+
+
+def test_bigram_pmi_prefers_exclusive_pairs(spark):
+    from vector_db_spark.operators.lm import bigram_pmi
+
+    # "x y" always co-occur exclusively (3 times); "a b" pair exists but a
+    # and b are each frequent alone -> PMI(x y) > PMI(a b)
+    docs = spark.createDataFrame(
+        [(1, "x y a"), (2, "x y b"), (3, "x y a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = bigram_pmi(docs, min_count=3, top_n=5).collect()
+    by_bigram = {r.bigram: r for r in rows}
+    assert "x y" in by_bigram and "a b" in by_bigram
+    assert by_bigram["x y"].pmi_micro > by_bigram["a b"].pmi_micro
+    assert by_bigram["x y"].n_pair == 3
+    # ranking is (pmi DESC, bigram ASC)
+    pmis = [r.pmi_micro for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_norm_extremes_flags_planted_outlier(spark):
+    from vector_db_spark.operators.vector_stats import norm_extremes
+
+    rows = [(i, [1.0] * 4) for i in range(20)]
+    rows.append((99, [30.0] * 4))  # giant norm
+    rows.append((98, [0.0] * 4))   # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = norm_extremes(df, k=2).collect()
+    assert [r.vec_id for r in got] == [99, 98]
+    assert got[0].norm_sq == 3600.0

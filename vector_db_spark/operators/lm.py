@@ -273,3 +273,79 @@ def score_documents_bigram(
             F.round(total.cast("double") / (n.cast("double") * 1_000_000.0), 6),
         ).alias("lm_score"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-N adjacent-pair collocations by pointwise
+    mutual information, PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ).
+
+    Fully distributed: one bigram groupBy, one token groupBy, two
+    equi-joins to attach the marginals, then a TakeOrdered cut — no
+    driver-side frequency tables (the vocabulary is unbounded). The PMI
+    quotient is assembled with a PINNED double operation order
+    ``(((cnt_ab·T)/P)·T)/cnt_a/cnt_b`` (T tokens, P pairs) and quantized
+    to floor-micro-nats, so the SQL oracle reproduces the ranking and the
+    scores bit-for-bit. ``min_count`` suppresses the classic PMI
+    singleton-pair artifact; ties break (pmi DESC, bigram ASC).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = fan_out(df)
+    pairs = staged.select(F.explode(pair_arr).alias("bigram"))
+    tok = staged.select(F.explode(toks).alias("token"))
+    total_tokens = tok.count()
+    total_pairs = pairs.count()
+    if total_pairs == 0:
+        raise ValueError("corpus has no bigrams")
+    bcnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_pair"))
+    tcnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    t1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    t2 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+    joined = (
+        bcnt.filter(F.col("n_pair") >= min_count)
+        .withColumn("t1", t1)
+        .withColumn("t2", t2)
+        .join(tcnt.withColumnRenamed("token", "t1").withColumnRenamed("n_tok", "n_first"), "t1")
+        .join(tcnt.withColumnRenamed("token", "t2").withColumnRenamed("n_tok", "n_second"), "t2")
+    )
+    quotient = (
+        (
+            (
+                (F.col("n_pair").cast("double") * F.lit(float(total_tokens)))
+                / F.lit(float(total_pairs))
+            )
+            * F.lit(float(total_tokens))
+        )
+        / F.col("n_first").cast("double")
+    ) / F.col("n_second").cast("double")
+    scored = joined.withColumn(
+        "pmi_micro", F.floor(F.ln(quotient) * 1_000_000).cast("long")
+    )
+    return (
+        scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(top_n)
+        .select(
+            "bigram",
+            "n_pair",
+            "n_first",
+            "n_second",
+            "pmi_micro",
+            F.round(F.col("pmi_micro").cast("double") / 1_000_000.0, 6).alias("pmi"),
+        )
+    )

@@ -75,3 +75,44 @@ def centroid_vectors(
         )["centroid"].alias("centroid"),
         F.max("n_vecs").alias("n_vecs"),
     )
+
+
+def norm_extremes(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding QA: the ``k`` vectors whose squared norm sits farthest
+    from the corpus mean — the cheap screen for broken rows (zero/clipped
+    vectors, unnormalized outliers, wrong-scale ingests) before they
+    poison KMeans fits or cosine thresholds.
+
+    Exactness: the corpus mean of ‖x‖² uses the same 2^96-scaled
+    per-element DECIMAL sums as label_centroids (order-free, engine
+    -exact); each row's ‖x‖² is the standard left-assoc float64 fold.
+    Ranking by |‖x‖² − μ| is then a TakeOrderedAndProject over identical
+    doubles — no σ, no quantiles, nothing whose engine arithmetic is
+    opaque. Ties break by id."""
+    from vector_db_spark.functions.vector import dot
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    row = e.agg(
+        F.sum((F.col("v") * F.col("v") * F.lit(_S2)).cast("decimal(38,0)")).alias("s2"),
+        F.count(F.lit(1)).alias("nv"),
+    ).head()
+    n_rows = df.count()
+    if n_rows == 0:
+        raise ValueError("corpus is empty")
+    mean_norm_sq = float(row.s2) / (n_rows * _S2)
+    norm_sq = dot(F.col(vec_col), F.col(vec_col))
+    out = df.select(
+        F.col(id_col),
+        norm_sq.alias("norm_sq"),
+        F.abs(norm_sq - F.lit(mean_norm_sq)).alias("abs_dev"),
+    )
+    return out.orderBy(F.col("abs_dev").desc(), F.col(id_col).asc()).limit(k)

@@ -1220,3 +1220,52 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
+_PMI_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, unnest(toks) AS token, unnest(range(1, len(toks)+1)) AS ord
+  FROM w
+),
+bg AS (
+  SELECT a.token || ' ' || b.token AS bigram
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM dt) AS t,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM bg) AS p
+),
+bcnt AS (SELECT bigram, COUNT(*) AS n_pair FROM bg GROUP BY bigram),
+tcnt AS (SELECT token, COUNT(*) AS n_tok FROM dt GROUP BY token),
+scored AS (
+  SELECT b.bigram, b.n_pair, f.n_tok AS n_first, s.n_tok AS n_second,
+         CAST(floor(ln(
+           ((((CAST(b.n_pair AS DOUBLE) * tot.t) / tot.p) * tot.t)
+             / CAST(f.n_tok AS DOUBLE)) / CAST(s.n_tok AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS pmi_micro
+  FROM bcnt b, tot
+  JOIN tcnt f ON f.token = split_part(b.bigram, ' ', 1)
+  JOIN tcnt s ON s.token = split_part(b.bigram, ' ', 2)
+  WHERE b.n_pair >= 3
+)
+SELECT bigram, n_pair, n_first, n_second, pmi_micro,
+       round(CAST(pmi_micro AS DOUBLE) / 1000000.0, 6) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@query("bigram_pmi_collocations", oracle=_PMI_ORACLE)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (operators/lm.py
+    bigram_pmi): fully-distributed count joins, a pinned-operation-order
+    PMI quotient, floor-micro-nat quantization and a TakeOrdered cut —
+    the ranking and every score hash-match the SQL oracle."""
+    from vector_db_spark.operators.lm import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir).select("doc_id", "text"), min_count=3, top_n=20)

@@ -328,3 +328,42 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.hybrid import mmr_rerank
 
     return mmr_rerank(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, shortlist=100, lam=0.5)
+
+
+_S2_LIT = "79228162514264337593543950336.0"  # 2^96, the square scale
+
+_NORM_EXTREMES_ORACLE = f"""
+WITH e AS (
+  SELECT embedding[i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+m AS (
+  SELECT CAST(SUM(CAST(v * v * {_S2_LIT} AS DECIMAL(38,0))) AS DOUBLE)
+         / ((SELECT COUNT(*) FROM embeddings) * {_S2_LIT}) AS mu
+  FROM e
+),
+scored AS (
+  SELECT x.vec_id,
+         {dot_sql('x.embedding', 'x.embedding')} AS norm_sq,
+         abs(({dot_sql('x.embedding', 'x.embedding')}) - m.mu) AS abs_dev
+  FROM embeddings x, m
+)
+SELECT vec_id, round(norm_sq, 6) AS norm_sq, round(abs_dev, 6) AS abs_dev
+FROM (SELECT * FROM scored ORDER BY abs_dev DESC, vec_id LIMIT 20) t
+"""
+
+
+@query("embedding_norm_extremes", oracle=_NORM_EXTREMES_ORACLE)
+def embedding_norm_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA screen (operators/vector_stats.norm_extremes): the 20
+    vectors whose squared norm deviates most from the exact corpus mean —
+    2^96-scaled DECIMAL moment, float64 fold norms, TakeOrdered cut, all
+    engine-exact."""
+    from vector_db_spark.operators.vector_stats import norm_extremes
+
+    res = norm_extremes(_emb(spark, sf_dir), k=20)
+    return res.select(
+        "vec_id",
+        F.round("norm_sq", 6).alias("norm_sq"),
+        F.round("abs_dev", 6).alias("abs_dev"),
+    )
