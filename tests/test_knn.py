@@ -253,3 +253,38 @@ def test_hybrid_search_bm25_kernel(spark):
     assert len(rows) == 10
     with pytest.raises(ValueError, match="keyword"):
         hybrid_search(corpus, "spark", qv, 5, keyword="tfidf")
+
+
+def test_knn_page_cursor_spans_tied_distances(spark):
+    from vector_db_spark.operators.knn import knn, knn_page
+
+    # five IDENTICAL vectors (all distance 0) + two distinct: the page
+    # boundary falls inside the tie group, so the cursor must resume by id
+    rows = [(i, [1.0, 0.0]) for i in range(1, 6)]
+    rows += [(10, [2.0, 0.0]), (11, [3.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0]
+    page1 = knn(df, q, 3).collect()
+    assert [r.vec_id for r in page1] == [1, 2, 3]
+    cur = (page1[-1].distance, page1[-1].vec_id)
+    page2 = knn_page(df, q, 3, after=cur).collect()
+    assert [r.vec_id for r in page2] == [4, 5, 10]
+    page3 = knn_page(df, q, 3, after=(page2[-1].distance, page2[-1].vec_id)).collect()
+    assert [r.vec_id for r in page3] == [11]
+    # pages tile the full ranking exactly
+    assert [r.vec_id for r in page1 + page2 + page3] == [
+        r.vec_id for r in knn(df, q, 7).collect()
+    ]
+
+
+def test_column_stats_counts_nulls_and_ndv(spark):
+    from vector_db_spark.operators.vector_stats import column_stats
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 5.0), (None, 7.0)],
+        "a double, b double",
+    )
+    got = {r.column: r for r in column_stats(df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 4 and got["a"].n_nulls == 1
+    assert got["a"].n_distinct == 2 and got["a"].min_val == 1.0 and got["a"].max_val == 2.0
+    assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2

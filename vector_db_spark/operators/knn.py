@@ -334,3 +334,44 @@ def pairwise_similarity_blocked(
 
     schema = f"a_id long, b_id long, {out} double"
     return exploded.groupBy("bi", "bj").applyInPandas(cell_pairs, schema=schema)
+
+
+def knn_page(
+    corpus: DataFrame,
+    query: Sequence[float] | Column,
+    k: int,
+    after: tuple[float, int] | None = None,
+    *,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Keyset-paginated kNN (the vector-store ``search_after`` cursor):
+    page N+1 passes page N's last ``(score, id)`` and the plan filters
+    strictly-after rows in (metric, id) order BEFORE the top-k — still
+    TakeOrderedAndProject over a pushed-down scan, and unlike
+    OFFSET-pagination no skipped row is ever recomputed or shuffled.
+    The equality arm of the keyset test compares distances EXACTLY —
+    sound here because every engine path computes the same left-assoc
+    float64 fold (vector_db_spark/oracle.py), so a tied distance is
+    bit-identical wherever it appears."""
+    expr_fn, ascending = _metric(metric)
+    out = SCORE_COL[metric]
+    page_pred = predicate
+    if after is not None:
+        last_score, last_id = float(after[0]), int(after[1])
+        qcol = query if isinstance(query, Column) else query_literal(query)
+        d = expr_fn(F.col(vec_col), qcol)
+        strictly = d > last_score if ascending else d < last_score
+        keyset = strictly | ((d == last_score) & (F.col(id_col) > last_id))
+        page_pred = keyset if page_pred is None else (page_pred & keyset)
+    return knn(
+        corpus,
+        query,
+        k,
+        metric=metric,
+        vec_col=vec_col,
+        id_col=id_col,
+        predicate=page_pred,
+    )

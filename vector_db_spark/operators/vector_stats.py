@@ -116,3 +116,47 @@ def norm_extremes(
         F.abs(norm_sq - F.lit(mean_norm_sq)).alias("abs_dev"),
     )
     return out.orderBy(F.col("abs_dev").desc(), F.col(id_col).asc()).limit(k)
+
+
+def column_stats(
+    df: DataFrame,
+    numeric_cols: "list[str]",
+) -> DataFrame:
+    """ANALYZE-style per-column statistics: one row per column with
+    (column, n_rows, n_nulls, n_distinct, min_val, max_val) — the numbers
+    that drive pruning decisions (broadcast thresholds, filter
+    selectivity, partition-column choice). One aggregate job for ALL
+    columns (a single corpus scan emitting 4·|cols| partial aggregates,
+    map-side combined), then a tiny unpivot — never one pass per column.
+    n_distinct is exact (count distinct inside the same grouped agg);
+    values surface as double for a uniform schema."""
+    if not numeric_cols:
+        raise ValueError("numeric_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.countDistinct(col).alias(f"__ndv_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__nulls_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"__ndv_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_val"),
+                        F.col(f"__max_{c}").alias("max_val"),
+                    )
+                    for c in numeric_cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")

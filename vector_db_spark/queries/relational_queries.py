@@ -1220,3 +1220,39 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trailing_avg"),
     )
+
+
+_COLSTATS_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+         CAST(COUNT(DISTINCT CAST(l_quantity AS DOUBLE)) AS BIGINT) AS q_ndv,
+         MIN(CAST(l_quantity AS DOUBLE)) AS q_min, MAX(CAST(l_quantity AS DOUBLE)) AS q_max,
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+         CAST(COUNT(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS p_ndv,
+         MIN(CAST(l_extendedprice AS DOUBLE)) AS p_min, MAX(CAST(l_extendedprice AS DOUBLE)) AS p_max,
+         CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+         CAST(COUNT(DISTINCT CAST(l_discount AS DOUBLE)) AS BIGINT) AS d_ndv,
+         MIN(CAST(l_discount AS DOUBLE)) AS d_min, MAX(CAST(l_discount AS DOUBLE)) AS d_max
+  FROM lineitem
+)
+SELECT 'l_quantity' AS "column", n_rows, q_nulls AS n_nulls, q_ndv AS n_distinct,
+       q_min AS min_val, q_max AS max_val FROM s
+UNION ALL
+SELECT 'l_extendedprice', n_rows, p_nulls, p_ndv, p_min, p_max FROM s
+UNION ALL
+SELECT 'l_discount', n_rows, d_nulls, d_ndv, d_min, d_max FROM s
+"""
+
+
+@query("column_stats_lineitem", oracle=_COLSTATS_ORACLE)
+def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (operators/vector_stats.column_stats):
+    exact null/NDV/min/max for three lineitem measures in ONE scan — the
+    stats that size broadcasts and judge filter selectivity at plan time."""
+    from vector_db_spark.operators.vector_stats import column_stats
+
+    return column_stats(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

@@ -367,3 +367,32 @@ def embedding_norm_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("norm_sq", 6).alias("norm_sq"),
         F.round("abs_dev", 6).alias("abs_dev"),
     )
+
+
+_PAGE2_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ranked AS (
+  SELECT e.vec_id, {_L2} AS distance
+  FROM embeddings e, q
+  ORDER BY distance, e.vec_id
+  LIMIT {K} OFFSET {K}
+)
+SELECT vec_id, round(distance, 6) AS distance FROM ranked
+"""
+
+
+@query("knn_page_two", oracle=_PAGE2_ORACLE)
+def knn_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (operators/knn.knn_page): fetch page 1, cursor on
+    its last (distance, id), fetch page 2 with the strictly-after keyset
+    filter. Must equal the oracle's OFFSET formulation row-for-row — the
+    cursor skips nothing and duplicates nothing, including across tied
+    distances."""
+    from vector_db_spark.operators.knn import knn, knn_page
+
+    emb = _emb(spark, sf_dir)
+    qv = _qvec(spark, sf_dir)
+    page1 = knn(emb, qv, K).collect()
+    cursor = (page1[-1].distance, page1[-1].vec_id)
+    res = knn_page(emb, qv, K, after=cursor)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
