@@ -362,3 +362,52 @@ def test_norm_extremes_flags_planted_outlier(spark):
     got = norm_extremes(df, k=2).collect()
     assert [r.vec_id for r in got] == [99, 98]
     assert got[0].norm_sq == 3600.0
+
+
+def test_bpe_learns_textbook_merges(spark):
+    from vector_db_spark.operators.bpe import END_OF_WORD, train_bpe
+
+    # 'ab' appears in every word (weight 5); after merging 'a b', the pair
+    # ('ab', EOW) dominates (weight 3: ab, ab, ab-final words)
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abd")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, n_merges=2)
+    assert model.merges[0][:2] == ("a", "b")
+    assert model.merges[0][2] == 5
+    assert model.merges[1][:2] == ("ab", END_OF_WORD)
+    assert model.merges[1][2] == 3
+
+
+def test_bpe_merge_is_leftmost_nonoverlapping(spark):
+    from vector_db_spark.operators.bpe import BpeModel, tokenize_bpe
+
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    model = BpeModel(merges=[("a", "a", 0)])
+    row = tokenize_bpe(docs, model).collect()[0]
+    # 'aaaa' -> [aa, aa, EOW]; 'aaa' -> [aa, a, EOW] (greedy, no chaining)
+    from vector_db_spark.operators.bpe import END_OF_WORD as W
+
+    assert list(row.tokens) == ["aa", "aa", W, "aa", "a", W]
+
+
+def test_bpe_train_is_deterministic_and_tokenize_roundtrips(spark):
+    from vector_db_spark.operators.bpe import END_OF_WORD, tokenize_bpe, train_bpe
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    m1 = train_bpe(docs, n_merges=5)
+    m2 = train_bpe(docs, n_merges=5)
+    assert m1.merges == m2.merges
+    assert len(m1.merges) == 5
+    toks = tokenize_bpe(docs.limit(20), m1)
+    rows = toks.collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    # concatenating a doc's tokens and dropping EOW reconstructs its words
+    doc = docs.limit(1).collect()[0]
+    got = next(r for r in tokenize_bpe(docs.limit(1), m1).collect() if r.doc_id == doc.doc_id)
+    rebuilt = "".join(t for t in got.tokens).replace(END_OF_WORD, " ").strip()
+    assert rebuilt == " ".join(doc.text.split())

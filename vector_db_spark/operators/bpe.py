@@ -1,0 +1,165 @@
+"""Byte-pair-encoding vocabulary induction, Spark-first.
+
+The tokenizer-training half of the pipeline (Sennrich et al. 2016,
+arXiv:1508.07909): learn a merge table from corpus statistics, then
+tokenize with it. The reference engine has nothing comparable
+(training-data-pipeline extension surface); ``functions/text.py``'s
+BPE-ish *pre-tokenizer* splits text the way a trained tokenizer would
+see it — this module learns the merges themselves.
+
+Spark decomposition (the 100 TB story):
+
+- **Word table, not corpus.** Classic BPE trains on the word-frequency
+  table. One corpus-wide token groupBy produces (word, cnt) — at 100 TB
+  that is the only full-data pass; everything after operates on the
+  distinct-word table, which grows sublinearly (and can be truncated to
+  the top-W words like every bounded-fit in this engine — the IVF
+  quantizer, the LM vocab).
+- **One shuffle per merge round.** A round counts adjacent symbol pairs
+  weighted by word count (explode → groupBy → map-side combine) and takes
+  the argmax with a deterministic (weight DESC, pair ASC) tie-break — a
+  1-row TakeOrdered to the driver. The merge itself is a row-local
+  left-to-right non-overlapping fold (pure codegen, F.aggregate), the
+  same greedy order every BPE implementation uses.
+- **Tokenize by join, not re-encode.** Applying M merges to every corpus
+  row would evaluate an M-deep expression per occurrence; instead the
+  word TABLE is encoded once and the corpus broadcast-joins word →
+  token-array. Repeated words cost nothing.
+
+The merge loop is inherently iterative (argmax depends on all previous
+merges), so the registered query is rows-only; determinism and the
+textbook merge sequence are pinned in tests/test_pipeline_ops.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import tokens
+
+END_OF_WORD = "▁"  # marks word end so "est"+EOW can differ from "est"
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Replace adjacent (a, b) with a+b, leftmost-first non-overlapping —
+    the fold's accumulator tail is the merged symbol, so it cannot chain
+    into the next occurrence (BPE's standard greedy order)."""
+    merged = F.lit(a + b)
+
+    def step(acc: Column, x: Column) -> Column:
+        tail_is_a = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
+        return F.when(
+            tail_is_a & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _word_table(df: DataFrame, text_col: str, top_w: int | None) -> DataFrame:
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if top_w is not None:
+        words = words.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(top_w)
+    syms = F.concat(
+        F.split(F.col("word"), ""),  # one element per character
+        F.array(F.lit(END_OF_WORD)),
+    )
+    return words.withColumn("syms", syms)
+
+
+@dataclass
+class BpeModel:
+    merges: list[tuple[str, str, int]]  # (left, right, weighted pair count)
+
+    @property
+    def merge_pairs(self) -> list[tuple[str, str]]:
+        return [(a, b) for a, b, _ in self.merges]
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    top_w: int | None = None,
+) -> BpeModel:
+    """Learn ``n_merges`` BPE merges from the corpus (driver state: the
+    merge list — O(n_merges), corpus-size-independent). ``top_w`` bounds
+    the word table for very large corpora (the standard sampled-fit
+    trade, explicit rather than silent). Stops early when no pair occurs
+    twice."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wt = _word_table(df, text_col, top_w)
+    wt = wt.localCheckpoint(eager=True)  # cut lineage before the loop
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = wt.select(
+            F.col("cnt"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].w < 2:
+            break
+        a, b, w = best[0].p.a, best[0].p.b, int(best[0].w)
+        merges.append((a, b, w))
+        wt = wt.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        # checkpoint each round: n_merges folds would otherwise stack into
+        # one n-deep expression tree (analysis cost grows quadratically)
+        wt = wt.localCheckpoint(eager=True)
+    return BpeModel(merges)
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained model: encode the distinct-WORD table once
+    (chained merge folds over the word table only), then broadcast-join
+    word → token array back onto the corpus and flatten per document.
+    Returns (id, tokens array<string>, n_tokens)."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
+    syms: Column = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+    )
+    for a, b in model.merge_pairs:
+        syms = _merge_fold(syms, a, b)
+    encoded = words.select("word", syms.alias("word_toks"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
+    )
+    joined = exploded.join(F.broadcast(encoded), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word_toks"))),
+                    lambda s: s["word_toks"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

@@ -1269,3 +1269,22 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.lm import bigram_pmi
 
     return bigram_pmi(_docs(spark, sf_dir).select("doc_id", "text"), min_count=3, top_n=20)
+
+
+@query("bpe_vocab_docs")
+def bpe_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table induction (operators/bpe.train_bpe): 12 merge
+    rounds over the corpus word table, one pair-count shuffle per round,
+    deterministic (weight DESC, pair ASC) argmax. Inherently iterative —
+    each argmax depends on all prior merges — so rows-only; the textbook
+    merge sequence, greedy merge order, determinism and tokenize
+    round-trip are pinned in tests/test_pipeline_ops.py."""
+    from vector_db_spark.operators.bpe import train_bpe
+
+    model = train_bpe(_docs(spark, sf_dir).select("doc_id", "text"), n_merges=12)
+    rows = [
+        (i + 1, a, b, a + b, w) for i, (a, b, w) in enumerate(model.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, new_symbol string, weight long"
+    )
