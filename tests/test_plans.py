@@ -230,3 +230,53 @@ def test_salted_join_matches_plain_join_and_salts_the_key(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(large, small, ["k"], how="full")
+
+
+def test_lm_scoring_is_zero_shuffle(spark):
+    # literal-map LM scoring (uni + bigram) must add NO exchange: the
+    # whole scorer is row-local codegen over the scan
+    from vector_db_spark.operators.lm import (
+        BigramLm,
+        UnigramLm,
+        score_documents,
+        score_documents_bigram,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    uni = UnigramLm({"a": 3, "the": 2}, 100)
+    for res in (
+        score_documents(docs, uni),
+        score_documents_bigram(docs, BigramLm(uni, {"a the": -5})),
+    ):
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_chunk_dedup_is_two_exchanges(spark):
+    from vector_db_spark.operators.dedup import chunk_dedup
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    # window by chunk, regroup by doc — and nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_scan_reads_codes_not_vectors(spark):
+    # the two-stage rerank's FIRST scan must prune the raw vector column:
+    # reading 256B float vectors to compute 12B codes would defeat the op
+    from vector_db_spark.operators.binary import binary_quantize, knn_hamming
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    codes = binary_quantize(emb, dim=64).select("vec_id", "codes")
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="codes_") + "/codes.parquet"
+    codes.write.mode("overwrite").parquet(path)
+    saved = spark.read.parquet(path)
+    plan = knn_hamming(saved, [0.5] * 64, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "embedding" not in plan  # column pruned at the scan
