@@ -122,11 +122,64 @@ def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     Built as array-of-distances + array_position(array_min) so the
     expression stays LINEAR in nlist (a chained when(d < best_d) rewrite
     doubles the tree per centroid — exponential — and OOMs the driver at
-    nlist ≈ 16)."""
+    nlist ≈ 16). Even the linear form has a ceiling: nlist·dim literal
+    terms stall Catalyst analysis/codegen well before execution (measured:
+    nlist=100 × dim=64 ≈ 20k nodes takes MINUTES to plan). Callers switch
+    to `_nearest_centroid_arrow` past `_EXPR_ASSIGN_MAX` terms."""
     dists = F.array(*[_l2_to_literal(vec, c) for c in centroids])
     # array_position is 1-based and takes the FIRST minimum: deterministic
     # tie-break toward the lower cluster id.
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+_EXPR_ASSIGN_MAX = 1024  # nlist·dim ceiling for the literal-expression path
+
+
+def _nearest_centroid_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    metric: str,
+    max_sq_norm: float | None,
+) -> DataFrame:
+    """Cluster assignment as one Arrow-batched BLAS kernel — the large-
+    nlist path (production IVF uses nlist in the thousands; a literal
+    expression of that size stalls the optimizer, while one |B|×nlist
+    GEMM per Arrow batch is microseconds). The metric mapping (unit
+    sphere / MIPS augmentation) replicates the build-side expression;
+    argmin takes the FIRST minimum — the same lower-cell tie-break as
+    array_position(array_min)."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def assign(it):
+        for pdf in it:
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if metric == "cosine":
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                v = v / norms[:, None]
+            elif metric == "ip":
+                sq = (v * v).sum(axis=1)
+                aug = np.sqrt(np.maximum(float(max_sq_norm) - sq, 0.0))
+                v = np.concatenate([v, aug[:, None]], axis=1)
+            d = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            out = pdf.copy()
+            out[_CLUSTER_COL] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # NOT df.schema.add(...): StructType.add mutates in place, and
+    # DataFrame.schema is cached — mutating it desyncs .columns from the
+    # JVM plan and breaks the very mapInPandas call being built
+    schema = StructType(list(df.schema.fields) + [StructField(_CLUSTER_COL, IntegerType())])
+    return df.mapInPandas(assign, schema=schema)
 
 
 def _l2_to_literal(vec: Column, center: Sequence[float]) -> Column:
@@ -194,9 +247,14 @@ class IvfIndex:
                 F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
             )
         centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
-        assignments = corpus.withColumn(
-            _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
-        )
+        if nlist * len(centroids[0]) <= _EXPR_ASSIGN_MAX:
+            assignments = corpus.withColumn(
+                _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
+            )
+        else:
+            assignments = _nearest_centroid_arrow(
+                corpus, vec_col, centroids, metric, aug
+            )
         idx = IvfIndex(centroids, assignments, id_col, vec_col, metric)
         idx.max_sq_norm = aug
         return idx
@@ -308,10 +366,17 @@ class IvfIndex:
         Cell radii are invalidated (recomputed lazily over the unioned
         corpus on the next range_search).
         """
-        assigned = new_rows.withColumn(
-            _CLUSTER_COL,
-            _nearest_centroid_expr(self._mapped_vec(F.col(self.vec_col)), self.centroids),
-        )
+        if len(self.centroids) * len(self.centroids[0]) <= _EXPR_ASSIGN_MAX:
+            assigned = new_rows.withColumn(
+                _CLUSTER_COL,
+                _nearest_centroid_expr(
+                    self._mapped_vec(F.col(self.vec_col)), self.centroids
+                ),
+            )
+        else:
+            assigned = _nearest_centroid_arrow(
+                new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
+            )
         if path is not None:
             assigned.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
                 os.path.join(path, "assignments")

@@ -169,14 +169,20 @@ def train_bigram(
         ),
     ).otherwise(F.array().cast("array<string>"))
     pairs = fan_out(df).select(F.explode(pair_arr).alias("bigram"))
+    # ONE corpus-scale shuffle: every downstream number derives from the
+    # per-bigram counts (ctx(a) = Σ cnt over bigrams starting with a), so
+    # the context aggregation runs over the distinct-bigram table, not a
+    # second pass over the exploded corpus.
     bcounts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    bcounts = bcounts.localCheckpoint(eager=False)
     top = bcounts.orderBy(
         F.col("cnt").desc(), F.col("bigram").asc()
     ).limit(top_b)
     ctx = (
-        pairs.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("t1"))
-        .groupBy("t1")
-        .agg(F.count(F.lit(1)).alias("ctx_cnt"))
+        bcounts.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("t1")
+        )
+        .agg(F.sum("cnt").alias("ctx_cnt"))
     )
     rows = (
         top.withColumn("t1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
@@ -198,8 +204,10 @@ def score_documents_bigram(
 ) -> DataFrame:
     """Row-local bigram scoring, zero shuffle: the first token scores its
     unigram micro-nats, every later token scores its bigram micro-nats or
-    the decomposed backoff. Returns ``n_tokens``, ``bigram_hits`` (pairs
-    found in the top-B table), the integer ``logq_micro_sum`` and the
+    the decomposed backoff. The raw bigram-lookup array is STAGED as a
+    column so the map probes evaluate once and hits/sums both read the
+    staged attribute (the repo-wide stage-arrays-once rule). Returns
+    ``n_tokens``, ``bigram_hits``, the integer ``logq_micro_sum`` and the
     mean-nats ``lm_score`` — all order-free exact, like the unigram path."""
     uni_map = F.create_map(
         *[
@@ -220,50 +228,44 @@ def score_documents_bigram(
         if lm.bigram_lq
         else None
     )
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
 
     def uni_lq(tcol):
         return F.coalesce(F.try_element_at(uni_map, tcol), oov)
 
-    def pair_lq(i):
-        key = F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i))
-        fallback = F.lit(LQ_BACKOFF) + uni_lq(F.element_at(toks, i))
-        if bi_map is None:
-            return fallback
-        return F.coalesce(F.try_element_at(bi_map, key), fallback)
-
-    rest = F.when(
-        n >= 2, F.transform(F.sequence(F.lit(2), n), pair_lq)
-    ).otherwise(F.array().cast("array<bigint>"))
+    toks0 = tokens(F.col(text_col))
+    n0 = F.size(toks0)
+    raw = (
+        F.when(
+            n0 >= 2,
+            F.transform(
+                F.sequence(F.lit(2), n0),
+                lambda i: F.try_element_at(
+                    bi_map,
+                    F.concat_ws(
+                        " ", F.element_at(toks0, i - 1), F.element_at(toks0, i)
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        if bi_map is not None
+        else F.array().cast("array<bigint>")
+    )
+    staged = df.select(F.col(id_col), toks0.alias("__toks"), raw.alias("__bi"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # align __bi[j] (pair ending at token j+1) with its second token for
+    # the backoff arm; coalesce resolves hit vs LQ_BACKOFF + uni in one pass
+    rest = F.zip_with(
+        F.col("__bi"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda b, t: F.coalesce(b, F.lit(LQ_BACKOFF) + uni_lq(t)),
+    )
     rest_sum = F.aggregate(
         rest, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
     )
-    hits = (
-        F.size(
-            F.filter(
-                F.when(
-                    n >= 2,
-                    F.transform(
-                        F.sequence(F.lit(2), n),
-                        lambda i: F.try_element_at(
-                            bi_map,
-                            F.concat_ws(
-                                " ",
-                                F.element_at(toks, i - 1),
-                                F.element_at(toks, i),
-                            ),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>")),
-                lambda x: x.isNotNull(),
-            )
-        )
-        if bi_map is not None
-        else F.lit(0)
-    )
+    hits = F.size(F.filter(F.col("__bi"), lambda x: x.isNotNull()))
     total = F.when(n > 0, uni_lq(F.element_at(toks, 1)).cast("long") + rest_sum)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
         hits.cast("long").alias("bigram_hits"),
@@ -309,12 +311,16 @@ def bigram_pmi(
     staged = fan_out(df)
     pairs = staged.select(F.explode(pair_arr).alias("bigram"))
     tok = staged.select(F.explode(toks).alias("token"))
-    total_tokens = tok.count()
-    total_pairs = pairs.count()
-    if total_pairs == 0:
-        raise ValueError("corpus has no bigrams")
+    # totals derive from the aggregated count tables (tiny) — never a
+    # second pass over the exploded corpus
     bcnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_pair"))
     tcnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    bcnt = bcnt.localCheckpoint(eager=False)
+    tcnt = tcnt.localCheckpoint(eager=False)
+    total_tokens = int(tcnt.agg(F.sum("n_tok")).head()[0] or 0)
+    total_pairs = int(bcnt.agg(F.sum("n_pair")).head()[0] or 0)
+    if total_pairs == 0:
+        raise ValueError("corpus has no bigrams")
     t1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
     t2 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
     joined = (

@@ -1214,12 +1214,16 @@ def semantic_dedup_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production SemDeDup path: pairs only within KMeans cells
     (rows-only — blocking recall vs the exhaustive gate is pinned in
-    tests/test_text_dedup.py; at corpus scale n_clusters grows with n so
-    cells stay bounded)."""
+    tests/test_text_dedup.py). n_clusters SCALES with the corpus
+    (~500 rows/cell, the paper's k ∝ n recipe) so the per-cell gram
+    matrix stays bounded no matter the scale factor — a fixed nlist
+    would quadratically blow the cell BLAS at 100× data."""
     from vector_db_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    n = emb.count()
+    nlist = max(8, min(256, n // 500))
+    return semantic_dedup(emb, n_clusters=nlist, threshold=0.4)
 
 
 _PMI_ORACLE = """
