@@ -411,3 +411,18 @@ def test_bpe_train_is_deterministic_and_tokenize_roundtrips(spark):
     got = next(r for r in tokenize_bpe(docs.limit(1), m1).collect() if r.doc_id == doc.doc_id)
     rebuilt = "".join(t for t in got.tokens).replace(END_OF_WORD, " ").strip()
     assert rebuilt == " ".join(doc.text.split())
+
+
+def test_skipgram_pairs_window_edges(spark):
+    from vector_db_spark.operators.packing import skipgram_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = {(r.center, r.context): r.n for r in skipgram_pairs(docs, window=1).collect()}
+    # window 1 on "a b c": (a,b),(b,a),(b,c),(c,b)
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1}
+    got2 = {(r.center, r.context): r.n for r in skipgram_pairs(docs, window=2).collect()}
+    assert got2[("a", "c")] == 1 and got2[("c", "a")] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(docs, window=0)

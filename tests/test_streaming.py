@@ -274,3 +274,45 @@ def test_stream_ann_search_multibatch_and_resume(spark, tmp_path):
     ) == sorted(
         [(r.query_id, r.rank, r.vec_id, round(r.distance, 6)) for r in want.collect()]
     )
+
+
+def test_stream_doc_dedup_state_survives_resume(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    stage, ckpt, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    docs.write.mode("append").parquet(stage)
+
+    def _drain_to_parquet():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(stage)
+            .withColumn("content_hash", F.md5("text"))
+            .dropDuplicates(["content_hash"])
+            .select("content_hash")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120_000)
+
+    _drain_to_parquet()
+    first = {r.content_hash for r in spark.read.parquet(out).collect()}
+    assert len(first) == 2
+    # second wave: one duplicate of 'alpha', one new text — resuming the
+    # SAME checkpoint must emit only the new hash (state persisted)
+    spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+    ).write.mode("append").parquet(stage)
+    _drain_to_parquet()
+    after = {r.content_hash for r in spark.read.parquet(out).collect()}
+    assert len(after) == 3  # not 4: 'alpha' deduped across batches/runs

@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.text import token_count
+from vector_db_spark.functions.text import token_count, tokens
 from vector_db_spark.operators.sampling import hash_bucket
+from vector_db_spark.operators.util import fan_out
 
 
 def pack_sequences(
@@ -66,4 +67,55 @@ def pack_sequences(
             F.floor(start / max_tokens).alias("pack_id"),
             (start % max_tokens).alias("start_off"),
         )
+    )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word2vec-style (center, context) pair counts — the training-data
+    prep for embedding models (Mikolov et al. 2013): every token pairs
+    with its neighbors at distance 1..window either side, counted
+    corpus-wide.
+
+    Pair GENERATION is row-local (nested transforms over the token array
+    — no self-join, no shuffle to form pairs); the only exchange is the
+    final (center, context) groupBy with map-side combine. At 100 TB this
+    is one counting shuffle whose key space is bounded by vocab², same
+    shape as the bigram LM trainer.
+
+    Returns (center, context, n) — symmetric: if x is in y's window, y is
+    in x's.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            ((i + d) >= 1) & ((i + d) <= n),
+                            F.struct(
+                                F.element_at(toks, i).alias("center"),
+                                F.element_at(toks, i + d).alias("context"),
+                            ),
+                        )
+                        for d in offsets
+                    ]
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    staged = fan_out(df).select(F.explode(pair_arr).alias("p"))
+    return (
+        staged.groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1292,3 +1292,32 @@ def bpe_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, new_symbol string, weight long"
     )
+
+
+_SKIPGRAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, unnest(toks) AS token, unnest(range(1, len(toks)+1)) AS ord
+  FROM w
+)
+SELECT a.token AS center, b.token AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM dt a
+JOIN dt b ON b.doc_id = a.doc_id
+        AND b.ord BETWEEN a.ord - 2 AND a.ord + 2
+        AND b.ord <> a.ord
+GROUP BY 1, 2
+"""
+
+
+@query("skipgram_pairs_docs", oracle=_SKIPGRAM_ORACLE)
+def skipgram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec training-pair extraction (operators/packing.skipgram_pairs):
+    window-2 (center, context) counts, pair generation row-local, one
+    counting shuffle. The oracle forms the same pairs with a positional
+    self-join."""
+    from vector_db_spark.operators.packing import skipgram_pairs
+
+    return skipgram_pairs(_docs(spark, sf_dir).select("doc_id", "text"), window=2)

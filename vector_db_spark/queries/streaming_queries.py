@@ -372,3 +372,34 @@ def stream_ann_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )
+
+
+_DOC_DEDUP_ORACLE = """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
+"""
+
+
+@query("stream_doc_dedup", oracle=_DOC_DEDUP_ORACLE)
+def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch corpus dedup on a document stream: arriving files
+    (staged twice — every doc is a cross-batch duplicate) dedup on the
+    content hash through the state store, so a text seen in ANY earlier
+    micro-batch never re-emits. Which physical row survives is
+    batch-order-dependent, but the surviving HASH SET is exactly the
+    distinct corpus — the value-exact oracle. State is unbounded by
+    design (corpus backfill dedup has no expiry horizon; bound it with a
+    watermark column when the stream has event time)."""
+    stage = tempfile.mkdtemp(prefix="stream_docs_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("append").parquet(stage)
+    docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").write.mode(
+        "append"
+    ).parquet(stage)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(stage)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .select("content_hash")
+    )
+    return _drain(stream, "append")
