@@ -426,3 +426,30 @@ def test_skipgram_pairs_window_edges(spark):
 
     with _pytest.raises(ValueError, match="window"):
         skipgram_pairs(docs, window=0)
+
+
+def test_value_histogram_edges_and_clamp(spark):
+    from vector_db_spark.operators.vector_stats import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "v double")
+    got = {r.bin: r for r in value_histogram(df, "v", bins=5).collect()}
+    # lo=0, hi=10, width=2: bins 0..4; v=10 clamps into bin 4
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    assert got[0].n == 2 and got[4].n == 3  # 8, 9, 10
+    assert got[0].bin_lo == 0.0 and got[4].bin_hi == 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi must be > lo"):
+        value_histogram(spark.createDataFrame([(1.0,)], "v double"), "v")
+
+
+def test_correlation_matrix_known_values(spark):
+    from vector_db_spark.operators.vector_stats import correlation_matrix
+
+    # y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1
+    rows = [(float(x), float(2 * x), float(-x)) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_x, r.col_y): r.corr for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-12
+    assert abs(got[("x", "z")] + 1.0) < 1e-12
+    assert abs(got[("y", "z")] + 1.0) < 1e-12

@@ -160,3 +160,90 @@ def column_stats(
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one min/max aggregate
+    (skipped when bounds are given), then a single groupBy over the bin
+    index — two narrow shuffles total, map-side combined, nothing
+    corpus-sized on the driver. Bin edges use a PINNED double expression
+    (lo + i·width) so the SQL oracle reproduces them bit-for-bit; the top
+    edge clamps into the last bin (right-closed final interval)."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).head()
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / bins
+    bin_idx = F.least(
+        F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1).cast("double") * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact Pearson correlations for every column pair in ONE scan.
+
+    All five moments per pair (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL(38,``scale``·2) — exact and order-free for fixed-point inputs
+    (prices/discounts/quantities), so the final
+    (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²)·√(nΣy²−(Σy)²) is a deterministic chain
+    of IEEE ops on identical operands in both engines. One aggregate job
+    emitting O(|cols|²) partials; rows (col_x, col_y, corr) for x < y."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    # operands at DECIMAL(18,scale): their product is DECIMAL(36,2·scale)
+    # — still inside the 38-digit ceiling, so products and sums stay EXACT.
+    # (Casting operands to (38,·) would push products past 38 digits and
+    # Spark silently re-scales — losing the exactness this op is for.)
+    op = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(op)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c).cast(op) * F.col(c).cast(op)).alias(f"__q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(op) * F.col(b).cast(op)).alias(f"__p_{a}_{b}")
+            )
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa, sb = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+            qa, qb = F.col(f"__q_{a}").cast("double"), F.col(f"__q_{b}").cast("double")
+            p = F.col(f"__p_{a}_{b}").cast("double")
+            corr = (n * p - sa * sb) / (
+                F.sqrt(n * qa - sa * sa) * F.sqrt(n * qb - sb * sb)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), corr.alias("corr")
+                )
+            )
+    return row.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")

@@ -1256,3 +1256,115 @@ def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi FROM events),
+binned AS (
+  SELECT LEAST(19, CAST(floor((CAST(value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 20)) AS INT)) AS bin,
+         b.lo AS lo, (b.hi - b.lo) / 20 AS width
+  FROM events, b
+  WHERE value IS NOT NULL AND CAST(value AS DOUBLE) >= b.lo AND CAST(value AS DOUBLE) <= b.hi
+)
+SELECT bin,
+       round(lo + CAST(bin AS DOUBLE) * width, 6) AS bin_lo,
+       round(lo + CAST(bin + 1 AS DOUBLE) * width, 6) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin, lo, width
+"""
+
+
+@query("value_histogram_events", oracle=_HISTOGRAM_ORACLE)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin fixed-width histogram of events.value
+    (operators/vector_stats.value_histogram): min/max in one aggregate,
+    bin groupBy in another; edges from a pinned double expression so the
+    oracle hash-matches them."""
+    from vector_db_spark.operators.vector_stats import value_histogram
+
+    res = value_histogram(_t(spark, sf_dir, "events"), "value", bins=20)
+    return res.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n",
+    )
+
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS pp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS dd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS qp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS qd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS pd
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       round((n * qp - sq * sp) / (sqrt(n * qq - sq * sq) * sqrt(n * pp - sp * sp)), 6) AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round((n * qd - sq * sd) / (sqrt(n * qq - sq * sq) * sqrt(n * dd - sd * sd)), 6)
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round((n * pd - sp * sd) / (sqrt(n * pp - sp * sp) * sqrt(n * dd - sd * sd)), 6)
+FROM m
+"""
+
+
+@query("correlation_matrix_lineitem", oracle=_CORR_ORACLE)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix over three lineitem measures in
+    ONE scan (operators/vector_stats.correlation_matrix): DECIMAL(19,6)
+    operands keep every moment exact (products at 36 digits), and the
+    final corr chain is identical IEEE ops on identical operands — a
+    hash-matching float statistic with no tolerance anywhere."""
+    from vector_db_spark.operators.vector_stats import correlation_matrix
+
+    res = correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return res.select("col_x", "col_y", F.round("corr", 6).alias("corr"))
+
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day - c.cohort AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention_events", oracle=_RETENTION_ORACLE)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted at
+    every later activity-day offset — the standard product-analytics
+    matrix. Two hash shuffles (distinct activity, cohort min) plus the
+    final grouped distinct count; all integer/date arithmetic, exactly
+    reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
