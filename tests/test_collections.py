@@ -355,3 +355,26 @@ def test_time_travel_scan_at(spark, catalog):
     assert set(live) == {1, 3} and live[3] == [9.0, 9.0]
     with pytest.raises(ValueError, match="version 9"):
         coll.scan_at(9)
+
+
+def test_diff_reports_only_real_changes(spark, catalog):
+    coll = catalog.create("dif", dim=2, n_buckets=4)
+    coll.insert(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "id long, embedding array<float>",
+        )
+    )  # v1
+    coll.delete(spark.createDataFrame([(2,)], "id long"))  # v2
+    coll.upsert(
+        spark.createDataFrame([(3, [9.0, 9.0])], "id long, embedding array<float>")
+    )  # v3
+    coll.insert(
+        spark.createDataFrame([(7, [5.0, 5.0])], "id long, embedding array<float>")
+    )  # v4
+    got = {r.id: r.change for r in coll.diff(1).collect()}
+    assert got == {2: "removed", 3: "changed", 7: "added"}  # id 1 silent
+    # v1 vs v2: only the delete
+    assert {r.id: r.change for r in coll.diff(1, 2).collect()} == {2: "removed"}
+    # identical snapshots diff to empty
+    assert coll.diff(2, 2).count() == 0

@@ -280,3 +280,22 @@ def test_hamming_scan_reads_codes_not_vectors(spark):
     plan = knn_hamming(saved, [0.5] * 64, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "embedding" not in plan  # column pruned at the scan
+
+
+def test_write_sharded_bounds_every_file(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vector_db_spark.sources.fixtures import load_table
+    from vector_db_spark.sources.generic import write_sharded
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_sharded(docs, out, max_records_per_file=64, n_tasks=2)
+    files = glob.glob(out + "/*.parquet")
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert sum(sizes) == n
+    assert max(sizes) <= 64
+    assert len(files) >= n // 64

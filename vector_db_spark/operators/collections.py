@@ -343,6 +343,35 @@ class _BucketedStore:
             schema = StructType.fromJson(json.load(f))
         return self._store_spark.createDataFrame([], schema)
 
+    def diff(self, v_old: int, v_new: int | None = None) -> DataFrame:
+        """CDC between two snapshots: (id, change) rows where change ∈
+        {'added', 'removed', 'changed'} — unchanged rows are omitted.
+        ``v_new=None`` diffs against the live snapshot. A full-outer join
+        on the id key over two manifest reads; at scale both sides share
+        the same bucket layout, so the join keys are co-partitioned by
+        construction. Change detection compares the full non-key payload
+        (struct equality, arrays included)."""
+        old = self.scan_at(v_old)
+        new = self.scan() if v_new is None else self.scan_at(v_new)
+        iid = self._store_id_col
+        cols = [c for c in old.columns if c != iid]
+        o = old.select(
+            F.col(iid), F.struct(*[F.col(c) for c in cols]).alias("__o")
+        )
+        nw = new.select(
+            F.col(iid), F.struct(*[F.col(c) for c in cols]).alias("__n")
+        )
+        j = o.join(nw, iid, "full_outer")
+        change = (
+            F.when(F.col("__o").isNull(), F.lit("added"))
+            .when(F.col("__n").isNull(), F.lit("removed"))
+            .when(F.col("__o") != F.col("__n"), F.lit("changed"))
+        )
+        return (
+            j.select(F.col(iid), change.alias("change"))
+            .filter(F.col("change").isNotNull())
+        )
+
     def _write_buckets(
         self, df: DataFrame, changed: Sequence[int], base: dict[str, int]
     ) -> None:

@@ -223,3 +223,44 @@ def collection_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.select(F.lit("v1").alias("snap"), "id", norm6(v1)).unionByName(
         live.select(F.lit("live").alias("snap"), "id", norm6(live))
     )
+
+
+_DIFF_ORACLE = """
+SELECT e.vec_id + 1 AS id, 'removed' AS change FROM embeddings e WHERE e.vec_id + 1 <= 50
+UNION ALL
+SELECT e.vec_id + 1 AS id, 'changed' AS change FROM embeddings e
+WHERE e.vec_id + 1 BETWEEN 51 AND 60
+UNION ALL
+SELECT e.vec_id + 1 + 100000 AS id, 'added' AS change FROM embeddings e
+WHERE e.vec_id + 1 BETWEEN 61 AND 65
+"""
+
+
+@query("collection_version_diff", oracle=_DIFF_ORACLE)
+def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (operators/collections diff): after delete ids 1-50,
+    upsert ids 51-60 with doubled vectors, and insert 5 brand-new ids,
+    diff(v1, live) must report exactly those removed/changed/added rows —
+    nothing else (unchanged rows stay silent). The id-keyed full-outer
+    join runs over two manifest reads of the SAME bucket layout."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_diff_"))
+    coll = cat.create("diff", dim=64, metric="l2")
+    base = emb.select((F.col("vec_id") + 1).alias("id"), "embedding")
+    coll.insert(base)                                      # v1
+    coll.delete(spark.range(1, 51).select("id"))           # v2
+    coll.upsert(                                           # v3
+        base.filter(F.col("id").between(51, 60)).select(
+            "id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+        )
+    )
+    coll.insert(                                           # v4
+        base.filter(F.col("id").between(61, 65)).select(
+            (F.col("id") + 100000).alias("id"), "embedding"
+        )
+    )
+    return coll.diff(1)

@@ -134,3 +134,27 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*[str(c) for c in sort_cols])
     writer.format("parquet").saveAsTable(table)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    n_tasks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard export: bound every output file to at most
+    ``max_records_per_file`` rows — the dataloader-facing contract
+    (uniform shards stream and shuffle well; one giant file serializes a
+    whole epoch behind one reader). ``maxRecordsPerFile`` makes the
+    per-file ceiling a WRITER property (tasks roll to a new file at the
+    limit), so no fragile repartition arithmetic; ``n_tasks`` optionally
+    spreads the write so shards land ≈ceil(rows/tasks/limit) per task."""
+    if max_records_per_file < 1:
+        raise ValueError("max_records_per_file must be >= 1")
+    out = df.repartition(n_tasks) if n_tasks else df
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
