@@ -453,3 +453,33 @@ def test_correlation_matrix_known_values(spark):
     assert abs(got[("x", "y")] - 1.0) < 1e-12
     assert abs(got[("x", "z")] + 1.0) < 1e-12
     assert abs(got[("y", "z")] + 1.0) < 1e-12
+
+
+def test_rocchio_pulls_in_cluster_members(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.hybrid import rocchio_expand
+    from vector_db_spark.operators.knn import knn
+
+    # beta=0 degenerates to the plain search
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.standard_normal((40, 8)))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in rng.standard_normal(8)]
+    plain = [r.vec_id for r in knn(df, q, 5, metric="cosine").collect()]
+    degen = [r.vec_id for r in rocchio_expand(df, q, 5, k_rel=5, beta=0.0).collect()]
+    assert degen == plain
+
+    # a tight cluster near (but not exactly at) the query: feedback from
+    # the nearest member must pull the expanded query INTO the cluster,
+    # ranking cluster members above the lone decoy that the raw query
+    # prefers
+    center = np.array([3.0, 0.0, 0.0, 0.0])
+    cluster = [center + rng.normal(0, 0.05, 4) for _ in range(6)]
+    decoy = np.array([1.0, 2.0, 0.0, 0.0])
+    rows2 = [(i, [float(x) for x in v]) for i, v in enumerate(cluster)]
+    rows2.append((99, [float(x) for x in decoy]))
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    q2 = [1.0, 1.0, 0.0, 0.0]  # between decoy and cluster
+    expanded = [r.vec_id for r in rocchio_expand(df2, q2, 6, k_rel=3, beta=2.0).collect()]
+    assert 99 not in expanded  # cluster crowds out the decoy after feedback

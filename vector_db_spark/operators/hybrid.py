@@ -203,3 +203,44 @@ def mmr_rerank(
     return spark.createDataFrame(
         out_rows, "rank int, %s long, relevance double, mmr_score double" % id_col
     )
+
+
+def rocchio_expand(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    k_rel: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: run the query, treat the top
+    ``k_rel`` hits as relevant, move the query toward their centroid
+    (q' = α·q + β·centroid), re-search with q'. The classic one-round
+    query expansion — pulls in cluster members the original query
+    narrowly missed.
+
+    Distribution: both searches are the shuffle-free exact kNN plan; the
+    feedback step collects only k_rel vectors (parameter-bounded, like
+    the MMR shortlist) to form q' on the driver. Returns the re-ranked
+    (id, score) under cosine."""
+    import numpy as np
+
+    from vector_db_spark.operators.knn import knn
+
+    if k_rel < 1:
+        raise ValueError("k_rel must be >= 1")
+    rel = knn(
+        corpus, query, k_rel, metric="cosine", vec_col=vec_col, id_col=id_col,
+        keep_cols=(vec_col,),
+    ).collect()
+    if not rel:
+        return knn(corpus, query, k, metric="cosine", vec_col=vec_col, id_col=id_col)
+    centroid = np.asarray([[float(x) for x in r[vec_col]] for r in rel]).mean(axis=0)
+    q2 = alpha * np.asarray(list(query), dtype=np.float64) + beta * centroid
+    return knn(
+        corpus, [float(x) for x in q2], k, metric="cosine",
+        vec_col=vec_col, id_col=id_col,
+    )

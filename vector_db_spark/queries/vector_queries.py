@@ -396,3 +396,16 @@ def knn_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor = (page1[-1].distance, page1[-1].vec_id)
     res = knn_page(emb, qv, K, after=cursor)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("rocchio_expanded_search")
+def rocchio_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (operators/hybrid.rocchio_expand):
+    top-10 feedback set, q' = q + 0.5·centroid, cosine re-search. The
+    blended query vector is driver-computed floating point whose SQL
+    reconstruction would need an order-pinned 64-dim aggregate — rows-only;
+    behavior (centroid pull, α/β degeneracy) is pinned in tests."""
+    from vector_db_spark.operators.hybrid import rocchio_expand
+
+    res = rocchio_expand(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, k_rel=10)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
