@@ -483,3 +483,40 @@ def test_rocchio_pulls_in_cluster_members(spark):
     q2 = [1.0, 1.0, 0.0, 0.0]  # between decoy and cluster
     expanded = [r.vec_id for r in rocchio_expand(df2, q2, 6, k_rel=3, beta=2.0).collect()]
     assert 99 not in expanded  # cluster crowds out the decoy after feedback
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from vector_db_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "a"), (3, "")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # step 2 over 10 tokens: ceil((10-4)/2)+1 = 4 chunks
+    assert [r.chunk_text for r in d1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    # consecutive chunks share exactly `overlap` tokens; every token covered
+    assert all(r.chunk_len == 4 for r in d1)
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a" and d2[0].chunk_len == 1
+    assert not [r for r in rows if r.doc_id == 3]  # empty doc: no chunks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from vector_db_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 30 else "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {r.doc_id for r in cap_per_group(df, "source", 5).collect()}
+    kept2 = {r.doc_id for r in cap_per_group(df.repartition(7), "source", 5).collect()}
+    assert kept1 == kept2  # repartition-proof lottery
+    by_src = cap_per_group(df, "source", 5).groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in by_src)

@@ -21,7 +21,7 @@ not a shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -126,3 +126,28 @@ def importance_sample(
         F.greatest(F.lit(0).cast("long"), (weight * BUCKETS).cast("long")),
     )
     return df.filter(hash_bucket(F.col(key_col), salt) < cut)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Dataset-curation dominance cap: keep at most ``max_rows`` rows per
+    group (the per-domain/per-source cap every web-corpus recipe applies
+    so one crawl domain cannot dominate training). Selection is a
+    deterministic content-hash lottery — rank by (md5(id·salt), id)
+    inside each group — so the surviving set is repartition-proof and
+    reproducible, never first-N-in-file order. One hash shuffle on the
+    group key."""
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    lottery = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(lottery.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -1321,3 +1321,60 @@ def skipgram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.packing import skipgram_pairs
 
     return skipgram_pairs(_docs(spark, sf_dir).select("doc_id", "text"), window=2)
+
+
+_RAG_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) + 1)) AS chunk_id
+  FROM w WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS chunk_len
+FROM starts
+"""
+
+
+@query("rag_chunk_docs", oracle=_RAG_CHUNK_ORACLE)
+def rag_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus prep (operators/packing.chunk_documents): 64-token
+    windows with 16-token overlap, zero-shuffle row-local expansion. The
+    oracle slices the same windows with DuckDB list slicing."""
+    from vector_db_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), chunk_tokens=64, overlap=16
+    )
+
+
+_SOURCE_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap') ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+"""
+
+
+@query("source_cap_docs", oracle=_SOURCE_CAP_ORACLE)
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dominance cap (operators/sampling.cap_per_group): at
+    most 10 docs per source (the fixture has 25/source, so the cap
+    provably BITES — 10 kept, 15 dropped per source), chosen by a deterministic md5 lottery (the
+    one hash both engines share) — reproducible and repartition-proof."""
+    from vector_db_spark.operators.sampling import cap_per_group
+
+    res = cap_per_group(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", max_rows=10
+    )
+    return res.select("doc_id", "source")
