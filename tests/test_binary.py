@@ -104,3 +104,26 @@ def test_knn_hamming_plan_is_takeordered_no_exchange(spark, corpus):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_batch_hamming_matches_per_query(spark, corpus, vecs):
+    from vector_db_spark.operators.binary import (
+        batch_knn_hamming,
+        binary_quantize,
+        knn_hamming,
+    )
+
+    codes = binary_quantize(corpus, dim=64).select("vec_id", "codes")
+    qids = [0, 5, 11]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in qids],
+        "query_id long, query_vec array<float>",
+    )
+    batch = batch_knn_hamming(codes, queries, 4).collect()
+    for qid in qids:
+        got = sorted(
+            [(r.rank, r.vec_id, r.hamming) for r in batch if r.query_id == qid]
+        )
+        single = knn_hamming(codes, [float(x) for x in vecs[qid]], 4).collect()
+        want = [(i + 1, r.vec_id, r.hamming) for i, r in enumerate(single)]
+        assert got == want

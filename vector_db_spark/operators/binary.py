@@ -162,3 +162,44 @@ def hamming_shortlist_rerank(
     )
     order = F.col(out).asc() if ascending else F.col(out).desc()
     return scored.orderBy(order, F.col(id_col).asc()).limit(k)
+
+
+def batch_knn_hamming(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    code_col: str = "codes",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by Hamming distance per query for a DataFrame of queries —
+    the batch analogue of `knn_hamming`, same shape as `knn.batch_knn`:
+    query vectors binarize on the fly, the (small) query side broadcasts,
+    the codes corpus never shuffles, one window ranks per query. At scale
+    the corpus side reads only the packed-code column.
+
+    Returns (query_id, id, hamming, rank)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dim_row = queries.select(F.size(query_vec_col)).head()
+    if dim_row is None:
+        raise ValueError("queries is empty")
+    qcodes = queries.select(
+        query_id_col, binarize(F.col(query_vec_col), dim_row[0]).alias("__qc")
+    )
+    joined = codes.crossJoin(F.broadcast(qcodes))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        hamming(F.col(code_col), F.col("__qc")).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

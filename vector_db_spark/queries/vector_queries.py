@@ -409,3 +409,38 @@ def rocchio_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = rocchio_expand(_emb(spark, sf_dir), _qvec(spark, sf_dir), K, k_rel=10)
     return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_HAMMING_BATCH_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(length(list_filter(range(1, 65),
+           i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS BIGINT) AS hamming
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("knn_hamming_batch", oracle=_HAMMING_BATCH_ORACLE)
+def knn_hamming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Hamming search over packed sign codes
+    (operators/binary.batch_knn_hamming): completes the
+    [single|batch] × [float|binary] search matrix — broadcast queries,
+    shuffle-free codes scan, per-query window rank."""
+    from vector_db_spark.operators.binary import batch_knn_hamming, binary_quantize
+
+    emb = _emb(spark, sf_dir)
+    codes = binary_quantize(emb, dim=64).select("vec_id", "codes")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_knn_hamming(codes, queries, _BATCH_K)
