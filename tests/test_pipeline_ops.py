@@ -180,7 +180,7 @@ def test_perplexity_filter_keeps_typical_docs(spark):
 
 
 def test_c4_filter_verdicts_first_failure_order(spark):
-    from vector_db_spark.operators.filtering import c4_rules, filter_verdicts
+    from vector_db_spark.operators.filtering import filter_verdicts
 
     df = spark.createDataFrame(
         [

@@ -277,7 +277,6 @@ def test_stream_ann_search_multibatch_and_resume(spark, tmp_path):
 
 
 def test_stream_doc_dedup_state_survives_resume(spark, tmp_path):
-    import uuid
 
     from pyspark.sql import functions as F
 

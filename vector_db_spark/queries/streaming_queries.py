@@ -10,7 +10,6 @@ a value-exact oracle exists for every query here — rare for streaming code.
 
 from __future__ import annotations
 
-import os
 import tempfile
 import uuid
 
