@@ -81,6 +81,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     from pyspark.sql import functions as F
 
     from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+    from vector_db_spark.operators.binary import knn_hamming as _knn_hamming
     from vector_db_spark.operators.graph import GraphAnnIndex
     from vector_db_spark.operators.ivfpq import IvfPqIndex
     from vector_db_spark.operators.pq import ProductQuantizer
@@ -111,6 +112,13 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).parquet(f"{root}/pq_codes")
         return pqz
 
+    def _build_binary():
+        from vector_db_spark.operators.binary import binary_quantize
+
+        binary_quantize(emb, dim=64).select("vec_id", "codes").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/sign_codes")
+
     def _build_ivf_and_ivfpq(pool):
         # One KMeans fit serves both: IVF-PQ composes over a trained
         # coarse quantizer (the faiss shape) instead of refitting the
@@ -133,6 +141,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
                 ).save(f"{root}/lsh")
             ),
             pool.submit(_build_pq),
+            pool.submit(_build_binary),
             pool.submit(
                 lambda: GraphAnnIndex.build(
                     emb, nlist=16, m=16, ef_construction=200, seed=42
@@ -151,6 +160,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     ivfpq = IvfPqIndex.load(spark, f"{root}/ivfpq")
     gr = GraphAnnIndex.load(spark, f"{root}/graph")
     codes = spark.read.parquet(f"{root}/pq_codes")
+    sign_codes = spark.read.parquet(f"{root}/sign_codes")
     batch_queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -162,6 +172,9 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "pq_adc_search": lambda: pqz.search(codes, qv, K),
         "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
         "ann_graph_search": lambda: gr.search(qv, K, nprobe=8, ef_search=200),
+        # Hamming over persisted 12-byte sign codes: the scan artifact the
+        # binary op exists for (21x fewer bytes than the raw vector scan)
+        "hamming_search": lambda: _knn_hamming(sign_codes, qv, K),
     }
     return build_sec, searches
 
