@@ -91,7 +91,9 @@ _VERIFY_FIRST = [
     # round-2 session additions, never driver-attested
     "ann_ivf_append_full_probe",
     "ann_ivf_range_search",
-    "chunk_dedup_docs",
+    # the composite curation pipeline transitively exercises the C4 gate,
+    # chunk dedup and the source cap in one hash-matched row
+    "pipeline_prepare_corpus_v2",
     # rows-only probe paths: their exhaustive SQL-backed counterparts are in
     # the window above, and recall pins in tests/test_ann.py guard the probe
     # quality — a rows-only driver row adds less than a hash-match row, so

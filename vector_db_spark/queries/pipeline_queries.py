@@ -1378,3 +1378,95 @@ def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", "source"), "source", max_rows=10
     )
     return res.select("doc_id", "source")
+
+
+_PREP2_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS sum_len,
+    COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) AS max_run,
+    len(grams) AS n_grams,
+    COALESCE(list_sum(list_transform(list_distinct(grams), gg ->
+      CASE WHEN len(list_filter(grams, y -> y = gg)) > 1
+           THEN len(list_filter(grams, y -> y = gg)) ELSE 0 END)), 0) AS dup_occ
+  FROM g
+), kept AS (
+  SELECT doc_id FROM m
+  WHERE NOT (n < 50 OR n > 2000 OR sum_len < 2 * n OR sum_len > 10 * n
+             OR max_run * 100 > 30 * n OR dup_occ * 100 > 20 * n_grams)
+), kw AS (
+  SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS words
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+), e AS (
+  SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words)+1)) AS ord FROM kw
+), ch AS (
+  SELECT doc_id, CAST((ord - 1) // 20 AS INT) AS chunk_idx,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM e GROUP BY doc_id, (ord - 1) // 20
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_chunks
+  FROM ch
+), cleaned AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+         n_chunks,
+         CAST(n_chunks - count(*) AS INT) AS n_dropped
+  FROM ranked WHERE rn = 1
+  GROUP BY doc_id, n_chunks
+), capped AS (
+  SELECT c.doc_id, d.source, c.clean_text, c.n_dropped,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(c.doc_id AS VARCHAR) || 'prep2') ASC, c.doc_id ASC
+         ) AS rn
+  FROM cleaned c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(clean_text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_dropped) AS BIGINT) AS chunks_dropped
+FROM capped WHERE rn <= 10
+GROUP BY source
+"""
+
+
+@query("pipeline_prepare_corpus_v2", oracle=_PREP2_ORACLE)
+def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 curation flow composed end-to-end as ONE verified
+    pipeline: C4/Gopher rule gate (row-local CASE) → chunk-granular
+    boilerplate dedup (global first-occurrence) → per-source dominance cap
+    (md5 lottery) → per-source corpus stats. Every stage is individually
+    oracle-backed; this query proves they COMPOSE value-exactly — the
+    whole pipeline hash-matches one giant DuckDB CTE."""
+    from vector_db_spark.operators.dedup import chunk_dedup
+    from vector_db_spark.operators.filtering import filter_verdicts
+    from vector_db_spark.operators.sampling import cap_per_group
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        filter_verdicts(docs.select("doc_id", "source", "text"))
+        .filter(F.col("verdict") == "kept")
+    )
+    cleaned = chunk_dedup(kept.select("doc_id", "text"))
+    capped = cap_per_group(
+        cleaned.join(kept.select("doc_id", "source"), "doc_id"),
+        "source",
+        max_rows=10,
+        salt="prep2",
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("clean_text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_dropped").cast("bigint").alias("chunks_dropped"),
+    )
