@@ -520,3 +520,61 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     assert kept1 == kept2  # repartition-proof lottery
     by_src = cap_per_group(df, "source", 5).groupBy("source").count().collect()
     assert all(r["count"] <= 5 for r in by_src)
+
+
+def test_quality_classifier_separates_clean_from_gibberish(spark):
+    from vector_db_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    clean = [
+        "the quick brown fox jumps over the lazy dog and runs to the big field "
+        "of green grass where it finds a quiet place to rest for a while",
+        "a small team of engineers built the data pipeline that reads the "
+        "tables and writes the results to a new store for the training run",
+    ]
+    junk = [
+        "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz",
+        "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____ ++++ ==== ;;;; ::::",
+    ]
+    rows = []
+    # variant chosen by i // 2 so BOTH variants land in both the even-id
+    # train half and the odd-id test half (a variant correlated with the
+    # split would test generalization to text the model never saw)
+    for i in range(40):
+        rows.append((i, clean[(i // 2) % 2] + f" extra word{i}", 1))
+    for i in range(40, 80):
+        rows.append((i, junk[(i // 2) % 2] + f" x{i}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter("doc_id % 2 = 0")
+    test = df.filter("doc_id % 2 = 1")
+    model = train_quality_classifier(train)
+    scored = score_quality(test, model).join(test.select("doc_id", "label"), "doc_id")
+    n = scored.count()
+    correct = scored.filter(
+        (F.col("keep") & (F.col("label") == 1)) | (~F.col("keep") & (F.col("label") == 0))
+    ).count()
+    assert correct / n >= 0.95  # separable corpus: near-perfect holdout
+
+
+def test_quality_classifier_agrees_with_teacher_on_fixture(spark):
+    from vector_db_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_labels,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    labeled = docs.withColumn("label", weak_labels(docs))
+    train = labeled.filter("doc_id % 2 = 0")
+    held = labeled.filter("doc_id % 2 = 1")
+    model = train_quality_classifier(train)
+    scored = score_quality(held, model).join(held.select("doc_id", "label"), "doc_id")
+    agree = scored.filter(
+        (F.col("keep") & (F.col("label") == 1)) | (~F.col("keep") & (F.col("label") == 0))
+    ).count()
+    assert agree / scored.count() >= 0.8  # classifier mimics its teacher

@@ -1470,3 +1470,23 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("clean_text"))).cast("bigint").alias("total_tokens"),
         F.sum("n_dropped").cast("bigint").alias("chunks_dropped"),
     )
+
+
+@query("quality_classifier_score")
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/classifier.py): heuristic weak
+    labels bootstrap an MLlib logistic regression over codegen'd text
+    signals; the model scores the held-out half. L-BFGS aggregation order
+    leaves coefficients deterministic only to ~1e-12, so scores are not
+    hash material (rows-only); separable-corpus accuracy >= 0.95 and
+    teacher agreement >= 0.8 are pinned in tests/test_pipeline_ops.py."""
+    from vector_db_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_labels,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = docs.withColumn("label", weak_labels(docs))
+    model = train_quality_classifier(labeled.filter(F.col("doc_id") % 2 == 0))
+    return score_quality(docs.filter(F.col("doc_id") % 2 == 1), model)
