@@ -1490,3 +1490,17 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.withColumn("label", weak_labels(docs))
     model = train_quality_classifier(labeled.filter(F.col("doc_id") % 2 == 0))
     return score_quality(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
+@query("bpe_tokenize_docs")
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of the BPE lifecycle (operators/bpe.tokenize_bpe): the
+    learned merges encode the distinct-WORD table once, the corpus
+    broadcast-joins word → token array. Rows-only (merges are learned
+    state); compression behavior — BPE tokens ≥ whitespace words, and
+    round-trip identity — is pinned in tests/test_pipeline_ops.py."""
+    from vector_db_spark.operators.bpe import tokenize_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = train_bpe(docs, n_merges=12)
+    return tokenize_bpe(docs, model).select("doc_id", "n_tokens")
