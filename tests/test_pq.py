@@ -208,3 +208,56 @@ def test_ivfpq_probe_registered_params_recall(emb, ivfpq, qvecs):
         recalls.append(len(exact & approx) / 10)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.6, f"ivfpq_probe-params recall@10 {mean} (measured ~0.8 at build)"
+
+
+def test_pca_full_rank_shortlist_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.operators.pca import fit_pca, pca_shortlist_rerank
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
+    model = fit_pca(emb, k=64)
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in pca_shortlist_rerank(emb, model, qv, 10, shortlist=50).collect()
+    ]
+    want = [(r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()]
+    # full-rank rotation preserves L2: shortlist ranking == exact ranking
+    assert got == want
+
+
+def test_pca_reduced_rank_recall(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.operators.pca import fit_pca, pca_shortlist_rerank
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    emb.count()
+    # the fixture corpus is near-ISOTROPIC (worst case for PCA — no
+    # low-variance directions to discard), so k=24 of 64 is the honest
+    # compression point; structured real embeddings compress far harder
+    model = fit_pca(emb, k=24)
+    hits = total = 0
+    for qid in (0, 21, 100):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head().embedding]
+        got = {r.vec_id for r in pca_shortlist_rerank(emb, model, qv, 10, shortlist=100).collect()}
+        want = {r.vec_id for r in knn(emb, qv, 10).collect()}
+        hits += len(got & want)
+        total += len(want)
+    emb.unpersist()
+    assert hits / total >= 0.9  # 2.7x compression, 100-row shortlist
+
+
+def test_pca_validates(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.pca import fit_pca
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="k must be"):
+        fit_pca(df, k=3)

@@ -324,3 +324,32 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
     res = idx.range_search(_qvec(spark, sf_dir), _RANGE_THRESHOLD)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("pca_rerank_full_rank", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def pca_rerank_full_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA correctness gate (operators/pca.py): with k = dim the learned
+    basis is a full orthonormal rotation, L2 is preserved, and the
+    shortlist→rerank pipeline must reproduce exact kNN — verifying the
+    fit/project/search machinery before any rank is discarded (same gate
+    pattern as ann_ivf_full_probe)."""
+    from vector_db_spark.operators.pca import fit_pca, pca_shortlist_rerank
+
+    emb = _emb(spark, sf_dir)
+    model = fit_pca(emb, k=64)
+    res = pca_shortlist_rerank(emb, model, _qvec(spark, sf_dir), K, shortlist=100)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("pca_shortlist_search")
+def pca_shortlist_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PCA path: k=24 coordinates (2.7× scan-byte cut on
+    this corpus), 100-row shortlist, exact re-rank. Rows-only (the basis
+    is learned from a sampled fit); reduced-rank recall ≥ 0.9 pinned in
+    tests/test_pq.py."""
+    from vector_db_spark.operators.pca import fit_pca, pca_shortlist_rerank
+
+    emb = _emb(spark, sf_dir)
+    model = fit_pca(emb, k=24)
+    res = pca_shortlist_rerank(emb, model, _qvec(spark, sf_dir), K, shortlist=100)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
