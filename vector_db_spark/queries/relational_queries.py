@@ -1368,3 +1368,102 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+_ANOMALY_ORACLE = """
+WITH q AS (
+  SELECT event_id, user_id, round(CAST(value AS DOUBLE), 6) AS v FROM events
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS q2
+  FROM q GROUP BY user_id
+)
+SELECT q.event_id, q.user_id, round(q.v, 6) AS v,
+       round((q.v - s / n) / sqrt(greatest(q2 / n - (s / n) * (s / n), 1e-12)), 6) AS z
+FROM q JOIN stats USING (user_id)
+WHERE stats.n >= 5
+  AND abs((q.v - s / n) / sqrt(greatest(q2 / n - (s / n) * (s / n), 1e-12))) > 3.0
+"""
+
+
+@query("user_value_anomalies", oracle=_ANOMALY_ORACLE)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spike detection: events whose value sits > 3σ from the
+    user's own mean. Values quantize to 6 dp FIRST so the per-user
+    moments accumulate as exact DECIMAL(19,6) (order-free) and the z
+    chain is identical IEEE ops in both engines; the variance floors at
+    1e-12 so constant-value users divide safely. One shuffle (user
+    groupBy) + a broadcast-shaped stats join back."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "user_id", F.round(F.col("value").cast("double"), 6).alias("v")
+    )
+    dec = F.col("v").cast("decimal(19,6)")
+    stats = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("q2"),
+    )
+    j = q.join(stats, "user_id")
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("q2") / F.col("n") - mean * mean, F.lit(1e-12))
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("n") >= 5) & (F.abs(z) > 3.0))
+        .select(
+            "event_id", "user_id", F.round("v", 6).alias("v"), F.round(z, 6).alias("z")
+        )
+    )
+
+
+_PCTRANK_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("order_price_percentiles", oracle=_PCTRANK_ORACLE)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank + cume_dist) per
+    priority class — deterministic via the (price, key) order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
+
+@query("grouping_sets_lineitem", oracle=_GSETS_ORACLE)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completing rollup/cube): three set shapes
+    in one aggregate with grouping_id disambiguation — expressed through
+    spark.sql, the declared-SQL face of the engine."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """)
