@@ -107,3 +107,97 @@ def test_distance_function_identities(sc, a, b):
     assert row.ab >= 0.0
     if row.cos is not None and not math.isnan(row.cos):
         assert -1.0 - 1e-9 <= row.cos <= 1.0 + 1e-9
+
+
+# --- round-2 session operators -------------------------------------------
+
+words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=18
+)
+docs_strategy = st.lists(words, min_size=1, max_size=6)
+
+
+@given(docs_strategy)
+@_settings
+def test_chunk_dedup_invariants(sc, doc_words):
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(doc_words)]
+    df = sc.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_dedup(df, chunk_words=3).collect()
+    cw = 3
+    # reference: global first-occurrence keep, (doc_id, chunk_idx) order
+    chunks = {}
+    for i, w in enumerate(doc_words):
+        for j in range(0, len(w), cw):
+            chunks.setdefault(" ".join(w[j : j + cw]), []).append((i, j // cw))
+    survivors = {}
+    for text, occs in chunks.items():
+        survivors.setdefault(min(occs)[0], []).append((min(occs)[1], text))
+    expect = {
+        d: " ".join(t for _, t in sorted(v)) for d, v in survivors.items()
+    }
+    got = {r.doc_id: r.clean_text for r in out}
+    assert got == expect
+    # conservation: kept chunks across the corpus == distinct chunk count
+    assert sum(len(v) for v in survivors.values()) == len(chunks)
+
+
+vecs8 = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4, max_value=4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(vecs8)
+@_settings
+def test_hamming_metric_axioms(sc, vec_rows):
+    from vector_db_spark.operators.binary import _sign_bits, binary_quantize, hamming
+
+    df = sc.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vec_rows)],
+        "vec_id long, embedding array<float>",
+    )
+    coded = binary_quantize(df, dim=8)
+    q = vec_rows[0]
+    qc = F.array(*[F.lit(w) for w in _sign_bits(q)])
+    got = {
+        r.vec_id: r.h
+        for r in coded.select("vec_id", hamming(F.col("codes"), qc).alias("h")).collect()
+    }
+    import numpy as np
+
+    f32 = lambda xs: np.asarray(xs, dtype=np.float32)  # noqa: E731
+    for i, v in enumerate(vec_rows):
+        # the column is array<float>: binarization sees FLOAT32 values
+        # (a subnormal double underflows to 0.0f and its sign bit clears)
+        ref = int(np.sum((f32(v) > 0) != (f32(q) > 0)))
+        assert got[i] == ref  # identity to the definition
+        assert 0 <= got[i] <= 8  # bounded by dim
+    assert got[0] == 0  # self-distance
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=24,
+    ).filter(lambda xs: max(xs) > min(xs))
+)
+@_settings
+def test_histogram_conserves_mass(sc, values):
+    from vector_db_spark.operators.vector_stats import value_histogram
+
+    df = sc.createDataFrame([(float(v),) for v in values], "v double")
+    out = value_histogram(df, "v", bins=4).collect()
+    assert sum(r.n for r in out) == len(values)  # every in-range row lands
+    assert all(0 <= r.bin <= 3 for r in out)
+    los = sorted(r.bin_lo for r in out)
+    assert los == sorted(set(los))  # bins are distinct

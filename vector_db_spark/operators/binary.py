@@ -42,12 +42,21 @@ BITS_PER_WORD = 31  # int words, positions 0..30: the full-word sum tops out
 
 
 def _sign_bits(vec: Sequence[float]) -> list[int]:
-    """Driver-side packing of a query vector (mirrors `binarize`)."""
+    """Driver-side packing of a query vector (mirrors `binarize`).
+
+    Components quantize through float32 FIRST: the engine's vector
+    columns are `array<float>` (collections._validated casts on write),
+    so corpus values underflowing float32 carry sign bit 0 — a raw-double
+    query packing would disagree on exactly those components
+    (hypothesis-found with a 2.2e-311 subnormal)."""
+    import numpy as np
+
+    q32 = np.asarray(list(vec), dtype=np.float32)
     words: list[int] = []
-    for w in range(0, len(vec), BITS_PER_WORD):
+    for w in range(0, len(q32), BITS_PER_WORD):
         word = 0
-        for j, x in enumerate(vec[w : w + BITS_PER_WORD]):
-            if float(x) > 0.0:
+        for j, x in enumerate(q32[w : w + BITS_PER_WORD]):
+            if x > 0.0:
                 word |= 1 << j
         words.append(word)
     return words

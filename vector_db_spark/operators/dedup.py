@@ -513,14 +513,21 @@ def chunk_dedup(
     """
     if chunk_words < 1:
         raise ValueError("chunk_words must be >= 1")
-    words = F.split(F.col(text_col), " ")
+    # house tokenization (empties dropped — split("") yields [""], not []);
+    # an all-whitespace doc therefore has ZERO chunks and vanishes, and the
+    # chunk-count sequence needs the n>0 guard because sequence(0, -1)
+    # helpfully counts DOWN instead of being empty
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * chunk_words + 1, chunk_words), " "
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " "
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),

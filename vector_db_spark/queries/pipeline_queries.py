@@ -1057,7 +1057,10 @@ def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHUNK_DEDUP_ORACLE = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
 e AS (SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words)+1)) AS ord FROM w),
 ch AS (
   SELECT doc_id, CAST((ord - 1) // 20 AS INT) AS chunk_idx,
