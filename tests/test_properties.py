@@ -201,3 +201,51 @@ def test_histogram_conserves_mass(sc, values):
     assert all(0 <= r.bin <= 3 for r in out)
     los = sorted(r.bin_lo for r in out)
     assert los == sorted(set(los))  # bins are distinct
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-9, max_value=9, allow_nan=False, allow_infinity=False),
+            st.floats(min_value=-9, max_value=9, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=3,
+        max_size=20,
+    ).filter(
+        lambda ps: len({round(a, 6) for a, _ in ps}) > 1
+        and len({round(b, 6) for _, b in ps}) > 1
+    )
+)
+@_settings
+def test_correlation_bounded_and_symmetric_in_scale(sc, points):
+    from vector_db_spark.operators.vector_stats import correlation_matrix
+
+    rows = [(round(a, 6), round(b, 6)) for a, b in points]
+    df = sc.createDataFrame(rows, "x double, y double")
+    out = correlation_matrix(df, ["x", "y"]).collect()
+    (r,) = out
+    assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+    # scaling a column by a positive constant leaves corr unchanged
+    df2 = df.select((F.col("x") * 4).alias("x"), "y")
+    (r2,) = correlation_matrix(df2, ["x", "y"]).collect()
+    assert r2.corr == pytest.approx(r.corr, abs=1e-9)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30, unique=True))
+@_settings
+def test_cap_per_group_never_exceeds_and_is_subset(sc, doc_ids):
+    from vector_db_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"s{i % 3}") for i in doc_ids]
+    df = sc.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", 4).collect()
+    kept = {r.doc_id for r in out}
+    assert kept <= set(doc_ids)
+    from collections import Counter
+
+    per = Counter(r.source for r in out)
+    assert all(v <= 4 for v in per.values())
+    # groups smaller than the cap survive whole
+    want_full = Counter(f"s{i % 3}" for i in doc_ids)
+    for g, n in want_full.items():
+        assert per[g] == min(n, 4)
