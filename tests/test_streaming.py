@@ -315,3 +315,70 @@ def test_stream_doc_dedup_state_survives_resume(spark, tmp_path):
     _drain_to_parquet()
     after = {r.content_hash for r in spark.read.parquet(out).collect()}
     assert len(after) == 3  # not 4: 'alpha' deduped across batches/runs
+
+
+def test_stream_chunk_registry_is_arrival_order_independent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b1 b2 b3 u1 u2 u3"),
+            (2, "b1 b2 b3 v1 v2 v3"),   # shares doc 1's boilerplate chunk
+            (3, "w1 w2 w3"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_id, r.clean_text) for r in chunk_dedup(docs, chunk_words=3).collect()
+    }
+
+    def _run(order):
+        stage = str(tmp_path / f"s{order[0]}")
+        for d in order:  # one file per doc, staged in the given order
+            docs.filter(F.col("doc_id") == d).write.mode("append").parquet(stage)
+        cw = 3
+        words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        nch = F.ceil(F.size(words) / F.lit(cw)).cast("int")
+        chunks = F.when(
+            F.size(words) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+            .groupBy("chunk")
+            .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+        )
+        import tempfile
+        import uuid
+
+        name = "q" + uuid.uuid4().hex
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120_000)
+        reg = spark.table(name)
+        out = (
+            reg.select(F.col("first.doc_id").alias("doc_id"),
+                       F.col("first.chunk_idx").alias("chunk_idx"), "chunk")
+            .groupBy("doc_id")
+            .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"]), " ").alias("clean_text"))
+        )
+        return {(r.doc_id, r.clean_text) for r in out.collect()}
+
+    # doc 3 ARRIVES FIRST, doc 2 before doc 1: min-aggregation still awards
+    # every shared chunk to the (doc_id, chunk_idx)-minimal claimant, so
+    # the result equals the batch operator regardless of arrival order
+    assert _run([3, 2, 1]) == want

@@ -402,3 +402,75 @@ def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content_hash")
     )
     return _drain(stream, "append")
+
+
+_STREAM_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words)+1)) AS ord FROM w),
+ch AS (
+  SELECT doc_id, CAST((ord - 1) // 20 AS INT) AS chunk_idx,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM e GROUP BY doc_id, (ord - 1) // 20
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@query("stream_chunk_dedup", oracle=_STREAM_CHUNK_ORACLE)
+def stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch BOILERPLATE dedup on a document stream: every arriving
+    doc explodes into 20-word chunks and a stateful streaming aggregation
+    keeps, per distinct chunk, the MINIMUM (doc_id, chunk_idx) claimant.
+    min() is order-free, so the surviving assignment is identical no
+    matter how documents split into micro-batches or in what order they
+    arrive — which is exactly the batch chunk_dedup semantic, and why a
+    value-exact oracle exists for a stateful streaming query. Reassembly
+    of survivors into cleaned documents happens on the drained state."""
+    stage = tempfile.mkdtemp(prefix="stream_chunks_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(8).write.mode("append").parquet(stage)
+
+    cw = 20
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size(words) / F.lit(cw)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+    )
+    registry = _drain(stream, "complete")
+    return (
+        registry.select(F.col("first.doc_id").alias("doc_id"),
+                        F.col("first.chunk_idx").alias("chunk_idx"),
+                        "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
