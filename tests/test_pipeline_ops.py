@@ -578,3 +578,16 @@ def test_quality_classifier_agrees_with_teacher_on_fixture(spark):
         (F.col("keep") & (F.col("label") == 1)) | (~F.col("keep") & (F.col("label") == 0))
     ).count()
     assert agree / scored.count() >= 0.8  # classifier mimics its teacher
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from vector_db_spark.operators.bpe import load_bpe, save_bpe, tokenize_bpe, train_bpe
+
+    docs = spark.createDataFrame([(1, "ab ab abc")], "doc_id long, text string")
+    m = train_bpe(docs, n_merges=2)
+    save_bpe(m, str(tmp_path / "bpe"))
+    r = load_bpe(str(tmp_path / "bpe"))
+    assert r.merges == m.merges
+    a = tokenize_bpe(docs, m).collect()[0]
+    b = tokenize_bpe(docs, r).collect()[0]
+    assert list(a.tokens) == list(b.tokens)

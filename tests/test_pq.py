@@ -261,3 +261,18 @@ def test_pca_validates(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="k must be"):
         fit_pca(df, k=3)
+
+
+def test_pca_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.pca import fit_pca, load_pca, save_pca
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m = fit_pca(emb, k=8)
+    save_pca(m, str(tmp_path / "pca"))
+    r = load_pca(str(tmp_path / "pca"))
+    assert np.array_equal(r.mean, m.mean)
+    assert np.array_equal(r.components, m.components)

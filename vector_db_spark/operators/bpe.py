@@ -163,3 +163,22 @@ def tokenize_bpe(
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+
+
+def save_bpe(model: BpeModel, path: str) -> None:
+    """Persist the merge table as JSON — the tokenizer artifact a
+    training job ships alongside its corpus."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "merges.json"), "w") as f:
+        json.dump([[a, b, w] for a, b, w in model.merges], f)
+
+
+def load_bpe(path: str) -> BpeModel:
+    import json
+    import os
+
+    with open(os.path.join(path, "merges.json")) as f:
+        return BpeModel([(a, b, int(w)) for a, b, w in json.load(f)])

@@ -134,3 +134,22 @@ def pca_shortlist_rerank(
     ).select(id_col)
     joined = corpus.join(F.broadcast(cand), id_col)
     return knn(joined, query, k, metric="l2", vec_col=vec_col, id_col=id_col)
+
+
+def save_pca(model: PcaModel, path: str) -> None:
+    """Persist the rotation (mean + components) — tiny driver-side
+    arrays, same artifact pattern as IvfIndex.save."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "mean.npy"), model.mean)
+    np.save(os.path.join(path, "components.npy"), model.components)
+
+
+def load_pca(path: str) -> PcaModel:
+    import os
+
+    return PcaModel(
+        np.load(os.path.join(path, "mean.npy")),
+        np.load(os.path.join(path, "components.npy")),
+    )
