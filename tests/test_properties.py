@@ -249,3 +249,18 @@ def test_cap_per_group_never_exceeds_and_is_subset(sc, doc_ids):
     want_full = Counter(f"s{i % 3}" for i in doc_ids)
     for g, n in want_full.items():
         assert per[g] == min(n, 4)
+
+
+@given(docs_strategy)
+@_settings
+def test_skipgram_counts_are_symmetric(sc, doc_words):
+    from vector_db_spark.operators.packing import skipgram_pairs
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(doc_words) if w]
+    if not rows:
+        return
+    df = sc.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.center, r.context): r.n for r in skipgram_pairs(df, window=2).collect()}
+    # windows are symmetric: x in y's window <=> y in x's window
+    for (c, x), n in got.items():
+        assert got.get((x, c)) == n
