@@ -378,3 +378,41 @@ def test_diff_reports_only_real_changes(spark, catalog):
     assert {r.id: r.change for r in coll.diff(1, 2).collect()} == {2: "removed"}
     # identical snapshots diff to empty
     assert coll.diff(2, 2).count() == 0
+
+
+def test_vacuum_reclaims_unreachable_versions(spark, catalog):
+    import os
+
+    coll = catalog.create("vac", dim=2, n_buckets=4)
+    coll.insert(
+        spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(1, 9)],
+            "id long, embedding array<float>",
+        )
+    )  # v1
+    coll.upsert(
+        spark.createDataFrame([(1, [9.0, 9.0])], "id long, embedding array<float>")
+    )  # v2 rewrites only id 1's bucket
+    coll.upsert(
+        spark.createDataFrame([(1, [8.0, 8.0])], "id long, embedding array<float>")
+    )  # v3 rewrites id 1's bucket AGAIN -> v2's dir becomes unreachable
+    live_before = {r.id: list(r.embedding) for r in coll.scan().collect()}
+    deleted = coll.vacuum(retain_last=1)
+    # v1 survives DESPITE retain_last=1: v3's manifest still points the
+    # untouched buckets at v1's dirs (bucket sharing => reachability, not
+    # age); v2 holds only the superseded copy of id 1's bucket and goes
+    assert 1 not in deleted
+    assert deleted == [2]
+    assert not os.path.isdir(coll._vdir(2))
+    # live scan identical after GC
+    assert {r.id: list(r.embedding) for r in coll.scan().collect()} == live_before
+    # a vacuumed snapshot is no longer time-travelable
+    for v in deleted:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            coll.scan_at(v)
+    # retained snapshot still reconstructs
+    assert coll.scan_at(3).count() == 8
+    # idempotent
+    assert coll.vacuum(retain_last=1) == []

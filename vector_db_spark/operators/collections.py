@@ -343,6 +343,32 @@ class _BucketedStore:
             schema = StructType.fromJson(json.load(f))
         return self._store_spark.createDataFrame([], schema)
 
+    def vacuum(self, retain_last: int = 2) -> list[int]:
+        """Retention GC (Delta VACUUM analogue): keep every version dir
+        REFERENCED by the manifests of the newest ``retain_last``
+        snapshots, delete the rest — reclaiming the space old
+        copy-on-write versions hold. Bucket sharing makes reachability
+        the criterion, not age: an old dir stays alive as long as any
+        retained manifest still points a bucket at it. Time travel to a
+        vacuumed version raises (its manifest is gone) — the documented
+        retention trade. Returns the deleted version numbers."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self.versions()
+        if not versions:
+            return []
+        retained = versions[-retain_last:]
+        live_dirs: set[int] = set(retained)
+        for v in retained:
+            manifest = self._manifest(v) or {}
+            live_dirs.update(int(dv) for dv in manifest.values())
+        deleted = []
+        for v in versions:
+            if v not in live_dirs:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
+                deleted.append(v)
+        return deleted
+
     def diff(self, v_old: int, v_new: int | None = None) -> DataFrame:
         """CDC between two snapshots: (id, change) rows where change ∈
         {'added', 'removed', 'changed'} — unchanged rows are omitted.
