@@ -103,6 +103,18 @@ _VERIFY_FIRST = [
     "ann_graph_nsw",
 ]
 
+# ROUND-3 ROTATION QUEUE (oracle-backed, locally green, no driver row yet —
+# front-load these next round as the current window earns its attestations):
+# knn_hamming, knn_hamming_rerank, knn_hamming_batch, knn_page_two,
+# chunk_dedup_docs, salted_join_priority_revenue, events_moving_avg,
+# bigram_lm_score, bigram_pmi_collocations, semantic_dedup_exhaustive,
+# embedding_norm_extremes, column_stats_lineitem, skipgram_pairs_docs,
+# stream_doc_dedup, stream_chunk_dedup, stream_ann_search,
+# value_histogram_events, correlation_matrix_lineitem,
+# cohort_retention_events, collection_version_diff, rag_chunk_docs,
+# source_cap_docs, user_value_anomalies, order_price_percentiles,
+# grouping_sets_lineitem, pca_rerank_full_rank
+
 
 def _ordered(registered: dict) -> dict:
     out = {k: registered[k] for k in _VERIFY_FIRST if k in registered}
