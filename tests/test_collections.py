@@ -416,3 +416,23 @@ def test_vacuum_reclaims_unreachable_versions(spark, catalog):
     assert coll.scan_at(3).count() == 8
     # idempotent
     assert coll.vacuum(retain_last=1) == []
+
+
+def test_reader_snapshot_isolation_across_writes(spark, catalog):
+    # a DataFrame captured before a mutation keeps reading ITS snapshot:
+    # scan() resolves the manifest eagerly to concrete file paths, and
+    # version dirs are immutable (until vacuum), so lazy evaluation after
+    # a concurrent upsert still sees the old state
+    coll = catalog.create("iso", dim=2, n_buckets=4)
+    coll.insert(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [2.0, 0.0])], "id long, embedding array<float>"
+        )
+    )
+    reader = coll.scan()  # pinned to v1's files
+    coll.upsert(
+        spark.createDataFrame([(1, [9.0, 9.0])], "id long, embedding array<float>")
+    )
+    old = {r.id: list(r.embedding) for r in reader.collect()}  # evaluated NOW
+    assert old[1] == [1.0, 0.0]  # unaffected by the concurrent upsert
+    assert {r.id: list(r.embedding) for r in coll.scan().collect()}[1] == [9.0, 9.0]

@@ -101,6 +101,33 @@ def main() -> None:
         }
         graph_recalls[str(nprobe)] = round(_recall(exact_l2, approx), 4)
 
+    # compressed-search rungs: Hamming shortlist and PCA shortlist, both
+    # re-ranked exact — recall is the shortlist's to lose
+    from vector_db_spark.operators.binary import hamming_shortlist_rerank
+    from vector_db_spark.operators.pca import fit_pca, pca_shortlist_rerank
+
+    hamming_recall = round(
+        _recall(
+            exact_l2,
+            {
+                qid: {r.vec_id for r in hamming_shortlist_rerank(emb, qv, K, shortlist=100).collect()}
+                for qid, qv in qvecs.items()
+            },
+        ),
+        4,
+    )
+    pca_model = fit_pca(emb, k=24)
+    pca_recall = round(
+        _recall(
+            exact_l2,
+            {
+                qid: {r.vec_id for r in pca_shortlist_rerank(emb, pca_model, qv, K, shortlist=100).collect()}
+                for qid, qv in qvecs.items()
+            },
+        ),
+        4,
+    )
+
     tuned = ivf_recalls[str(IVF_PROBES[-1])]
     print(
         json.dumps(
@@ -110,6 +137,8 @@ def main() -> None:
                 "ivf": ivf_recalls,
                 "lsh": lsh_recalls,
                 "graph": graph_recalls,
+                "hamming_rerank": hamming_recall,
+                "pca_rerank": pca_recall,
                 "n_queries": N_QUERIES,
                 "nlist": NLIST,
                 "sf": sf,
