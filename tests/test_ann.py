@@ -367,3 +367,80 @@ def test_ivf_range_search_cosine_and_radii_persist(emb, tmp_path_factory, spark,
     idx.save(path)
     re = IvfIndex.load(spark, path)
     assert re.cell_radii == idx.cell_radii
+
+
+def test_range_search_after_path_append_invalidates_persisted_radii(
+    emb, tmp_path_factory, spark, qvecs
+):
+    """append(path=...) must rewrite meta.json so radii persisted by an
+    earlier save() never prune cells on behalf of vectors they predate
+    (ADVICE r2 high: stale on-disk radii silently dropped true matches
+    from the LOSSLESS range_search)."""
+    from vector_db_spark.operators.knn import range_search
+
+    path = str(tmp_path_factory.mktemp("ivf_stale_radii"))
+    first = emb.filter(F.col("vec_id") < 300)
+    idx = IvfIndex.build(first, nlist=4, seed=42)
+    qv = qvecs[7]
+    idx.range_search(qv, 1.6).collect()  # forces radii computation
+    assert idx.cell_radii is not None
+    idx.save(path)  # persists radii covering ONLY the first 300 vectors
+    IvfIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") >= 300), path=path
+    )
+    re = IvfIndex.load(spark, path)
+    assert re.cell_radii is None  # meta was rewritten by the append
+    got = [(r.vec_id, round(r.distance, 6)) for r in re.range_search(qv, 1.6).collect()]
+    want = [(r.vec_id, round(r.distance, 6)) for r in range_search(emb, qv, 1.6).collect()]
+    assert got == want
+
+
+def test_ip_range_search_lossless_after_large_norm_append(spark):
+    """Appended vectors with ‖x‖ > build-time M clamp their MIPS
+    augmentation; the pruning radius must widen to max(M², max appended
+    ‖x‖²) or a true match gets pruned (ADVICE r2 medium). Constructed so
+    the UN-widened radius² is negative — the old code returned empty."""
+    from vector_db_spark.operators.knn import range_search
+
+    base = [(i, [1.0 if j == i % 4 else 0.1 for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(df, nlist=2, seed=42, metric="ip")
+    big = spark.createDataFrame(
+        [(99, [10.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    idx.append(big)
+    qv = [1.0, 0.0, 0.0, 0.0]
+    # ip(q, big) = 10 >= 5: the appended vector IS a match, while
+    # ‖q‖² + M² − 2t < 0 under the stale build-time bound
+    union = df.unionByName(big)
+    got = [(r.vec_id, round(r.score, 6)) for r in idx.range_search(qv, 5.0).collect()]
+    want = [
+        (r.vec_id, round(r.score, 6))
+        for r in range_search(union, qv, 5.0, metric="ip").collect()
+    ]
+    assert got == want
+    assert (99, 10.0) in got
+
+
+def test_cell_radii_arrow_kernel_matches_expr_path(emb):
+    """The large-nlist Arrow distance-to-own-centroid kernel must agree
+    with the literal-expression radii (ADVICE r2 medium: ensure_cell_radii
+    previously always built the nlist·dim literal tree and would stall
+    Catalyst past _EXPR_ASSIGN_MAX)."""
+    from vector_db_spark.operators.ann import _CLUSTER_COL, _dist_to_own_centroid_arrow
+
+    for metric in ("l2", "cosine"):
+        idx = IvfIndex.build(emb, nlist=8, seed=42, metric=metric)
+        expr_radii = idx.ensure_cell_radii()
+        per_cell = (
+            _dist_to_own_centroid_arrow(
+                idx.assignments, idx.vec_col, idx.centroids, metric, idx.max_sq_norm
+            )
+            .groupBy(_CLUSTER_COL)
+            .agg(F.max("__d").alias("r"))
+            .collect()
+        )
+        arrow_radii = [0.0] * len(idx.centroids)
+        for r in per_cell:
+            arrow_radii[r[_CLUSTER_COL]] = float(r.r)
+        assert arrow_radii == pytest.approx(expr_radii, rel=1e-9, abs=1e-12)

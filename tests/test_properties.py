@@ -203,6 +203,24 @@ def test_histogram_conserves_mass(sc, values):
     assert los == sorted(set(los))  # bins are distinct
 
 
+def test_histogram_degenerate_ranges(sc):
+    """Constant columns and subnormal spans (hi-lo underflows the per-bin
+    width to exactly 0.0) must yield the single-bin degenerate, not an
+    ANSI DIVIDE_BY_ZERO (round-2 hypothesis-found crash)."""
+    from vector_db_spark.operators.vector_stats import value_histogram
+
+    const = sc.createDataFrame([(3.5,)] * 7, "v double")
+    out = value_histogram(const, "v", bins=4).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 7
+    assert out[0].bin_lo == 3.5 and out[0].bin_hi == 3.5
+
+    lo = 0.0
+    hi = 5e-324  # one ulp above lo: (hi-lo)/4 rounds to exactly 0.0
+    sub = sc.createDataFrame([(lo,), (hi,)], "v double")
+    out = value_histogram(sub, "v", bins=4).collect()
+    assert len(out) == 1 and out[0].n == 2
+
+
 @given(
     st.lists(
         st.tuples(

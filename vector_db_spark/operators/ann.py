@@ -182,6 +182,38 @@ def _nearest_centroid_arrow(
     return df.mapInPandas(assign, schema=schema)
 
 
+def _dist_to_own_centroid_arrow(
+    assignments: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    metric: str,
+    max_sq_norm: float | None,
+) -> DataFrame:
+    """(cluster_id, __d) — per-row L2 distance to the row's OWN centroid,
+    as one Arrow gather + row-wise norm per batch. The large-nlist twin of
+    the literal expression in ensure_cell_radii: no (batch × nlist) GEMM
+    is needed here because each row's cell is already known — just index
+    the centroid matrix by cluster_id."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def dist(it):
+        for pdf in it:
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if metric == "cosine":
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                v = v / norms[:, None]
+            elif metric == "ip":
+                sq = (v * v).sum(axis=1)
+                aug = np.sqrt(np.maximum(float(max_sq_norm) - sq, 0.0))
+                v = np.concatenate([v, aug[:, None]], axis=1)
+            cells = pdf[_CLUSTER_COL].to_numpy()
+            d = np.linalg.norm(v - c[cells], axis=1)
+            yield pd.DataFrame({_CLUSTER_COL: cells, "__d": d})
+
+    return assignments.mapInPandas(dist, schema=f"{_CLUSTER_COL} int, __d double")
+
+
 def _l2_to_literal(vec: Column, center: Sequence[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in center])
     return F.aggregate(
@@ -207,6 +239,11 @@ class IvfIndex:
         self.metric = metric
         self.max_sq_norm: float | None = None  # set for metric='ip' builds
         self.cell_radii: list[float] | None = None  # lazy, see ensure_cell_radii
+        # Largest squared norm ever appended (metric='ip' only): appended
+        # vectors with ‖x‖² > build-time M² clamp their MIPS augmentation
+        # to 0, so the range_search pruning radius must widen to
+        # max(M², this) or cells holding true matches could be pruned.
+        self.max_appended_sq_norm: float | None = None
 
     @staticmethod
     def build(
@@ -271,6 +308,9 @@ class IvfIndex:
             n_dirs=len(self.centroids),
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
         import json
 
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -280,6 +320,7 @@ class IvfIndex:
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
                     "max_sq_norm": self.max_sq_norm,
+                    "max_appended_sq_norm": self.max_appended_sq_norm,
                     "cell_radii": self.cell_radii,
                 },
                 f,
@@ -309,6 +350,7 @@ class IvfIndex:
             meta["metric"],
         )
         idx.max_sq_norm = meta.get("max_sq_norm")
+        idx.max_appended_sq_norm = meta.get("max_appended_sq_norm")
         idx.cell_radii = meta.get("cell_radii")
         return idx
 
@@ -329,16 +371,30 @@ class IvfIndex:
     def ensure_cell_radii(self) -> list[float]:
         """Per-cell covering radius max_{x∈cell} ‖map(x) − c_cell‖ (one
         grouped aggregate, nlist floats to the driver). Computed lazily so
-        plain top-k builds never pay for it; persisted by save()."""
+        plain top-k builds never pay for it; persisted by save().
+
+        Past the literal-expression ceiling (nlist·dim > _EXPR_ASSIGN_MAX)
+        the per-row distance-to-own-centroid comes from an Arrow kernel —
+        the same split as cluster assignment: a literal tree of that size
+        stalls Catalyst for minutes before the job even starts."""
         if self.cell_radii is None:
-            mapped = self._mapped_vec(F.col(self.vec_col))
-            dists = F.array(*[_l2_to_literal(mapped, c) for c in self.centroids])
-            per_cell = (
-                self.assignments.select(
+            if len(self.centroids) * len(self.centroids[0]) <= _EXPR_ASSIGN_MAX:
+                mapped = self._mapped_vec(F.col(self.vec_col))
+                dists = F.array(*[_l2_to_literal(mapped, c) for c in self.centroids])
+                own_d = self.assignments.select(
                     F.col(_CLUSTER_COL),
                     F.sqrt(F.element_at(dists, F.col(_CLUSTER_COL) + 1)).alias("__d"),
                 )
-                .groupBy(_CLUSTER_COL)
+            else:
+                own_d = _dist_to_own_centroid_arrow(
+                    self.assignments,
+                    self.vec_col,
+                    self.centroids,
+                    self.metric,
+                    self.max_sq_norm,
+                )
+            per_cell = (
+                own_d.groupBy(_CLUSTER_COL)
                 .agg(F.max("__d").alias("__r"))
                 .collect()
             )
@@ -361,11 +417,22 @@ class IvfIndex:
         For metric='ip' the augmentation reuses the build-time M; new
         vectors with ‖x‖ > M clamp to the cell boundary (probe recall may
         dip for them until re-train — raw vectors are stored, so
-        full-probe/exhaustive results stay exact regardless).
+        full-probe/exhaustive results stay exact regardless). Their max
+        squared norm is tracked so range_search can WIDEN its pruning
+        radius to stay lossless (a clamped vector's augmented distance
+        exceeds the build-time bound ‖q‖²+M²−2t).
 
-        Cell radii are invalidated (recomputed lazily over the unioned
-        corpus on the next range_search).
+        Cell radii are invalidated in memory AND in any persisted
+        meta.json (recomputed lazily over the unioned corpus on the next
+        range_search) — a load() after an append must never prune with
+        radii that predate the appended vectors.
         """
+        if self.metric == "ip":
+            v = F.col(self.vec_col)
+            appended_max = float(new_rows.agg(F.max(dot(v, v))).head()[0])
+            self.max_appended_sq_norm = max(
+                self.max_appended_sq_norm or 0.0, appended_max
+            )
         if len(self.centroids) * len(self.centroids[0]) <= _EXPR_ASSIGN_MAX:
             assigned = new_rows.withColumn(
                 _CLUSTER_COL,
@@ -377,12 +444,15 @@ class IvfIndex:
             assigned = _nearest_centroid_arrow(
                 new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
             )
+        self.cell_radii = None
         if path is not None:
             assigned.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
                 os.path.join(path, "assignments")
             )
+            # keep the on-disk metadata honest: radii are stale now, and
+            # the ip norm watermark must survive a save/load cycle
+            self._write_meta(path)
         self.assignments = self.assignments.unionByName(assigned)
-        self.cell_radii = None
         return self
 
     def range_search(
@@ -409,7 +479,13 @@ class IvfIndex:
         elif self.metric == "cosine":
             radius_sq = max(0.0, 2.0 - 2.0 * float(threshold))
         else:  # ip
-            radius_sq = float(np.dot(q, q)) + float(self.max_sq_norm) - 2.0 * float(threshold)
+            # Covering bound for BOTH build-time and appended vectors: a
+            # match x with ⟨q,x⟩ ≥ t has augmented distance²
+            # ‖q‖²+M²−2⟨q,x⟩ when ‖x‖² ≤ M² (exact augmentation), and
+            # ‖q−x‖² = ‖q‖²+‖x‖²−2⟨q,x⟩ when the augmentation clamped to 0
+            # — so max(M², max appended ‖x‖²) bounds either case.
+            eff_sq = max(float(self.max_sq_norm), self.max_appended_sq_norm or 0.0)
+            radius_sq = float(np.dot(q, q)) + eff_sq - 2.0 * float(threshold)
         if radius_sq < 0.0:
             return exact_range(
                 self.assignments.limit(0),

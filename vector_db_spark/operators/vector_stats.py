@@ -182,9 +182,24 @@ def value_histogram(
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).head()
         lo = float(row.lo) if lo is None else lo
         hi = float(row.hi) if hi is None else hi
-    if not hi > lo:
-        raise ValueError("hi must be > lo")
+    if hi < lo:
+        raise ValueError("hi must be >= lo")
     width = (hi - lo) / bins
+    if width <= 0.0:
+        # Degenerate range: lo == hi (constant column) or a subnormal span
+        # whose width underflows to exactly 0.0 — either way the per-bin
+        # division below would raise DIVIDE_BY_ZERO under ANSI mode.  Emit
+        # the single-bin histogram [lo, hi] instead; mass is conserved.
+        return (
+            df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(0).alias("bin"),
+                F.lit(lo).alias("bin_lo"),
+                F.lit(hi).alias("bin_hi"),
+                "n",
+            )
+        )
     bin_idx = F.least(
         F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))
     ).cast("int")

@@ -20,100 +20,86 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Registration order (module import order) put the whole
-# relational/streaming/temporal block 51st-82nd in round 1, so those queries
-# never got a hard CORRECTNESS row despite passing the oracle locally
-# (VERDICT.md round 1, "Next round" item 1).  This explicit priority list
-# front-loads (a) everything unattested in CORRECTNESS_r01.json and (b) new
-# round-2 queries; previously-attested queries rotate to the back and keep
-# their r1 attestation.
+# ``queries()``.  Rounds 1+2 attested 99 queries (92 value-green, 7
+# rows-only); this round-3 rotation front-loads ALL 44 remaining
+# oracle-backed queries that have never had a driver row (VERDICT.md round
+# 2, "Next round" item 1 — the full set, not the partial 26-item queue the
+# round-2 comment carried).  Previously-attested queries rotate to the back
+# and keep their earlier green rows.  Slots 45-50 hold new round-3 gate
+# queries (filtered batch ANN, append-radii correctness).
 _VERIFY_FIRST = [
-    # relational block (r1 positions 51-66, all oracle-backed)
-    "tpch_q4_semijoin",
-    "tpch_q5_region",
-    "tpch_q7_nation_volume",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q20_volume_suppliers",
-    "tpch_q22_no_urgent",
-    "brand_part_agg",
-    "rollup_lineitem",
-    "cube_lineitem",
-    "pivot_order_status",
-    "window_top_customers",
-    "window_running_total",
-    "median_order_price",
-    "set_ops_nations",
-    "scalar_functions",
-    # events / semi-structured
-    "events_tumbling",
-    "events_sliding",
-    "events_sessionization",
-    "events_daily_funnel",
-    "events_props_struct",
-    # skew / sketches
-    "salted_agg_lineitem",
-    # sources round-trips
-    "json_roundtrip_events",
-    "csv_roundtrip_events",
-    # temporal
-    "asof_click_purchase",
-    "range_join_pairs",
-    # structured streaming (batch/stream parity oracles)
-    "stream_tumbling_agg",
-    "stream_session_agg",
-    "stream_dedup_events",
-    "stream_upsert_readback",
-    "stream_quota_sample",
-    # --- new in round 2 (appended as they are implemented) ---
-    "ann_lsh_filtered_exhaustive",
-    "ann_graph_exhaustive",
-    "ann_graph_filtered_exhaustive",
-    "docstore_extract",
-    "tpch_q2_min_cost",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "window_event_gaps",
-    "ntile_customer_quartiles",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    # re-attest under round-2 bucketed collection storage (the r1 rows
-    # verified the old full-snapshot engine): the lifecycle flow covers
-    # store insert + index build + search dispatch, and time travel covers
-    # bucketed insert/delete/upsert + snapshot readback — together they
-    # subsume the dataflow-only upsert/delete rows, which rotate out on
-    # their r1 attestation.
-    "collection_index_lifecycle",
-    "collection_time_travel",
-    # round-2 session additions, never driver-attested
-    "ann_ivf_append_full_probe",
-    "ann_ivf_range_search",
-    # the composite curation pipeline transitively exercises the C4 gate,
-    # chunk dedup and the source cap in one hash-matched row
-    "pipeline_prepare_corpus_v2",
-    # rows-only probe paths: their exhaustive SQL-backed counterparts are in
-    # the window above, and recall pins in tests/test_ann.py guard the probe
-    # quality — a rows-only driver row adds less than a hash-match row, so
-    # these sit just past the 50-query verification window.
-    "sketch_stats_orders",
-    "ann_lsh_filtered",
-    "ann_graph_nsw",
+    # binary / hamming family (r2 additions, locally green)
+    "knn_hamming",
+    "knn_hamming_rerank",
+    "knn_hamming_batch",
+    "knn_page_two",
+    # filtered PQ / IVF-PQ exhaustive gates
+    "pq_filtered_rerank_exhaustive",
+    "ivfpq_filtered_exhaustive",
+    "pca_rerank_full_rank",
+    # collections / DML
+    "collection_version_diff",
+    # vector & corpus analytics
+    "label_centroids",
+    "embedding_norm_extremes",
+    "column_stats_lineitem",
+    "value_histogram_events",
+    "correlation_matrix_lineitem",
+    "user_value_anomalies",
+    "source_profile",
+    # sampling / splits
+    "train_eval_split_docs",
+    "training_shuffle_docs",
+    "importance_sample_docs",
+    # LM & tokenization pipeline
+    "unigram_lm_score",
+    "bigram_lm_score",
+    "bigram_pmi_collocations",
+    "skipgram_pairs_docs",
+    "rag_chunk_docs",
+    "source_cap_docs",
+    "chunk_dedup_docs",
+    "c4_filter_summary",
+    "semantic_dedup_exhaustive",
+    # relational part 3 (TPC-H remainder)
+    "tpch_q6_forecast",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_class",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q21_sole_blame",
+    "grouping_sets_lineitem",
+    "order_price_percentiles",
+    "events_moving_avg",
+    "cohort_retention_events",
+    # sources / sinks
+    "orc_roundtrip_events",
+    "bucketed_join_revenue",
+    "salted_join_priority_revenue",
+    # streaming remainder
+    "stream_stream_join",
+    "stream_ann_search",
+    "stream_doc_dedup",
+    "stream_chunk_dedup",
+    # --- new round-3 gate queries (registered this round) ---
+    "ann_ivf_batch_filtered_exhaustive",
+    "hamming_batch_filtered_exhaustive",
+    "ann_ivf_range_after_append",
+    # rows-only probe paths sit past the 50-query window: their exhaustive
+    # SQL-backed counterparts are (or were) in a window, and recall pins in
+    # tests/ guard probe quality.
+    "mmr_rerank_diverse",
+    "rocchio_expanded_search",
+    "pca_shortlist_search",
+    "semantic_dedup_clustered",
+    "bpe_vocab_docs",
+    "quality_classifier_score",
+    "bpe_tokenize_docs",
 ]
 
-# ROUND-3 ROTATION QUEUE (oracle-backed, locally green, no driver row yet —
-# front-load these next round as the current window earns its attestations):
-# knn_hamming, knn_hamming_rerank, knn_hamming_batch, knn_page_two,
-# chunk_dedup_docs, salted_join_priority_revenue, events_moving_avg,
-# bigram_lm_score, bigram_pmi_collocations, semantic_dedup_exhaustive,
-# embedding_norm_extremes, column_stats_lineitem, skipgram_pairs_docs,
-# stream_doc_dedup, stream_chunk_dedup, stream_ann_search,
-# value_histogram_events, correlation_matrix_lineitem,
-# cohort_retention_events, collection_version_diff, rag_chunk_docs,
-# source_cap_docs, user_value_anomalies, order_price_percentiles,
-# grouping_sets_lineitem, pca_rerank_full_rank
+# After this round every oracle-backed registered query has a hard driver
+# attestation (r1: 50, r2: 50, r3: 44 + the 3 new gates).  Future rounds
+# only need to front-load newly added queries.
 
 
 def _ordered(registered: dict) -> dict:

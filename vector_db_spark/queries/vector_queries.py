@@ -275,8 +275,9 @@ SELECT vec_id, hamming FROM top
 @query("knn_hamming", oracle=_HAMMING_ORACLE)
 def knn_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by Hamming distance over 1-bit sign codes
-    (operators/binary.py): the scan artifact is 8 bytes/vector (32× under
-    float32), distance is XOR+popcount inside codegen, and the plan is the
+    (operators/binary.py): the scan artifact packs 64 dims into 3 ints of
+    31 bits = 12 bytes/vector (~21× under float32; see the codec notes in
+    binary.py), distance is XOR+popcount inside codegen, and the plan is the
     same shuffle-free TakeOrderedAndProject as exact kNN. Sign packing is
     data-independent, so DuckDB reproduces the distance from raw floats."""
     from vector_db_spark.operators.binary import binary_quantize, knn_hamming
