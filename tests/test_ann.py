@@ -422,6 +422,26 @@ def test_ip_range_search_lossless_after_large_norm_append(spark):
     assert (99, 10.0) in got
 
 
+def test_ivf_batch_filtered_full_probe_matches_exact(emb, ivf, qvecs):
+    """Batch + predicate at exhaustive probe == per-query exact filtered
+    kNN (the round-3 predicate threading through search_batch)."""
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf.search_batch(
+        queries, 10, nprobe=16, predicate=F.col("label") == 3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, round(r.distance, 6)))
+    for qid in QIDS:
+        exact = [
+            (r.vec_id, round(r.distance, 6))
+            for r in knn(emb, qvecs[qid], 10, predicate=F.col("label") == 3).collect()
+        ]
+        assert by_q[qid] == exact
+
+
 def test_cell_radii_arrow_kernel_matches_expr_path(emb):
     """The large-nlist Arrow distance-to-own-centroid kernel must agree
     with the literal-expression radii (ADVICE r2 medium: ensure_cell_radii

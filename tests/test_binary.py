@@ -127,3 +127,30 @@ def test_batch_hamming_matches_per_query(spark, corpus, vecs):
         single = knn_hamming(codes, [float(x) for x in vecs[qid]], 4).collect()
         want = [(i + 1, r.vec_id, r.hamming) for i, r in enumerate(single)]
         assert got == want
+
+
+def test_batch_hamming_filtered_matches_per_query(spark, corpus, vecs):
+    """Predicate threading through batch_knn_hamming (round-3): batch +
+    predicate == per-query filtered knn_hamming; every result satisfies
+    the predicate."""
+    from vector_db_spark.operators.binary import batch_knn_hamming
+
+    tagged = corpus.withColumn("parity", F.col("vec_id") % 2)
+    codes = binary_quantize(tagged, dim=64).select("vec_id", "codes", "parity")
+    qids = [0, 5, 11]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in qids],
+        "query_id long, query_vec array<float>",
+    )
+    pred = F.col("parity") == 0
+    batch = batch_knn_hamming(codes, queries, 4, predicate=pred).collect()
+    assert all(r.vec_id % 2 == 0 for r in batch)
+    for qid in qids:
+        got = sorted(
+            [(r.rank, r.vec_id, r.hamming) for r in batch if r.query_id == qid]
+        )
+        single = knn_hamming(
+            codes.filter(pred), [float(x) for x in vecs[qid]], 4
+        ).collect()
+        want = [(i + 1, r.vec_id, r.hamming) for i, r in enumerate(single)]
+        assert got == want

@@ -577,9 +577,17 @@ class IvfIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         broadcast_queries: bool = True,
+        predicate: Column | None = None,
     ) -> DataFrame:
         """Top-k per query for a whole DataFrame of queries — the 100 TB
         formulation: no driver-side loop over queries.
+
+        ``predicate`` (over corpus columns) pre-filters candidates before
+        the rerank — every query sees only matching rows, min(k, matches)
+        results each, the same contract as single-query filtered search
+        (≅ usearch filtered_search, reference:
+        src/core/index/usearch_index.rs:68-85). Applied to the corpus side
+        BEFORE the probe join, so it pushes down to the cell-pruned scan.
 
         Plan: (1) score every (query, centroid) pair — centroids are a tiny
         literal, so assignment is a narrow codegen'd projection over the
@@ -644,7 +652,10 @@ class IvfIndex:
         # equi-join on the corpus's existing partition column, so the
         # corpus side is a co-located (often zero-move) shuffle.
         probe_side = F.broadcast(probed) if broadcast_queries else probed
-        cands = self.assignments.join(probe_side, on=_CLUSTER_COL)
+        corpus = self.assignments
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+        cands = corpus.join(probe_side, on=_CLUSTER_COL)
 
         # (4): exact rerank per query.
         scored = cands.select(

@@ -182,12 +182,19 @@ def batch_knn_hamming(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """Top-k by Hamming distance per query for a DataFrame of queries —
     the batch analogue of `knn_hamming`, same shape as `knn.batch_knn`:
     query vectors binarize on the fly, the (small) query side broadcasts,
     the codes corpus never shuffles, one window ranks per query. At scale
     the corpus side reads only the packed-code column.
+
+    ``predicate`` (over corpus columns) pre-filters candidates before
+    scoring — the same shared-predicate contract as exact ``batch_knn``
+    and single-query filtered search (≅ usearch filtered_search,
+    reference: src/core/index/usearch_index.rs:68-85); as a corpus-side
+    scan filter it pushes down to parquet.
 
     Returns (query_id, id, hamming, rank)."""
     from pyspark.sql import Window
@@ -197,6 +204,8 @@ def batch_knn_hamming(
     dim_row = queries.select(F.size(query_vec_col)).head()
     if dim_row is None:
         raise ValueError("queries is empty")
+    if predicate is not None:
+        codes = codes.filter(predicate)
     qcodes = queries.select(
         query_id_col, binarize(F.col(query_vec_col), dim_row[0]).alias("__qc")
     )

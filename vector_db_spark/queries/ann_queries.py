@@ -87,6 +87,7 @@ def ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from vector_db_spark.queries.vector_queries import (  # noqa: E402
     _BATCH_K,
+    _BATCH_L2,
     _BATCH_ORACLE,
 )
 
@@ -352,4 +353,109 @@ def pca_shortlist_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     model = fit_pca(emb, k=24)
     res = pca_shortlist_rerank(emb, model, _qvec(spark, sf_dir), K, shortlist=100)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_BATCH_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_BATCH_L2} AS dist
+  FROM embeddings e, q WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance, rank
+FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("ann_ivf_batch_filtered_exhaustive", oracle=_BATCH_FILTERED_ORACLE)
+def ann_ivf_batch_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered BATCH ANN gate (round-3: predicate threaded through
+    search_batch, closing the single-query/batch asymmetry — reference
+    semantics: usearch filtered_search composed over a query set,
+    src/core/index/usearch_index.rs:68-85). Exhaustive probe + predicate
+    must reproduce exact filtered batch kNN bit-for-bit: every query sees
+    only label=3 rows, pre-filtered BEFORE the rerank so the corpus-side
+    scan prunes on both cell and label."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, nprobe=8, metric="l2", predicate=F.col("label") == 3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+_HAMMING_BATCH_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(length(list_filter(range(1, 65),
+           i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS BIGINT) AS hamming
+  FROM embeddings e, q WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("hamming_batch_filtered_exhaustive", oracle=_HAMMING_BATCH_FILTERED_ORACLE)
+def hamming_batch_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batch Hamming gate: the 1-bit code corpus carries its
+    metadata columns, the predicate pre-filters candidates before the
+    XOR+popcount scoring, and the result is min(k, matches) per query —
+    value-exact against DuckDB recomputing sign-bit Hamming from the raw
+    floats under the same WHERE."""
+    from vector_db_spark.operators.binary import batch_knn_hamming, binary_quantize
+
+    emb = _emb(spark, sf_dir)
+    codes = binary_quantize(emb, dim=64).select("vec_id", "codes", "label")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = batch_knn_hamming(
+        codes, queries, _BATCH_K, predicate=F.col("label") == 3
+    )
+    return res.select("query_id", "vec_id", "hamming", "rank")
+
+
+@query("ann_ivf_range_after_append", oracle=_RANGE_ORACLE)
+def ann_ivf_range_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 regression gate for the stale-radii append bug (ADVICE r2
+    high): build on half the corpus, force + PERSIST cell radii via
+    save(), append the other half with path=... (which must rewrite
+    meta.json, invalidating the radii), reload, range-search. A reload
+    that kept the pre-append radii would prune cells containing appended
+    true matches; the oracle is the full-corpus range scan, so any stale
+    pruning is a hard hash mismatch."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_range_append_")
+    idx = IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5
+    )
+    idx.ensure_cell_radii()
+    idx.save(path)
+    IvfIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") % 2 == 1), path=path
+    )
+    re = IvfIndex.load(spark, path)
+    res = re.range_search(_qvec(spark, sf_dir), _RANGE_THRESHOLD)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
