@@ -442,6 +442,36 @@ def test_ivf_batch_filtered_full_probe_matches_exact(emb, ivf, qvecs):
         assert by_q[qid] == exact
 
 
+def test_assignment_arrow_matches_expr_reference(emb):
+    """The Arrow GEMM assignment (the production path) must agree with
+    the literal-expression reference implementation row-for-row —
+    including the first-minimum lower-cell tie-break."""
+    from vector_db_spark.functions.vector import normalize
+    from vector_db_spark.operators.ann import (
+        _CLUSTER_COL,
+        _kmeans_centroids,
+        _nearest_centroid_arrow,
+        _nearest_centroid_expr,
+    )
+
+    for metric in ("l2", "cosine"):
+        vec = F.col("embedding") if metric == "l2" else normalize(F.col("embedding"))
+        cents = _kmeans_centroids(emb, vec, 8, 42, 5)
+        arrow = {
+            r.vec_id: r[_CLUSTER_COL]
+            for r in _nearest_centroid_arrow(
+                emb, "embedding", cents, metric, None
+            ).collect()
+        }
+        expr = {
+            r.vec_id: r[_CLUSTER_COL]
+            for r in emb.withColumn(
+                _CLUSTER_COL, _nearest_centroid_expr(vec, cents)
+            ).collect()
+        }
+        assert arrow == expr
+
+
 def test_cell_radii_arrow_kernel_matches_expr_path(emb):
     """The large-nlist Arrow distance-to-own-centroid kernel must agree
     with the literal-expression radii (ADVICE r2 medium: ensure_cell_radii

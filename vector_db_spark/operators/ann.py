@@ -72,8 +72,8 @@ def _kmeans_centroids(
     driver, then seeded Lloyd's iterations run in NumPy. Training cost is
     O(sample) and independent of corpus size — fitting a distributed
     KMeans over 100 TB to place 1k centroids would be pure waste. Cell
-    ASSIGNMENT stays fully distributed (literal-centroid codegen
-    expression over the whole corpus)."""
+    ASSIGNMENT stays fully distributed (one Arrow-batched GEMM per
+    partition over the whole corpus)."""
     target = nlist * sample_per_cell
     n = corpus.count()
     sampled = corpus.select(vec.alias("v"))
@@ -115,24 +115,29 @@ def _kmeans_centroids(
 
 
 def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin-distance cluster assignment as one native expression: the
-    centroid list is tiny, so it inlines as literals and evaluates inside
-    codegen — no MLlib model or Python needed at assignment time.
+    """argmin-distance cluster assignment as one native expression — kept
+    as the pure-SQL reference implementation and for plan-level composition
+    (the tie-break parity with `_nearest_centroid_arrow` is pinned in
+    tests), but NOT the production assignment path: `aggregate`/`zip_with`
+    higher-order functions evaluate INTERPRETED per element (measured 35×
+    slower than one Arrow GEMM per batch at nlist=8 × dim=64), and past
+    `_EXPR_ASSIGN_MAX` literal terms Catalyst takes minutes just to plan.
 
     Built as array-of-distances + array_position(array_min) so the
     expression stays LINEAR in nlist (a chained when(d < best_d) rewrite
     doubles the tree per centroid — exponential — and OOMs the driver at
-    nlist ≈ 16). Even the linear form has a ceiling: nlist·dim literal
-    terms stall Catalyst analysis/codegen well before execution (measured:
-    nlist=100 × dim=64 ≈ 20k nodes takes MINUTES to plan). Callers switch
-    to `_nearest_centroid_arrow` past `_EXPR_ASSIGN_MAX` terms."""
+    nlist ≈ 16)."""
     dists = F.array(*[_l2_to_literal(vec, c) for c in centroids])
     # array_position is 1-based and takes the FIRST minimum: deterministic
     # tie-break toward the lower cluster id.
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-_EXPR_ASSIGN_MAX = 1024  # nlist·dim ceiling for the literal-expression path
+# nlist·dim ceiling past which the literal-expression form is unplannable
+# (Catalyst stalls for minutes). The Arrow kernel is the assignment path at
+# EVERY size — this constant documents the cliff and guards any remaining
+# literal-expression composition (e.g. query-side cell ranking).
+_EXPR_ASSIGN_MAX = 1024
 
 
 def _nearest_centroid_arrow(
@@ -142,11 +147,12 @@ def _nearest_centroid_arrow(
     metric: str,
     max_sq_norm: float | None,
 ) -> DataFrame:
-    """Cluster assignment as one Arrow-batched BLAS kernel — the large-
-    nlist path (production IVF uses nlist in the thousands; a literal
-    expression of that size stalls the optimizer, while one |B|×nlist
-    GEMM per Arrow batch is microseconds). The metric mapping (unit
-    sphere / MIPS augmentation) replicates the build-side expression;
+    """Cluster assignment as one Arrow-batched BLAS kernel — THE
+    assignment path at every nlist: a |B|×nlist GEMM per Arrow batch is
+    microseconds, where the literal-expression form evaluates interpreted
+    HOFs per element (35× slower at nlist=8×dim=64) and stalls the
+    optimizer for minutes in the thousands. The metric mapping (unit
+    sphere / MIPS augmentation) replicates the reference expression;
     argmin takes the FIRST minimum — the same lower-cell tie-break as
     array_position(array_min)."""
     import pandas as pd
@@ -284,14 +290,7 @@ class IvfIndex:
                 F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
             )
         centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
-        if nlist * len(centroids[0]) <= _EXPR_ASSIGN_MAX:
-            assignments = corpus.withColumn(
-                _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
-            )
-        else:
-            assignments = _nearest_centroid_arrow(
-                corpus, vec_col, centroids, metric, aug
-            )
+        assignments = _nearest_centroid_arrow(corpus, vec_col, centroids, metric, aug)
         idx = IvfIndex(centroids, assignments, id_col, vec_col, metric)
         idx.max_sq_norm = aug
         return idx
@@ -373,26 +372,18 @@ class IvfIndex:
         grouped aggregate, nlist floats to the driver). Computed lazily so
         plain top-k builds never pay for it; persisted by save().
 
-        Past the literal-expression ceiling (nlist·dim > _EXPR_ASSIGN_MAX)
-        the per-row distance-to-own-centroid comes from an Arrow kernel —
-        the same split as cluster assignment: a literal tree of that size
-        stalls Catalyst for minutes before the job even starts."""
+        The per-row distance-to-own-centroid comes from an Arrow kernel
+        (one centroid gather + row-wise norm per batch) — like cluster
+        assignment, the literal-distance expression form both evaluates
+        interpreted per element and stalls Catalyst past ~1024 terms."""
         if self.cell_radii is None:
-            if len(self.centroids) * len(self.centroids[0]) <= _EXPR_ASSIGN_MAX:
-                mapped = self._mapped_vec(F.col(self.vec_col))
-                dists = F.array(*[_l2_to_literal(mapped, c) for c in self.centroids])
-                own_d = self.assignments.select(
-                    F.col(_CLUSTER_COL),
-                    F.sqrt(F.element_at(dists, F.col(_CLUSTER_COL) + 1)).alias("__d"),
-                )
-            else:
-                own_d = _dist_to_own_centroid_arrow(
-                    self.assignments,
-                    self.vec_col,
-                    self.centroids,
-                    self.metric,
-                    self.max_sq_norm,
-                )
+            own_d = _dist_to_own_centroid_arrow(
+                self.assignments,
+                self.vec_col,
+                self.centroids,
+                self.metric,
+                self.max_sq_norm,
+            )
             per_cell = (
                 own_d.groupBy(_CLUSTER_COL)
                 .agg(F.max("__d").alias("__r"))
@@ -433,17 +424,9 @@ class IvfIndex:
             self.max_appended_sq_norm = max(
                 self.max_appended_sq_norm or 0.0, appended_max
             )
-        if len(self.centroids) * len(self.centroids[0]) <= _EXPR_ASSIGN_MAX:
-            assigned = new_rows.withColumn(
-                _CLUSTER_COL,
-                _nearest_centroid_expr(
-                    self._mapped_vec(F.col(self.vec_col)), self.centroids
-                ),
-            )
-        else:
-            assigned = _nearest_centroid_arrow(
-                new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
-            )
+        assigned = _nearest_centroid_arrow(
+            new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
+        )
         self.cell_radii = None
         if path is not None:
             assigned.write.mode("append").partitionBy(_CLUSTER_COL).parquet(

@@ -48,7 +48,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from vector_db_spark.operators.ann import (
     _CLUSTER_COL,
     _kmeans_centroids,
-    _nearest_centroid_expr,
+    _nearest_centroid_arrow,
 )
 
 NEIGHBOR_COL = "neighbors"
@@ -157,9 +157,11 @@ class GraphAnnIndex:
 
         vec = F.col(vec_col) if metric == "l2" else normalize(F.col(vec_col))
         centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
-        assignments = corpus.withColumn(
-            _CLUSTER_COL, _nearest_centroid_expr(vec, centroids)
-        )
+        # Arrow GEMM assignment (not the literal-distance expression): the
+        # HOF fold evaluates interpreted per element — measured 35× slower
+        # than one (batch × nlist) BLAS matmul even at nlist=8, and it
+        # stalls Catalyst planning past ~1024 literal terms.
+        assignments = _nearest_centroid_arrow(corpus, vec_col, centroids, metric, None)
         out_schema = StructType(
             list(assignments.schema.fields)
             + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
