@@ -36,9 +36,45 @@ def test_codec_round_trips():
     assert rate == 8000 and pcm.shape == (64,) and pcm.dtype == np.int16
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present: seam is live")
 def test_real_decoder_is_marked_unimplemented():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_real_image(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL absent in this container")
+def test_real_decoder_handles_png_bytes():
+    """When PIL exists the seam is live: PNG bytes decode to the same
+    (h, w, c) uint8 channel-last layout as the SYNTH codec."""
+    import io
+
+    from PIL import Image
+
+    from vector_db_spark.operators.multimodal import decode_image
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+    out = decode_image(buf.getvalue(), format="png")
+    assert out.shape == (4, 6, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, arr)
+
+
+def test_decode_image_dispatch_synth():
+    from vector_db_spark.operators.multimodal import decode_image, encode_image
+
+    data = encode_image(7, 5, 4, 3)
+    out = decode_image(data, format="synth")
+    assert out.shape == (4, 5, 3)
 
 
 def test_image_features_schema_and_partition_invariance(spark):

@@ -93,16 +93,38 @@ def decode_audio_payload(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_real_image(data: bytes) -> np.ndarray:
-    """The seam where a real image library plugs in. Not available in this
-    environment — the SYNTH codec above is the tested stand-in."""
+    """Decode real image bytes (PNG/JPEG/...) to an (h, w, c) uint8 array
+    via PIL when the library is present; raises NotImplementedError where
+    it isn't (this container), keeping the SYNTH codec as the tested,
+    oracle-verifiable stand-in. The returned layout matches
+    decode_image_payload (row-major, channel-last), so every downstream
+    feature stage is codec-agnostic."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
             "real image decode requires PIL; use the SYNTH codec "
             "(decode_image_payload) in this environment"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when the library exists")
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:  # grayscale -> (h, w, 1), uniform channel-last shape
+        arr = arr[:, :, None]
+    return arr
+
+
+def decode_image(data: bytes, format: str = "synth") -> np.ndarray:
+    """Codec dispatch: 'synth' parses the deterministic fixture payload;
+    anything else goes through the PIL seam. One signature for both, so a
+    media table whose meta.format says 'png' flows through the identical
+    mapInPandas stages the SYNTH tables are verified on."""
+    if format == "synth":
+        return decode_image_payload(data)
+    return decode_real_image(data)
 
 
 # --------------------------------------------------------------------------
