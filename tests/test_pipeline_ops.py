@@ -439,8 +439,18 @@ def test_value_histogram_edges_and_clamp(spark):
     assert got[0].bin_lo == 0.0 and got[4].bin_hi == 10.0
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="hi must be > lo"):
-        value_histogram(spark.createDataFrame([(1.0,)], "v double"), "v")
+    # constant column degenerates to a single bin (round-3 contract; the
+    # old ValueError made a common QA input an error — ADVICE r2)
+    out = value_histogram(
+        spark.createDataFrame([(1.0,)], "v double"), "v"
+    ).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 1
+
+    # inverted explicit bounds still refuse
+    with _pytest.raises(ValueError, match="hi must be >= lo"):
+        value_histogram(
+            spark.createDataFrame([(1.0,)], "v double"), "v", lo=2.0, hi=1.0
+        )
 
 
 def test_correlation_matrix_known_values(spark):

@@ -64,13 +64,22 @@ def train_unigram(
 
     The vocabulary keeps the ``top_v`` most frequent tokens with a total
     (count DESC, token ASC) order so ties are deterministic; ``total``
-    counts EVERY token so probabilities are true corpus frequencies."""
+    counts EVERY token so probabilities are true corpus frequencies.
+
+    ``total`` is Σcnt over the aggregated token table — NOT a second
+    tokenize-and-count pass over the corpus: the counts frame is
+    checkpointed so the top-V collect and the total derive from ONE
+    corpus-scale shuffle (at 100 TB the difference is a full extra scan)."""
     tok = fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
     rows = top.collect()
-    total = tok.count()
-    return UnigramLm({r.token: r.cnt for r in rows}, total)
+    total = counts.agg(F.sum("cnt")).head()[0]
+    return UnigramLm({r.token: r.cnt for r in rows}, int(total))
 
 
 def score_documents(
