@@ -169,9 +169,16 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ann_ivf_search": lambda: ivf.search(qv, K, nprobe=4),
         "ann_ivf_batch_search": lambda: ivf.search_batch(batch_queries, 5, nprobe=4),
         "ann_lsh_search": lambda: lsh.search(qv, K),
+        "ann_lsh_batch_search": lambda: lsh.search_batch(batch_queries, 5),
         "pq_adc_search": lambda: pqz.search(codes, qv, K),
         "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
+        "ivfpq_batch_search": lambda: ivfpq.search_batch(
+            batch_queries, 5, nprobe=4, shortlist=100
+        ),
         "ann_graph_search": lambda: gr.search(qv, K, nprobe=8, ef_search=200),
+        "ann_graph_batch_search": lambda: gr.search_batch(
+            batch_queries, 5, nprobe=8, ef_search=200
+        ),
         # Hamming over persisted 12-byte sign codes: the scan artifact the
         # binary op exists for (21x fewer bytes than the raw vector scan)
         "hamming_search": lambda: _knn_hamming(sign_codes, qv, K),

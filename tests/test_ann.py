@@ -442,6 +442,38 @@ def test_ivf_batch_filtered_full_probe_matches_exact(emb, ivf, qvecs):
         assert by_q[qid] == exact
 
 
+def test_lsh_batch_matches_per_query_single(emb, qvecs):
+    """Batch LSH at tuned params must equal a per-query loop of single
+    search (same planes, same buckets, same multiprobe) — the batch path
+    adds distribution, not approximation."""
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = idx.search_batch(queries, 10, probe_radius=1).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, round(r.score, 6)))
+    for qid in QIDS:
+        single = idx.search(qvecs[qid], 10, probe_radius=1).collect()
+        want = [(i + 1, r.vec_id, round(r.score, 6)) for i, r in enumerate(single)]
+        assert sorted(by_q[qid]) == want, qid
+
+
+def test_lsh_batch_filtered_predicate_satisfied(emb, qvecs):
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = idx.search_batch(
+        queries, 10, probe_radius=1, predicate=F.col("label") == 3
+    ).collect()
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    assert got and all(labels[r.vec_id] == 3 for r in got)
+
+
 def test_assignment_arrow_matches_expr_reference(emb):
     """The Arrow GEMM assignment (the production path) must agree with
     the literal-expression reference implementation row-for-row —

@@ -170,3 +170,46 @@ def test_collection_graph_index_lifecycle(spark, tmp_path):
     filt = coll.search(qv, 5, nprobe=4, ef_search=10**6, predicate=F.col("tag") == 1)
     tags = {r.id % 3 for r in filt.collect()}  # id i+1 has tag i%3 → (id-1)%3==1
     assert all((i - 1) % 3 == 1 for i in [r.id for r in filt.collect()])
+
+
+def test_batch_matches_per_query_single(emb, graph, qvecs):
+    """Cogrouped batch beam search at tuned params must equal a per-query
+    loop of single search — distribution, not approximation."""
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = graph.search_batch(queries, 10, nprobe=4, ef_search=200).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(r.distance, 6))
+        )
+    for qid in QIDS:
+        single = graph.search(qvecs[qid], 10, nprobe=4, ef_search=200).collect()
+        want = [(i + 1, r.vec_id, round(r.distance, 6)) for i, r in enumerate(single)]
+        assert sorted(by_q[qid]) == want, qid
+
+
+def test_batch_filtered_traversal_mask(emb, graph, qvecs):
+    """Batch + predicate: admission-mask semantics per query — results
+    satisfy the predicate and match the single-query filtered beam."""
+    queries = emb.filter(F.col("vec_id").isin(QIDS[:2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pred = F.col("label") == 3
+    batch = graph.search_batch(
+        queries, 10, nprobe=8, ef_search=10**6, predicate=pred
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert batch and all(labels[r.vec_id] == 3 for r in batch)
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(r.distance, 6))
+        )
+    for qid in QIDS[:2]:
+        single = graph.search(
+            qvecs[qid], 10, nprobe=8, ef_search=10**6, predicate=pred
+        ).collect()
+        want = [(i + 1, r.vec_id, round(r.distance, 6)) for i, r in enumerate(single)]
+        assert sorted(by_q[qid]) == want, qid

@@ -276,3 +276,24 @@ def test_pca_save_load_roundtrip(spark, tmp_path):
     r = load_pca(str(tmp_path / "pca"))
     assert np.array_equal(r.mean, m.mean)
     assert np.array_equal(r.components, m.components)
+
+
+def test_ivfpq_batch_matches_per_query_single(emb, ivfpq, qvecs):
+    """Cogrouped batch ADC + shortlist + rerank at tuned params must
+    equal a per-query loop of single search."""
+    from pyspark.sql import functions as F
+
+    qids = sorted(qvecs)
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ivfpq.search_batch(queries, 10, nprobe=4, shortlist=100).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(r.distance, 6))
+        )
+    for qid in qids:
+        single = ivfpq.search(qvecs[qid], 10, nprobe=4, shortlist=100).collect()
+        want = [(i + 1, r.vec_id, round(r.distance, 6)) for i, r in enumerate(single)]
+        assert sorted(by_q[qid]) == want, qid

@@ -771,6 +771,94 @@ class CosineLshIndex:
                 out.extend((t, b ^ (1 << j)) for j in range(n_bits))
         return out
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        probe_radius: int = 1,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k cosine per query for a DataFrame of queries through the
+        LSH tables — no driver-side loop: (1) one Arrow matmul buckets
+        every query against all tables (the same kernel as the build
+        side); (2) multiprobe expansion is a literal XOR explode (each
+        bucket plus its n_bits one-flip neighbors); (3) an equi-join on
+        (table, bucket) lands candidates — after save() that key is the
+        partition layout, so the corpus side prunes; (4) dedup per
+        (query, id) across tables, optional predicate, one window ranks
+        per query. ``probe_radius=0`` disables multiprobe. Returns
+        (query_id, id, score, rank).
+
+        With n_bits=1 and probe_radius>=1 every bucket of every table is
+        probed, so the result must equal exact filtered batch cosine kNN
+        — the oracle gate (ann_lsh_batch_filtered_exhaustive)."""
+        from vector_db_spark.operators.knn import SCORE_COL, _metric
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        n_tables, n_bits, dim = self.planes.shape
+        flat = self.planes.reshape(n_tables * n_bits, dim).T.copy()
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+
+        @F.pandas_udf("array<long>")
+        def _qbuckets(vecs: pd.Series) -> pd.Series:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            if v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: query has {v.shape[1]} components, "
+                    f"index dim is {dim}"
+                )
+            bits = (v @ flat >= 0).astype(np.int64)
+            b = (bits.reshape(len(v), n_tables, n_bits) * weights).sum(axis=2)
+            return pd.Series(list(b))
+
+        probed = queries.select(
+            query_id_col,
+            query_vec_col,
+            F.posexplode(_qbuckets(F.col(query_vec_col))).alias("table", "_b0"),
+        )
+        flips = [F.col("_b0")] + [
+            F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
+        ]
+        n_probe_buckets = 1 + (n_bits if probe_radius >= 1 else 0)
+        probed = probed.select(
+            query_id_col,
+            query_vec_col,
+            "table",
+            F.explode(F.array(*flips[:n_probe_buckets])).alias("bucket"),
+        )
+
+        extras = [
+            c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
+        ]
+        cands = (
+            self.buckets.join(F.broadcast(probed), on=["table", "bucket"])
+            .dropDuplicates([query_id_col, "id"])
+            .select(
+                query_id_col,
+                query_vec_col,
+                F.col("id").alias(self.id_col),
+                F.col("vec").alias(self.vec_col),
+                *extras,
+            )
+        )
+        if predicate is not None:
+            cands = cands.filter(predicate)
+        expr_fn, ascending = _metric("cosine")
+        out = SCORE_COL["cosine"]
+        scored = cands.select(
+            query_id_col,
+            self.id_col,
+            expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(out),
+        )
+        order = F.col(out).asc() if ascending else F.col(out).desc()
+        w = Window.partitionBy(query_id_col).orderBy(order, F.col(self.id_col).asc())
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
     def search(
         self,
         query: Sequence[float],

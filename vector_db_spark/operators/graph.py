@@ -41,13 +41,14 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from vector_db_spark.operators.ann import (
     _CLUSTER_COL,
     _kmeans_centroids,
+    _l2_to_literal,
     _nearest_centroid_arrow,
 )
 
@@ -301,3 +302,136 @@ class GraphAnnIndex:
                 id_col, (F.lit(1.0) - F.col("distance") / 2).alias("score")
             ).orderBy(F.col("score").desc(), F.col(id_col).asc())
         return merged
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 2,
+        ef_search: int = 200,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k per query through the per-cell NSW graphs — the batch
+        formulation with NO driver-side loop over queries: (1) rank cells
+        per query (literal-centroid distances over the small query side,
+        window keeps ``nprobe``); (2) COGROUP the graph cells with the
+        (query, cell) probe set on cluster_id — Spark's cogrouped
+        applyInPandas, so each task sees one cell's subgraph plus exactly
+        the queries probing it, and the query set stays distributed (no
+        broadcast dict, no collect); (3) beam-search each query against
+        the cell; (4) one window ranks per query. After save() the
+        cogroup's graph side is partition-pruned to the probed cells.
+
+        Returns (query_id, id, distance|score, rank). ``predicate`` gives
+        the same traversal-with-admission-mask semantics as single-query
+        filtered search (non-matching nodes are traversed, never
+        admitted). nprobe >= nlist with unbounded ef degenerates to exact
+        batch kNN — the oracle gate (ann_graph_batch_exhaustive)."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        from vector_db_spark.functions.vector import normalize
+
+        cosine = self.metric == "cosine"
+        qvec = (
+            normalize(F.col(query_vec_col)) if cosine else F.col(query_vec_col)
+        )
+        cell_dists = F.array(*[_l2_to_literal(qvec, c) for c in self.centroids])
+        probed = (
+            queries.select(
+                query_id_col,
+                qvec.alias("__qv"),
+                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
+            )
+            .withColumn(
+                "_cell_rank",
+                F.row_number().over(
+                    Window.partitionBy(query_id_col).orderBy(
+                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_cell_rank") <= nprobe)
+            .select(query_id_col, "__qv", _CLUSTER_COL)
+        )
+
+        cells = self.graph
+        if predicate is not None:
+            cells = cells.withColumn("__pass", predicate.cast("boolean"))
+        filtered = predicate is not None
+        id_col, vec_col = self.id_col, self.vec_col
+        ef = max(ef_search, k)
+        dim = len(self.centroids[0])
+
+        def _search_cell_batch(
+            cell_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if cell_pdf.empty or q_pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], id_col: [], "distance": []}
+                ).astype({"query_id": "int64", id_col: "int64", "distance": "float64"})
+            cell_pdf = cell_pdf.sort_values(id_col, ignore_index=True)
+            ids = cell_pdf[id_col].to_numpy()
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in cell_pdf[vec_col]]
+            )
+            if cosine:
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            adj = [
+                list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
+                if len(nbrs)
+                else []
+                for nbrs in cell_pdf[NEIGHBOR_COL]
+            ]
+            allowed = (
+                cell_pdf["__pass"].fillna(False).to_numpy(dtype=bool)
+                if filtered
+                else None
+            )
+            out_q, out_i, out_d = [], [], []
+            for qid, qv in zip(q_pdf["__qid"], q_pdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                if q.shape[0] != dim:
+                    raise ValueError(
+                        f"dimension mismatch: query has {q.shape[0]} "
+                        f"components, index dim is {dim}"
+                    )
+                pos, dists, _ = _beam(vecs, adj, q, ef, allowed=allowed)
+                top = pos[:k]
+                out_q.extend([qid] * len(top))
+                out_i.extend(ids[top])
+                out_d.extend(dists[: len(top)])
+            return pd.DataFrame({"query_id": out_q, id_col: out_i, "distance": out_d})
+
+        per_cell = (
+            cells.groupby(_CLUSTER_COL)
+            .cogroup(
+                probed.select(
+                    F.col(query_id_col).alias("__qid"), "__qv", _CLUSTER_COL
+                ).groupby(_CLUSTER_COL)
+            )
+            .applyInPandas(
+                _search_cell_batch,
+                f"query_id long, {id_col} long, distance double",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        )
+        ranked = per_cell.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        if cosine:
+            return ranked.select(
+                F.col("query_id").alias(query_id_col),
+                id_col,
+                (F.lit(1.0) - F.col("distance") / 2).alias("score"),
+                "rank",
+            )
+        return ranked.select(
+            F.col("query_id").alias(query_id_col), id_col, "distance", "rank"
+        )

@@ -44,6 +44,19 @@ from vector_db_spark.operators.ann import _CLUSTER_COL, IvfIndex
 from vector_db_spark.operators.pq import ProductQuantizer
 
 
+def _adc_table(codebooks: np.ndarray, resid: np.ndarray, m: int, ksub: int) -> np.ndarray:
+    """Free-function twin of ProductQuantizer.adc_table for executor-side
+    closures: captures only the codebook ndarray, never the quantizer
+    object (whose owner also holds DataFrames)."""
+    dsub = codebooks.shape[2]
+    table = np.empty((m, ksub))
+    for i in range(m):
+        qs = resid[i * dsub : (i + 1) * dsub]
+        diff = codebooks[i] - qs[None, :]
+        table[i] = (diff * diff).sum(axis=1)
+    return table
+
+
 def _centroid_lookup(centroids: list[list[float]], cluster: F.Column) -> F.Column:
     """centroids[cluster] as a literal-array lookup (codegen, no join)."""
     lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
@@ -209,3 +222,145 @@ class IvfPqIndex:
         ).limit(ell).select(self.id_col)
         short = raw.join(F.broadcast(cand_ids), on=self.id_col, how="inner")
         return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        shortlist: int = 0,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k per query through the IVF-PQ layout — batch formulation,
+        no driver-side loop: (1) rank cells per query (literal-centroid
+        distances over the small query side, window keeps ``nprobe``);
+        (2) COGROUP the M-byte codes with the (query, cell) probe set on
+        cluster_id — each task builds the ADC tables for exactly the
+        queries probing its cell (query residual q − centroid_cell) and
+        scores the whole cell against all of them as one table-lookup
+        sum, emitting only each query's cell-local top-L; (3) one window
+        takes the global shortlist per query; (4) raw-vector rerank joins
+        the shortlist back for exact final distances.
+
+        Data movement: the codes side reads only probed partitions after
+        save(); candidate traffic is bounded by L rows per (query, cell);
+        the rerank join touches |Q|·L rows. Returns (query_id, id,
+        distance, rank). nprobe >= nlist with shortlist >= corpus
+        degenerates to exact batch kNN (ivfpq_batch_exhaustive gate)."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        ell = shortlist or 4 * k
+        if ell < k:
+            raise ValueError("shortlist must be >= k")
+        from vector_db_spark.operators.ann import _l2_to_literal
+        from vector_db_spark.operators.knn import _metric
+        from pyspark.sql import Window
+
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
+        m, ksub = self.pq.m, self.pq.ksub
+        codebooks = self.pq.codebooks
+        id_col, vec_col = self.id_col, self.vec_col
+        dim = cents.shape[1]
+
+        cell_dists = F.array(
+            *[_l2_to_literal(F.col(query_vec_col), c) for c in self.ivf.centroids]
+        )
+        probed = (
+            queries.select(
+                query_id_col,
+                query_vec_col,
+                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
+            )
+            .withColumn(
+                "_cell_rank",
+                F.row_number().over(
+                    Window.partitionBy(query_id_col).orderBy(
+                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_cell_rank") <= nprobe)
+            .select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(query_vec_col).alias("__qv"),
+                _CLUSTER_COL,
+            )
+        )
+
+        cands = self.encoded
+        if predicate is not None:
+            cands = cands.filter(predicate)
+
+        def _adc_cell_batch(
+            cell_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if cell_pdf.empty or q_pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], id_col: [], "distance": []}
+                ).astype({"query_id": "int64", id_col: "int64", "distance": "float64"})
+            cell = int(cell_pdf[_CLUSTER_COL].iloc[0])
+            ids = cell_pdf[id_col].to_numpy()
+            cmat = np.frombuffer(
+                b"".join(cell_pdf["pq_codes"]), dtype=np.uint8
+            ).reshape(-1, m)
+            out_q, out_i, out_d = [], [], []
+            for qid, qv in zip(q_pdf["__qid"], q_pdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                if q.shape[0] != dim:
+                    raise ValueError(
+                        f"dimension mismatch: query has {q.shape[0]} "
+                        f"components, index dim is {dim}"
+                    )
+                table = _adc_table(codebooks, q - cents[cell], m, ksub)
+                d = table[np.arange(m)[None, :], cmat].sum(axis=1)
+                # cell-local top-L bounds candidate traffic; ties by id
+                order = np.lexsort((ids, d))[:ell]
+                out_q.extend([qid] * len(order))
+                out_i.extend(ids[order])
+                out_d.extend(d[order])
+            return pd.DataFrame({"query_id": out_q, id_col: out_i, "distance": out_d})
+
+        per_cell = (
+            cands.select(id_col, "pq_codes", _CLUSTER_COL)
+            .groupby(_CLUSTER_COL)
+            .cogroup(probed.groupby(_CLUSTER_COL))
+            .applyInPandas(
+                _adc_cell_batch, f"query_id long, {id_col} long, distance double"
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        )
+        short_ids = (
+            per_cell.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= ell)
+            .select("query_id", id_col)
+        )
+        raw = self.encoded.select(id_col, vec_col)
+        expr_fn, _ = _metric("l2")
+        qside = queries.select(
+            F.col(query_id_col).alias("query_id"), query_vec_col
+        )
+        rerank = (
+            raw.join(F.broadcast(short_ids), on=id_col)
+            .join(F.broadcast(qside), on="query_id")
+            .select(
+                "query_id",
+                id_col,
+                expr_fn(F.col(vec_col), F.col(query_vec_col)).alias("distance"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        )
+        return (
+            rerank.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("query_id").alias(query_id_col), id_col, "distance", "rank"
+            )
+        )

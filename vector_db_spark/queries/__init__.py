@@ -81,10 +81,14 @@ _VERIFY_FIRST = [
     "stream_ann_search",
     "stream_doc_dedup",
     "stream_chunk_dedup",
-    # --- new round-3 gate queries (registered this round) ---
+    # --- new round-3 gate queries (registered this round); with the 44
+    # above the window is exactly 50 ---
     "ann_ivf_batch_filtered_exhaustive",
     "hamming_batch_filtered_exhaustive",
     "ann_ivf_range_after_append",
+    "ann_lsh_batch_filtered_exhaustive",
+    "ann_graph_batch_exhaustive",
+    "ivfpq_batch_exhaustive",
     # rows-only probe paths sit past the 50-query window: their exhaustive
     # SQL-backed counterparts are (or were) in a window, and recall pins in
     # tests/ guard probe quality.

@@ -526,3 +526,82 @@ def ann_ivf_range_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = IvfIndex.load(spark, path)
     res = re.range_search(_qvec(spark, sf_dir), _RANGE_THRESHOLD)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+from vector_db_spark.oracle import cosine_sim_sql as _cos_sql  # noqa: E402
+
+_BATCH_COS_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos_sql("e.embedding", "q.qv")} AS sim
+  FROM embeddings e, q WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS score, rank
+FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("ann_lsh_batch_filtered_exhaustive", oracle=_BATCH_COS_FILTERED_ORACLE)
+def ann_lsh_batch_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch LSH gate (round 3 completes the single↔batch matrix across
+    all index families): with n_bits=1 and probe_radius=1 every bucket of
+    every table is probed, so the batch bucket-join + dedup + predicate +
+    per-query rerank must reproduce exact filtered batch cosine kNN
+    bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=1, n_tables=2, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, probe_radius=1, predicate=F.col("label") == 3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@query("ann_graph_batch_exhaustive", oracle=_BATCH_ORACLE)
+def ann_graph_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch graph-ANN gate: nprobe = nlist + unbounded beam visits every
+    connected node, so the cogrouped (cell × probing-queries) beam search
+    must reproduce exact batch kNN bit-for-bit — verifying the cogroup
+    plumbing, per-cell adjacency decode and per-query merge before any
+    approximation is dialed in."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=8, ef_search=10**9)
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@query("ivfpq_batch_exhaustive", oracle=_BATCH_ORACLE)
+def ivfpq_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ gate: full probe + corpus-sized shortlist makes the
+    ADC pass a permutation ahead of an exhaustive raw-vector rerank, so
+    the cogrouped ADC + global shortlist + rerank pipeline must reproduce
+    exact batch kNN bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=8, shortlist=100000)
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
