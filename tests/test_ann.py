@@ -474,6 +474,28 @@ def test_lsh_batch_filtered_predicate_satisfied(emb, qvecs):
     assert got and all(labels[r.vec_id] == 3 for r in got)
 
 
+def test_batch_search_large_nlist_past_literal_ceiling(emb, qvecs):
+    """nlist·dim = 40·64 = 2560 > _EXPR_ASSIGN_MAX: before the Arrow
+    probe-ranking kernel this config inlined a 2560-term literal array
+    into the batch plan and stalled Catalyst for minutes. Functional pin:
+    it plans instantly and full probe still equals exact batch kNN."""
+    from vector_db_spark.operators.knn import batch_knn
+
+    idx = IvfIndex.build(emb, nlist=40, seed=42, max_iter=3)
+    queries = emb.filter(F.col("vec_id").isin(QIDS[:2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.distance, 6))
+        for r in idx.search_batch(queries, 5, nprobe=40).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.distance, 6))
+        for r in batch_knn(emb, queries, 5).collect()
+    )
+    assert got == want
+
+
 def test_assignment_arrow_matches_expr_reference(emb):
     """The Arrow GEMM assignment (the production path) must agree with
     the literal-expression reference implementation row-for-row —

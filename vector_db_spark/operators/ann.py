@@ -188,6 +188,74 @@ def _nearest_centroid_arrow(
     return df.mapInPandas(assign, schema=schema)
 
 
+def _probe_cells_arrow(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids: list[list[float]],
+    metric: str,
+    nprobe: int,
+    emit_mapped: bool = False,
+) -> DataFrame:
+    """(query_id, query_vec, cluster_id) — each query's ``nprobe`` nearest
+    cells, ranked by one |B|×nlist Arrow GEMM per batch. The query-side
+    twin of `_nearest_centroid_arrow`: the literal-distance + window
+    formulation this replaces both evaluated interpreted HOFs per element
+    AND inlined an nlist·dim literal array into the plan — unplannable
+    past ~1024 terms (the same cliff ADVICE r2 flagged for radii).
+    Tie-break: stable ascending argsort ⇒ lower cell id first, matching
+    the old (cell_dist ASC, cluster_id ASC) window order.
+
+    ``emit_mapped=True`` returns the METRIC-MAPPED query vector (unit
+    sphere for cosine — what a graph beam over normalized cell vectors
+    needs); the default returns the original vector for true-metric
+    reranks. Queries sit on the MIPS augmentation hyperplane, so for
+    metric='ip' ranking appends a zero component either way."""
+    c = np.asarray(centroids, dtype=np.float64)
+    dim = c.shape[1] - 1 if metric == "ip" else c.shape[1]
+    np_ = min(nprobe, len(centroids))
+
+    def rank(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = np.asarray(pdf[query_vec_col].tolist(), dtype=np.float64)
+            if v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: query has {v.shape[1]} components, "
+                    f"index dim is {dim}"
+                )
+            m = v
+            if metric == "cosine":
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                m = v / norms[:, None]
+            elif metric == "ip":
+                m = np.concatenate([v, np.zeros((len(v), 1))], axis=1)
+            d = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            order = np.argsort(d, axis=1, kind="stable")[:, :np_]
+            out_vec = m if emit_mapped else v
+            ids = pdf[query_id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(ids, np_),
+                    query_vec_col: [
+                        list(row) for row in np.repeat(out_vec, np_, axis=0)
+                    ],
+                    _CLUSTER_COL: order.reshape(-1).astype("int32"),
+                }
+            )
+
+    schema = (
+        f"{query_id_col} long, {query_vec_col} array<double>, {_CLUSTER_COL} int"
+    )
+    return queries.select(query_id_col, query_vec_col).mapInPandas(rank, schema)
+
+
 def _dist_to_own_centroid_arrow(
     assignments: DataFrame,
     vec_col: str,
@@ -572,9 +640,8 @@ class IvfIndex:
         src/core/index/usearch_index.rs:68-85). Applied to the corpus side
         BEFORE the probe join, so it pushes down to the cell-pruned scan.
 
-        Plan: (1) score every (query, centroid) pair — centroids are a tiny
-        literal, so assignment is a narrow codegen'd projection over the
-        query table; (2) keep each query's ``nprobe`` nearest cells;
+        Plan: (1)+(2) rank each query's ``nprobe`` nearest cells with one
+        Arrow GEMM per query batch (`_probe_cells_arrow`);
         (3) equi-join that (query, cell) set against the cell-partitioned
         corpus — candidates only materialize inside probed cells; (4) exact
         rerank per query with one window. The corpus-side join key is the
@@ -594,37 +661,12 @@ class IvfIndex:
         expr_fn, ascending = _metric(metric)
         out = SCORE_COL[metric]
 
-        # (1)+(2): nprobe nearest cells per query, via the same literal-
-        # centroid distance expression used for corpus assignment (queries
-        # map onto the unit sphere first when the index is cosine).
-        if self.metric == "l2":
-            qvec = F.col(query_vec_col)
-        elif self.metric == "cosine":
-            qvec = normalize(F.col(query_vec_col))
-        else:  # ip: queries sit on the augmentation hyperplane
-            qvec = F.concat(
-                F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
-                F.array(F.lit(0.0)),
-            )
-        cell_dists = F.array(
-            *[_l2_to_literal(qvec, c) for c in self.centroids]
-        )
-        probed = (
-            queries.select(
-                query_id_col,
-                query_vec_col,
-                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
-            )
-            .withColumn(
-                "_cell_rank",
-                F.row_number().over(
-                    Window.partitionBy(query_id_col).orderBy(
-                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
-                    )
-                ),
-            )
-            .filter(F.col("_cell_rank") <= nprobe)
-            .select(query_id_col, query_vec_col, _CLUSTER_COL)
+        # (1)+(2): nprobe nearest cells per query — one Arrow GEMM per
+        # query batch (metric-mapped for ranking, original vectors carried
+        # through for the true-metric rerank). See _probe_cells_arrow for
+        # why this is not a literal-distance expression.
+        probed = _probe_cells_arrow(
+            queries, query_id_col, query_vec_col, self.centroids, self.metric, nprobe
         )
 
         # (3): candidates = corpus rows in probed cells, per query.

@@ -48,7 +48,6 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from vector_db_spark.operators.ann import (
     _CLUSTER_COL,
     _kmeans_centroids,
-    _l2_to_literal,
     _nearest_centroid_arrow,
 )
 
@@ -333,29 +332,23 @@ class GraphAnnIndex:
             raise ValueError("k must be >= 1")
         if nprobe < 1:
             raise ValueError("nprobe must be >= 1")
-        from vector_db_spark.functions.vector import normalize
+        from vector_db_spark.operators.ann import _probe_cells_arrow
 
         cosine = self.metric == "cosine"
-        qvec = (
-            normalize(F.col(query_vec_col)) if cosine else F.col(query_vec_col)
-        )
-        cell_dists = F.array(*[_l2_to_literal(qvec, c) for c in self.centroids])
-        probed = (
-            queries.select(
-                query_id_col,
-                qvec.alias("__qv"),
-                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
-            )
-            .withColumn(
-                "_cell_rank",
-                F.row_number().over(
-                    Window.partitionBy(query_id_col).orderBy(
-                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
-                    )
-                ),
-            )
-            .filter(F.col("_cell_rank") <= nprobe)
-            .select(query_id_col, "__qv", _CLUSTER_COL)
+        # Arrow probe ranking; the beam runs in the metric-mapped space
+        # (unit sphere for cosine), so emit the mapped query vector.
+        probed = _probe_cells_arrow(
+            queries,
+            query_id_col,
+            query_vec_col,
+            self.centroids,
+            self.metric,
+            nprobe,
+            emit_mapped=True,
+        ).select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+            _CLUSTER_COL,
         )
 
         cells = self.graph
@@ -409,11 +402,7 @@ class GraphAnnIndex:
 
         per_cell = (
             cells.groupby(_CLUSTER_COL)
-            .cogroup(
-                probed.select(
-                    F.col(query_id_col).alias("__qid"), "__qv", _CLUSTER_COL
-                ).groupby(_CLUSTER_COL)
-            )
+            .cogroup(probed.groupby(_CLUSTER_COL))
             .applyInPandas(
                 _search_cell_batch,
                 f"query_id long, {id_col} long, distance double",

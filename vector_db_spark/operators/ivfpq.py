@@ -256,7 +256,7 @@ class IvfPqIndex:
         ell = shortlist or 4 * k
         if ell < k:
             raise ValueError("shortlist must be >= k")
-        from vector_db_spark.operators.ann import _l2_to_literal
+        from vector_db_spark.operators.ann import _probe_cells_arrow
         from vector_db_spark.operators.knn import _metric
         from pyspark.sql import Window
 
@@ -266,29 +266,12 @@ class IvfPqIndex:
         id_col, vec_col = self.id_col, self.vec_col
         dim = cents.shape[1]
 
-        cell_dists = F.array(
-            *[_l2_to_literal(F.col(query_vec_col), c) for c in self.ivf.centroids]
-        )
-        probed = (
-            queries.select(
-                query_id_col,
-                query_vec_col,
-                F.posexplode(cell_dists).alias(_CLUSTER_COL, "_cell_dist"),
-            )
-            .withColumn(
-                "_cell_rank",
-                F.row_number().over(
-                    Window.partitionBy(query_id_col).orderBy(
-                        F.col("_cell_dist").asc(), F.col(_CLUSTER_COL).asc()
-                    )
-                ),
-            )
-            .filter(F.col("_cell_rank") <= nprobe)
-            .select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(query_vec_col).alias("__qv"),
-                _CLUSTER_COL,
-            )
+        probed = _probe_cells_arrow(
+            queries, query_id_col, query_vec_col, self.ivf.centroids, "l2", nprobe
+        ).select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+            _CLUSTER_COL,
         )
 
         cands = self.encoded
