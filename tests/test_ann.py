@@ -474,6 +474,27 @@ def test_lsh_batch_filtered_predicate_satisfied(emb, qvecs):
     assert got and all(labels[r.vec_id] == 3 for r in got)
 
 
+def test_ivf_ip_batch_full_probe_is_exact(emb, qvecs):
+    """MIPS batch: the probe kernel appends the zero augmentation to
+    queries (they sit on the augmentation hyperplane); at full probe the
+    raw-dot rerank must equal exact batch IP kNN."""
+    from vector_db_spark.operators.knn import batch_knn
+
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="ip")
+    queries = emb.filter(F.col("vec_id").isin(QIDS[:3])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.score, 6))
+        for r in idx.search_batch(queries, 5, nprobe=8).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.score, 6))
+        for r in batch_knn(emb, queries, 5, metric="ip").collect()
+    )
+    assert got == want
+
+
 def test_batch_search_large_nlist_past_literal_ceiling(emb, qvecs):
     """nlist·dim = 40·64 = 2560 > _EXPR_ASSIGN_MAX: before the Arrow
     probe-ranking kernel this config inlined a 2560-term literal array

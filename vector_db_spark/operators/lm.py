@@ -96,7 +96,12 @@ def score_documents(
     - ``lm_score`` — mean nats/token (single exact division), the
       CCNet-style quality signal (higher = more typical of the corpus)
 
-    Empty documents score NULL rather than dividing by zero (ANSI mode)."""
+    Empty documents score NULL rather than dividing by zero (ANSI mode).
+
+    The input fans out first: scoring is CPU-heavy and narrow, so a
+    corpus arriving as a few small files would otherwise run on as many
+    tasks as it has files (no-op at real scale — see util.fan_out)."""
+    df = fan_out(df)
     lit_map = F.create_map(
         *[
             x
@@ -217,7 +222,10 @@ def score_documents_bigram(
     column so the map probes evaluate once and hits/sums both read the
     staged attribute (the repo-wide stage-arrays-once rule). Returns
     ``n_tokens``, ``bigram_hits``, the integer ``logq_micro_sum`` and the
-    mean-nats ``lm_score`` — all order-free exact, like the unigram path."""
+    mean-nats ``lm_score`` — all order-free exact, like the unigram path.
+    Fans the input out first (few-file corpora otherwise score on as many
+    tasks as files; no-op at real scale)."""
+    df = fan_out(df)
     uni_map = F.create_map(
         *[
             x
