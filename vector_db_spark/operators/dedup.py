@@ -449,9 +449,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("cluster_id")
-    ).localCheckpoint()
+    # Fused round 0: propagating identity labels one round yields exactly
+    # label(v) = min(v, min incoming src) — computable as ONE aggregation
+    # over the edge list, no join. The loop below starts from that state,
+    # saving a full join+checkpoint round every call (every component
+    # needs >= 1 round, so this is never wasted work).
+    labels = (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("_min_src"))
+        .select("id", F.least(F.col("id"), F.col("_min_src")).alias("cluster_id"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).head()[0]
 
     for _ in range(max_iter):
