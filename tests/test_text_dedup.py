@@ -385,3 +385,19 @@ def test_semantic_dedup_finds_true_near_dups_across_clusters(spark):
     dropped = {r.vec_id for r in verdict.filter("NOT keep").collect()}
     assert {b for _, b in twins} <= dropped  # the twin (higher id) drops
     assert not dropped & {a for a, _ in twins}  # canonicals survive
+
+
+def test_semdedup_nlist_bounds_cell_size_at_any_scale():
+    """The k ∝ n recipe must keep EXPECTED rows/cell bounded as the
+    corpus grows 10^2..10^9 — the property whose absence (a capped
+    nlist) silently reverts the per-cell O(|cell|^2) gram to quadratic
+    growth at scale (VERDICT r2 wrong-item #2)."""
+    from vector_db_spark.operators.dedup import semdedup_nlist
+
+    for n in (100, 10_000, 128_000, 1_000_000, 100_000_000, 10**9):
+        nlist = semdedup_nlist(n)
+        assert nlist >= 8
+        assert n / nlist <= 512, (n, nlist)  # expected cell size bounded
+    # monotone: more data never means fewer cells
+    sizes = [semdedup_nlist(n) for n in (10**4, 10**5, 10**6, 10**7)]
+    assert sizes == sorted(sizes)

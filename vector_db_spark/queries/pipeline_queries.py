@@ -1225,12 +1225,12 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverted to linear cell growth past n=128k); past the Catalyst
     literal ceiling the assignment runs as an Arrow GEMM
     (ann._nearest_centroid_arrow), so large nlist plans instantly."""
-    from vector_db_spark.operators.dedup import semantic_dedup
+    from vector_db_spark.operators.dedup import semantic_dedup, semdedup_nlist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    nlist = max(8, n // 500)
-    return semantic_dedup(emb, n_clusters=nlist, threshold=0.4)
+    return semantic_dedup(
+        emb, n_clusters=semdedup_nlist(emb.count()), threshold=0.4
+    )
 
 
 _PMI_ORACLE = """
