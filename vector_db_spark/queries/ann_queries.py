@@ -605,3 +605,62 @@ def ivfpq_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )
+
+
+from vector_db_spark.oracle import dot_sql as _dot_sql  # noqa: E402
+
+
+def _batch_metric_oracle(expr: str, out: str, direction: str) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {expr} AS s FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s {direction}, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS {out}, rank
+FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
+@query(
+    "ann_ivf_batch_cosine_full_probe",
+    oracle=_batch_metric_oracle(_cos_sql("e.embedding", "q.qv"), "score", "DESC"),
+)
+def ann_ivf_batch_cosine_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine batch IVF at full probe == exact batch cosine kNN — pins the
+    probe kernel's unit-sphere mapping composed with the true-metric
+    rerank on the batch path."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="cosine")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=8)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@query(
+    "ann_ivf_batch_ip_full_probe",
+    oracle=_batch_metric_oracle(_dot_sql("e.embedding", "q.qv"), "score", "DESC"),
+)
+def ann_ivf_batch_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS batch IVF at full probe == exact batch IP kNN — pins the probe
+    kernel's zero-augmentation (queries sit on the MIPS hyperplane)
+    composed with the raw-dot rerank on the batch path."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, metric="ip")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(queries, _BATCH_K, nprobe=8)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
