@@ -282,3 +282,43 @@ def test_skipgram_counts_are_symmetric(sc, doc_words):
     # windows are symmetric: x in y's window <=> y in x's window
     for (c, x), n in got.items():
         assert got.get((x, c)) == n
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=4, max_size=4
+        ),
+        min_size=6,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_ivf_batch_full_probe_equals_exact_batch(sc, vecs, nlist):
+    """For ANY corpus and ANY nlist, batch IVF at full probe must equal
+    exact batch kNN — the cell decomposition is a partition of the
+    corpus, so exhaustive probing loses nothing (duplicate vectors and
+    id tie-breaks included)."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.knn import batch_knn
+
+    nlist = min(nlist, len(vecs))
+    corpus = sc.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = sc.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]), (1, [float(x) for x in vecs[-1]])],
+        "query_id long, query_vec array<double>",
+    )
+    idx = IvfIndex.build(corpus, nlist=nlist, seed=7, max_iter=3)
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.distance, 9))
+        for r in idx.search_batch(queries, 3, nprobe=nlist).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.distance, 9))
+        for r in batch_knn(corpus, queries, 3).collect()
+    )
+    assert got == want
