@@ -85,6 +85,46 @@ def test_loaded_index_filtered_search_pushes_predicate(emb, spark, tmp_path):
     assert "cluster_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_batch_cogroup_paths_prune_partitions(emb, spark, tmp_path):
+    """The cogrouped batch searches (graph, IVF-PQ) get no dynamic
+    pruning from a broadcast join, so they must pre-filter the big side
+    to the probed cells — on a loaded index that is parquet partition
+    pruning (reduced nprobe ⇒ PartitionFilters on cluster_id)."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    gr = GraphAnnIndex.build(emb, nlist=4, m=8, ef_construction=50, seed=42, max_iter=2)
+    gr.save(str(tmp_path / "g"))
+    gplan = (
+        GraphAnnIndex.load(spark, str(tmp_path / "g"))
+        .search_batch(queries, 3, nprobe=1, ef_search=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "cluster_id" in seg[:250] for seg in gplan.split("PartitionFilters")[1:]
+    ), gplan[:500]
+
+    pq = IvfPqIndex.build(emb, nlist=4, m=8, ksub=16, seed=42, max_iter=2)
+    pq.save(str(tmp_path / "p"))
+    pplan = (
+        IvfPqIndex.load(spark, str(tmp_path / "p"))
+        .search_batch(queries, 3, nprobe=1, shortlist=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # several scans exist (codes + raw-vector rerank); the CODES scan must
+    # carry the cluster_id partition filter
+    assert any(
+        "cluster_id" in seg[:250] for seg in pplan.split("PartitionFilters")[1:]
+    ), pplan[:500]
+
+
 def test_small_dim_join_broadcasts(spark):
     orders = load_table(spark, SF, "orders")
     customer = load_table(spark, SF, "customer")

@@ -351,7 +351,15 @@ class GraphAnnIndex:
             _CLUSTER_COL,
         )
 
-        cells = self.graph
+        # Static partition pruning for the big side: the cogroup has no
+        # dynamic pruning (unlike a broadcast join), so without this the
+        # whole graph shuffles and unprobed cells meet an empty query
+        # side. The distinct probed-cell set is <= nlist ints — one tiny
+        # job against the query side only.
+        probe_cells = [
+            r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
+        ]
+        cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probe_cells))
         if predicate is not None:
             cells = cells.withColumn("__pass", predicate.cast("boolean"))
         filtered = predicate is not None

@@ -274,7 +274,13 @@ class IvfPqIndex:
             _CLUSTER_COL,
         )
 
-        cands = self.encoded
+        # Static partition pruning for the codes side: the cogroup has no
+        # dynamic pruning, so restrict the scan to the union of probed
+        # cells first (<= nlist ints collected from the query side).
+        probe_cells = [
+            r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
+        ]
+        cands = self.encoded.filter(F.col(_CLUSTER_COL).isin(probe_cells))
         if predicate is not None:
             cands = cands.filter(predicate)
 

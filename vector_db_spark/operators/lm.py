@@ -98,10 +98,10 @@ def score_documents(
 
     Empty documents score NULL rather than dividing by zero (ANSI mode).
 
-    The input fans out first: scoring is CPU-heavy and narrow, so a
-    corpus arriving as a few small files would otherwise run on as many
-    tasks as it has files (no-op at real scale — see util.fan_out)."""
-    df = fan_out(df)
+    Deliberately does NOT repartition (plan-pinned zero-shuffle): scoring
+    composes into whatever stage produced the documents. A few-file
+    corpus should be fanned out by the CALLER before scoring (the
+    registered queries do; no-op at real scale)."""
     lit_map = F.create_map(
         *[
             x
@@ -223,9 +223,8 @@ def score_documents_bigram(
     staged attribute (the repo-wide stage-arrays-once rule). Returns
     ``n_tokens``, ``bigram_hits``, the integer ``logq_micro_sum`` and the
     mean-nats ``lm_score`` — all order-free exact, like the unigram path.
-    Fans the input out first (few-file corpora otherwise score on as many
-    tasks as files; no-op at real scale)."""
-    df = fan_out(df)
+    Zero-shuffle like score_documents: callers fan out few-file corpora
+    (the registered queries do)."""
     uni_map = F.create_map(
         *[
             x

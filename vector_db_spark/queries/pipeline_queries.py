@@ -926,10 +926,11 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring stage adds zero exchanges and is bit-reproducible across
     engines (integer sums are order-free; float folds are not)."""
     from vector_db_spark.operators.lm import score_documents, train_unigram
+    from vector_db_spark.operators.util import fan_out
 
     docs = _docs(spark, sf_dir)
     lm = train_unigram(docs, top_v=16)
-    return score_documents(docs, lm)
+    return score_documents(fan_out(docs), lm)
 
 
 _C4_ORACLE = """
@@ -1166,10 +1167,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is zero-shuffle literal-map lookups with integer micro-nat
     sums, so the giant 5-CTE oracle reproduces every score bit-for-bit."""
     from vector_db_spark.operators.lm import score_documents_bigram, train_bigram
+    from vector_db_spark.operators.util import fan_out
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     lm = train_bigram(docs, top_v=16, top_b=32)
-    return score_documents_bigram(docs, lm)
+    # the scoring operator is zero-shuffle by contract; parallelize the
+    # few-file fixture here (no-op at real scale)
+    return score_documents_bigram(fan_out(docs), lm)
 
 
 _SEM_COS = cosine_sim_sql("a.embedding", "b.embedding")
