@@ -601,7 +601,7 @@ def semantic_pairs(
     operator, which is how the pipeline is oracle-verified.
 
     Plan: one cosine-space KMeans assignment (operators/ann.IvfIndex —
-    bounded-sample fit, literal-centroid codegen assignment), one shuffle
+    bounded-sample fit, Arrow GEMM assignment), one shuffle
     by cell, one Arrow-batched BLAS gram matrix per cell. Emits
     (a_id, b_id, sim) with a_id < b_id and sim >= threshold.
     """
