@@ -569,3 +569,21 @@ def test_cell_radii_arrow_kernel_matches_expr_path(emb):
         for r in per_cell:
             arrow_radii[r[_CLUSTER_COL]] = float(r.r)
         assert arrow_radii == pytest.approx(expr_radii, rel=1e-9, abs=1e-12)
+
+
+def test_lsh_batch_shuffle_join_matches_broadcast(emb, qvecs):
+    """broadcast_queries=False (huge query sets) must return the same
+    results through the shuffle join on (table, bucket)."""
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=4, n_tables=2, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(QIDS[:3])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.score, 9))
+        for r in idx.search_batch(queries, 5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.score, 9))
+        for r in idx.search_batch(queries, 5, broadcast_queries=False).collect()
+    )
+    assert a == b

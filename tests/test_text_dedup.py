@@ -401,3 +401,32 @@ def test_semdedup_nlist_bounds_cell_size_at_any_scale():
     # monotone: more data never means fewer cells
     sizes = [semdedup_nlist(n) for n in (10**4, 10**5, 10**6, 10**7)]
     assert sizes == sorted(sizes)
+
+
+def test_semantic_pairs_reuses_prebuilt_cosine_ivf(spark):
+    """The faiss composition: SemDeDup blocked by a PRE-BUILT cosine IVF
+    (same params) must emit exactly the pairs of the inline build, and a
+    non-cosine index is refused."""
+    import pytest as _pytest
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.dedup import semantic_pairs
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    inline = sorted(
+        (r.a_id, r.b_id, round(r.sim, 9))
+        for r in semantic_pairs(emb, n_clusters=4, threshold=0.4).collect()
+    )
+    idx = IvfIndex.build(emb, nlist=4, seed=42, max_iter=5, metric="cosine")
+    reused = sorted(
+        (r.a_id, r.b_id, round(r.sim, 9))
+        for r in semantic_pairs(emb, threshold=0.4, ivf=idx).collect()
+    )
+    assert inline == reused
+
+    l2 = IvfIndex.build(emb, nlist=4, seed=42, max_iter=2, metric="l2")
+    with _pytest.raises(ValueError, match="cosine"):
+        semantic_pairs(emb, threshold=0.4, ivf=l2)

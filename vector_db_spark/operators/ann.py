@@ -821,6 +821,7 @@ class CosineLshIndex:
         predicate: Column | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        broadcast_queries: bool = True,
     ) -> DataFrame:
         """Top-k cosine per query for a DataFrame of queries through the
         LSH tables — no driver-side loop: (1) one Arrow matmul buckets
@@ -832,6 +833,11 @@ class CosineLshIndex:
         (query, id) across tables, optional predicate, one window ranks
         per query. ``probe_radius=0`` disables multiprobe. Returns
         (query_id, id, score, rank).
+
+        ``broadcast_queries=False`` (query sets too large to broadcast)
+        shuffles BOTH sides on (table, bucket) — the buckets frame's own
+        partition key, so the corpus side is a co-located shuffle (the
+        same contract as IvfIndex.search_batch).
 
         With n_bits=1 and probe_radius>=1 every bucket of every table is
         probed, so the result must equal exact filtered batch cosine kNN
@@ -875,8 +881,9 @@ class CosineLshIndex:
         extras = [
             c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
         ]
+        probe_side = F.broadcast(probed) if broadcast_queries else probed
         cands = (
-            self.buckets.join(F.broadcast(probed), on=["table", "bucket"])
+            self.buckets.join(probe_side, on=["table", "bucket"])
             .dropDuplicates([query_id_col, "id"])
             .select(
                 query_id_col,

@@ -591,6 +591,7 @@ def semantic_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 5,
+    ivf=None,
 ) -> DataFrame:
     """SemDeDup blocking (Abbas et al. 2023, arXiv:2303.09540): embedding
     near-duplicates are searched only WITHIN a KMeans cell — the paper's
@@ -604,23 +605,36 @@ def semantic_pairs(
     bounded-sample fit, Arrow GEMM assignment), one shuffle
     by cell, one Arrow-batched BLAS gram matrix per cell. Emits
     (a_id, b_id, sim) with a_id < b_id and sim >= threshold.
+
+    ``ivf`` accepts a pre-built COSINE IvfIndex over the same corpus
+    (e.g. one persisted for ANN serving and load()ed back) — the faiss-
+    style composition: a deployment that already maintains an embedding
+    index reuses its cells as the SemDeDup blocks instead of refitting,
+    and a load()ed index's cell filter is parquet partition pruning.
+    ``n_clusters``/``seed``/``max_iter`` are ignored when given.
     """
     import numpy as np
     import pandas as pd
 
     from vector_db_spark.operators.ann import IvfIndex
 
-    if n_clusters < 1:
-        raise ValueError("n_clusters must be >= 1")
-    idx = IvfIndex.build(
-        df.select(id_col, vec_col),
-        nlist=n_clusters,
-        seed=seed,
-        max_iter=max_iter,
-        metric="cosine",
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if ivf is not None:
+        if ivf.metric != "cosine":
+            raise ValueError("SemDeDup blocking requires a cosine IVF")
+        idx = ivf
+        id_col, vec_col = idx.id_col, idx.vec_col
+    else:
+        if n_clusters < 1:
+            raise ValueError("n_clusters must be >= 1")
+        idx = IvfIndex.build(
+            df.select(id_col, vec_col),
+            nlist=n_clusters,
+            seed=seed,
+            max_iter=max_iter,
+            metric="cosine",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -654,14 +668,18 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 5,
+    ivf=None,
 ) -> DataFrame:
     """Full SemDeDup verdict: cluster-blocked cosine pairs → transitive
     duplicate components (min-label propagation) → keep exactly the
     canonical (minimum-id) member of every component. Returns one row per
     input: (id, canonical_id, keep) — filter ``keep`` to materialize the
-    deduplicated corpus."""
+    deduplicated corpus. ``ivf`` reuses a pre-built cosine IVF as the
+    blocking (see semantic_pairs)."""
+    if ivf is not None:
+        id_col = ivf.id_col
     pairs = semantic_pairs(
-        df, n_clusters, threshold, id_col, vec_col, seed, max_iter
+        df, n_clusters, threshold, id_col, vec_col, seed, max_iter, ivf=ivf
     )
     comp = connected_components(pairs.select("a_id", "b_id"))
     out = df.select(id_col).join(
