@@ -422,6 +422,46 @@ def test_ip_range_search_lossless_after_large_norm_append(spark):
     assert (99, 10.0) in got
 
 
+def test_ip_retrain_resets_watermark_and_restores_exactness(spark):
+    """retrain() after a large-norm append refits M over the full corpus:
+    the new index has no appended-norm watermark, its M covers the
+    once-clamped vector, and both range_search and full-probe top-k are
+    value-exact against the unindexed operators."""
+    from vector_db_spark.operators.knn import knn, range_search
+
+    base = [(i, [1.0 if j == i % 4 else 0.1 for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(df, nlist=2, seed=42, metric="ip")
+    big = spark.createDataFrame(
+        [(99, [10.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    idx.append(big)
+    assert idx.max_appended_sq_norm is not None
+
+    fresh = idx.retrain(max_iter=5)
+    assert fresh.max_appended_sq_norm is None
+    assert fresh.max_sq_norm >= 100.0  # new M covers the appended vector
+    assert len(fresh.centroids) == len(idx.centroids)
+
+    union = df.unionByName(big)
+    qv = [1.0, 0.0, 0.0, 0.0]
+    got_r = [(r.vec_id, round(r.score, 6)) for r in fresh.range_search(qv, 5.0).collect()]
+    want_r = [
+        (r.vec_id, round(r.score, 6))
+        for r in range_search(union, qv, 5.0, metric="ip").collect()
+    ]
+    assert got_r == want_r
+    got_k = [
+        (r.vec_id, round(r.score, 6))
+        for r in fresh.search(qv, 5, nprobe=2).collect()
+    ]
+    want_k = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn(union, qv, 5, metric="ip").collect()
+    ]
+    assert got_k == want_k
+
+
 def test_ivf_batch_filtered_full_probe_matches_exact(emb, ivf, qvecs):
     """Batch + predicate at exhaustive probe == per-query exact filtered
     kNN (the round-3 predicate threading through search_batch)."""

@@ -506,6 +506,43 @@ class IvfIndex:
         self.assignments = self.assignments.unionByName(assigned)
         return self
 
+    def retrain(
+        self,
+        nlist: int | None = None,
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> "IvfIndex":
+        """Scheduled quantizer refresh — the close of the append lifecycle.
+
+        ``append`` keeps the centroids frozen, so a long run of appends
+        drifts the data away from the quantizer: cells unbalance, probe
+        recall decays, and for metric='ip' the norm watermark only widens
+        (range_search stays lossless but prunes less). ``retrain`` refits
+        the coarse quantizer over the CURRENT corpus (build-time +
+        appended rows — still a bounded sample, cost independent of
+        corpus size), reassigns every vector in one Arrow GEMM pass, and
+        resets the append-era state: fresh cell radii, and for 'ip' a
+        fresh M over the whole corpus (the appended-norm watermark
+        disappears because no vector clamps under the new M).
+
+        faiss has no in-place retrain either — you train a new IndexIVF
+        over the data; the reference simply rebuilds its in-memory index
+        on mutation (src/router/handle/upsert_handle.rs). Returns a NEW
+        index: persist with save() into a fresh version directory and
+        flip readers over (the collections store's manifest-rotation
+        pattern) — never overwrite a layout still being read.
+        """
+        corpus = self.assignments.drop(_CLUSTER_COL)
+        return IvfIndex.build(
+            corpus,
+            nlist=nlist if nlist is not None else len(self.centroids),
+            seed=seed,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            max_iter=max_iter,
+            metric=self.metric,
+        )
+
     def range_search(
         self,
         query: Sequence[float],

@@ -369,6 +369,26 @@ def ann_ivf_append_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query("ann_ivf_retrain_ip_full_probe", oracle=_knn_oracle(_IP, "score", "DESC"))
+def ann_ivf_retrain_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-refresh gate, on the metric where retraining matters
+    most: a MIPS index built on half the corpus freezes M = max build
+    norm, appended larger-norm vectors clamp their augmentation (probe
+    recall decays; range pruning widens via the norm watermark).
+    ``retrain`` refits centroids + M over the full current corpus and
+    resets the watermark — full-probe search afterwards must be
+    bit-identical to exact IP kNN over everything."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5,
+        metric="ip",
+    )
+    idx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    fresh = idx.retrain(max_iter=5)
+    res = fresh.search(_qvec(spark, sf_dir), K, nprobe=8)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 _RANGE_THRESHOLD = 1.6
 
 _RANGE_ORACLE = f"""
