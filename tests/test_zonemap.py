@@ -1,0 +1,84 @@
+"""File-level zone maps (sources/zonemap.py): driver-side manifest
+pruning must actually skip files AND stay lossless vs the full scan."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.sources.zonemap import (
+    read_zonemapped,
+    write_zonemapped,
+    zonemap_files,
+)
+
+
+@pytest.fixture(scope="module")
+def zm_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zm") / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") * 3.5).alias("price"),
+    )
+    write_zonemapped(df, path, "price", n_files=16)
+    return path
+
+
+def test_zonemap_prunes_files(spark, zm_path):
+    """A narrow band must survive in strictly fewer files than the table
+    holds — range clustering makes per-file price ranges disjoint, so a
+    band spanning ~3% of the key space keeps 1-2 of 16 files."""
+    keep, total = zonemap_files(spark, zm_path, lo=1000.0, hi=2000.0)
+    assert total == 16
+    assert 0 < len(keep) <= 3
+
+
+def test_zonemap_scan_lossless(spark, zm_path):
+    """Pruned scan == unpruned filter, row for row."""
+    got = (
+        read_zonemapped(spark, zm_path, lo=1000.0, hi=2000.0)
+        .select("id", "price")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    want = (
+        spark.read.parquet(zm_path)
+        .filter((F.col("price") >= 1000.0) & (F.col("price") <= 2000.0))
+        .select("id", "price")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_zonemap_empty_band_keeps_schema(spark, zm_path):
+    """A band outside the data prunes EVERY file; the frame still carries
+    the table schema so downstream composition type-checks."""
+    out = read_zonemapped(spark, zm_path, lo=1e12, hi=2e12)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v", "price"}
+
+
+def test_zonemap_open_ended_bounds(spark, zm_path):
+    """lo-only and hi-only predicates prune from one side and stay exact."""
+    got = read_zonemapped(spark, zm_path, lo=34000.0).count()
+    want = spark.read.parquet(zm_path).filter(F.col("price") >= 34000.0).count()
+    assert got == want
+    got = read_zonemapped(spark, zm_path, hi=100.0).count()
+    want = spark.read.parquet(zm_path).filter(F.col("price") <= 100.0).count()
+    assert got == want
+
+
+def test_zonemap_all_null_file_pruned(spark, tmp_path):
+    """Files whose zone column is entirely NULL carry null stats and are
+    pruned by any range predicate (BETWEEN never matches NULL), while a
+    mixed file keeps its non-null rows."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0), (4, None)],
+        "id long, price double",
+    )
+    write_zonemapped(df, path, "price", n_files=2)
+    got = read_zonemapped(spark, path, lo=0.0, hi=10.0)
+    assert sorted(r.id for r in got.collect()) == [1, 3]

@@ -819,6 +819,46 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Zone-mapped range scan: file-level min/max manifest pruned driver-side
+# BEFORE planning (Delta data-skipping / Iceberg manifest analogue) — at
+# 100 TB footer skipping still opens every file; the manifest never lists
+# the pruned ones. Lossless: residual predicate re-applied on survivors.
+# --------------------------------------------------------------------------
+
+_ZONEMAP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 150000
+GROUP BY o_orderpriority
+"""
+
+
+@query("zonemap_pruned_scan", oracle=_ZONEMAP_ORACLE)
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders range-clustered on o_totalprice with a per-file zone-map
+    manifest (sources/zonemap.py); the band scan prunes the file list on
+    the driver from the manifest alone, reads only surviving files, and
+    re-applies the exact predicate — so the aggregate equals the
+    unpruned full-table filter bit-for-bit. File-count reduction is
+    pinned in tests/test_zonemap.py (the correctness row here is the
+    lossless-ness claim)."""
+    import tempfile
+
+    from vector_db_spark.sources.zonemap import read_zonemapped, write_zonemapped
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zonemap_orders_")
+    write_zonemapped(orders, path, "o_totalprice", n_files=16)
+    scan = read_zonemapped(spark, path, lo=100000, hi=150000)
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q7 shape: shipping volume between nation pairs, year extracted in-join
 # --------------------------------------------------------------------------
 
