@@ -28,7 +28,7 @@ def test_zonemap_prunes_files(spark, zm_path):
     """A narrow band must survive in strictly fewer files than the table
     holds — range clustering makes per-file price ranges disjoint, so a
     band spanning ~3% of the key space keeps 1-2 of 16 files."""
-    keep, total = zonemap_files(spark, zm_path, lo=1000.0, hi=2000.0)
+    keep, total = zonemap_files(spark, zm_path, {"price": (1000.0, 2000.0)})
     assert total == 16
     assert 0 < len(keep) <= 3
 
@@ -68,6 +68,64 @@ def test_zonemap_open_ended_bounds(spark, zm_path):
     got = read_zonemapped(spark, zm_path, hi=100.0).count()
     want = spark.read.parquet(zm_path).filter(F.col("price") <= 100.0).count()
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def zorder_path(spark, tmp_path_factory):
+    """10k rows over an (x, y) grid where the two dimensions are
+    INDEPENDENT — the case lexicographic sort cannot serve: sorting by x
+    leaves every file spanning all of y."""
+    path = str(tmp_path_factory.mktemp("zo") / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") / 100).cast("int").cast("double").alias("y"),
+    )
+    write_zonemapped(df, path, ["x", "y"], n_files=64)
+    return path
+
+
+def test_zorder_prunes_on_either_dimension(spark, zorder_path):
+    """Z-order files cover hyper-rectangles: a band on x alone AND a band
+    on y alone must each prune most of the 64 files (lexicographic
+    clustering would serve only the leading column)."""
+    for col in ("x", "y"):
+        keep, total = zonemap_files(
+            spark, zorder_path, {col: (10.0, 20.0)}
+        )
+        assert total == 64
+        # an 11% band in one dimension of a 2-D z-curve keeps ~sqrt
+        # coverage; anything under half the table proves multi-dim skip
+        assert 0 < len(keep) <= 24, (col, len(keep))
+
+
+def test_zorder_conjunctive_bounds_prune_harder(spark, zorder_path):
+    """x-band ∩ y-band survivors ⊆ each single-dimension survivor set,
+    and the boxed scan is lossless vs the unpruned filter."""
+    kx, _ = zonemap_files(spark, zorder_path, {"x": (10.0, 20.0)})
+    ky, _ = zonemap_files(spark, zorder_path, {"y": (10.0, 20.0)})
+    kboth, _ = zonemap_files(
+        spark, zorder_path, {"x": (10.0, 20.0), "y": (10.0, 20.0)}
+    )
+    assert set(kboth) <= set(kx) and set(kboth) <= set(ky)
+
+    got = (
+        read_zonemapped(
+            spark, zorder_path, bounds={"x": (10.0, 20.0), "y": (10.0, 20.0)}
+        )
+        .select("id")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    want = (
+        spark.read.parquet(zorder_path)
+        .filter(F.col("x").between(10.0, 20.0) & F.col("y").between(10.0, 20.0))
+        .select("id")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
 
 
 def test_zonemap_all_null_file_pruned(spark, tmp_path):

@@ -858,6 +858,45 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 200000
+  AND o_custkey BETWEEN 100 AND 500
+GROUP BY o_orderpriority
+"""
+
+
+@query("zorder_box_scan", oracle=_ZORDER_ORACLE)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders Z-ORDER-clustered on (o_custkey, o_totalprice) — quantile
+    buckets bit-interleaved into a Morton value, files ranged on it
+    (Delta OPTIMIZE ZORDER analogue, sources/zonemap.py) — so every file
+    covers a small hyper-rectangle of the key plane and a predicate on
+    EITHER column prunes files from the manifest alone (lexicographic
+    clustering serves only its leading column; pinned in
+    tests/test_zonemap.py). The box scan's aggregate must equal the
+    unpruned full-table filter bit-for-bit."""
+    import tempfile
+
+    from vector_db_spark.sources.zonemap import read_zonemapped, write_zonemapped
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zorder_orders_")
+    write_zonemapped(orders, path, ["o_custkey", "o_totalprice"], n_files=16)
+    scan = read_zonemapped(
+        spark,
+        path,
+        bounds={"o_totalprice": (100000, 200000), "o_custkey": (100, 500)},
+    )
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q7 shape: shipping volume between nation pairs, year extracted in-join
 # --------------------------------------------------------------------------

@@ -1,6 +1,6 @@
-"""File-level zone maps: a min/max-per-file manifest consulted at
-PLANNING time, so a range scan never even lists the files it can prove
-irrelevant.
+"""File-level zone maps + Z-order clustering: min/max-per-file manifests
+consulted at PLANNING time, so a range scan never even lists the files
+it can prove irrelevant.
 
 ``write_clustered`` (sources/generic.py) already range-clusters a table
 so parquet FOOTER stats skip row groups — but footer skipping still
@@ -9,93 +9,165 @@ files; the scan cost that matters is file LISTING + footer round-trips,
 which is exactly why Delta ("data skipping") and Iceberg (manifest
 files) lift per-file min/max out of the footers into table metadata
 consulted on the driver. This module is that pattern without a table
-format: the stats ride in a tiny parquet manifest under ``_zonemap/``
-inside the table directory (underscore-prefixed paths are invisible to
-Spark's parquet reader, like ``_SUCCESS``), and ``read_zonemapped``
-prunes the file list driver-side before Spark ever plans the scan.
-Types survive exactly because the manifest IS parquet — no JSON codec
-for decimals/dates/timestamps.
+format:
 
-The residual predicate is still applied (and still pushes down to the
-surviving files' row groups), so pruning is LOSSLESS: the result equals
-the unpruned filter bit-for-bit. Files whose zone column is entirely
-NULL carry null stats and are pruned by any range predicate — correct,
-because a BETWEEN never matches NULL.
+- one zone column → range clustering (disjoint per-file key ranges);
+- several zone columns → Z-ORDER clustering (Delta's OPTIMIZE ZORDER):
+  each column is quantile-bucketed (approxQuantile — bounded driver
+  state, skew-robust where linear min/max scaling is not), the bucket
+  ids' bits are interleaved into one z-value, and files are ranged on
+  it — every file then covers a small HYPER-RECTANGLE of the key space,
+  so a predicate on ANY zone column (or several) prunes files;
+- per-file min/max for every zone column ride in tiny parquet manifests
+  under ``_zonemap/<col>/`` inside the table directory (underscore-
+  prefixed paths are invisible to Spark's parquet reader, like
+  ``_SUCCESS``; one subdir per column keeps each manifest in the
+  column's native type — no JSON codec for decimals/dates).
+
+``read_zonemapped`` prunes the file list driver-side from the
+manifests, plans the scan over only the survivors, and re-applies the
+exact predicate (which still pushes down into the surviving files' row
+groups) — pruning is LOSSLESS regardless of clustering quality: the
+result equals the unpruned filter bit-for-bit. Files whose zone column
+is entirely NULL carry null stats and are pruned by any range predicate
+on it — correct, because a BETWEEN never matches NULL.
 
 Reference anchor: the reference engine has no columnar storage layer
 (in-memory usearch/hashbrown, src/core/mod.rs); this is part of the
 warehouse-scale extension surface, same family as write_clustered /
 write_bucketed. Public-knowledge basis: Moerkotte, "Small Materialized
-Aggregates" (VLDB 1998); Delta Lake data skipping; Iceberg manifests.
+Aggregates" (VLDB 1998); Morton codes / Z-order curves; Delta Lake data
+skipping + OPTIMIZE ZORDER; Iceberg manifests.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_db_spark.sources.generic import write_clustered
-
 _MANIFEST_DIR = "_zonemap"
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int) -> Column:
+    """Morton z-value over quantile-bucketed zone columns.
+
+    Each column maps to a ``2^bits``-bucket rank via approxQuantile
+    boundaries (one bounded-driver-state job per column — the Delta
+    range_partition_id move, robust to skew where linear min/max scaling
+    collapses under outliers), then bit i of column c's bucket lands at
+    interleaved position ``i·ncols + c``. The bucket probe is a literal
+    boundary array filtered in codegen — 2^bits−1 doubles per column,
+    well under the Catalyst literal ceiling at the default 8 bits.
+    NULLs bucket to 0 (their file stats still ignore them, so pruning
+    on the column stays lossless)."""
+    n = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        qs = df.stat.approxQuantile(c, [i / n for i in range(1, n)], 0.001)
+        arr = F.array(*[F.lit(float(b)) for b in qs])
+        v = F.col(c).cast("double")
+        bucket = F.size(F.filter(arr, lambda b: b <= v))
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, i * len(cols) + ci)
+    return z
 
 
 def write_zonemapped(
     df: DataFrame,
     path: str,
-    zone_col: str,
+    zone_cols: str | Sequence[str],
     n_files: int | None = None,
     mode: str = "overwrite",
+    zorder_bits: int = 8,
 ) -> None:
-    """Range-clustered parquet write + file-level zone-map manifest.
+    """Clustered parquet write + per-file zone-map manifests.
 
-    The data write is ``write_clustered`` (one range shuffle, local sort,
-    narrow non-overlapping per-file key ranges — pruning is only as good
-    as the clustering). The stats pass then reads ONLY the zone column
+    One zone column → range clustering (repartitionByRange + local sort:
+    one shuffle, disjoint per-file ranges). Several → Z-order clustering
+    on the interleaved quantile-bucket value, so per-file ranges are
+    narrow in EVERY zone column at once (at the usual √-tradeoff per
+    added dimension). The stats pass then reads ONLY the zone columns
     (column pruning: a sliver of the table's bytes) grouped by
     ``_metadata.file_path``; a writer integrated with a table format
-    would collect the same stats for free during the write, which is the
-    production shape — the separate pass keeps this self-contained.
-    """
-    write_clustered(df, path, [zone_col], n_files=n_files, mode=mode)
+    would collect the same stats for free during the write — the
+    separate pass keeps this self-contained."""
+    cols = [zone_cols] if isinstance(zone_cols, str) else [str(c) for c in zone_cols]
+    if not cols:
+        raise ValueError("zone_cols must be non-empty")
+    if len(cols) == 1:
+        out = df
+        key = [F.col(cols[0])]
+    else:
+        out = df.withColumn("__z", _zvalue(df, cols, zorder_bits))
+        key = [F.col("__z")]
+    out = (
+        out.repartitionByRange(n_files, *key)
+        if n_files is not None
+        else out.repartitionByRange(*key)
+    )
+    out = out.sortWithinPartitions(*key)
+    if len(cols) > 1:
+        out = out.drop("__z")
+    out.write.mode(mode).parquet(path)
+
     spark = df.sparkSession
-    stats = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file"), F.col(zone_col))
-        .groupBy("file")
-        .agg(
-            F.min(zone_col).alias("lo"),
-            F.max(zone_col).alias("hi"),
+    written = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    for c in cols:
+        stats = written.groupBy("file").agg(
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .withColumn("zone_col", F.lit(zone_col))
-    )
-    # coalesce(1): the manifest is one row per FILE (thousands at 100 TB,
-    # bytes each) — a single driver-readable object, like a Delta
-    # checkpoint. It must not inherit the data write's parallelism.
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, _MANIFEST_DIR)
-    )
+        # coalesce(1): one row per FILE (thousands at 100 TB, bytes each)
+        # — a single driver-readable object, like a Delta checkpoint.
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, _MANIFEST_DIR, c)
+        )
 
 
-def zonemap_files(spark: SparkSession, path: str, lo=None, hi=None) -> tuple[list[str], int]:
-    """(surviving files, total files) for a ``[lo, hi]`` range predicate
-    on the zone column — the driver-side prune. ``None`` bounds are
-    open-ended. A file survives iff its [min, max] intersects the query
-    range; all-NULL files (null stats) never survive a range predicate.
-    """
-    manifest = spark.read.parquet(os.path.join(path, _MANIFEST_DIR)).collect()
-    keep = []
-    for r in manifest:
-        if r.lo is None:  # file's zone column is entirely NULL
-            continue
-        if lo is not None and r.hi < lo:
-            continue
-        if hi is not None and r.lo > hi:
-            continue
-        keep.append(r.file)
-    return keep, len(manifest)
+def _manifest_cols(path: str) -> list[str]:
+    root = os.path.join(path, _MANIFEST_DIR)
+    return sorted(
+        d for d in os.listdir(root) if not d.startswith((".", "_"))
+    ) if os.path.isdir(root) else []
+
+
+def zonemap_files(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+) -> tuple[list[str], int]:
+    """(surviving files, total files) for conjunctive ``[lo, hi]`` range
+    predicates per zone column — the driver-side prune. ``None``
+    endpoints are open-ended. A file survives iff every predicate's
+    range intersects its [min, max]; all-NULL files (null stats) never
+    survive a predicate on that column."""
+    if not bounds:
+        raise ValueError("bounds must name at least one zone column")
+    keep: set[str] | None = None
+    total = 0
+    for c, (lo, hi) in bounds.items():
+        manifest = spark.read.parquet(
+            os.path.join(path, _MANIFEST_DIR, c)
+        ).collect()
+        total = len(manifest)
+        ok = set()
+        for r in manifest:
+            if r.lo is None:  # file's zone column is entirely NULL
+                continue
+            if lo is not None and r.hi < lo:
+                continue
+            if hi is not None and r.lo > hi:
+                continue
+            ok.add(r.file)
+        keep = ok if keep is None else keep & ok
+    return sorted(keep or ()), total
 
 
 def read_zonemapped(
@@ -103,22 +175,33 @@ def read_zonemapped(
     path: str,
     lo=None,
     hi=None,
+    bounds: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Range scan through the zone map: prune the file list driver-side,
     plan the scan over ONLY the surviving files, then apply the exact
-    residual predicate (which further pushes down into their row groups).
-    Lossless: equals the unpruned ``filter`` on the full table.
-    """
-    files, _total = zonemap_files(spark, path, lo, hi)
-    zone_col = spark.read.parquet(os.path.join(path, _MANIFEST_DIR)).head().zone_col
+    residual predicate (which further pushes down into their row
+    groups). Lossless: equals the unpruned ``filter`` on the full table.
+
+    ``bounds`` maps zone columns to (lo, hi); the bare ``lo``/``hi``
+    arguments are the single-zone-column convenience (the column is read
+    off the manifest layout)."""
+    if bounds is None:
+        cols = _manifest_cols(path)
+        if len(cols) != 1:
+            raise ValueError(
+                f"table has zone maps on {cols}; pass bounds={{col: (lo, hi)}}"
+            )
+        bounds = {cols[0]: (lo, hi)}
+    files, _total = zonemap_files(spark, path, bounds)
     if not files:
         # schema-only plan: nothing to read, but the frame keeps the
         # table's exact schema for downstream composition
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(*files)
     pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (F.col(zone_col) >= F.lit(lo))
-    if hi is not None:
-        pred = pred & (F.col(zone_col) <= F.lit(hi))
+    for c, (b_lo, b_hi) in bounds.items():
+        if b_lo is not None:
+            pred = pred & (F.col(c) >= F.lit(b_lo))
+        if b_hi is not None:
+            pred = pred & (F.col(c) <= F.lit(b_hi))
     return df.filter(pred)
