@@ -322,3 +322,49 @@ def test_ivf_batch_full_probe_equals_exact_batch(sc, vecs, nlist):
         for r in batch_knn(corpus, queries, 3).collect()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning is LOSSLESS for any data/bounds (incl. NULL columns,
+# empty bands, open and absent endpoints) — the algebraic claim behind
+# sources/zonemap.py; example-based pins live in tests/test_zonemap.py.
+# --------------------------------------------------------------------------
+
+_zvals = st.one_of(
+    st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+)
+_zrows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1000), _zvals),
+    min_size=1,
+    max_size=24,
+)
+_zbound = st.one_of(
+    st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+)
+
+
+@given(data=_zrows, lo=_zbound, hi=_zbound)
+@_settings
+def test_zonemap_scan_equals_filter(sc, data, lo, hi):
+    import tempfile
+
+    from vector_db_spark.sources.zonemap import read_zonemapped, write_zonemapped
+
+    path = tempfile.mkdtemp(prefix="zm_prop_")
+    df = sc.createDataFrame(data, "id long, price double")
+    write_zonemapped(df, path, "price", n_files=3)
+
+    got = sorted(
+        (r.id, r.price)
+        for r in read_zonemapped(sc, path, lo=lo, hi=hi).collect()
+    )
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col("price") >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col("price") <= F.lit(hi))
+    want = sorted(
+        (r.id, r.price)
+        for r in sc.read.parquet(path).filter(pred).collect()
+    )
+    assert got == want

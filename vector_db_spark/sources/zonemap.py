@@ -159,6 +159,11 @@ def zonemap_files(
         total = len(manifest)
         ok = set()
         for r in manifest:
+            if lo is None and hi is None:
+                # no constraint on this column — NULL rows qualify too, so
+                # even an all-NULL file (null stats) must survive
+                ok.add(r.file)
+                continue
             if r.lo is None:  # file's zone column is entirely NULL
                 continue
             if lo is not None and r.hi < lo:
