@@ -52,6 +52,19 @@ def test_zonemap_scan_lossless(spark, zm_path):
     assert len(got) > 0
 
 
+def test_zonemap_plan_reads_only_survivors(spark, zm_path):
+    """The PLANNED scan touches exactly the surviving files — pruning
+    happens before Spark ever lists the rest (inputFiles is the plan's
+    file set, not an execution counter)."""
+    def norm(u):  # inputFiles says file:///x, _metadata.file_path file:/x
+        return u.replace("file:///", "/").replace("file:/", "/")
+
+    keep, total = zonemap_files(spark, zm_path, {"price": (1000.0, 2000.0)})
+    scanned = read_zonemapped(spark, zm_path, lo=1000.0, hi=2000.0).inputFiles()
+    assert sorted(norm(f) for f in scanned) == sorted(norm(f) for f in keep)
+    assert len(scanned) < total
+
+
 def test_zonemap_empty_band_keeps_schema(spark, zm_path):
     """A band outside the data prunes EVERY file; the frame still carries
     the table schema so downstream composition type-checks."""
