@@ -141,6 +141,31 @@ def test_zorder_conjunctive_bounds_prune_harder(spark, zorder_path):
     assert len(got) > 0
 
 
+def test_zonemap_date_column(spark, tmp_path):
+    """Single-column zone maps carry the column's NATIVE type through the
+    parquet manifest (no JSON codec): date bounds prune and stay exact."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i)) for i in range(365)],
+        "id long, d date",
+    )
+    write_zonemapped(df, path, "d", n_files=12)
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 3, 31)
+    keep, total = zonemap_files(spark, path, {"d": (lo, hi)})
+    assert total == 12 and 0 < len(keep) <= 3
+    got = sorted(r.id for r in read_zonemapped(spark, path, lo=lo, hi=hi).collect())
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(path)
+        .filter(F.col("d").between(lo, hi))
+        .collect()
+    )
+    assert got == want and len(got) == 31
+
+
 def test_zonemap_all_null_file_pruned(spark, tmp_path):
     """Files whose zone column is entirely NULL carry null stats and are
     pruned by any range predicate (BETWEEN never matches NULL), while a
