@@ -125,7 +125,12 @@ def score_documents(
         total.alias("logq_micro_sum"),
         F.when(
             n > 0,
-            F.round(total.cast("double") / (n.cast("double") * 1_000_000.0), 6),
+            # portable half-up at the 6th decimal: floor(mean_micro + 0.5)
+            # is the SAME op on every engine, where round() ties differ
+            # (Spark HALF_UP vs DuckDB HALF_AWAY disagree on negatives —
+            # surfaced by 4 tie documents at sf0.1)
+            F.floor(total.cast("double") / n.cast("double") + F.lit(0.5))
+            / 1_000_000.0,
         ).alias("lm_score"),
     )
 
@@ -288,7 +293,12 @@ def score_documents_bigram(
         F.coalesce(total, F.lit(0).cast("long")).alias("logq_micro_sum"),
         F.when(
             n > 0,
-            F.round(total.cast("double") / (n.cast("double") * 1_000_000.0), 6),
+            # portable half-up at the 6th decimal: floor(mean_micro + 0.5)
+            # is the SAME op on every engine, where round() ties differ
+            # (Spark HALF_UP vs DuckDB HALF_AWAY disagree on negatives —
+            # surfaced by 4 tie documents at sf0.1)
+            F.floor(total.cast("double") / n.cast("double") + F.lit(0.5))
+            / 1_000_000.0,
         ).alias("lm_score"),
     )
 

@@ -909,8 +909,8 @@ SELECT d.doc_id,
        COALESCE(s.oov_count, 0) AS oov_count,
        COALESCE(s.logq_micro_sum, 0) AS logq_micro_sum,
        CASE WHEN s.n_tokens > 0 THEN
-         round(CAST(s.logq_micro_sum AS DOUBLE)
-               / (CAST(s.n_tokens AS DOUBLE) * 1000000.0), 6)
+         floor(CAST(s.logq_micro_sum AS DOUBLE)
+               / CAST(s.n_tokens AS DOUBLE) + 0.5) / 1000000.0
        END AS lm_score
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
@@ -1151,8 +1151,8 @@ SELECT d.doc_id,
        COALESCE(s.bigram_hits, 0) AS bigram_hits,
        COALESCE(s.logq_micro_sum, 0) AS logq_micro_sum,
        CASE WHEN s.n_tokens > 0 THEN
-         round(CAST(s.logq_micro_sum AS DOUBLE)
-               / (CAST(s.n_tokens AS DOUBLE) * 1000000.0), 6)
+         floor(CAST(s.logq_micro_sum AS DOUBLE)
+               / CAST(s.n_tokens AS DOUBLE) + 0.5) / 1000000.0
        END AS lm_score
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
