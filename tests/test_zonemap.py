@@ -166,6 +166,46 @@ def test_zonemap_date_column(spark, tmp_path):
     assert got == want and len(got) == 31
 
 
+def test_zorder_date_dimension(spark, tmp_path):
+    """Z-order over (date, double) — the classic time+key pair: the date
+    dimension buckets through its epoch proxy, and a predicate on EITHER
+    dimension prunes files."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    base = dt.date(2024, 1, 1)
+    df = spark.range(0, 4_000).select(
+        F.col("id"),
+        F.date_add(F.lit(base), (F.col("id") % 200).cast("int")).alias("d"),
+        (F.col("id") / 200).cast("int").cast("double").alias("v"),
+    )
+    write_zonemapped(df, path, ["d", "v"], n_files=32)
+    kd, total = zonemap_files(
+        spark, path, {"d": (dt.date(2024, 2, 1), dt.date(2024, 2, 20))}
+    )
+    kv, _ = zonemap_files(spark, path, {"v": (5.0, 7.0)})
+    assert total == 32
+    assert 0 < len(kd) <= 16 and 0 < len(kv) <= 16
+    got = sorted(
+        r.id
+        for r in read_zonemapped(
+            spark,
+            path,
+            bounds={"d": (dt.date(2024, 2, 1), dt.date(2024, 2, 20)), "v": (5.0, 7.0)},
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(path)
+        .filter(
+            F.col("d").between(dt.date(2024, 2, 1), dt.date(2024, 2, 20))
+            & F.col("v").between(5.0, 7.0)
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_zonemap_all_null_file_pruned(spark, tmp_path):
     """Files whose zone column is entirely NULL carry null stats and are
     pruned by any range predicate (BETWEEN never matches NULL), while a

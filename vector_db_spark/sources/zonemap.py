@@ -63,12 +63,29 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int) -> Column:
     well under the Catalyst literal ceiling at the default 8 bits.
     NULLs bucket to 0 (their file stats still ignore them, so pruning
     on the column stays lossless)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    def proxy(c: str) -> Column:
+        # approxQuantile wants numerics; temporal zone columns (date +
+        # key is THE classic Z-order pair) bucket through their epoch
+        dt = df.schema[c].dataType
+        if isinstance(dt, DateType):
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
     n = 1 << bits
     z = F.lit(0).cast("long")
+    proxied = df.select(
+        *[proxy(c).alias(f"__zq_{i}") for i, c in enumerate(cols)]
+    )
     for ci, c in enumerate(cols):
-        qs = df.stat.approxQuantile(c, [i / n for i in range(1, n)], 0.001)
+        qs = proxied.stat.approxQuantile(
+            f"__zq_{ci}", [i / n for i in range(1, n)], 0.001
+        )
         arr = F.array(*[F.lit(float(b)) for b in qs])
-        v = F.col(c).cast("double")
+        v = proxy(c)
         bucket = F.size(F.filter(arr, lambda b: b <= v))
         for i in range(bits):
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
