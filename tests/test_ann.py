@@ -422,6 +422,40 @@ def test_ip_range_search_lossless_after_large_norm_append(spark):
     assert (99, 10.0) in got
 
 
+def test_describe_tracks_drift_and_retrain_restores(spark):
+    """describe() is the retrain trigger: a skewed append against frozen
+    centroids raises the faiss imbalance factor; retrain() brings it back
+    to the build-time regime and clears the watermark fields."""
+    import random
+
+    rng = random.Random(7)
+    base = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(df, nlist=4, seed=42, max_iter=10)
+    d0 = idx.describe()
+    assert d0["n_rows"] == 200 and d0["nlist"] == 4
+    assert d0["imbalance_factor"] >= 1.0
+
+    # pile 300 near-identical vectors into one spot: one cell swells
+    skew = spark.createDataFrame(
+        [(1000 + i, [0.9 + i * 1e-4, 0.9, 0.9, 0.9]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    idx.append(skew)
+    d1 = idx.describe()
+    assert d1["n_rows"] == 500
+    assert d1["imbalance_factor"] > d0["imbalance_factor"]
+
+    fresh = idx.retrain(max_iter=10)
+    d2 = fresh.describe()
+    assert d2["n_rows"] == 500
+    assert d2["imbalance_factor"] < d1["imbalance_factor"]
+    assert d2["max_appended_sq_norm"] is None
+
+
 def test_ip_retrain_resets_watermark_and_restores_exactness(spark):
     """retrain() after a large-norm append refits M over the full corpus:
     the new index has no appended-norm watermark, its M covers the

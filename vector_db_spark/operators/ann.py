@@ -506,6 +506,45 @@ class IvfIndex:
         self.assignments = self.assignments.unionByName(assigned)
         return self
 
+    def cell_stats(self) -> DataFrame:
+        """Per-cell occupancy — one narrow grouped count (on a load()ed
+        index this reads parquet partition FOOTER row counts, not data)."""
+        return self.assignments.groupBy(_CLUSTER_COL).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+
+    def describe(self) -> dict:
+        """Driver-side index health, the 'should I retrain?' dashboard:
+
+        - ``n_rows`` / ``nlist`` / ``min|mean|max_cell`` — occupancy;
+          empty cells count (a cell the quantizer placed where no data
+          lives wastes a probe slot).
+        - ``imbalance_factor`` — Σ n_c² · nlist / n², faiss's metric
+          (IndexIVF imbalance_factor): 1.0 means perfectly even cells;
+          probe cost at fixed nprobe scales with it. Appends against a
+          frozen quantizer drift it upward — schedule ``retrain`` when
+          it leaves the build-time regime (rule of thumb: > ~2).
+        - ``max_appended_sq_norm`` — the metric='ip' clamp watermark
+          (non-None means appended vectors exceed build-time M and probe
+          recall may dip for them until retrain).
+
+        One aggregate job; driver state O(nlist)."""
+        counts = [r.n_rows for r in self.cell_stats().collect()]
+        nlist = len(self.centroids)
+        n = sum(counts)
+        imb = (sum(c * c for c in counts) * nlist / (n * n)) if n else float("nan")
+        return {
+            "nlist": nlist,
+            "n_rows": n,
+            "empty_cells": nlist - len(counts),
+            "min_cell": min(counts) if counts else 0,
+            "mean_cell": n / nlist if nlist else 0.0,
+            "max_cell": max(counts) if counts else 0,
+            "imbalance_factor": imb,
+            "metric": self.metric,
+            "max_appended_sq_norm": self.max_appended_sq_norm,
+        }
+
     def retrain(
         self,
         nlist: int | None = None,
