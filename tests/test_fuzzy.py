@@ -1,0 +1,99 @@
+"""Fuzzy join (operators/fuzzy.py): q-gram blocking must be LOSSLESS —
+identical to the naive cross-join formulation — across typo shapes,
+short strings (below the gram-guarantee cutoff), and both the self- and
+two-table variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.fuzzy import fuzzy_join, fuzzy_self_join
+
+WORDS = [
+    "red widget", "red widgett", "rd widget", "red widgie",
+    "blue bolt", "blue boltt", "bolt", "blu", "b", "",
+    "chartreuse gizmo", "chartreuse gismo", "chartruese gizmo",
+    "anodized steel casing", "anodised steel casing",
+    "x" * 30, "x" * 29 + "y",
+]
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(WORDS)], "id long, s string"
+    )
+
+
+def _naive_self(df, d):
+    a = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    b = df.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("a_s", "b_s"))
+        .filter(F.col("dist") <= d)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+@pytest.mark.parametrize("d,k", [(0, 2), (1, 2), (2, 2), (3, 2), (2, 3)])
+def test_fuzzy_self_join_equals_naive(spark, words_df, d, k):
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_self_join(words_df, "s", "id", max_dist=d, k=k).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist) for r in _naive_self(words_df, d).collect()
+    )
+    assert got == want
+    if d >= 1:
+        assert len(got) > 0  # the typo pairs really match
+
+
+def test_fuzzy_two_table_equals_naive(spark, words_df):
+    left = words_df.filter(F.col("id") % 2 == 0)
+    right = words_df.filter(F.col("id") % 2 == 1)
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_join(
+            left, right, "s", "s", "id", "id", max_dist=2
+        ).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in left.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+        .crossJoin(
+            right.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+        )
+        .withColumn("dist", F.levenshtein("a_s", "b_s"))
+        .filter(F.col("dist") <= 2)
+        .select("a_id", "b_id", "dist")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_fuzzy_short_strings_all_caught(spark):
+    """Every string below the k(1+d) gram-guarantee cutoff — including
+    empty and single-char — routes through the short block; nothing is
+    silently dropped."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["a", "ab", "b", "ba", "", "abc"])],
+        "id long, s string",
+    )
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_self_join(df, "s", "id", max_dist=1).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist) for r in _naive_self(df, 1).collect()
+    )
+    assert got == want
+
+
+def test_fuzzy_rejects_bad_params(spark, words_df):
+    with pytest.raises(ValueError):
+        fuzzy_self_join(words_df, "s", "id", max_dist=-1)
+    with pytest.raises(ValueError):
+        fuzzy_self_join(words_df, "s", "id", k=0)

@@ -1,0 +1,163 @@
+"""Fuzzy (edit-distance) joins without a cross join — entity resolution.
+
+The data-cleaning half of dedup: "red widgett" and "red widget" are the
+same entity, but no exact key, shingle-Jaccard band, or MinHash bucket
+treats a one-character typo as identity the way edit distance does.
+The naive formulation is a cross join (n² Levenshtein evaluations — dead
+at any scale); the scalable one is Q-GRAM BLOCKING, standard in record
+linkage (Gravano et al., "Approximate String Joins in a Database
+(Almost) for Free", VLDB 2001):
+
+    ed(a, b) <= d  ⇒  a and b share >= max(|a|,|b|) − k + 1 − d·k
+                      k-grams  (each edit destroys at most k grams)
+
+The bound is >= 1 whenever the LONGER string has length >= k·(1+d), so:
+
+- pairs whose longer side is long enough are found by a plain EQUI-JOIN
+  on shared k-grams (hash-shuffleable, AQE-skew-splittable — the same
+  shape as the MinHash band join in operators/dedup.py);
+- pairs of two short strings (both < k·(1+d) chars — a bounded set for
+  any real corpus: there are only |Σ|^(k(1+d)) such strings) meet in one
+  all-pairs short block.
+
+The union PROVABLY contains every true pair (lossless blocking — pinned
+against the naive cross join in tests/test_fuzzy.py); Levenshtein
+(JVM-codegen `levenshtein`, identical unit-cost semantics in DuckDB)
+then verifies candidates only. Candidate count is driven by gram
+selectivity, not corpus size squared.
+
+Reference anchor: the reference engine has no string-similarity surface
+(src/core/mod.rs); this extends the near-dup family (SURVEY §2.9) to
+typo-level entity resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(col: F.Column, k: int) -> F.Column:
+    """Distinct k-grams of a string as an array (distinct: the blocking
+    join needs each (id, gram) edge once, not once per occurrence)."""
+    n = F.length(col)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.substring(col, i, k),  # noqa: B023
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """All pairs with ``levenshtein(a, b) <= max_dist`` and
+    ``a_id < b_id`` — lossless q-gram blocking, never a corpus cross
+    join. Returns (a_id, b_id, dist).
+
+    ``k`` trades candidate selectivity against the short-block cutoff
+    k·(1+max_dist): larger k → rarer grams (fewer candidates) but more
+    strings routed to the short block. Duplicate ids must be resolved
+    upstream (distinct on id)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    short_cut = k * (1 + max_dist)
+
+    # gram blocking: (id, gram) edges equi-joined on gram; a_id < b_id
+    # orders each pair once, distinct collapses multi-gram co-occurrence
+    grams = base.select(
+        "id", "s", F.explode(_grams(F.col("s"), k)).alias("g")
+    )
+    ga = grams.select(
+        F.col("id").alias("a_id"), F.col("s").alias("a_s"), "g"
+    )
+    gb = grams.select(
+        F.col("id").alias("b_id"), F.col("s").alias("b_s"), "g"
+    )
+    long_cand = (
+        ga.join(gb, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # the q-gram guarantee covers a pair iff its LONGER side is
+        # >= k(1+d); shorter-both pairs belong to the short block (a
+        # long-short pair's longer side qualifies, so it is covered here)
+        .filter(
+            F.greatest(F.length("a_s"), F.length("b_s")) >= short_cut
+        )
+        .select("a_id", "a_s", "b_id", "b_s")
+        .distinct()
+    )
+
+    # short block: both sides under the guarantee cutoff — a BOUNDED set
+    # (at most |alphabet|^(k(1+d)) distinct strings exist that short)
+    # broadcast, not a CartesianProduct: the short set is bounded, and a
+    # plain crossJoin multiplies the two sides' partition counts into
+    # thousands of near-empty tasks (measured 10 s of pure scheduling on
+    # a 3-row block at 32 input partitions)
+    short = base.filter(F.length("s") < short_cut)
+    short_cand = (
+        short.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+        .crossJoin(
+            F.broadcast(
+                short.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+            )
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+    cands = long_cand.unionByName(short_cand).distinct()
+    dist = F.levenshtein(F.col("a_s"), F.col("b_s"))
+    return (
+        cands.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """Two-table variant (match a dirty feed against a clean reference):
+    same lossless gram-union-short blocking, returns
+    (left_id, right_id, dist) for every cross pair within ``max_dist``."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    short_cut = k * (1 + max_dist)
+    l_ = left.select(F.col(left_id).alias("a_id"), F.col(left_text).alias("a_s"))
+    r_ = right.select(F.col(right_id).alias("b_id"), F.col(right_text).alias("b_s"))
+
+    ga = l_.select("a_id", "a_s", F.explode(_grams(F.col("a_s"), k)).alias("g"))
+    gb = r_.select("b_id", "b_s", F.explode(_grams(F.col("b_s"), k)).alias("g"))
+    long_cand = (
+        ga.join(gb, "g")
+        .filter(F.greatest(F.length("a_s"), F.length("b_s")) >= short_cut)
+        .select("a_id", "a_s", "b_id", "b_s")
+        .distinct()
+    )
+    short_cand = l_.filter(F.length("a_s") < short_cut).crossJoin(
+        F.broadcast(r_.filter(F.length("b_s") < short_cut))
+    )
+    cands = long_cand.unionByName(short_cand).distinct()
+    dist = F.levenshtein(F.col("a_s"), F.col("b_s"))
+    return (
+        cands.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )

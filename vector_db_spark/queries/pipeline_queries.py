@@ -559,6 +559,44 @@ def neardup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fuzzy (edit-distance) join: entity resolution via lossless q-gram
+# blocking (Gravano et al. VLDB'01) — typo-level matching that Jaccard
+# bands and MinHash buckets can't express; never a corpus cross join.
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query("fuzzy_name_pairs", oracle=_FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All distinct part-name pairs within Levenshtein 3 — the catalog-
+    cleaning primitive ("anodised" vs "anodized"). Blocking is an
+    equi-join on shared 2-grams (the same shuffle shape as the MinHash
+    band join) plus one bounded broadcast short-block; the q-gram count
+    bound makes the union provably complete, so the result equals the
+    naive cross join the oracle runs (pinned across typo/short/empty
+    shapes in tests/test_fuzzy.py). Levenshtein itself is JVM codegen
+    with identical unit-cost semantics in DuckDB."""
+    from vector_db_spark.operators.fuzzy import fuzzy_self_join
+
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    pairs = fuzzy_self_join(names, "p_name", "p_name", max_dist=3, k=2)
+    return pairs.select(
+        F.col("a_id").alias("a_name"),
+        F.col("b_id").alias("b_name"),
+        "dist",
+    )
+
+
+# --------------------------------------------------------------------------
 # Hybrid search: keyword + vector with reciprocal-rank fusion
 # --------------------------------------------------------------------------
 
