@@ -97,3 +97,30 @@ def test_fuzzy_rejects_bad_params(spark, words_df):
         fuzzy_self_join(words_df, "s", "id", max_dist=-1)
     with pytest.raises(ValueError):
         fuzzy_self_join(words_df, "s", "id", k=0)
+
+
+def test_fuzzy_match_best_picks_closest(spark):
+    """Each dirty row resolves to its nearest reference entity; ties go
+    to the smaller reference id; out-of-threshold rows are absent."""
+    ref = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "chartreuse gizmo")],
+        "rid long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "red widgett"),      # 1 edit from ref 1
+            (11, "blue boltt"),       # 1 edit from ref 2
+            (12, "chartruese gizmo"), # 2 edits from ref 3
+            (13, "zzzzzzzz"),         # matches nothing
+        ],
+        "did long, name string",
+    )
+    from vector_db_spark.operators.fuzzy import fuzzy_match_best
+
+    got = {
+        r.a_id: (r.b_id, r.dist)
+        for r in fuzzy_match_best(
+            dirty, ref, "name", "name", "did", "rid", max_dist=2
+        ).collect()
+    }
+    assert got == {10: (1, 1), 11: (2, 1), 12: (3, 2)}

@@ -33,7 +33,7 @@ typo-level entity resolution.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,4 +160,33 @@ def fuzzy_join(
         cands.withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
+    )
+
+
+def fuzzy_match_best(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """The operational entity-resolution output: for each left row, its
+    single closest reference match within ``max_dist`` (ties broken by
+    right id, so the winner is deterministic under any partitioning).
+    Left rows with no match inside the threshold are absent — compose
+    with a left join against ``left`` to surface unmatched rows. One
+    extra hash shuffle on left id over fuzzy_join's candidates."""
+    pairs = fuzzy_join(
+        left, right, left_text, right_text, left_id, right_id, max_dist, k
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("dist").asc(), F.col("b_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
