@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_hamming_rerank",
     "dedup_exact",
     "chunk_dedup_docs",
+    "fuzzy_name_pairs",
     # semantic_dedup_clustered is timed from the persisted-index harness
     # below: SemDeDup's blocking reuses the SAVED cosine IVF (the faiss
     # composition semantic_pairs(ivf=...) exists for), so its bench entry
