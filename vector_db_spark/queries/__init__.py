@@ -106,7 +106,7 @@ _VERIFY_FIRST = [
 # 44 + 6 new gates).  ROUND-4 QUEUE: front-load the late-r3 additions
 # ann_ivf_batch_cosine_full_probe + ann_ivf_batch_ip_full_probe +
 # ann_ivf_retrain_ip_full_probe + zonemap_pruned_scan + zorder_box_scan
-# + fuzzy_name_pairs (all locally
+# + fuzzy_name_pairs + fuzzy_entity_canonical (all locally
 # value-exact at sf0.001/sf0.01), any new round-4 queries, then the 10
 # rows-only probes for rows-only attestation refresh.
 

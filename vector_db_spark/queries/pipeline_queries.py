@@ -596,6 +596,62 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_CANON_ORACLE = """
+WITH RECURSIVE
+n AS (SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name),
+pairs AS (
+  SELECT a.name_id AS a_id, b.name_id AS b_id
+  FROM n a JOIN n b ON a.name_id < b.name_id
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+verts AS (SELECT name_id AS id FROM n),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT n.p_name, c.p_name AS canonical_name
+FROM n JOIN lab ON n.name_id = lab.id
+JOIN n c ON c.name_id = lab.cluster_id
+"""
+
+
+@query("fuzzy_entity_canonical", oracle=_FUZZY_CANON_ORACLE)
+def fuzzy_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity canonicalization: fuzzy pairs (lossless q-gram
+    blocking) → transitive closure (min-label connected components, the
+    dedup machinery) → every catalog name mapped to its cluster's
+    canonical spelling ("red widgett" and "rd widget" both normalize to
+    whatever the minimum-keyed member spells). Isolated names (no fuzzy
+    neighbor) canonicalize to themselves via the coalesce, so the output
+    is total over DISTINCT names. The oracle replays the same edges with
+    a recursive CTE."""
+    from vector_db_spark.operators.dedup import connected_components
+    from vector_db_spark.operators.fuzzy import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    pairs = fuzzy_self_join(names, "p_name", "name_id", max_dist=3)
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    lab = (
+        names.join(comp.withColumnRenamed("id", "name_id"), "name_id", "left")
+        .select(
+            "p_name",
+            F.coalesce("cluster_id", "name_id").alias("cid"),
+        )
+    )
+    canon = names.select(
+        F.col("name_id").alias("cid"), F.col("p_name").alias("canonical_name")
+    )
+    return lab.join(canon, "cid").select("p_name", "canonical_name")
+
+
 # --------------------------------------------------------------------------
 # Hybrid search: keyword + vector with reciprocal-rank fusion
 # --------------------------------------------------------------------------
