@@ -368,3 +368,39 @@ def test_zonemap_scan_equals_filter(sc, data, lo, hi):
         for r in sc.read.parquet(path).filter(pred).collect()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-join blocking is LOSSLESS for any strings/threshold — the q-gram
+# count-bound claim behind operators/fuzzy.py; example-based pins live in
+# tests/test_fuzzy.py.
+# --------------------------------------------------------------------------
+
+_fz_strings = st.lists(
+    st.text(alphabet="abcx ", max_size=12), min_size=1, max_size=12, unique=True
+)
+
+
+@given(strings=_fz_strings, d=st.integers(min_value=0, max_value=3))
+@_settings
+def test_fuzzy_blocking_lossless(sc, strings, d):
+    from vector_db_spark.operators.fuzzy import fuzzy_self_join
+
+    df = sc.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string"
+    )
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_self_join(df, "s", "id", max_dist=d).collect()
+    )
+    a = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    b = df.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+    want = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("a_s", "b_s"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    )
+    assert got == want
