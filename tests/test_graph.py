@@ -213,3 +213,62 @@ def test_batch_filtered_traversal_mask(emb, graph, qvecs):
         ).collect()
         want = [(i + 1, r.vec_id, round(r.distance, 6)) for i, r in enumerate(single)]
         assert sorted(by_q[qid]) == want, qid
+
+
+def test_ip_exhaustive_matches_exact(emb, qvecs):
+    """MIPS graphs (beam over [x, √(M²−‖x‖²)], query [q, 0]): exhaustive
+    config reproduces exact IP kNN, and the score is the true dot."""
+    idx = GraphAnnIndex.build(
+        emb, nlist=4, m=16, ef_construction=200, seed=42, max_iter=5, metric="ip"
+    )
+    for qid in QIDS[:2]:
+        exact = [
+            (r.vec_id, round(r.score, 6))
+            for r in knn(emb, qvecs[qid], 10, metric="ip").collect()
+        ]
+        got = [
+            (r.vec_id, round(r.score, 6))
+            for r in idx.search(qvecs[qid], 10, nprobe=4, ef_search=10**6).collect()
+        ]
+        assert got == exact, qid
+
+
+def test_ip_save_load_keeps_augmentation(emb, qvecs, tmp_path):
+    """M² must survive the save/load cycle — a load that dropped it would
+    crash (or mis-map) the augmented beam space."""
+    idx = GraphAnnIndex.build(
+        emb, nlist=4, m=16, ef_construction=200, seed=42, max_iter=5, metric="ip"
+    )
+    path = str(tmp_path / "gip")
+    idx.save(path)
+    re = GraphAnnIndex.load(emb.sparkSession, path)
+    assert re.max_sq_norm == idx.max_sq_norm
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in re.search(qvecs[0], 10, nprobe=4, ef_search=10**6).collect()
+    ]
+    exact = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn(emb, qvecs[0], 10, metric="ip").collect()
+    ]
+    assert got == exact
+
+
+def test_ip_batch_matches_exact(emb, qvecs):
+    from vector_db_spark.operators.knn import batch_knn
+
+    idx = GraphAnnIndex.build(
+        emb, nlist=4, m=16, ef_construction=200, seed=42, max_iter=5, metric="ip"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.score, 6))
+        for r in idx.search_batch(queries, 5, nprobe=4, ef_search=10**9).collect()
+    )
+    exact = sorted(
+        (r[0], r[1], round(r[2], 6))
+        for r in batch_knn(emb, queries, 5, metric="ip").collect()
+    )
+    assert got == exact

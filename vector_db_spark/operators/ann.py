@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import dot, normalize
 from vector_db_spark.operators.knn import knn
+from vector_db_spark.operators.tombstones import (
+    apply_tombstones,
+    clear_tombstones,
+    load_tombstones,
+    merge_tombstones,
+    tombstone_df,
+    write_tombstones,
+)
 
 _CLUSTER_COL = "cluster_id"
 
@@ -318,6 +326,12 @@ class IvfIndex:
         # to 0, so the range_search pruning radius must widen to
         # max(M², this) or cells holding true matches could be pruned.
         self.max_appended_sq_norm: float | None = None
+        # Delete manifest (operators/tombstones.py): probes anti-join it
+        # (broadcast), the immutable cell layout is never rewritten — the
+        # reference removes from its live index (faiss remove_vectors,
+        # src/core/index/faiss_index.rs:131-138); vacuum()/retrain() is
+        # our amortized equivalent of its reclamation.
+        self.tombstones: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -376,6 +390,20 @@ class IvfIndex:
         )
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         self._write_meta(path)
+        # save() snapshots the whole index state incl. the delete
+        # manifest. Materialize the id set BEFORE clearing the directory —
+        # self.tombstones may itself be lazily reading path/tombstones
+        # (load-then-save cycle), and the set is bounded by the compaction
+        # cadence so a driver round-trip is a few KB.
+        tomb_ids = (
+            [r[0] for r in self.tombstones.collect()]
+            if self.tombstones is not None
+            else []
+        )
+        clear_tombstones(path)
+        if tomb_ids:
+            spark = self.assignments.sparkSession
+            write_tombstones(tombstone_df(spark, tomb_ids), path)
 
     def _write_meta(self, path: str) -> None:
         import json
@@ -419,6 +447,7 @@ class IvfIndex:
         idx.max_sq_norm = meta.get("max_sq_norm")
         idx.max_appended_sq_norm = meta.get("max_appended_sq_norm")
         idx.cell_radii = meta.get("cell_radii")
+        idx.tombstones = load_tombstones(spark, path)
         return idx
 
     def _mapped_vec(self, col: Column) -> Column:
@@ -504,12 +533,61 @@ class IvfIndex:
             # the ip norm watermark must survive a save/load cycle
             self._write_meta(path)
         self.assignments = self.assignments.unionByName(assigned)
+        # NOTE: appending an id that sits in the tombstone manifest does
+        # NOT resurrect it — the old physical row is still in the layout,
+        # so un-tombstoning would serve BOTH copies. Deletes win until a
+        # vacuum()/retrain() compacts the layout; id-level replace is the
+        # collection store's job (merge_upsert owns id uniqueness).
         return self
 
+    def delete(
+        self, ids: Sequence[int] | DataFrame, path: str | None = None
+    ) -> "IvfIndex":
+        """Remove vectors from the index WITHOUT touching the immutable
+        cell-partitioned layout (≅ faiss remove_vectors, reference:
+        src/core/index/faiss_index.rs:131-138; usearch remove,
+        src/core/index/usearch_index.rs:87-93): the ids land in a
+        tombstone manifest that every probe anti-joins (broadcast — the
+        set is bounded by the vacuum cadence). With ``path`` the manifest
+        is appended on disk too, so a later load() serves the delete —
+        O(deleted ids) I/O, concurrent-reader safe (append-only).
+
+        Cell radii stay VALID: deletes only shrink cells, so the persisted
+        covering radii remain a (lossless) over-estimate for range_search
+        pruning until the next vacuum/retrain tightens them."""
+        spark = self.assignments.sparkSession
+        col = self.id_col if isinstance(ids, DataFrame) and self.id_col in ids.columns else None
+        tomb = tombstone_df(spark, ids, col)
+        self.tombstones = merge_tombstones(self.tombstones, tomb)
+        if path is not None:
+            write_tombstones(tomb, path)
+        return self
+
+    def _live(self) -> DataFrame:
+        """The serving view: assignments minus tombstoned rows (broadcast
+        anti-join; identity when nothing is deleted)."""
+        return apply_tombstones(self.assignments, self.id_col, self.tombstones)
+
+    def vacuum(self, path: str) -> "IvfIndex":
+        """Compaction: materialize the live rows into a FRESH index
+        directory (same centroids/metric/meta, empty manifest) and return
+        the compacted index. Writes to a new path rather than overwriting
+        a layout concurrently being read — the manifest-rotation pattern
+        the collections store uses; flip readers over, then drop the old
+        directory on the deployment's retention schedule."""
+        out = IvfIndex(
+            self.centroids, self._live(), self.id_col, self.vec_col, self.metric
+        )
+        out.max_sq_norm = self.max_sq_norm
+        out.max_appended_sq_norm = self.max_appended_sq_norm
+        out.save(path)
+        return IvfIndex.load(self.assignments.sparkSession, path)
+
     def cell_stats(self) -> DataFrame:
-        """Per-cell occupancy — one narrow grouped count (on a load()ed
-        index this reads parquet partition FOOTER row counts, not data)."""
-        return self.assignments.groupBy(_CLUSTER_COL).agg(
+        """Per-cell occupancy of LIVE rows — one narrow grouped count (on
+        a load()ed index with no tombstones this reads parquet partition
+        FOOTER row counts, not data)."""
+        return self._live().groupBy(_CLUSTER_COL).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
 
@@ -570,8 +648,12 @@ class IvfIndex:
         index: persist with save() into a fresh version directory and
         flip readers over (the collections store's manifest-rotation
         pattern) — never overwrite a layout still being read.
+
+        Retraining runs over the LIVE rows, so it doubles as the vacuum:
+        tombstoned vectors are dropped from the new layout and the fresh
+        index starts with an empty manifest.
         """
-        corpus = self.assignments.drop(_CLUSTER_COL)
+        corpus = self._live().drop(_CLUSTER_COL)
         return IvfIndex.build(
             corpus,
             nlist=nlist if nlist is not None else len(self.centroids),
@@ -631,7 +713,7 @@ class IvfIndex:
             for i in range(len(self.centroids))
             if center_d[i] - radii[i] <= radius
         ]
-        cands = self.assignments.filter(F.col(_CLUSTER_COL).isin(cells))
+        cands = self._live().filter(F.col(_CLUSTER_COL).isin(cells))
         return exact_range(
             cands,
             query,
@@ -684,7 +766,7 @@ class IvfIndex:
             raise ValueError("nprobe must be >= 1")
         metric = metric or self.metric
         probes = self.probe_order(query)[:nprobe]
-        cands = self.assignments.filter(F.col(_CLUSTER_COL).isin(probes))
+        cands = self._live().filter(F.col(_CLUSTER_COL).isin(probes))
         return knn(
             cands,
             query,
@@ -753,7 +835,7 @@ class IvfIndex:
         # equi-join on the corpus's existing partition column, so the
         # corpus side is a co-located (often zero-move) shuffle.
         probe_side = F.broadcast(probed) if broadcast_queries else probed
-        corpus = self.assignments
+        corpus = self._live()
         if predicate is not None:
             corpus = corpus.filter(predicate)
         cands = corpus.join(probe_side, on=_CLUSTER_COL)
@@ -783,6 +865,10 @@ class CosineLshIndex:
         self.buckets = buckets
         self.id_col = id_col
         self.vec_col = vec_col
+        # Delete manifest — same tombstone contract as IvfIndex.delete;
+        # the anti-join key is the bucket table's "id" column (one row
+        # per (table, id), all dropped together).
+        self.tombstones: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -855,6 +941,15 @@ class CosineLshIndex:
 
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+        tomb_ids = (
+            [r[0] for r in self.tombstones.collect()]
+            if self.tombstones is not None
+            else []
+        )
+        clear_tombstones(path)
+        if tomb_ids:
+            spark = self.buckets.sparkSession
+            write_tombstones(tombstone_df(spark, tomb_ids), path)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "CosineLshIndex":
@@ -864,7 +959,34 @@ class CosineLshIndex:
         buckets = spark.read.parquet(os.path.join(path, "buckets"))
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        return CosineLshIndex(planes, buckets, meta["id_col"], meta["vec_col"])
+        idx = CosineLshIndex(planes, buckets, meta["id_col"], meta["vec_col"])
+        idx.tombstones = load_tombstones(spark, path)
+        return idx
+
+    def delete(
+        self, ids: Sequence[int] | DataFrame, path: str | None = None
+    ) -> "CosineLshIndex":
+        """Tombstone delete (≅ usearch remove, reference:
+        src/core/index/usearch_index.rs:87-93): the (table, bucket)
+        layout is never rewritten; probes anti-join the manifest. See
+        IvfIndex.delete for the full contract."""
+        spark = self.buckets.sparkSession
+        col = self.id_col if isinstance(ids, DataFrame) and self.id_col in ids.columns else None
+        tomb = tombstone_df(spark, ids, col)
+        self.tombstones = merge_tombstones(self.tombstones, tomb)
+        if path is not None:
+            write_tombstones(tomb, path)
+        return self
+
+    def _live(self) -> DataFrame:
+        return apply_tombstones(self.buckets, "id", self.tombstones)
+
+    def vacuum(self, path: str) -> "CosineLshIndex":
+        """Compaction into a FRESH directory (same planes, live rows,
+        empty manifest) — never overwrites a layout being read."""
+        out = CosineLshIndex(self.planes, self._live(), self.id_col, self.vec_col)
+        out.save(path)
+        return CosineLshIndex.load(self.buckets.sparkSession, path)
 
     def query_buckets(
         self, query: Sequence[float], probe_radius: int = 0
@@ -959,7 +1081,7 @@ class CosineLshIndex:
         ]
         probe_side = F.broadcast(probed) if broadcast_queries else probed
         cands = (
-            self.buckets.join(probe_side, on=["table", "bucket"])
+            self._live().join(probe_side, on=["table", "bucket"])
             .dropDuplicates([query_id_col, "id"])
             .select(
                 query_id_col,
@@ -1008,7 +1130,7 @@ class CosineLshIndex:
         extras = [
             c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
         ]
-        cands = self.buckets.filter(cond).select(
+        cands = self._live().filter(cond).select(
             F.col("id").alias(self.id_col),
             F.col("vec").alias(self.vec_col),
             *extras,

@@ -50,6 +50,14 @@ from vector_db_spark.operators.ann import (
     _kmeans_centroids,
     _nearest_centroid_arrow,
 )
+from vector_db_spark.operators.tombstones import (
+    clear_tombstones,
+    load_tombstones,
+    mark_tombstones,
+    merge_tombstones,
+    tombstone_df,
+    write_tombstones,
+)
 
 NEIGHBOR_COL = "neighbors"
 
@@ -102,6 +110,24 @@ def _beam(
     return [j for _, j in ordered], [d for d, _ in ordered], n_evals
 
 
+def _map_metric(
+    vecs: np.ndarray, metric: str, max_sq: float | None
+) -> np.ndarray:
+    """Map raw corpus vectors into beam space: identity for l2, unit
+    sphere for cosine, MIPS augmentation [x, √(M²−‖x‖²)] for ip (clamped
+    at 0 like IvfIndex for post-build vectors with ‖x‖ > M)."""
+    if metric == "cosine":
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        out = vecs.copy()
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+    if metric == "ip":
+        sq = (vecs * vecs).sum(axis=1)
+        aug = np.sqrt(np.maximum(float(max_sq) - sq, 0.0))
+        return np.concatenate([vecs, aug[:, None]], axis=1)
+    return vecs
+
+
 def _nsw_build(vecs: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
     """Incremental NSW construction: each node links to its ``m`` beam-found
     nearest existing nodes (undirected); degree capped at 2m by keeping the
@@ -136,6 +162,16 @@ class GraphAnnIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.metric = metric
+        # Delete manifest. Graph deletes are SOFT: the adjacency is
+        # positional after an id sort, and deleted nodes must keep
+        # routing the beam (hard-dropping them would corrupt neighbor
+        # resolution AND could disconnect regions — the HNSW-family
+        # soft-delete semantics). The manifest folds into the beam's
+        # admission mask; a rebuild is the vacuum.
+        self.tombstones: DataFrame | None = None
+        # metric='ip' builds beam in MIPS-augmented space [x, √(M²−‖x‖²)]
+        # (M² stored here) — the same reduction IvfIndex uses.
+        self.max_sq_norm: float | None = None
 
     @staticmethod
     def build(
@@ -149,31 +185,48 @@ class GraphAnnIndex:
         metric: str = "l2",
         max_iter: int = 20,
     ) -> "GraphAnnIndex":
-        if metric not in ("l2", "cosine"):
-            raise ValueError(f"graph index supports ('l2', 'cosine'), got {metric!r}")
+        if metric not in ("l2", "cosine", "ip"):
+            raise ValueError(
+                f"graph index supports ('l2', 'cosine', 'ip'), got {metric!r}"
+            )
         if m < 1:
             raise ValueError("m must be >= 1")
-        from vector_db_spark.functions.vector import normalize
+        from vector_db_spark.functions.vector import dot, normalize
 
-        vec = F.col(vec_col) if metric == "l2" else normalize(F.col(vec_col))
+        # metric='ip' (≅ the reference's IP HNSW, usearch backend,
+        # src/core/index_factory.rs:133-140): the same MIPS reduction as
+        # IvfIndex — build the NSW graphs over AUGMENTED vectors
+        # [x, √(M²−‖x‖²)] (M = max corpus norm), search with [q, 0]; on
+        # that sphere L2 beam order IS inner-product order, and the
+        # output score is the true dot (the augmented component of the
+        # query is 0, so aug(x)·[q,0] = x·q exactly).
+        max_sq = None
+        if metric == "l2":
+            vec = F.col(vec_col)
+        elif metric == "cosine":
+            vec = normalize(F.col(vec_col))
+        else:  # ip
+            sq_norm = dot(F.col(vec_col), F.col(vec_col))
+            max_sq = float(corpus.agg(F.max(sq_norm)).head()[0])
+            vec = F.concat(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
+            )
         centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
         # Arrow GEMM assignment (not the literal-distance expression): the
         # HOF fold evaluates interpreted per element — measured 35× slower
         # than one (batch × nlist) BLAS matmul even at nlist=8, and it
         # stalls Catalyst planning past ~1024 literal terms.
-        assignments = _nearest_centroid_arrow(corpus, vec_col, centroids, metric, None)
+        assignments = _nearest_centroid_arrow(corpus, vec_col, centroids, metric, max_sq)
         out_schema = StructType(
             list(assignments.schema.fields)
             + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
         )
-        cosine = metric == "cosine"
 
         def _build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col, ignore_index=True)
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if cosine:
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            vecs = _map_metric(vecs, metric, max_sq)
             adj = _nsw_build(vecs, m, ef_construction)
             ids = pdf[id_col].to_numpy()
             pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
@@ -182,7 +235,9 @@ class GraphAnnIndex:
         graph = assignments.groupBy(_CLUSTER_COL).applyInPandas(
             _build_cell, out_schema
         )
-        return GraphAnnIndex(centroids, graph, id_col, vec_col, metric)
+        idx = GraphAnnIndex(centroids, graph, id_col, vec_col, metric)
+        idx.max_sq_norm = max_sq
+        return idx
 
     def save(self, path: str) -> None:
         """Cluster-partitioned parquet: search() after load() prunes to the
@@ -199,8 +254,23 @@ class GraphAnnIndex:
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
-                {"metric": self.metric, "id_col": self.id_col, "vec_col": self.vec_col},
+                {
+                    "metric": self.metric,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "max_sq_norm": self.max_sq_norm,
+                },
                 f,
+            )
+        tomb_ids = (
+            [r[0] for r in self.tombstones.collect()]
+            if self.tombstones is not None
+            else []
+        )
+        clear_tombstones(path)
+        if tomb_ids:
+            write_tombstones(
+                tombstone_df(self.graph.sparkSession, tomb_ids), path
             )
 
     @staticmethod
@@ -209,22 +279,59 @@ class GraphAnnIndex:
         graph = spark.read.parquet(os.path.join(path, "graph"))
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        return GraphAnnIndex(
+        idx = GraphAnnIndex(
             centroids, graph, meta["id_col"], meta["vec_col"], meta["metric"]
         )
+        idx.max_sq_norm = meta.get("max_sq_norm")
+        idx.tombstones = load_tombstones(spark, path)
+        return idx
+
+    def delete(
+        self, ids: Sequence[int] | DataFrame, path: str | None = None
+    ) -> "GraphAnnIndex":
+        """Soft delete (≅ usearch remove, reference:
+        src/core/index/usearch_index.rs:87-93): ids land in the tombstone
+        manifest and are excluded from ADMISSION while still routing the
+        beam — the same traversal-vs-admission split as filtered search.
+        With ``path`` the manifest persists (append-only). The vacuum is
+        a rebuild (GraphAnnIndex.build over live rows): edges through
+        deleted nodes are only re-wired then."""
+        spark = self.graph.sparkSession
+        col = self.id_col if isinstance(ids, DataFrame) and self.id_col in ids.columns else None
+        tomb = tombstone_df(spark, ids, col)
+        self.tombstones = merge_tombstones(self.tombstones, tomb)
+        if path is not None:
+            write_tombstones(tomb, path)
+        return self
+
+    def _masked(self, cells: DataFrame, predicate: Column | None) -> tuple[DataFrame, bool]:
+        """Fold predicate and tombstones into one ``__pass`` admission
+        column. Deleted or non-matching nodes are traversed, never
+        admitted; returns (frame, whether any mask is active)."""
+        active = predicate is not None or self.tombstones is not None
+        if not active:
+            return cells, False
+        base = predicate.cast("boolean") if predicate is not None else F.lit(True)
+        cells = mark_tombstones(cells, self.id_col, self.tombstones, "__dead")
+        return cells.withColumn("__pass", base & ~F.col("__dead")).drop("__dead"), True
 
     def _query_point(self, query: Sequence[float]) -> np.ndarray:
+        """Query in beam space: unit sphere for cosine, zero-augmented
+        [q, 0] for ip (queries sit on the MIPS hyperplane)."""
         q = np.asarray(list(query), dtype=np.float64)
         dim = len(self.centroids[0])
-        if q.shape[0] != dim:
+        expect = dim - 1 if self.metric == "ip" else dim
+        if q.shape[0] != expect:
             raise ValueError(
                 f"dimension mismatch: query has {q.shape[0]} components, "
-                f"index dim is {dim}"
+                f"index dim is {expect}"
             )
         if self.metric == "cosine":
             n = float(np.linalg.norm(q))
             if n > 0:
                 q = q / n
+        elif self.metric == "ip":
+            q = np.concatenate([q, [0.0]])
         return q
 
     def probe_order(self, query: Sequence[float]) -> list[int]:
@@ -258,10 +365,9 @@ class GraphAnnIndex:
         q = self._query_point(query)
         probes = self.probe_order(query)[:nprobe]
         cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probes))
-        if predicate is not None:
-            cells = cells.withColumn("__pass", predicate.cast("boolean"))
-        filtered = predicate is not None
-        id_col, vec_col, cosine = self.id_col, self.vec_col, self.metric == "cosine"
+        cells, filtered = self._masked(cells, predicate)
+        id_col, vec_col = self.id_col, self.vec_col
+        metric, max_sq = self.metric, self.max_sq_norm
         ef = max(ef_search, k)
 
         out_schema = f"{id_col} long, distance double"
@@ -270,9 +376,7 @@ class GraphAnnIndex:
             pdf = pdf.sort_values(id_col, ignore_index=True)
             ids = pdf[id_col].to_numpy()
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if cosine:
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            vecs = _map_metric(vecs, metric, max_sq)
             # neighbor ids -> positions (ids are sorted: vectorized searchsorted)
             adj = [
                 list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
@@ -285,9 +389,14 @@ class GraphAnnIndex:
             )
             pos, dists, _ = _beam(vecs, adj, q, ef, allowed=allowed)
             top = pos[:k]
-            return pd.DataFrame(
-                {id_col: ids[top], "distance": dists[: len(top)]}
-            )
+            if metric == "ip":
+                # emit −⟨q,x⟩ so the ascending merge ranks by dot DESC;
+                # the dot is TRUE (the query's augmented component is 0,
+                # so aug(x)·[q,0] = x·q exactly)
+                d_out = -(vecs[top] @ q)
+            else:
+                d_out = dists[: len(top)]
+            return pd.DataFrame({id_col: ids[top], "distance": d_out})
 
         per_cell = cells.groupBy(_CLUSTER_COL).applyInPandas(
             _search_cell, out_schema
@@ -295,10 +404,14 @@ class GraphAnnIndex:
         merged = per_cell.orderBy(
             F.col("distance").asc(), F.col(id_col).asc()
         ).limit(k)
-        if cosine:
+        if metric == "cosine":
             # unit sphere: cos = 1 − ‖a−b‖²/2, exact
             return merged.select(
                 id_col, (F.lit(1.0) - F.col("distance") / 2).alias("score")
+            ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+        if metric == "ip":
+            return merged.select(
+                id_col, (-F.col("distance")).alias("score")
             ).orderBy(F.col("score").desc(), F.col(id_col).asc())
         return merged
 
@@ -334,9 +447,10 @@ class GraphAnnIndex:
             raise ValueError("nprobe must be >= 1")
         from vector_db_spark.operators.ann import _probe_cells_arrow
 
-        cosine = self.metric == "cosine"
+        metric, max_sq = self.metric, self.max_sq_norm
         # Arrow probe ranking; the beam runs in the metric-mapped space
-        # (unit sphere for cosine), so emit the mapped query vector.
+        # (unit sphere for cosine, [q, 0] on the MIPS hyperplane for ip),
+        # so emit the mapped query vector.
         probed = _probe_cells_arrow(
             queries,
             query_id_col,
@@ -360,9 +474,7 @@ class GraphAnnIndex:
             r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
         ]
         cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probe_cells))
-        if predicate is not None:
-            cells = cells.withColumn("__pass", predicate.cast("boolean"))
-        filtered = predicate is not None
+        cells, filtered = self._masked(cells, predicate)
         id_col, vec_col = self.id_col, self.vec_col
         ef = max(ef_search, k)
         dim = len(self.centroids[0])
@@ -379,9 +491,7 @@ class GraphAnnIndex:
             vecs = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in cell_pdf[vec_col]]
             )
-            if cosine:
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                np.divide(vecs, norms, out=vecs, where=norms > 0)
+            vecs = _map_metric(vecs, metric, max_sq)
             adj = [
                 list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
                 if len(nbrs)
@@ -405,7 +515,11 @@ class GraphAnnIndex:
                 top = pos[:k]
                 out_q.extend([qid] * len(top))
                 out_i.extend(ids[top])
-                out_d.extend(dists[: len(top)])
+                if metric == "ip":
+                    # −⟨q,x⟩: ascending rank == dot DESC (see search())
+                    out_d.extend(-(vecs[top] @ q))
+                else:
+                    out_d.extend(dists[: len(top)])
             return pd.DataFrame({"query_id": out_q, id_col: out_i, "distance": out_d})
 
         per_cell = (
@@ -422,11 +536,18 @@ class GraphAnnIndex:
         ranked = per_cell.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        if cosine:
+        if metric == "cosine":
             return ranked.select(
                 F.col("query_id").alias(query_id_col),
                 id_col,
                 (F.lit(1.0) - F.col("distance") / 2).alias("score"),
+                "rank",
+            )
+        if metric == "ip":
+            return ranked.select(
+                F.col("query_id").alias(query_id_col),
+                id_col,
+                (-F.col("distance")).alias("score"),
                 "rank",
             )
         return ranked.select(

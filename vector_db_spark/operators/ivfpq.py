@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.operators.ann import _CLUSTER_COL, IvfIndex
 from vector_db_spark.operators.pq import ProductQuantizer
+from vector_db_spark.operators.tombstones import (
+    apply_tombstones,
+    clear_tombstones,
+    load_tombstones,
+    merge_tombstones,
+    tombstone_df,
+    write_tombstones,
+)
 
 
 def _adc_table(codebooks: np.ndarray, resid: np.ndarray, m: int, ksub: int) -> np.ndarray:
@@ -77,6 +85,9 @@ class IvfPqIndex:
         self.encoded = encoded  # corpus columns + cluster_id + pq_codes
         self.id_col = id_col
         self.vec_col = vec_col
+        # Delete manifest — same tombstone contract as IvfIndex.delete
+        # (broadcast anti-join on probe; vacuum() compacts).
+        self.tombstones: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -143,6 +154,16 @@ class IvfPqIndex:
         np.save(os.path.join(path, "codebooks.npy"), self.pq.codebooks)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+        tomb_ids = (
+            [r[0] for r in self.tombstones.collect()]
+            if self.tombstones is not None
+            else []
+        )
+        clear_tombstones(path)
+        if tomb_ids:
+            write_tombstones(
+                tombstone_df(self.encoded.sparkSession, tomb_ids), path
+            )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IvfPqIndex":
@@ -153,7 +174,37 @@ class IvfPqIndex:
             meta = json.load(f)
         ivf = IvfIndex(centroids, encoded, meta["id_col"], meta["vec_col"], "l2")
         pq = ProductQuantizer(codebooks, meta["id_col"], "_resid")
-        return IvfPqIndex(ivf, pq, encoded, meta["id_col"], meta["vec_col"])
+        idx = IvfPqIndex(ivf, pq, encoded, meta["id_col"], meta["vec_col"])
+        idx.tombstones = load_tombstones(spark, path)
+        return idx
+
+    def delete(
+        self, ids, path: str | None = None
+    ) -> "IvfPqIndex":
+        """Tombstone delete (≅ faiss remove_vectors on an IndexIVFPQ,
+        reference: src/core/index/faiss_index.rs:131-138): the codes
+        layout is never rewritten; probes anti-join the manifest. See
+        IvfIndex.delete for the full contract."""
+        spark = self.encoded.sparkSession
+        col = self.id_col if isinstance(ids, DataFrame) and self.id_col in ids.columns else None
+        tomb = tombstone_df(spark, ids, col)
+        self.tombstones = merge_tombstones(self.tombstones, tomb)
+        if path is not None:
+            write_tombstones(tomb, path)
+        return self
+
+    def _live(self) -> DataFrame:
+        return apply_tombstones(self.encoded, self.id_col, self.tombstones)
+
+    def vacuum(self, path: str) -> "IvfPqIndex":
+        """Compaction into a FRESH directory (same quantizer + codebooks,
+        live rows, empty manifest) — never overwrites a layout being
+        read."""
+        out = IvfPqIndex(
+            self.ivf, self.pq, self._live(), self.id_col, self.vec_col
+        )
+        out.save(path)
+        return IvfPqIndex.load(self.encoded.sparkSession, path)
 
     def search(
         self,
@@ -200,7 +251,7 @@ class IvfPqIndex:
                 tables[cell[:, None], np.arange(m)[None, :], cmat].sum(axis=1)
             )
 
-        cands = self.encoded.filter(F.col(_CLUSTER_COL).isin(probes))
+        cands = self._live().filter(F.col(_CLUSTER_COL).isin(probes))
         if predicate is not None:
             cands = cands.filter(predicate)
         scored = cands.select(
@@ -280,7 +331,7 @@ class IvfPqIndex:
         probe_cells = [
             r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
         ]
-        cands = self.encoded.filter(F.col(_CLUSTER_COL).isin(probe_cells))
+        cands = self._live().filter(F.col(_CLUSTER_COL).isin(probe_cells))
         if predicate is not None:
             cands = cands.filter(predicate)
 

@@ -684,3 +684,148 @@ def ann_ivf_batch_ip_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+_DEL_WHERE = "WHERE e.vec_id % 7 <> 0"
+
+
+@query(
+    "ann_ivf_delete_full_probe",
+    oracle=_knn_oracle(_L2, "distance", "ASC", _DEL_WHERE),
+)
+def ann_ivf_delete_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete gate (round 4; ≅ faiss remove_vectors, reference:
+    src/core/index/faiss_index.rs:131-138): build + save the index, delete
+    every 7th id THROUGH the persisted manifest (load → delete(path=...) →
+    reload — the full durability cycle), then full-probe. Must reproduce
+    exact kNN over the SURVIVORS bit-for-bit: a probe that misses the
+    anti-join, or a reload that drops the manifest, returns deleted ids
+    and hash-mismatches."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_delete_")
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    idx.save(path)
+    IvfIndex.load(spark, path).delete(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path=path
+    )
+    re = IvfIndex.load(spark, path)
+    res = re.search(_qvec(spark, sf_dir), K, nprobe=8, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "ann_lsh_delete_exhaustive",
+    oracle=_knn_oracle(_COS, "score", "DESC", _DEL_WHERE),
+)
+def ann_lsh_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tombstone gate (≅ usearch remove, reference:
+    src/core/index/usearch_index.rs:87-93): with n_bits=1 / probe_radius=1
+    every bucket is probed, so delete + search must equal exact cosine kNN
+    over the survivors — verifying the anti-join sits between the bucket
+    scan and the rerank."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=1, n_tables=2, seed=42)
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    res = idx.search(_qvec(spark, sf_dir), K, probe_radius=1)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "ann_graph_delete_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", _DEL_WHERE),
+)
+def ann_graph_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph SOFT-delete gate: deleted nodes must keep ROUTING the beam
+    (hard-dropping them would corrupt the positional adjacency and could
+    disconnect regions) while never being admitted — the same
+    traversal-vs-admission split as filtered search. Exhaustive beam over
+    all cells must equal exact kNN over the survivors."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, ef_search=10**6)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "ivfpq_delete_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", _DEL_WHERE),
+)
+def ivfpq_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ tombstone gate: the anti-join must run BEFORE the ADC scan
+    (a deleted row must not consume a shortlist slot); at full probe +
+    corpus shortlist the result must equal exact kNN over survivors."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_graph_ip_exhaustive", oracle=_knn_oracle(_IP, "score", "DESC"))
+def ann_graph_ip_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph MIPS gate (round 4 closes the metric matrix — the reference
+    serves IP HNSW through its usearch backend,
+    src/core/index_factory.rs:133-140): the NSW graphs are built over
+    MIPS-augmented vectors [x, √(M²−‖x‖²)], queries enter as [q, 0], and
+    the emitted score is the TRUE dot product (the query's augmented
+    component is 0). Exhaustive beam + all cells must equal exact IP kNN
+    bit-for-bit."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5, metric="ip"
+    )
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, ef_search=10**6)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("ann_graph_batch_filtered_exhaustive", oracle=_BATCH_FILTERED_ORACLE)
+def ann_graph_batch_filtered_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered×batch graph gate (round 4 completes the filtered-batch
+    matrix): the cogrouped beam receives the admission mask per cell, so
+    exhaustive probe + predicate must equal exact filtered batch kNN —
+    non-matching nodes still route each query's beam, none are admitted."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, nprobe=8, ef_search=10**9, predicate=F.col("label") == 3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@query("ivfpq_batch_filtered_exhaustive", oracle=_BATCH_FILTERED_ORACLE)
+def ivfpq_batch_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered×batch IVF-PQ gate: the predicate prunes the codes scan
+    BEFORE the cogrouped ADC (so filtered-out rows never consume
+    shortlist slots); full probe + corpus shortlist must equal exact
+    filtered batch kNN."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, nprobe=8, shortlist=100000, predicate=F.col("label") == 3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
