@@ -124,3 +124,61 @@ def test_fuzzy_match_best_picks_closest(spark):
         ).collect()
     }
     assert got == {10: (1, 1), 11: (2, 1), 12: (3, 2)}
+
+
+def test_count_bound_prunes_hot_gram_candidates(spark):
+    """The Gravano count filter must cut candidate volume on a hot-gram
+    corpus (many strings sharing one common bigram, few true pairs) while
+    leaving the RESULT identical — the round-4 scale fix: without the
+    bound, every pair inside a hot gram's block reaches Levenshtein."""
+    from vector_db_spark.operators.fuzzy import (
+        _gram_edges,
+        _long_candidates,
+    )
+
+    # 40 strings all containing "er", pairwise edit distance far above 2
+    words = [f"{c}er{c}{i:02d}xx{c}{i:02d}" for i, c in enumerate("abcdefghij" * 4)]
+    words += ["terminal one", "terminal onee"]  # one true pair
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    base = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    edges = _gram_edges(base, "a_id", "a_s", 2)
+    gb = edges.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_s").alias("b_s"),
+        "g",
+        F.col("a_id_cnt").alias("b_id_cnt"),
+    )
+    n_bound = _long_candidates(
+        edges, gb, 2, 2, 6, self_pair=True, count_bound=True
+    ).count()
+    n_free = _long_candidates(
+        edges, gb, 2, 2, 6, self_pair=True, count_bound=False
+    ).count()
+    assert n_bound < n_free / 5  # the hot-gram block collapses
+    # and the full join is still lossless
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_self_join(df, "s", "id", max_dist=2).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist) for r in _naive_self(df, 2).collect()
+    )
+    assert got == want
+
+
+def test_short_block_quadratic_over_values_not_rows(spark):
+    """A corpus with many REPEATED short strings: the all-pairs step runs
+    over distinct values only (here 3), so the value cross join is 9 rows
+    regardless of row count — and results still match the naive join."""
+    rows = [(i, ["ab", "ac", "zz"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_self_join(df, "s", "id", max_dist=1).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist) for r in _naive_self(df, 1).collect()
+    )
+    assert got == want

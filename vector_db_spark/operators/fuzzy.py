@@ -11,20 +11,38 @@ linkage (Gravano et al., "Approximate String Joins in a Database
     ed(a, b) <= d  ⇒  a and b share >= max(|a|,|b|) − k + 1 − d·k
                       k-grams  (each edit destroys at most k grams)
 
+Both halves of the Gravano guarantee are enforced (round 4; the round-3
+version joined on ANY shared gram, so one hot bigram could grow a
+quadratic candidate set inside its block):
+
+- **count filter** — the shared-gram count is a BAG count (positional
+  occurrences, Σ_g min(cnt_a(g), cnt_b(g)); distinct-gram counting would
+  under-count repeats and break losslessness), aggregated per candidate
+  pair and compared against the bound BEFORE any Levenshtein runs. A
+  pair met through one hot gram alone no longer survives blocking unless
+  the bound degenerates to <= 1.
+- **length filter** — ed(a,b) >= abs(|a|−|b|), so pairs with a length
+  gap > d drop at the join edge, ahead of the aggregate.
+
 The bound is >= 1 whenever the LONGER string has length >= k·(1+d), so:
 
 - pairs whose longer side is long enough are found by a plain EQUI-JOIN
   on shared k-grams (hash-shuffleable, AQE-skew-splittable — the same
-  shape as the MinHash band join in operators/dedup.py);
-- pairs of two short strings (both < k·(1+d) chars — a bounded set for
-  any real corpus: there are only |Σ|^(k(1+d)) such strings) meet in one
-  all-pairs short block.
+  shape as the MinHash band join in operators/dedup.py) + the count
+  aggregate;
+- pairs of two short strings (both < k·(1+d) chars) meet in an all-pairs
+  block over DISTINCT VALUES — at most |Σ|^(k(1+d)) of them exist, so
+  the quadratic step is over the bounded value set, never over rows
+  (round 4; the row-level block risked O(n_short²) on corpora with many
+  repeated short names) — then two equi-joins fan the surviving value
+  pairs back out to ids.
 
 The union PROVABLY contains every true pair (lossless blocking — pinned
-against the naive cross join in tests/test_fuzzy.py); Levenshtein
-(JVM-codegen `levenshtein`, identical unit-cost semantics in DuckDB)
-then verifies candidates only. Candidate count is driven by gram
-selectivity, not corpus size squared.
+against the naive cross join in tests/test_fuzzy.py, including a
+hypothesis property); Levenshtein (JVM-codegen `levenshtein`, identical
+unit-cost semantics in DuckDB) then verifies candidates only. The two
+blocks are disjoint by construction (longer side >= cutoff vs both
+< cutoff), so the union needs no distinct.
 
 Reference anchor: the reference engine has no string-similarity surface
 (src/core/mod.rs); this extends the near-dup family (SURVEY §2.9) to
@@ -38,18 +56,114 @@ from pyspark.sql import functions as F
 
 
 def _grams(col: F.Column, k: int) -> F.Column:
-    """Distinct k-grams of a string as an array (distinct: the blocking
-    join needs each (id, gram) edge once, not once per occurrence)."""
+    """All positional k-grams of a string (BAG, not distinct — the
+    Gravano count bound counts occurrences; distinct grams under-count
+    repeated substrings and would prune true pairs like
+    'ababab'~'abababx')."""
     n = F.length(col)
-    return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.substring(col, i, k),  # noqa: B023
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substring(col, i, k),  # noqa: B023
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_counts(col: F.Column, k: int) -> F.Column:
+    """array<struct<g, cnt>> — each distinct k-gram with its occurrence
+    count, built ROW-LOCALLY with nested higher-order functions (no
+    shuffle; strings are short, so the O(m²) per-row scan over m grams
+    is nanoseconds against a groupBy's exchange)."""
+    bag = _grams(col, k)
+    return F.transform(
+        F.array_distinct(bag),
+        lambda x: F.struct(
+            x.alias("g"),
+            F.size(F.filter(bag, lambda y: y == x)).alias("cnt"),  # noqa: B023
+        ),
     )
+
+
+def _count_bound(a_s: F.Column, b_s: F.Column, k: int, max_dist: int) -> F.Column:
+    """Minimum shared-gram BAG count for ed <= max_dist:
+    max(|a|,|b|) − k + 1 − max_dist·k."""
+    return (
+        F.greatest(F.length(a_s), F.length(b_s)) - F.lit(k - 1) - F.lit(max_dist * k)
+    )
+
+
+def _gram_edges(df: DataFrame, id_out: str, s_out: str, k: int) -> DataFrame:
+    """(id, s, g, cnt) blocking edges — one row per distinct gram per
+    string, carrying the bag count for the pair-level sum."""
+    src_id, src_s = df.columns[0], df.columns[1]
+    # rename only AFTER the explode: aliasing a column to its own name in
+    # the same select that references it makes Spark bind the reference
+    # as a lateral column alias, which is illegal under a Generate
+    return df.select(
+        src_id, src_s, F.explode(_gram_counts(F.col(src_s), k)).alias("gc")
+    ).select(
+        F.col(src_id).alias(id_out),
+        F.col(src_s).alias(s_out),
+        F.col("gc.g").alias("g"),
+        F.col("gc.cnt").alias(f"{id_out}_cnt"),
+    )
+
+
+def _long_candidates(
+    ga: DataFrame,
+    gb: DataFrame,
+    k: int,
+    max_dist: int,
+    short_cut: int,
+    self_pair: bool,
+    count_bound: bool = True,
+) -> DataFrame:
+    """Equi-join on shared grams, length-filtered at the edge, then the
+    per-pair shared-count aggregate vs the Gravano bound. One hash
+    shuffle for the join + one for the aggregate (which replaces the old
+    formulation's distinct — same exchange count, strictly fewer rows
+    reaching Levenshtein). ``count_bound=False`` keeps the round-3
+    any-shared-gram behavior for the candidate-volume pin in tests."""
+    joined = ga.join(gb, "g")
+    if self_pair:
+        joined = joined.filter(F.col("a_id") < F.col("b_id"))
+    joined = joined.filter(
+        F.greatest(F.length("a_s"), F.length("b_s")) >= short_cut
+    ).filter(F.abs(F.length("a_s") - F.length("b_s")) <= max_dist)
+    agg = joined.groupBy("a_id", "b_id", "a_s", "b_s").agg(
+        F.sum(F.least("a_id_cnt", "b_id_cnt")).alias("__shared")
+    )
+    if count_bound:
+        agg = agg.filter(
+            F.col("__shared") >= _count_bound(F.col("a_s"), F.col("b_s"), k, max_dist)
+        )
+    return agg.select("a_id", "a_s", "b_id", "b_s")
+
+
+def _short_candidates(
+    short_a: DataFrame,
+    short_b: DataFrame,
+    max_dist: int,
+    self_pair: bool,
+) -> DataFrame:
+    """Short block over DISTINCT VALUES: the all-pairs step runs on the
+    bounded value set (<= |Σ|^cutoff strings exist under the cutoff),
+    pre-verified with the length filter + Levenshtein, then two
+    equi-joins fan value pairs back out to ids — rows never cross-join,
+    so a corpus with a million copies of 'ab' costs two hash joins, not
+    a 10¹²-row block."""
+    va = short_a.select(F.col("a_s")).distinct()
+    vb = short_b.select(F.col("b_s")).distinct()
+    vp = (
+        va.crossJoin(F.broadcast(vb))
+        .filter(F.abs(F.length("a_s") - F.length("b_s")) <= max_dist)
+        .filter(F.levenshtein("a_s", "b_s") <= max_dist)
+    )
+    out = short_a.join(F.broadcast(vp), "a_s").join(short_b, "b_s")
+    if self_pair:
+        out = out.filter(F.col("a_id") < F.col("b_id"))
+    return out.select("a_id", "a_s", "b_id", "b_s")
 
 
 def fuzzy_self_join(
@@ -58,15 +172,18 @@ def fuzzy_self_join(
     id_col: str,
     max_dist: int = 2,
     k: int = 2,
+    count_bound: bool = True,
 ) -> DataFrame:
     """All pairs with ``levenshtein(a, b) <= max_dist`` and
-    ``a_id < b_id`` — lossless q-gram blocking, never a corpus cross
-    join. Returns (a_id, b_id, dist).
+    ``a_id < b_id`` — lossless q-gram blocking with the Gravano count +
+    length filters, never a corpus cross join. Returns (a_id, b_id, dist).
 
     ``k`` trades candidate selectivity against the short-block cutoff
     k·(1+max_dist): larger k → rarer grams (fewer candidates) but more
     strings routed to the short block. Duplicate ids must be resolved
-    upstream (distinct on id)."""
+    upstream (distinct on id). ``count_bound=False`` disables the
+    shared-count filter (testing/diagnostics only — results identical,
+    candidates strictly more)."""
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     if k < 1:
@@ -74,48 +191,29 @@ def fuzzy_self_join(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
     short_cut = k * (1 + max_dist)
 
-    # gram blocking: (id, gram) edges equi-joined on gram; a_id < b_id
-    # orders each pair once, distinct collapses multi-gram co-occurrence
-    grams = base.select(
-        "id", "s", F.explode(_grams(F.col("s"), k)).alias("g")
+    edges = _gram_edges(base.select("id", "s"), "a_id", "a_s", k)
+    ga = edges
+    gb = edges.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_s").alias("b_s"),
+        "g",
+        F.col("a_id_cnt").alias("b_id_cnt"),
     )
-    ga = grams.select(
-        F.col("id").alias("a_id"), F.col("s").alias("a_s"), "g"
-    )
-    gb = grams.select(
-        F.col("id").alias("b_id"), F.col("s").alias("b_s"), "g"
-    )
-    long_cand = (
-        ga.join(gb, "g")
-        .filter(F.col("a_id") < F.col("b_id"))
-        # the q-gram guarantee covers a pair iff its LONGER side is
-        # >= k(1+d); shorter-both pairs belong to the short block (a
-        # long-short pair's longer side qualifies, so it is covered here)
-        .filter(
-            F.greatest(F.length("a_s"), F.length("b_s")) >= short_cut
-        )
-        .select("a_id", "a_s", "b_id", "b_s")
-        .distinct()
+    long_cand = _long_candidates(
+        ga, gb, k, max_dist, short_cut, self_pair=True, count_bound=count_bound
     )
 
-    # short block: both sides under the guarantee cutoff — a BOUNDED set
-    # (at most |alphabet|^(k(1+d)) distinct strings exist that short)
-    # broadcast, not a CartesianProduct: the short set is bounded, and a
-    # plain crossJoin multiplies the two sides' partition counts into
-    # thousands of near-empty tasks (measured 10 s of pure scheduling on
-    # a 3-row block at 32 input partitions)
     short = base.filter(F.length("s") < short_cut)
-    short_cand = (
-        short.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
-        .crossJoin(
-            F.broadcast(
-                short.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
-            )
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
+    short_cand = _short_candidates(
+        short.select(F.col("id").alias("a_id"), F.col("s").alias("a_s")),
+        short.select(F.col("id").alias("b_id"), F.col("s").alias("b_s")),
+        max_dist,
+        self_pair=True,
     )
 
-    cands = long_cand.unionByName(short_cand).distinct()
+    # disjoint blocks (longer side >= cutoff vs both < cutoff): plain
+    # union, no distinct needed — one exchange fewer than round 3
+    cands = long_cand.unionByName(short_cand)
     dist = F.levenshtein(F.col("a_s"), F.col("b_s"))
     return (
         cands.withColumn("dist", dist)
@@ -133,28 +231,32 @@ def fuzzy_join(
     right_id: str,
     max_dist: int = 2,
     k: int = 2,
+    count_bound: bool = True,
 ) -> DataFrame:
     """Two-table variant (match a dirty feed against a clean reference):
-    same lossless gram-union-short blocking, returns
-    (left_id, right_id, dist) for every cross pair within ``max_dist``."""
+    same lossless gram-union-short blocking with count + length filters,
+    returns (left_id, right_id, dist) for every cross pair within
+    ``max_dist``."""
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     short_cut = k * (1 + max_dist)
     l_ = left.select(F.col(left_id).alias("a_id"), F.col(left_text).alias("a_s"))
     r_ = right.select(F.col(right_id).alias("b_id"), F.col(right_text).alias("b_s"))
 
-    ga = l_.select("a_id", "a_s", F.explode(_grams(F.col("a_s"), k)).alias("g"))
-    gb = r_.select("b_id", "b_s", F.explode(_grams(F.col("b_s"), k)).alias("g"))
-    long_cand = (
-        ga.join(gb, "g")
-        .filter(F.greatest(F.length("a_s"), F.length("b_s")) >= short_cut)
-        .select("a_id", "a_s", "b_id", "b_s")
-        .distinct()
+    ga = _gram_edges(l_, "a_id", "a_s", k)
+    gb = _gram_edges(r_, "b_id", "b_s", k)
+    long_cand = _long_candidates(
+        ga, gb, k, max_dist, short_cut, self_pair=False, count_bound=count_bound
     )
-    short_cand = l_.filter(F.length("a_s") < short_cut).crossJoin(
-        F.broadcast(r_.filter(F.length("b_s") < short_cut))
+    short_cand = _short_candidates(
+        l_.filter(F.length("a_s") < short_cut),
+        r_.filter(F.length("b_s") < short_cut),
+        max_dist,
+        self_pair=False,
     )
-    cands = long_cand.unionByName(short_cand).distinct()
+    cands = long_cand.unionByName(short_cand)
     dist = F.levenshtein(F.col("a_s"), F.col("b_s"))
     return (
         cands.withColumn("dist", dist)
