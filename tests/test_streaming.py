@@ -382,3 +382,63 @@ def test_stream_chunk_registry_is_arrival_order_independent(spark, tmp_path):
     # every shared chunk to the (doc_id, chunk_idx)-minimal claimant, so
     # the result equals the batch operator regardless of arrival order
     assert _run([3, 2, 1]) == want
+
+
+def test_stream_ivf_append_serves_union_and_fresh_radii(spark, tmp_path):
+    """Streamed appends land in the persisted layout batch by batch; the
+    reloaded index must serve the union exactly AND must not range-prune
+    with radii that predate the streamed rows (append(path) rewrites
+    meta.json per batch)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.knn import knn, range_search
+    from vector_db_spark.sources.fixtures import load_table
+    from vector_db_spark.streaming.ingest import stream_ivf_append
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5
+    )
+    idx.ensure_cell_radii()  # persist PRE-append radii — must be invalidated
+    idx.save(path)
+
+    stage = str(tmp_path / "in")
+    (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .repartition(3, "vec_id")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ivf_append(
+        vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    q.awaitTermination(120_000)
+
+    re = IvfIndex.load(spark, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in re.search(qv, 10, nprobe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.distance, 6)) for r in knn(emb, qv, 10).collect()
+    ]
+    assert got == want
+    got_r = sorted(
+        (r.vec_id, round(r.distance, 6))
+        for r in re.range_search(qv, 1.6).collect()
+    )
+    want_r = sorted(
+        (r.vec_id, round(r.distance, 6))
+        for r in range_search(emb, qv, 1.6).collect()
+    )
+    assert got_r == want_r

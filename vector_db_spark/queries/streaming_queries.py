@@ -474,3 +474,53 @@ def stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text")
         )
     )
+
+
+from vector_db_spark.queries.vector_queries import (  # noqa: E402
+    _knn_oracle,
+    _L2,
+    _qvec,
+    K as _KNN_K,
+)
+
+
+@query("stream_ivf_append_full_probe", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def stream_ivf_append_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index-maintenance gate (round 4 closes the lifecycle —
+    the reference's insert-into-live-index loop,
+    src/router/handle/insert_index_handle.rs:14-61, as Structured
+    Streaming): build + persist an IVF on HALF the corpus, stream the
+    other half in as 4 separate micro-batches (maxFilesPerTrigger=1)
+    through foreachBatch append into the SAME persisted layout, then
+    reload and full-probe. Must reproduce exact kNN over the FULL corpus
+    bit-for-bit — proving streamed rows are assigned and served
+    identically to built rows, across batch boundaries."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.streaming.ingest import stream_ivf_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="stream_ivf_")
+    IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5
+    ).save(path)
+
+    stage = tempfile.mkdtemp(prefix="stream_ivf_in_")
+    (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .repartition(4, "vec_id")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ivf_append(
+        vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ivf_")
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    idx = IvfIndex.load(spark, path)
+    res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -146,3 +146,50 @@ def stream_ann_search(
         else writer.trigger(processingTime="5 seconds")
     )
     return trigger.start()
+
+
+def stream_ivf_append(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous INDEX maintenance: each micro-batch of vectors is
+    appended into a persisted IVF layout — the streaming closure of the
+    reference's insert-into-live-index loop (POST /insert,
+    src/router/handle/insert_index_handle.rs:14-61), which was the one
+    lifecycle piece still batch-only.
+
+    Per batch: reload the index head (centroids + meta — a few KB; the
+    assignments frame is lazy, nothing scans), assign the batch to the
+    frozen centroids with one Arrow GEMM, and append ONLY the new files
+    into the cell-partitioned layout (IvfIndex.append(path=...) — which
+    also invalidates persisted cell radii and advances the ip norm
+    watermark, so range searches stay lossless mid-stream). The quantizer
+    stays frozen until a scheduled retrain, exactly like the batch path;
+    searches against the path see each batch as soon as its files commit.
+
+    Idempotency caveat: a foreachBatch retry after a partial append can
+    duplicate that batch's rows (parquet append is not transactional).
+    The checkpoint makes replays rare; an exactly-once deployment swaps
+    the parquet append for a Delta MERGE keyed on id — the call shape is
+    unchanged.
+    """
+    from vector_db_spark.operators.ann import IvfIndex
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        idx = IvfIndex.load(batch.sparkSession, index_path)
+        idx.append(batch, path=index_path)
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
