@@ -141,10 +141,18 @@ def ann_search_suite(spark, sf_dir: str, root: str):
 
     n_rows = emb.count()
 
+    sub_timings: dict[str, float] = {}
+
     def _build_cosine_ivf():
         # The serving-side cosine IVF doubles as the SemDeDup blocking
         # (semantic_pairs(ivf=...)): nlist follows the k ∝ n recipe so
-        # cells stay ~500 rows at any corpus size.
+        # cells stay ~500 rows at any corpus size. Its STANDALONE wall
+        # time is reported separately (cosine_ivf_build_sec) so the
+        # r2→r3 accounting move — this fit leaving the
+        # semantic_dedup_clustered entry for the build pool — stays
+        # auditable round over round; it is NOT added to the total (the
+        # concurrent pool already bills it inside ann_index_build).
+        t0 = time.perf_counter()
         IvfIndex.build(
             emb,
             nlist=semdedup_nlist(n_rows),
@@ -152,6 +160,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
             max_iter=5,
             metric="cosine",
         ).save(f"{root}/ivf_cos")
+        sub_timings["cosine_ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=6) as pool:
@@ -177,6 +186,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
             if isinstance(r, ProductQuantizer):
                 pqz = r
     build_sec = time.perf_counter() - t0
+    sub_timings["ann_index_build"] = round(build_sec, 3)
 
     ivf = IvfIndex.load(spark, f"{root}/ivf")
     ivf_cos = IvfIndex.load(spark, f"{root}/ivf_cos")
@@ -214,7 +224,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
             emb, threshold=0.4, ivf=ivf_cos
         ),
     }
-    return build_sec, searches
+    return build_sec, searches, sub_timings
 
 
 def main() -> None:
@@ -276,7 +286,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    build_sec, searches = ann_search_suite(
+    build_sec, searches, sub_timings = ann_search_suite(
         spark, sf_dir, "/tmp/spark_graft_bench_ann"
     )
     timings["ann_index_build"] = round(build_sec, 3)
@@ -294,6 +304,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # standalone wall time of the cosine-IVF (SemDeDup
+                # blocking) build INSIDE the concurrent ann_index_build
+                # pool — disclosed for round-over-round comparability,
+                # not part of the total (ADVICE r3)
+                "cosine_ivf_build_sec": sub_timings.get("cosine_ivf_build_sec"),
             }
         )
     )

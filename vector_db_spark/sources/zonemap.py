@@ -148,11 +148,21 @@ def write_zonemapped(
         )
 
 
-def _manifest_cols(path: str) -> list[str]:
-    root = os.path.join(path, _MANIFEST_DIR)
+def _manifest_cols(spark: SparkSession, path: str) -> list[str]:
+    """Zone-columns present in the manifest layout, listed through the
+    HADOOP FileSystem API — the table may live on any warehouse store
+    (s3a/abfs/hdfs), where os.listdir sees nothing; every other path in
+    this module already goes through Spark's Hadoop FS."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST_DIR))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
     return sorted(
-        d for d in os.listdir(root) if not d.startswith((".", "_"))
-    ) if os.path.isdir(root) else []
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and not st.getPath().getName().startswith((".", "_"))
+    )
 
 
 def zonemap_files(
@@ -168,12 +178,22 @@ def zonemap_files(
     if not bounds:
         raise ValueError("bounds must name at least one zone column")
     keep: set[str] | None = None
-    total = 0
+    total: int | None = None
     for c, (lo, hi) in bounds.items():
         manifest = spark.read.parquet(
             os.path.join(path, _MANIFEST_DIR, c)
         ).collect()
-        total = len(manifest)
+        # every column's manifest covers the SAME file set; a disagreement
+        # means a partial/stale manifest write — fail loudly rather than
+        # report whichever column iterated last
+        if total is None:
+            total = len(manifest)
+        elif len(manifest) != total:
+            raise ValueError(
+                f"zone-map manifests disagree on file count ({total} vs "
+                f"{len(manifest)} for {c!r}) — stale or partial write; "
+                f"re-run write_zonemapped"
+            )
         ok = set()
         for r in manifest:
             if lo is None and hi is None:
@@ -189,7 +209,7 @@ def zonemap_files(
                 continue
             ok.add(r.file)
         keep = ok if keep is None else keep & ok
-    return sorted(keep or ()), total
+    return sorted(keep or ()), total or 0
 
 
 def read_zonemapped(
@@ -208,7 +228,7 @@ def read_zonemapped(
     arguments are the single-zone-column convenience (the column is read
     off the manifest layout)."""
     if bounds is None:
-        cols = _manifest_cols(path)
+        cols = _manifest_cols(spark, path)
         if len(cols) != 1:
             raise ValueError(
                 f"table has zone maps on {cols}; pass bounds={{col: (lo, hi)}}"
