@@ -1,0 +1,140 @@
+"""Generate an sf1-shaped perf fixture by replicating sf0.1 REP times.
+
+Perf-probe tooling only (VERDICT r3 item 8: "one sf1 scale probe of the
+most expensive bench queries") — NOT a correctness fixture. The driver's
+read-only testdata stops at sf0.1, so scaling behaviour past it must be
+measured on a locally synthesized replica set. Replication preserves the
+join graph and per-key densities:
+
+- dims (region, nation) copy as-is;
+- keyed tables (customer/supplier/part/orders/lineitem/events/documents/
+  embeddings) replicate with per-replica key offsets, and FOREIGN keys
+  are offset consistently (lineitem.l_orderkey follows orders.o_orderkey,
+  orders.o_custkey follows customer.c_custkey, ...) so every join keeps
+  its sf0.1 fanout — row counts scale REP x while join selectivity and
+  per-key group sizes stay constant, which is what linear scaling of a
+  hash join/agg assumes;
+- documents.text gets a replica-tag PREFIX on copies ("r3 " + text):
+  within-replica duplicate structure (what dedup operators block on) is
+  preserved, while cross-replica exact/near dup explosions (10 copies of
+  every doc -> O(REP^2) pair growth inside every bucket) are avoided —
+  those would measure an artifact of the replication, not the operator;
+- embeddings get a deterministic tiny perturbation on copies (dim 0 +=
+  i * 1e-3) for the same reason: neighborhoods stay put, exact-tie
+  degeneracies don't multiply.
+
+Usage: python tools/make_scale.py [REP] [OUT_DIR]
+Defaults: REP=10, OUT_DIR=/tmp/spark_graft_scale/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# table -> (primary key col, {fk col: parent table}) ; None pk = copy as-is
+PLAN = {
+    "region": None,
+    "nation": None,
+    "customer": ("c_custkey", {}),
+    "supplier": ("s_suppkey", {}),
+    "part": ("p_partkey", {}),
+    "orders": ("o_orderkey", {"o_custkey": "customer"}),
+    "lineitem": (
+        "l_orderkey",
+        {"l_partkey": "part", "l_suppkey": "supplier"},
+    ),
+    "events": ("event_id", {"user_id": None}),  # user_id: own offset space
+    "documents": ("doc_id", {}),
+    "embeddings": ("vec_id", {}),
+}
+
+
+def _offset(col: pa.ChunkedArray) -> int:
+    """Replica stride for a key column: next power-of-10 above max+1 keeps
+    offset keys readable when debugging."""
+    m = int(pa.compute.max(col).as_py()) + 1
+    s = 1
+    while s < m:
+        s *= 10
+    return s
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf1"
+    os.makedirs(out, exist_ok=True)
+
+    strides: dict[str, int] = {}
+    # pass 1: strides for every replicated table's pk (fk offsets reuse them)
+    for name, plan in PLAN.items():
+        if plan is None:
+            continue
+        pk, _ = plan
+        t = pq.read_table(f"{SRC}/{name}.parquet", columns=[pk])
+        strides[name] = _offset(t[pk])
+    strides["_user"] = None  # filled from events below
+
+    for name, plan in PLAN.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        if plan is None:
+            pq.write_table(t, f"{out}/{name}.parquet")
+            print(f"{name}: copied {t.num_rows} rows")
+            continue
+        pk, fks = plan
+        if name == "events":
+            strides["_user"] = _offset(t["user_id"])
+        parts = []
+        for i in range(rep):
+            cols = {}
+            for field in t.schema:
+                c = t[field.name]
+                if i == 0:
+                    cols[field.name] = c
+                    continue
+                if field.name == pk:
+                    cols[field.name] = pa.compute.add(
+                        c, i * strides[name]
+                    ).cast(field.type)
+                elif field.name in fks:
+                    parent = fks[field.name]
+                    stride = (
+                        strides["_user"] if parent is None else strides[parent]
+                    )
+                    cols[field.name] = pa.compute.add(c, i * stride).cast(
+                        field.type
+                    )
+                elif name == "documents" and field.name == "text":
+                    cols[field.name] = pa.compute.binary_join_element_wise(
+                        pa.array([f"r{i} "] * t.num_rows), c.combine_chunks(), ""
+                    )
+                elif name == "documents" and field.name == "n_chars":
+                    cols[field.name] = pa.compute.add(
+                        c, len(f"r{i} ")
+                    ).cast(field.type)
+                elif name == "embeddings" and field.name == "embedding":
+                    arr = c.combine_chunks()
+                    flat = arr.values.to_numpy(zero_copy_only=False).copy()
+                    offs = arr.offsets.to_numpy(zero_copy_only=False)
+                    flat[offs[:-1]] += np.float32(i * 1e-3)
+                    cols[field.name] = pa.ListArray.from_arrays(
+                        arr.offsets, pa.array(flat, type=pa.float32())
+                    )
+                else:
+                    cols[field.name] = c
+            parts.append(
+                pa.table({f.name: cols[f.name] for f in t.schema}, schema=t.schema)
+            )
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out}/{name}.parquet", row_group_size=256 * 1024)
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""sf1 scale probe (VERDICT r3 item 8).
+
+Times the most expensive / most cliff-prone headline queries at sf0.1 and
+at the replicated sf1 fixture (tools/make_scale.py, 10x rows with
+preserved join fanout), then reports the observed scaling ratio against
+the 10x-linear expectation. A query is flagged when
+
+    t(sf1) > 2 * REP * t(sf0.1)
+
+— the same ">2x expected linear scaling" bar VERDICT r3 set. Fixed
+per-query overheads (job scheduling, plan compile) make ratios UNDER
+REP the normal healthy reading at these absolute sizes.
+
+Output: one JSON line {"probes": {name: {"sf01": s, "sf1": s,
+"ratio": r, "flag": bool}}, "rep": REP}.
+
+Usage: python tools/scale_probe.py [names...]  (default: the built-in set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd  # noqa: F401  (pandas_udf lazy annotation resolution)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_db_spark.queries import QUERIES  # noqa: E402
+from vector_db_spark.session import get_spark  # noqa: E402
+
+REP = 10
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_scale/sf1")
+
+# The shapes VERDICT r3 called most likely to hide a cliff (dedup, fuzzy,
+# connected components) + the most expensive headline entries + one
+# join-heavy and one window-heavy relational representative.
+DEFAULT = [
+    "dedup_exact",
+    "dedup_clusters",
+    "chunk_dedup_docs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "semantic_dedup_clustered",
+    "fuzzy_name_pairs",
+    "fuzzy_entity_canonical",
+    "bigram_lm_score",
+    "repetition_quality",
+    "text_quality",
+    "knn_l2",
+    "knn_quantized_l2",
+    "embedding_neardup_blocked",
+    "tpch_q3_shipping",
+    "tpch_q5_region",
+    "cube_lineitem",
+    "events_sessionization",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # same warm-up policy as bench.py: JVM + Arrow worker pool off the clock
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    (
+        spark.range(128, numPartitions=32)
+        .select(_warm(F.col("id").cast("double")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    probes = {}
+    for name in names:
+        t01 = run(name, SF01)
+        t1 = run(name, SF1)
+        ratio = t1 / t01 if t01 > 0 else float("inf")
+        probes[name] = {
+            "sf01": round(t01, 3),
+            "sf1": round(t1, 3),
+            "ratio": round(ratio, 2),
+            "flag": ratio > 2 * REP,
+        }
+        print(f"  {name}: {t01:.2f}s -> {t1:.2f}s  ({ratio:.1f}x)", file=sys.stderr)
+
+    print(json.dumps({"probes": probes, "rep": REP, "sf1_dir": SF1}))
+
+
+if __name__ == "__main__":
+    main()
