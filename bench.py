@@ -69,6 +69,10 @@ HEADLINE = [
     "events_sessionization",
     "multimodal_image_features",
     "stream_tumbling_agg",
+    # round-4 additions: multi-vector late interaction (one max-combine
+    # shuffle) and target-proportion mixture sampling (one lottery window)
+    "maxsim_label_search",
+    "mixture_sample_docs",
 ]
 
 K = 10
@@ -126,16 +130,22 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).parquet(f"{root}/sign_codes")
 
     def _build_ivf_and_ivfpq(pool):
-        # One KMeans fit serves both: IVF-PQ composes over a trained
-        # coarse quantizer (the faiss shape) instead of refitting the
-        # identical nlist/seed KMeans. The plain-IVF save and the PQ
-        # encode then proceed concurrently.
+        # One KMeans fit serves three families: IVF-PQ and IVF-SQ compose
+        # over a trained coarse quantizer (the faiss shape) instead of
+        # refitting the identical nlist/seed KMeans. The plain-IVF save,
+        # the SQ encode, and the PQ encode then proceed concurrently.
+        from vector_db_spark.operators.ivfsq import IvfSqIndex
+
         ivf = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
         save_f = pool.submit(ivf.save, f"{root}/ivf")
+        sq_f = pool.submit(
+            lambda: IvfSqIndex.build(emb, ivf=ivf).save(f"{root}/ivfsq")
+        )
         IvfPqIndex.build(
             emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, ivf=ivf
         ).save(f"{root}/ivfpq")
         save_f.result()
+        sq_f.result()
 
     from vector_db_spark.operators.dedup import semdedup_nlist
 
@@ -188,7 +198,10 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     build_sec = time.perf_counter() - t0
     sub_timings["ann_index_build"] = round(build_sec, 3)
 
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
     ivf = IvfIndex.load(spark, f"{root}/ivf")
+    ivfsq = IvfSqIndex.load(spark, f"{root}/ivfsq")
     ivf_cos = IvfIndex.load(spark, f"{root}/ivf_cos")
     lsh = CosineLshIndex.load(spark, f"{root}/lsh")
     ivfpq = IvfPqIndex.load(spark, f"{root}/ivfpq")
@@ -206,6 +219,10 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ann_lsh_batch_search": lambda: lsh.search_batch(batch_queries, 5),
         "pq_adc_search": lambda: pqz.search(codes, qv, K),
         "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
+        # int8 decoded-distance probe from the persisted cell layout:
+        # 1/4 the scan bytes of ann_ivf_search, pure codegen (no rerank —
+        # the codec-accuracy rung on its own)
+        "ivfsq_search": lambda: ivfsq.search(qv, K, nprobe=4),
         "ivfpq_batch_search": lambda: ivfpq.search_batch(
             batch_queries, 5, nprobe=4, shortlist=100
         ),

@@ -1,0 +1,93 @@
+"""MaxSim late-interaction retrieval (operators/late_interaction.py).
+
+Pins: MaxSim degeneracies (one token == plain IP ranking over per-doc max;
+one vector per doc == sum of plain dots), the Arrow-GEMM path's equality
+with the native-fold path, pre-filter semantics, and tie/order contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import vector_db_spark.operators.late_interaction as li
+from vector_db_spark.operators.late_interaction import maxsim_search
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def toks(emb):
+    rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _brute(emb, toks, k, predicate=None):
+    """NumPy reference: group rows by label, maxsim score."""
+    import numpy as np
+
+    rows = emb.filter(predicate).collect() if predicate is not None else emb.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r.label), []).append(
+            np.asarray([float(x) for x in r.embedding])
+        )
+    q = np.asarray(toks)
+    scored = []
+    for doc, vecs in by_doc.items():
+        v = np.asarray(vecs)
+        scored.append((doc, float((v @ q.T).max(axis=0).sum())))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def test_maxsim_matches_numpy_reference(emb, toks):
+    got = maxsim_search(emb, toks, 5, doc_col="label").collect()
+    want = _brute(emb, toks, 5)
+    assert [int(r.label) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.maxsim_score == pytest.approx(s, abs=1e-9)
+
+
+def test_single_vector_docs_degenerate_to_dot_sum(emb, toks):
+    """Each doc = one vector (group by vec_id): max over a singleton set
+    is the dot itself, so maxsim == sum of token dots."""
+    got = maxsim_search(emb, toks, 5, doc_col="vec_id").collect()
+    want = _brute(emb.withColumn("label", F.col("vec_id")), toks, 5)
+    assert [int(r.vec_id) for r in got] == [d for d, _ in want]
+
+
+def test_prefilter_semantics(emb, toks):
+    got = maxsim_search(
+        emb, toks, 3, doc_col="label", predicate=F.col("label") != 3
+    ).collect()
+    assert all(int(r.label) != 3 for r in got)
+    want = _brute(emb, toks, 3, predicate=F.col("label") != 3)
+    assert [int(r.label) for r in got] == [d for d, _ in want]
+
+
+def test_arrow_path_matches_native_fold(emb, toks, monkeypatch):
+    native = maxsim_search(emb, toks, 10, doc_col="label").collect()
+    monkeypatch.setattr(li, "_LITERAL_TERM_CEILING", 1)
+    arrow = maxsim_search(emb, toks, 10, doc_col="label").collect()
+    assert [(int(a.label)) for a in arrow] == [(int(n.label)) for n in native]
+    for a, n in zip(arrow, native):
+        assert a.maxsim_score == pytest.approx(n.maxsim_score, abs=1e-9)
+
+
+def test_validation(emb, toks):
+    with pytest.raises(ValueError):
+        maxsim_search(emb, toks, 0, doc_col="label")
+    with pytest.raises(ValueError):
+        maxsim_search(emb, [], 3, doc_col="label")
+    with pytest.raises(ValueError):
+        maxsim_search(emb, [[1.0, 2.0], [1.0]], 3, doc_col="label")

@@ -601,3 +601,90 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     a = tokenize_bpe(docs, m).collect()[0]
     b = tokenize_bpe(docs, r).collect()[0]
     assert list(a.tokens) == list(b.tokens)
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from vector_db_spark.operators.sampling import mixture_sample
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # rebalance three sources to 50/30/20
+    targets = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+    out = mixture_sample(docs, "source", targets).cache()
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(targets)
+    total = sum(counts.values())
+    assert total > 0
+    # floor rounding: each group within 1 row of its exact share
+    for g, ppm in targets.items():
+        assert abs(counts.get(g, 0) - ppm * total / 1_000_000) <= 1
+    # deterministic + repartition-proof
+    again = mixture_sample(docs.repartition(7), "source", targets)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    # maximal retention: at least one group is kept (nearly) whole —
+    # the binding constraint group loses at most |targets| rows to floors
+    src = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    binding = min(targets, key=lambda g: src[g] * 1_000_000 // targets[g])
+    assert counts[binding] >= src[binding] - len(targets)
+    out.unpersist()
+
+
+def test_mixture_sample_validation(spark):
+    from vector_db_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", {"a": 0})
+    with pytest.raises(ValueError, match="exceeds"):
+        mixture_sample(df, "source", {"a": 900_000, "b": 200_000})
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, "source", {"a": 500_000, "zz": 100_000})
+
+
+def test_fusion_weighted_properties(spark):
+    from vector_db_spark.operators.hybrid import fusion_weighted, hybrid_search
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id").cache()
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).head().embedding]
+
+    rows = fusion_weighted(corpus, "spark query vector", qv, 10).collect()
+    assert len(rows) == 10
+    scores = [r.fused_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # norms live in [0,1]; fused in [0, w_text+w_vec]
+    assert all(0.0 <= r.tnorm <= 1.0 and 0.0 <= r.vnorm <= 1.0 for r in rows)
+    # w_text=0 degenerates to the pure-vector order (norm is monotone)
+    pure = fusion_weighted(
+        corpus, "spark query vector", qv, 5, w_text=0.0, w_vec=1.0
+    ).collect()
+    from vector_db_spark.operators.knn import knn
+
+    want = knn(corpus, qv, 5, metric="cosine", id_col="doc_id").collect()
+    assert [r.id for r in pure] == [r.doc_id for r in want]
+    corpus.unpersist()
+
+
+def test_fusion_weighted_constant_list_norms_to_one(spark):
+    from vector_db_spark.operators.hybrid import fusion_weighted
+
+    # every doc contains the single query token exactly once -> all tscores
+    # equal -> tnorm must be 1.0 for every candidate (degenerate min==max)
+    corpus = spark.createDataFrame(
+        [(i, "common text", [float(i), 1.0]) for i in range(1, 6)],
+        "doc_id long, text string, embedding array<double>",
+    )
+    rows = fusion_weighted(corpus, "common", [1.0, 0.0], 5).collect()
+    assert all(r.tnorm == 1.0 for r in rows)

@@ -124,6 +124,102 @@ def hybrid_search(
     return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
 
 
+def fusion_weighted(
+    corpus: DataFrame,
+    query_text: str,
+    query_vec: Sequence[float],
+    k: int,
+    *,
+    fetch: int = 100,
+    w_text: float = 0.5,
+    w_vec: float = 0.5,
+    keyword: str = "overlap",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by WEIGHTED MIN-MAX score fusion (a.k.a. convex combination
+    fusion — the other standard hybrid-search combiner next to RRF; see
+    e.g. Bruch et al., "An Analysis of Fusion Functions for Hybrid
+    Retrieval", TOIS'23). Where RRF discards score magnitudes and fuses
+    ranks, this normalizes each modality's scores to [0,1] WITHIN its
+    candidate list
+
+        norm(s) = (s - min) / (max - min)      (all-equal list -> 1.0)
+
+    and fuses  w_text * tnorm + w_vec * vnorm. A document absent from one
+    list contributes 0 for that modality.
+
+    Scale shape is identical to ``hybrid_search``: per-modality top-fetch
+    via TakeOrderedAndProject (no global sort), min/max + normalization
+    inside the fetch-bounded candidate lists, one full-outer join on id.
+    Returns (id, tnorm, vnorm, fused_score).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if fetch < k:
+        raise ValueError("fetch must be >= k")
+    qtoks = [t for t in query_text.split(" ") if t]
+    if not qtoks:
+        raise ValueError("query_text must contain at least one token")
+
+    if keyword == "overlap":
+        tscore = keyword_overlap(F.col(text_col), qtoks)
+        scored_text = corpus.select(
+            F.col(id_col).alias("id"), tscore.cast("double").alias("tscore")
+        ).filter(F.col("tscore") > 0)
+    elif keyword == "bm25":
+        from vector_db_spark.operators.bm25 import bm25_scores
+
+        scored_text = bm25_scores(
+            corpus, query_text, id_col=id_col, text_col=text_col
+        ).select("id", F.col("score").alias("tscore"))
+    else:
+        raise ValueError(f"keyword must be 'overlap' or 'bm25', got {keyword!r}")
+
+    def _normed(cands: DataFrame, score: str, out: str) -> DataFrame:
+        # min/max over the fetch-bounded list: an empty-frame window (no
+        # partitionBy) is fine HERE because the input is already <= fetch
+        # rows — never corpus-scale.
+        w = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        lo, hi = F.min(score).over(w), F.max(score).over(w)
+        return cands.select(
+            "id",
+            F.when(hi == lo, F.lit(1.0))
+            .otherwise((F.col(score) - lo) / (hi - lo))
+            .alias(out),
+        )
+
+    text_cands = _normed(
+        scored_text.orderBy(F.col("tscore").desc(), F.col("id").asc()).limit(
+            fetch
+        ),
+        "tscore",
+        "tnorm",
+    )
+    vscore = cosine_sim(F.col(vec_col), query_literal(query_vec))
+    vec_cands = _normed(
+        corpus.select(F.col(id_col).alias("id"), vscore.alias("vscore"))
+        .orderBy(F.col("vscore").desc(), F.col("id").asc())
+        .limit(fetch),
+        "vscore",
+        "vnorm",
+    )
+
+    fused = text_cands.join(vec_cands, "id", "full_outer").select(
+        "id",
+        F.coalesce("tnorm", F.lit(0.0)).alias("tnorm"),
+        F.coalesce("vnorm", F.lit(0.0)).alias("vnorm"),
+        (
+            F.lit(float(w_text)) * F.coalesce("tnorm", F.lit(0.0))
+            + F.lit(float(w_vec)) * F.coalesce("vnorm", F.lit(0.0))
+        ).alias("fused_score"),
+    )
+    return fused.orderBy(F.col("fused_score").desc(), F.col("id").asc()).limit(k)
+
+
 def mmr_rerank(
     corpus: DataFrame,
     query: Sequence[float],

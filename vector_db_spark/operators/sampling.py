@@ -128,6 +128,64 @@ def importance_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < cut)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a corpus to TARGET group proportions with maximal data
+    retention — the static domain-mixture step every LLM data recipe runs
+    (e.g. The Pile / LLaMA per-source weights; DoReMi learns the weights,
+    this operator applies them).
+
+    ``targets`` maps group -> proportion in parts-per-million (integer ppm
+    keeps every derived count in exact integer arithmetic, so the query is
+    value-exact against the SQL oracle). Groups absent from ``targets``
+    are dropped. The kept corpus is the LARGEST subset honoring the
+    proportions exactly under floor rounding:
+
+        K      = min over groups of  floor(n_g * 1_000_000 / ppm_g)
+        kept_g = floor(ppm_g * K / 1_000_000)        (<= n_g by the min)
+
+    Which rows survive inside a group is the same deterministic
+    content-hash lottery as ``cap_per_group`` — repartition-proof,
+    rerun-stable. Costs one bounded group-count aggregate (rows = number
+    of groups, collected driver-side) plus one hash shuffle on the group
+    key for the lottery window.
+    """
+    ppm_total = sum(targets.values())
+    if not targets or any(p <= 0 for p in targets.values()):
+        raise ValueError("targets must be non-empty positive ppm values")
+    if ppm_total > 1_000_000:
+        raise ValueError(f"target ppm sum {ppm_total} exceeds 1,000,000")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(group_col).isin(*targets))
+        .groupBy(group_col)
+        .count()
+        .collect()
+    }
+    missing = sorted(set(targets) - set(counts))
+    if missing:
+        raise ValueError(f"target groups absent from corpus: {missing}")
+    k_total = min(counts[g] * 1_000_000 // ppm for g, ppm in targets.items())
+    kept = {g: ppm * k_total // 1_000_000 for g, ppm in targets.items()}
+
+    cut = F.lit(0).cast("long")
+    for g, n in kept.items():
+        cut = F.when(F.col(group_col) == g, F.lit(n).cast("long")).otherwise(cut)
+    lottery = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(lottery.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(group_col).isin(*targets))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cut)
+        .drop("__rn")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -15,6 +15,7 @@ from vector_db_spark.queries import (  # noqa: E402,F401
     pipeline_queries,
     relational_queries,
     relational_queries2,
+    retrieval_queries,
     streaming_queries,
     vector_queries,
 )
@@ -47,6 +48,15 @@ _VERIFY_FIRST = [
     "ann_graph_batch_filtered_exhaustive",
     "ivfpq_batch_filtered_exhaustive",
     "stream_ivf_append_full_probe",
+    # --- round-4 session-2 additions: IVF-SQ family, MaxSim late
+    # interaction, weighted fusion, mixture sampling ---
+    "ivfsq_decoded_full_probe",
+    "ivfsq_rerank_exhaustive",
+    "ivfsq_batch_rerank_exhaustive",
+    "ivfsq_delete_exhaustive",
+    "maxsim_label_search",
+    "fusion_weighted_search",
+    "mixture_sample_docs",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -829,3 +829,86 @@ def ivfpq_batch_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFra
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ (operators/ivfsq.py) — faiss IndexIVFScalarQuantizer analogue:
+# cells + int8 affine codes, pure-codegen decoded distances
+# --------------------------------------------------------------------------
+
+from vector_db_spark.queries.vector_queries import _QUANT_ORACLE  # noqa: E402
+
+
+@query("ivfsq_decoded_full_probe", oracle=_QUANT_ORACLE)
+def ivfsq_decoded_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ approximate path at full probe: the decoded-distance top-k
+    over int8 codes. Unlike ADC, the affine floor(+0.5) codec is
+    engine-portable, so even the APPROX path is value-exact against the
+    oracle (same reconstruction SQL as knn_quantized_l2 — at nprobe ==
+    nlist the cell structure must change nothing)."""
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfSqIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ivfsq_rerank_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ivfsq_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ exact gate THROUGH the persisted layout: build → save →
+    load → full probe + corpus shortlist + raw-vector rerank must equal
+    exact kNN bit-for-bit (the same degenerate-config pattern as every
+    other family's exhaustive gate)."""
+    import tempfile
+
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfsq_gate_")
+    IvfSqIndex.build(emb, nlist=8, seed=42, max_iter=5).save(path)
+    idx = IvfSqIndex.load(spark, path)
+    res = idx.search(
+        _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ivfsq_batch_rerank_exhaustive", oracle=_BATCH_ORACLE)
+def ivfsq_batch_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-SQ gate: probed-cell broadcast join + decoded-distance
+    shortlist + raw rerank must equal exact batch kNN at the degenerate
+    config."""
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfSqIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@query(
+    "ivfsq_delete_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", _DEL_WHERE),
+)
+def ivfsq_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ tombstone gate (family contract, ≅ faiss remove_vectors,
+    reference: src/core/index/faiss_index.rs:131-138): the anti-join runs
+    before the decoded scan so deleted rows never consume shortlist
+    slots; full probe + corpus shortlist ≡ exact kNN over survivors."""
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfSqIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    res = idx.search(
+        _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

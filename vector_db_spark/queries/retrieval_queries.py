@@ -1,0 +1,207 @@
+"""Round-4 retrieval + curation additions.
+
+- MaxSim late interaction (operators/late_interaction.py) — multi-vector
+  retrieval the single-vector reference cannot express
+  (/root/reference/src/models/request/insert.rs:10-14 pins one Vec<f32>
+  per id).
+- Weighted min-max score fusion (operators/hybrid.fusion_weighted) — the
+  convex-combination hybrid combiner next to RRF.
+- Target-proportion mixture sampling (operators/sampling.mixture_sample)
+  — the static domain-mixture step of LLM data recipes.
+
+All three are value-exact against DuckDB: MaxSim's per-token dots use the
+same left-associated float64 folds as every kNN oracle; fusion arithmetic
+is plain single-op float math; the mixture keep-counts are pure integer
+arithmetic over md5 lotteries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.oracle import cosine_sim_sql, dot_sql
+from vector_db_spark.queries.registry import query
+from vector_db_spark.sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# MaxSim late interaction: documents = label groups of the embeddings
+# table (multi-vector docs), query = the first three fixture vectors.
+# ---------------------------------------------------------------------------
+
+_N_TOKS = 3
+_MAXSIM_K = 5
+
+_MAXSIM_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.label, tok.t, max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY e.label, tok.t
+),
+scored AS (
+  SELECT label, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY label
+),
+top AS (
+  SELECT label, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, label LIMIT {_MAXSIM_K}
+)
+SELECT label, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_label_search", oracle=_MAXSIM_ORACLE)
+def maxsim_label_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim over multi-vector documents (label groups):
+    per-row token dots in codegen, ONE map-side-combined max shuffle on
+    the doc key, TakeOrdered top-k. Token sum is left-associated in token
+    order on both engines (ordered aggregate in the oracle)."""
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _N_TOKS).orderBy("vec_id").collect()
+    ]
+    res = maxsim_search(emb, toks, _MAXSIM_K, doc_col="label")
+    return res.select(
+        "label", F.round("maxsim_score", 6).alias("maxsim_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted min-max fusion over the same corpus/query as hybrid_search_rrf
+# ---------------------------------------------------------------------------
+
+_FQUERY_TEXT = "spark query vector join fast"
+_FQ_TOKS = "['fast','join','query','spark','vector']"
+_W_TEXT, _W_VEC = 0.6, 0.4
+
+_FUSION_ORACLE = f"""
+WITH corpus AS (
+  SELECT d.doc_id AS id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+tc AS (
+  SELECT id,
+         CAST(len(list_intersect(
+           list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
+           {_FQ_TOKS})) AS DOUBLE) AS tscore
+  FROM corpus
+),
+ttop AS (SELECT * FROM tc WHERE tscore > 0 ORDER BY tscore DESC, id LIMIT 100),
+tnormed AS (
+  SELECT id,
+         CASE WHEN max(tscore) OVER () = min(tscore) OVER () THEN 1.0
+              ELSE (tscore - min(tscore) OVER ())
+                   / (max(tscore) OVER () - min(tscore) OVER ())
+         END AS tnorm
+  FROM ttop
+),
+vc AS (
+  SELECT c.id, {cosine_sim_sql("c.embedding", "q.qv")} AS vscore
+  FROM corpus c, q
+),
+vtop AS (SELECT * FROM vc ORDER BY vscore DESC, id LIMIT 100),
+vnormed AS (
+  SELECT id,
+         CASE WHEN max(vscore) OVER () = min(vscore) OVER () THEN 1.0
+              ELSE (vscore - min(vscore) OVER ())
+                   / (max(vscore) OVER () - min(vscore) OVER ())
+         END AS vnorm
+  FROM vtop
+),
+fused AS (
+  SELECT COALESCE(t.id, v.id) AS id,
+         COALESCE(t.tnorm, 0.0) AS tnorm,
+         COALESCE(v.vnorm, 0.0) AS vnorm,
+         CAST({_W_TEXT} AS DOUBLE) * COALESCE(t.tnorm, 0.0)
+         + CAST({_W_VEC} AS DOUBLE) * COALESCE(v.vnorm, 0.0) AS fused_score
+  FROM tnormed t FULL OUTER JOIN vnormed v ON t.id = v.id
+),
+top AS (SELECT * FROM fused ORDER BY fused_score DESC, id LIMIT 10)
+SELECT id, round(tnorm, 6) AS tnorm, round(vnorm, 6) AS vnorm,
+       round(fused_score, 6) AS fused_score
+FROM top
+"""
+
+
+@query("fusion_weighted_search", oracle=_FUSION_ORACLE)
+def fusion_weighted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-combination hybrid fusion (operators/hybrid.fusion_weighted):
+    per-modality top-100 via TakeOrderedAndProject, min-max normalization
+    INSIDE the fetch-bounded lists, 0.6/0.4 weighted sum, full-outer
+    fuse — the corpus is never globally sorted or ranked."""
+    from vector_db_spark.operators.hybrid import fusion_weighted
+    from vector_db_spark.queries.vector_queries import _qvec
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id")
+    res = fusion_weighted(
+        corpus,
+        _FQUERY_TEXT,
+        _qvec(spark, sf_dir),
+        10,
+        fetch=100,
+        w_text=_W_TEXT,
+        w_vec=_W_VEC,
+    )
+    return res.select(
+        "id",
+        F.round("tnorm", 6).alias("tnorm"),
+        F.round("vnorm", 6).alias("vnorm"),
+        F.round("fused_score", 6).alias("fused_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Target-proportion mixture sampling over documents.source
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+_MIX_VALUES = ", ".join(f"('{g}', {p})" for g, p in sorted(_MIX_TARGETS.items()))
+_MIX_IN = ", ".join(f"'{g}'" for g in sorted(_MIX_TARGETS))
+
+_MIXTURE_ORACLE = f"""
+WITH t(source, ppm) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ({_MIX_IN}) GROUP BY source
+),
+k AS (
+  SELECT min(c.n * 1000000 // t.ppm) AS k_total
+  FROM counts c JOIN t ON c.source = t.source
+),
+kept AS (SELECT t.source, t.ppm * k.k_total // 1000000 AS n_keep FROM t, k),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix') ASC, doc_id ASC
+         ) AS rn
+  FROM documents WHERE source IN ({_MIX_IN})
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN kept ON r.source = kept.source
+WHERE r.rn <= kept.n_keep
+"""
+
+
+@query("mixture_sample_docs", oracle=_MIXTURE_ORACLE)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture rebalancing (operators/sampling.
+    mixture_sample): three sources rebalanced to 50/30/20 with maximal
+    retention — keep-counts are exact integer arithmetic (ppm scaling),
+    survivors a deterministic md5 lottery, so the whole query is
+    value-exact on both engines."""
+    from vector_db_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    res = mixture_sample(docs, "source", _MIX_TARGETS)
+    return res.select("doc_id", "source")
