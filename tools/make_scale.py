@@ -14,14 +14,19 @@ join graph and per-key densities:
   its sf0.1 fanout — row counts scale REP x while join selectivity and
   per-key group sizes stay constant, which is what linear scaling of a
   hash join/agg assumes;
-- documents.text gets a replica-tag PREFIX on copies ("r3 " + text):
-  within-replica duplicate structure (what dedup operators block on) is
-  preserved, while cross-replica exact/near dup explosions (10 copies of
-  every doc -> O(REP^2) pair growth inside every bucket) are avoided —
-  those would measure an artifact of the replication, not the operator;
-- embeddings get a deterministic tiny perturbation on copies (dim 0 +=
-  i * 1e-3) for the same reason: neighborhoods stay put, exact-tie
-  degeneracies don't multiply.
+- documents.text on copies gets a replica tag token INSERTED EVERY 6
+  WORDS ("a b c d e f" -> "r3 a b c d e f r3 ..."): within-replica
+  duplicate structure (what dedup operators block on) is preserved
+  (both members of a dup pair receive the identical transformation),
+  while cross-replica word/char-shingle Jaccard drops well below the
+  dedup thresholds — a prefix-only tag was measured to leave replicas
+  ~95% shingle-identical, which made every doc a 10-way near-dup and
+  grew candidate pairs O(REP^2): an artifact of the replication, not
+  the operator;
+- embeddings on copies are cyclically ROLLED by i dimensions: norms and
+  the marginal distribution are preserved exactly, but a vector and its
+  rolled copy decorrelate, so semantic-dedup/ANN candidate structure
+  scales like a 10x corpus instead of a corpus of 10-way twins.
 
 Usage: python tools/make_scale.py [REP] [OUT_DIR]
 Defaults: REP=10, OUT_DIR=/tmp/spark_graft_scale/sf1
@@ -111,23 +116,41 @@ def main() -> None:
                         field.type
                     )
                 elif name == "documents" and field.name == "text":
-                    cols[field.name] = pa.compute.binary_join_element_wise(
-                        pa.array([f"r{i} "] * t.num_rows), c.combine_chunks(), ""
+                    tag = f"r{i}"
+                    texts = c.combine_chunks().to_pylist()
+                    tagged_texts = []
+                    for s in texts:
+                        words = (s or "").split(" ")
+                        tagged = []
+                        for j in range(0, len(words), 6):
+                            tagged.append(tag)
+                            tagged.extend(words[j : j + 6])
+                        tagged_texts.append(" ".join(tagged))
+                    cols[field.name] = pa.array(tagged_texts, type=pa.string())
+                    cols["__n_chars_override"] = pa.array(
+                        [len(s) for s in tagged_texts], type=pa.int64()
                     )
                 elif name == "documents" and field.name == "n_chars":
-                    cols[field.name] = pa.compute.add(
-                        c, len(f"r{i} ")
-                    ).cast(field.type)
+                    # filled from the tagged text below (text precedes
+                    # n_chars in the fixture schema)
+                    cols[field.name] = None
                 elif name == "embeddings" and field.name == "embedding":
                     arr = c.combine_chunks()
-                    flat = arr.values.to_numpy(zero_copy_only=False).copy()
                     offs = arr.offsets.to_numpy(zero_copy_only=False)
-                    flat[offs[:-1]] += np.float32(i * 1e-3)
+                    dim = int(offs[1] - offs[0])
+                    flat = arr.values.to_numpy(zero_copy_only=False)
+                    mat = flat.reshape(-1, dim)
+                    rolled = np.roll(mat, i % dim, axis=1).ravel()
                     cols[field.name] = pa.ListArray.from_arrays(
-                        arr.offsets, pa.array(flat, type=pa.float32())
+                        arr.offsets, pa.array(rolled, type=pa.float32())
                     )
                 else:
                     cols[field.name] = c
+            if cols.get("n_chars", 0) is None:
+                cols["n_chars"] = cols.pop("__n_chars_override").cast(
+                    t.schema.field("n_chars").type
+                )
+            cols.pop("__n_chars_override", None)
             parts.append(
                 pa.table({f.name: cols[f.name] for f in t.schema}, schema=t.schema)
             )

@@ -57,6 +57,8 @@ _VERIFY_FIRST = [
     "maxsim_label_search",
     "fusion_weighted_search",
     "mixture_sample_docs",
+    "ann_ivf_knn_join_exhaustive",
+    "tpch_q11_value_share",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

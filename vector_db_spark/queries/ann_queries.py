@@ -912,3 +912,47 @@ def ivfsq_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+from vector_db_spark.oracle import l2_sq_sql as _l2f  # noqa: E402
+
+_BATCH_L2_SQL = _l2f("e.embedding", "q.qv")
+
+_KNN_JOIN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_BATCH_L2_SQL} AS dist
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_knn_join_exhaustive", oracle=_KNN_JOIN_ORACLE)
+def ann_ivf_knn_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN gate — the co-located (non-broadcast) batch path that no
+    earlier gate exercised: a 50-row query TABLE joins the cell-
+    partitioned corpus with ``broadcast_queries=False``, i.e. BOTH sides
+    shuffle on cluster_id (the corpus's own partition column — a
+    co-located equi-join, the formulation for query sets too large to
+    broadcast: 'for every row of table A, its top-k neighbors in B').
+    Full probe must equal exact batch kNN bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, 5, nprobe=8, metric="l2", broadcast_queries=False
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )

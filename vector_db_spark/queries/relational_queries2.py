@@ -633,3 +633,73 @@ def tpch_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: group value vs a global-total scalar subquery (share filter).
+# TPC-H Q11 sums partsupp ps_supplycost*ps_availqty; the fixtures carry no
+# partsupp, so the SHAPE runs on the same join graph's revenue: per-part
+# revenue from one nation's suppliers, kept when it exceeds a fixed
+# fraction of that nation's total — the identical two-aggregation +
+# cross-joined scalar plan the real Q11 compiles to.
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH nation_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_12'
+),
+value_by_part AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+              AS DOUBLE) AS part_value
+  FROM lineitem JOIN nation_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) AS tot
+  FROM value_by_part
+)
+SELECT ps_partkey, round(part_value, 4) AS part_value
+FROM value_by_part, total
+WHERE part_value > CAST(0.001 AS DOUBLE) * tot
+"""
+
+
+@query("tpch_q11_value_share", oracle=_Q11_ORACLE)
+def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (completes all 22 TPC-H query shapes on the available
+    columns): the per-group aggregate joins a broadcast one-row scalar
+    (the global total) — never a correlated re-scan; DECIMAL sums keep
+    both aggregations order-independent and engine-exact."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    value_by_part = (
+        li.join(F.broadcast(supp), "l_suppkey", "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_value"
+            )
+        )
+    )
+    total = value_by_part.agg(
+        _dsum(F.col("part_value")).alias("tot")
+    )
+    return (
+        value_by_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value") > F.lit(0.001).cast("double") * F.col("tot")
+        )
+        .select("ps_partkey", F.round("part_value", 4).alias("part_value"))
+    )

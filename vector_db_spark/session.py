@@ -67,6 +67,16 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # Local mode runs ALL executor threads inside the driver JVM, and
+        # Spark's default spark.driver.memory=1g starves 32 concurrent
+        # tasks the moment inputs outgrow sf0.1 (measured: sf1 probes OOM
+        # in the heap while the host sits on >100 GiB free). Size the one
+        # JVM like the sum of the executors it stands in for. Cluster
+        # deployments (SPARK_MASTER / explicit master) are unaffected —
+        # there, memory comes from spark-submit/cluster conf.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
