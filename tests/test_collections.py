@@ -436,3 +436,51 @@ def test_reader_snapshot_isolation_across_writes(spark, catalog):
     old = {r.id: list(r.embedding) for r in reader.collect()}  # evaluated NOW
     assert old[1] == [1.0, 0.0]  # unaffected by the concurrent upsert
     assert {r.id: list(r.embedding) for r in coll.scan().collect()}[1] == [9.0, 9.0]
+
+
+def test_collection_compressed_index_types(spark, tmp_path):
+    """ivfpq/ivfsq as first-class collection index types (factory parity:
+    the reference dispatches every backend through one registry,
+    src/core/index_factory.rs:75-163). Exhaustive configs must reproduce
+    exact kNN through the catalog dispatch."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    df = _vec_df(spark)
+    qv = [0.0] * 8
+    want = [r.id for r in knn(df, qv, 5, id_col="id").collect()]
+
+    pq = cat.create("p", dim=8, metric="l2", index_type="ivfpq")
+    pq.insert(df)
+    pq.build_index(nlist=4, m=4, ksub=16, max_iter=5)
+    got = [r.id for r in pq.search(qv, 5, nprobe=4, shortlist=10_000).collect()]
+    assert got == want
+
+    sq = cat.create("s", dim=8, metric="l2", index_type="ivfsq")
+    sq.insert(df)
+    sq.build_index(nlist=4, max_iter=5)
+    got = [r.id for r in sq.search(qv, 5, nprobe=4, shortlist=10_000).collect()]
+    assert got == want
+
+    # metric validation at build time
+    bad = cat.create("bad_pq", dim=8, metric="cosine", index_type="ivfpq")
+    bad.insert(df)
+    with pytest.raises(ValueError, match="l2"):
+        bad.build_index(nlist=4)
+
+
+def test_collection_graph_ip_metric(spark, tmp_path):
+    """graph index_type now serves metric='ip' through the catalog (the
+    reference's usearch IP HNSW, src/core/index_factory.rs:133-140)."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("gip", dim=8, metric="ip", index_type="graph")
+    df = _vec_df(spark)
+    coll.insert(df)
+    coll.build_index(nlist=2, m=8, ef_construction=50, max_iter=5)
+    got = [r.id for r in coll.search([1.0] * 8, 5, nprobe=2, ef_search=10**6).collect()]
+    want = [r.id for r in knn(df, [1.0] * 8, 5, metric="ip", id_col="id").collect()]
+    assert got == want

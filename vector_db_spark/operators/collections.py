@@ -52,8 +52,10 @@ from pyspark.sql import functions as F
 VALID_METRICS = ("l2", "ip", "cosine")
 # ≅ IndexType {FLAT, HNSW, USEARCH} (src/core/index_factory.rs:17-22);
 # ours name search strategies, not libraries: 'graph' is the
-# HNSW-equivalent (per-cell NSW, operators/graph.py).
-VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph")
+# HNSW-equivalent (per-cell NSW, operators/graph.py); 'ivfpq'/'ivfsq'
+# are the compressed-cell layouts (operators/ivfpq.py, ivfsq.py) the
+# faiss factory would spell IVFx,PQy / IVFx,SQ8.
+VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph", "ivfpq", "ivfsq")
 
 
 def merge_upsert(
@@ -599,8 +601,6 @@ class Collection(_BucketedStore):
         elif self.info.index_type == "graph":
             from vector_db_spark.operators.graph import GraphAnnIndex
 
-            if self.info.metric not in ("l2", "cosine"):
-                raise ValueError("graph index supports metrics ('l2', 'cosine')")
             idx = GraphAnnIndex.build(
                 cur,
                 id_col=self.info.id_col,
@@ -609,6 +609,28 @@ class Collection(_BucketedStore):
                 **params,
             )
             idx.save(path)
+        elif self.info.index_type == "ivfpq":
+            from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+            if self.info.metric != "l2":
+                raise ValueError("ivfpq index supports only the l2 metric")
+            IvfPqIndex.build(
+                cur,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                **params,
+            ).save(path)
+        elif self.info.index_type == "ivfsq":
+            from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+            if self.info.metric != "l2":
+                raise ValueError("ivfsq index supports only the l2 metric")
+            IvfSqIndex.build(
+                cur,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                **params,
+            ).save(path)
         else:  # lsh
             from vector_db_spark.operators.ann import CosineLshIndex
 
@@ -670,6 +692,18 @@ class Collection(_BucketedStore):
 
             gidx = GraphAnnIndex.load(self.catalog.spark, self._index_dir())
             return gidx.search(query, k, predicate=predicate, **params)
+        if self.info.index_type == "ivfpq":
+            from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+            pidx = IvfPqIndex.load(self.catalog.spark, self._index_dir())
+            return pidx.search(query, k, predicate=predicate, **params)
+        if self.info.index_type == "ivfsq":
+            from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+            sidx = IvfSqIndex.load(self.catalog.spark, self._index_dir())
+            # exact final distances come from the collection's raw
+            # vectors (the codes layout deliberately drops them)
+            return sidx.search(query, k, predicate=predicate, rerank=cur, **params)
         from vector_db_spark.operators.ann import CosineLshIndex
 
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())

@@ -11,8 +11,9 @@ CODEGEN end to end:
 
 - **build**: one IVF assignment (reusable pre-built quantizer, the faiss
   composition) + one global min/max fit + a zip_with encode — the stored
-  layout is cell-partitioned ``(id, cluster_id, codes array<int>)``, raw
-  vectors are NOT retained (same storage contract as faiss IVF-SQ; exact
+  layout is cell-partitioned ``(id, metadata..., cluster_id, codes
+  array<int>)`` — every column except the raw vector (so metadata
+  predicates push down), the float32 vector itself is NOT retained (same storage contract as faiss IVF-SQ; exact
   rerank joins an external raw frame).
 - **search**: probe = parquet partition pruning on cluster_id; approx
   distance = squared L2 over the DECODED vectors, a native zip_with fold
@@ -63,7 +64,7 @@ class IvfSqIndex:
     ):
         self.ivf = ivf
         self.sq = sq
-        self.encoded = encoded  # (id_col, cluster_id, sq_codes)
+        self.encoded = encoded  # corpus columns minus vec + cluster_id + sq_codes
         self.id_col = id_col
         self.vec_col = vec_col
         self.tombstones: DataFrame | None = None
@@ -94,8 +95,13 @@ class IvfSqIndex:
         elif ivf.metric != "l2":
             raise ValueError("IVF-SQ requires an L2 coarse quantizer")
         sq = ScalarQuantizer.fit(corpus, vec_col=vec_col)
+        # Every column EXCEPT the raw vector rides into the codes layout
+        # (same contract as IVF-PQ): metadata predicates push down into
+        # the pruned scan, while the dominant payload — the float32
+        # vector — is replaced by its int8 codes (1/4 the bytes).
         encoded = ivf.assignments.select(
-            id_col, _CLUSTER_COL, sq.encode(F.col(vec_col)).alias(CODE_COL)
+            *[c for c in ivf.assignments.columns if c != vec_col],
+            sq.encode(F.col(vec_col)).alias(CODE_COL),
         )
         return IvfSqIndex(ivf, sq, encoded, id_col, vec_col)
 
