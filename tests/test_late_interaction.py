@@ -91,3 +91,41 @@ def test_validation(emb, toks):
         maxsim_search(emb, [], 3, doc_col="label")
     with pytest.raises(ValueError):
         maxsim_search(emb, [[1.0, 2.0], [1.0]], 3, doc_col="label")
+
+
+def test_batch_matches_per_query_single(emb, toks, spark):
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    # two queries: tokens 0-1 and token 2
+    qrows = [(0, 0, toks[0]), (0, 1, toks[1]), (1, 0, toks[2])]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, token_id int, token_vec array<double>"
+    )
+    got = (
+        maxsim_search_batch(emb, queries, 3, doc_col="label")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    w0 = maxsim_search(emb, toks[:2], 3, doc_col="label").collect()
+    w1 = maxsim_search(emb, [toks[2]], 3, doc_col="label").collect()
+    assert [(r.label, r.rank) for r in got if r.query_id == 0] == [
+        (r.label, i + 1) for i, r in enumerate(w0)
+    ]
+    assert [(r.label, r.rank) for r in got if r.query_id == 1] == [
+        (r.label, i + 1) for i, r in enumerate(w1)
+    ]
+    for r in got:
+        ref = w0 if r.query_id == 0 else w1
+        assert r.maxsim_score == pytest.approx(
+            ref[r.rank - 1].maxsim_score, abs=1e-9
+        )
+
+
+def test_batch_validation(emb, spark):
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    empty = spark.createDataFrame(
+        [], "query_id long, token_id int, token_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        maxsim_search_batch(emb, empty, 3, doc_col="label")

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import dot
@@ -144,4 +144,98 @@ def maxsim_search(
         )
         .orderBy(F.col(score_col).desc(), F.col(doc_col).asc())
         .limit(k)
+    )
+
+
+def maxsim_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    doc_col: str,
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    query_id_col: str = "query_id",
+    token_vec_col: str = "token_vec",
+    token_id_col: str = "token_id",
+    score_col: str = "maxsim_score",
+) -> DataFrame:
+    """Top-k MaxSim per query for a DataFrame of multi-token queries
+    (long format: one row per (query, token)).
+
+    The query set is small (it's the search REQUEST — same bounded-side
+    contract as every batch-kNN path), so its tokens collect driver-side
+    and become T_total literal/GEMM dot columns per corpus row. The
+    corpus-side shape is IDENTICAL to the single-query operator — one
+    map-side-combined max shuffle on the doc key, regardless of how many
+    queries share the batch — and the per-query sum + window ranking run
+    over n_docs x n_queries rows, post-aggregation scale.
+
+    Returns (query_id, doc_col, score_col, rank) with rank <= k per
+    query, ties by doc.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rows = (
+        queries.select(query_id_col, token_id_col, token_vec_col)
+        .orderBy(query_id_col, token_id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("queries must be non-empty")
+    toks = [list(map(float, r[token_vec_col])) for r in rows]
+    owner = [r[query_id_col] for r in rows]
+    dims = {len(t) for t in toks}
+    if len(dims) != 1:
+        raise ValueError(f"query tokens must share one dimension, got {dims}")
+    dim = dims.pop()
+
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+
+    if len(toks) * dim <= _LITERAL_TERM_CEILING:
+        scored = corpus.select(
+            F.col(doc_col).alias("doc"),
+            *[
+                dot(F.col(vec_col), query_literal(t)).alias(f"_d{i}")
+                for i, t in enumerate(toks)
+            ],
+        )
+        maxes = scored.groupBy("doc").agg(
+            *[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(toks))]
+        )
+    else:
+        scored = _token_dots_arrow(
+            corpus.select(F.col(doc_col).alias("doc"), vec_col), vec_col, toks
+        )
+        maxes = scored.groupBy("doc").agg(
+            *[
+                F.max(F.col("dots")[i]).alias(f"_m{i}")
+                for i in range(len(toks))
+            ]
+        )
+
+    # per-query left-associated sums over that query's tokens (token-id
+    # order), stacked into (query_id, doc, score) rows
+    by_query: dict = {}
+    for i, q in enumerate(owner):
+        by_query.setdefault(q, []).append(i)
+    structs = []
+    for q, idxs in by_query.items():
+        total = F.col(f"_m{idxs[0]}")
+        for i in idxs[1:]:
+            total = total + F.col(f"_m{i}")
+        structs.append(F.struct(F.lit(q).alias("qid"), total.alias("s")))
+    stacked = maxes.select(
+        "doc", F.explode(F.array(*structs)).alias("qs")
+    ).select(
+        F.col("qs.qid").alias(query_id_col),
+        F.col("doc").alias(doc_col),
+        F.col("qs.s").alias(score_col),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    return stacked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

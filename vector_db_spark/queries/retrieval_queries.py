@@ -205,3 +205,54 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     res = mixture_sample(docs, "source", _MIX_TARGETS)
     return res.select("doc_id", "source")
+
+
+_MAXSIM_BATCH_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id // 3 AS query_id, vec_id AS t, embedding AS qv
+  FROM embeddings WHERE vec_id < 6
+),
+per AS (
+  SELECT tok.query_id, e.label, tok.t, max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY tok.query_id, e.label, tok.t
+),
+scored AS (
+  SELECT query_id, label, sum(m ORDER BY t) AS maxsim_score
+  FROM per GROUP BY query_id, label
+),
+ranked AS (
+  SELECT query_id, label, maxsim_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY maxsim_score DESC, label
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, label, round(maxsim_score, 6) AS maxsim_score, rank
+FROM ranked WHERE rank <= {_MAXSIM_K}
+"""
+
+
+@query("maxsim_batch_search", oracle=_MAXSIM_BATCH_ORACLE)
+def maxsim_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MaxSim: two 3-token queries share ONE corpus pass and one
+    max-combine shuffle (the corpus-side cost is independent of how many
+    queries ride the batch); per-query sums fold in token-id order on
+    both engines."""
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    res = maxsim_search_batch(emb, queries, _MAXSIM_K, doc_col="label")
+    return res.select(
+        "query_id",
+        "label",
+        F.round("maxsim_score", 6).alias("maxsim_score"),
+        "rank",
+    )
