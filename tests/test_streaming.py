@@ -442,3 +442,49 @@ def test_stream_ivf_append_serves_union_and_fresh_radii(spark, tmp_path):
         for r in range_search(emb, qv, 1.6).collect()
     )
     assert got_r == want_r
+
+
+def test_stream_ivf_delete_replay_idempotent(spark, tmp_path):
+    """A replayed delete batch (same ids appended to the manifest twice)
+    must change nothing: the anti-join applies a DISTINCT id set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.streaming.ingest import stream_ivf_delete
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(1, 101)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx")
+    IvfIndex.build(df, nlist=4, seed=1, max_iter=3).save(path)
+
+    stage = str(tmp_path / "in")
+    dead = df.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    dead.write.mode("append").parquet(stage)
+    q = stream_ivf_delete(
+        spark.readStream.schema("id long").parquet(stage),
+        path,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(60_000)
+    # "replay": the same ids land again under a fresh checkpoint
+    q2 = stream_ivf_delete(
+        spark.readStream.schema("id long").parquet(stage),
+        path,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(60_000)
+
+    idx = IvfIndex.load(spark, path)
+    got = [r.vec_id for r in idx.search([0.0] * 8, 10, nprobe=4).collect()]
+    want = [
+        r.vec_id
+        for r in knn(df.filter(F.col("vec_id") % 5 != 0), [0.0] * 8, 10).collect()
+    ]
+    assert got == want

@@ -524,3 +524,46 @@ def stream_ivf_append_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex.load(spark, path)
     res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "stream_ivf_delete_full_probe",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.vec_id % 7 <> 0"),
+)
+def stream_ivf_delete_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DELETE gate (closes the index DML lifecycle under
+    Structured Streaming — the reference's remove path, faiss
+    remove_vectors src/core/index/faiss_index.rs:131-138, as a tombstone
+    stream): build + persist an IVF on the full corpus, stream every 7th
+    id in as 4 micro-batches of delete requests (one manifest append
+    each), then reload and full-probe. Must equal exact kNN over the
+    SURVIVORS bit-for-bit — deletes from any batch apply identically,
+    and replays are idempotent by the anti-join's distinct."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.streaming.ingest import stream_ivf_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="stream_ivfdel_")
+    IvfIndex.build(emb, nlist=8, seed=42, max_iter=5).save(path)
+
+    stage = tempfile.mkdtemp(prefix="stream_ivfdel_in_")
+    (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select(F.col("vec_id").alias("id"))
+        .repartition(4, "id")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    id_stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ivf_delete(
+        id_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ivfdel_")
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    idx = IvfIndex.load(spark, path)
+    res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

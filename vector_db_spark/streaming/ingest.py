@@ -193,3 +193,49 @@ def stream_ivf_append(
         else writer.trigger(processingTime="5 seconds")
     )
     return trigger.start()
+
+
+DELETE_STREAM_SCHEMA = StructType([StructField("id", LongType(), False)])
+
+
+def stream_ivf_delete(
+    id_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous DELETE maintenance: each micro-batch of ids becomes a
+    tombstone-manifest append against a persisted ANN layout — the
+    streaming closure of the reference's remove path (faiss
+    ``remove_vectors``, src/core/index/faiss_index.rs:131-138; usearch
+    ``remove``, src/core/index/usearch_index.rs:87-93). Together with
+    ``stream_ivf_append`` the full index DML lifecycle now runs under
+    Structured Streaming.
+
+    Each batch writes ONE small manifest file (operators/tombstones.py);
+    the cell layout is never touched, and readers pick the deletes up on
+    their next load. Tombstone application is idempotent by construction
+    (probes anti-join a DISTINCT id set), so a foreachBatch replay after
+    a crash re-appends rows that change nothing — stronger than the
+    append path's at-least-once caveat. Compaction stays a scheduled
+    vacuum()/retrain(), same as batch."""
+    from vector_db_spark.operators.tombstones import tombstone_df, write_tombstones
+
+    def _delete(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_tombstones(
+            tombstone_df(batch.sparkSession, batch, batch.columns[0]),
+            index_path,
+        )
+
+    writer = (
+        id_stream.writeStream.foreachBatch(_delete)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
