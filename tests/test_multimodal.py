@@ -119,3 +119,88 @@ def test_audio_features_values(spark):
         assert r.rms == pytest.approx(float(np.sqrt((x * x).sum() / 2048)))
         nonneg = x >= 0
         assert r.zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+def test_phash_identity_and_determinism(spark):
+    """Same seed -> identical pHash; two computations agree."""
+    from vector_db_spark.operators.multimodal import attach_noise_images, phash_images
+
+    df = spark.createDataFrame([(1,), (2,), (1001,)], "doc_id long")
+    seeded = df.withColumn("seed", F.col("doc_id") % 1000)  # 1 and 1001 collide
+    media = attach_noise_images(seeded, seed_col="seed")
+    h = {r.media_id: r.phash for r in phash_images(media).collect()}
+    assert h[1] == h[1001]
+    assert h[1] != h[2]
+    h2 = {r.media_id: r.phash for r in phash_images(media).collect()}
+    assert h == h2
+
+
+def test_phash_brightness_invariance_and_structure(spark):
+    """pHash ignores global brightness (median-threshold on AC-weighted
+    coeffs) but tracks structure: a gradient and the same gradient
+    brightened are ~0 bits apart; noise is ~32 bits from both."""
+    import struct as _s
+
+    import numpy as np
+
+    from vector_db_spark.operators.multimodal import phash64
+
+    # full-rank smooth image (every DCT coefficient well away from zero
+    # — a 1-D gradient leaves most coeffs exactly 0, where float noise
+    # flips sign bits and measures nothing)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    smooth = (
+        96
+        + 50 * np.sin(2 * np.pi * x / 17) * np.cos(2 * np.pi * y / 11)
+        + 30 * np.sin(2 * np.pi * (x + y) / 23)
+    )
+    img_a = np.clip(smooth, 0, 255).astype(np.uint8)[:, :, None]
+    img_b = np.clip(smooth + 40, 0, 255).astype(np.uint8)[:, :, None]
+    rng = np.random.default_rng(5)
+    img_n = rng.integers(0, 256, (32, 32, 1), dtype=np.uint8)
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    a, b, n = phash64(img_a), phash64(img_b), phash64(img_n)
+    assert ham(a, b) <= 2
+    assert ham(a, n) >= 20
+    _ = _s  # imported for parity with payload-packing tests
+
+
+def test_phash_blocking_equals_bruteforce(spark):
+    """Pigeonhole chunk blocking finds EXACTLY the pairs a brute-force
+    popcount over all pairs finds (completeness is the pigeonhole
+    theorem; soundness is the verify filter)."""
+    from vector_db_spark.operators.multimodal import (
+        attach_noise_images,
+        image_neardup,
+        phash_images,
+    )
+
+    df = spark.range(40).selectExpr("id AS doc_id", "id % 25 AS seed")
+    media = attach_noise_images(df, seed_col="seed")
+    got = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in image_neardup(media, max_hamming=3, chunks=4).collect()
+    )
+    hashes = {r.media_id: r.phash for r in phash_images(media).collect()}
+    brute = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= 3
+    )
+    assert got == brute
+    assert len(got) >= 15  # the %25 seed fold plants 15 exact-dup pairs
+
+
+def test_phash_validation(spark):
+    from vector_db_spark.operators.multimodal import phash_images
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    from vector_db_spark.operators.multimodal import attach_noise_images
+
+    media = attach_noise_images(df)
+    with pytest.raises(ValueError, match="hash_size"):
+        phash_images(media, hash_size=4).collect()

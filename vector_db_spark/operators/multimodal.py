@@ -147,18 +147,25 @@ AUDIO_TABLE_SCHEMA = (
 
 def attach_images(
     df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16,
-    channels: int = 3,
+    channels: int = 3, seed_col: str | None = None,
 ) -> DataFrame:
     """One SYNTH image per input row, seeded by id — the fixture stand-in
-    for an ingest that carries real bytes. Runs as one mapInPandas pass."""
+    for an ingest that carries real bytes. Runs as one mapInPandas pass.
+    ``seed_col`` names an int64 column to seed from instead of the id
+    (e.g. a content hash, so equal content yields identical bytes)."""
+    seed_src = seed_col or id_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
+            # pixel law runs in int64: fold arbitrary (possibly negative,
+            # e.g. xxhash64) seeds into [0, 2^31) so seed*K never leaves
+            # the representable range; small fixture ids pass unchanged
+            seeds = pdf[seed_src].astype("int64") % (2**31)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "data": [encode_image(s, width, height, channels) for s in ids],
+                    "data": [encode_image(s, width, height, channels) for s in seeds],
                     "meta": [
                         {
                             "width": width,
@@ -171,7 +178,54 @@ def attach_images(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+    return df.select(*cols).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
+
+
+def attach_noise_images(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16,
+    channels: int = 3, seed_col: str | None = None,
+) -> DataFrame:
+    """SYNTH-container images whose pixels are deterministic WHITE NOISE
+    (PCG64 per seed) instead of the linear pixel law. The linear law
+    makes every image the same ramp pattern at a different brightness —
+    adversarial for perceptual hashing, which discards brightness by
+    construction (measured: all pairs land within ~3 pHash bits). Noise
+    images give independent seeds independent frequency content, the
+    property pHash tests and dedup fixtures need. Payload header/layout
+    is unchanged, so every decode/feature stage applies."""
+    seed_src = seed_col or id_col
+    n = width * height * channels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            seeds = pdf[seed_src].astype("int64")
+            head = _struct.pack(">III", width, height, channels)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [
+                        head
+                        + np.random.Generator(np.random.PCG64(int(s) & (2**63 - 1)))
+                        .integers(0, 256, n, dtype=np.uint8)
+                        .tobytes()
+                        for s in seeds
+                    ],
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "channels": channels,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+    return df.select(*cols).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
 
 
 def attach_videos(
@@ -362,3 +416,79 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(af, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (pHash) + image near-duplicate detection
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the scipy.fft.dct(norm='ortho') matrix,
+    built directly so the container needs no scipy)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+def phash64(img: np.ndarray, grid: int = 32, hash_size: int = 8) -> int:
+    """Classic 64-bit perceptual hash (pHash): grayscale → nearest-
+    neighbor downsample to grid×grid → 2D DCT-II → keep the hash_size²
+    lowest-frequency block → bit j = coeff_j > median (median excludes
+    the DC term, which only encodes global brightness). Deterministic
+    float64 throughout."""
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    ys = (np.arange(grid, dtype=np.int64) * h) // grid
+    xs = (np.arange(grid, dtype=np.int64) * w) // grid
+    small = gray[np.ix_(ys, xs)]
+    d = _dct_matrix(grid)
+    coeffs = (d @ small @ d.T)[:hash_size, :hash_size].ravel()
+    med = np.median(coeffs[1:])
+    bits = coeffs > med
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.astype(np.int64))
+
+
+def phash_images(media: DataFrame, grid: int = 32, hash_size: int = 8) -> DataFrame:
+    """(media_id, phash) for an image table — one Arrow-batched decode +
+    DCT pass; the binary column dies here. 64-bit output packs into a
+    signed long (two's complement), the same layout SimHash uses, so the
+    Hamming blocking/search machinery is shared."""
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size must be 8 (64-bit hash contract)")
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        phash64(decode_image_payload(bytes(d)), grid, hash_size)
+                        for d in pdf["data"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(ph, schema="media_id long, phash long")
+
+
+def image_neardup(
+    media: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: pHash each image, then find pairs
+    within ``max_hamming`` bits via the same pigeonhole chunk blocking
+    SimHash uses (dedup.simhash_candidates — provably complete for
+    distance < chunks, exact popcount verify). Returns
+    (a_id, b_id, hamming). The all-pairs stage never exists: candidates
+    meet only inside 16-bit chunk buckets."""
+    from vector_db_spark.operators.dedup import simhash_candidates
+
+    hashes = phash_images(media).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    return simhash_candidates(hashes, max_hamming=max_hamming, chunks=chunks)

@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "tpch_q11_value_share",
     "maxsim_batch_search",
     "stream_ivf_delete_full_probe",
+    "image_phash_neardup",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -172,3 +172,47 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "zero_crossings",
     )
+
+
+_PHASH_NEARDUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+),
+h AS (SELECT doc_id, md5(text) AS m FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id
+"""
+
+
+@query("image_phash_neardup", oracle=_PHASH_NEARDUP_ORACLE)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end to end: content-seeded NOISE
+    images (equal text ⇒ identical bytes; different text ⇒ independent
+    frequency content — the linear SYNTH pixel law is deliberately NOT
+    used here, see attach_noise_images), Arrow decode → 32×32 DCT →
+    64-bit pHash, pigeonhole chunk blocking (shared with SimHash), exact
+    popcount verify at ≤3 bits. The found pairs must be EXACTLY the
+    equal-content pairs at distance 0: independent noise images sit ~32
+    bits apart, so any blocking or hashing defect — a missed bucket, a
+    nondeterministic DCT, a bit-packing slip — changes the result set.
+    The oracle is the text-equality self-join."""
+    from vector_db_spark.operators.multimodal import (
+        attach_noise_images,
+        image_neardup,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant 10 exact duplicates under shifted ids so the gate is
+    # non-trivial at every scale factor (sf0.001/0.01 carry no natural
+    # exact-text dups; the oracle plants the identical rows)
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).withColumn("seed", F.xxhash64(F.col("text")))
+    media = attach_noise_images(docs, id_col="doc_id", seed_col="seed")
+    return image_neardup(media, max_hamming=3, chunks=4).select(
+        "a_id", "b_id", "hamming"
+    )
