@@ -44,18 +44,43 @@ class ScalarQuantizer:
 
     @staticmethod
     def fit(corpus: DataFrame, vec_col: str = "embedding") -> "ScalarQuantizer":
-        """Per-dimension min/max in ONE distributed aggregate (the result
-        is 2·dim floats — driver-safe at any corpus size)."""
-        dim = len(corpus.select(vec_col).head()[0])
-        row = corpus.agg(
-            F.array(
-                *[F.min(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
-            ).alias("lo"),
-            F.array(
-                *[F.max(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
-            ).alias("hi"),
-        ).head()
-        return ScalarQuantizer(list(row.lo), list(row.hi))
+        """Per-dimension min/max in ONE corpus pass: an Arrow kernel
+        reduces each partition to one (lo, hi) array pair, the driver
+        folds the ≤ n_partitions rows. Exact (min/max are order-free),
+        and the plan carries a FIXED two-column schema instead of 2·dim
+        aggregate expressions — the expression form's codegen alone cost
+        ~2 s per fit at dim=64 (measured; it also grows with dim, which
+        is the wrong direction for wide embeddings)."""
+        import numpy as np
+        import pandas as pd
+
+        def mm(batches):
+            lo = hi = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                plo, phi = m.min(axis=0), m.max(axis=0)
+                lo = plo if lo is None else np.minimum(lo, plo)
+                hi = phi if hi is None else np.maximum(hi, phi)
+            if lo is not None:
+                yield pd.DataFrame({"lo": [list(lo)], "hi": [list(hi)]})
+
+        parts = corpus.select(vec_col).mapInPandas(
+            mm, "lo array<double>, hi array<double>"
+        ).collect()
+        if not parts:
+            raise ValueError("cannot fit a quantizer on an empty corpus")
+        import numpy as np
+
+        lo = np.asarray(parts[0].lo)
+        hi = np.asarray(parts[0].hi)
+        for r in parts[1:]:
+            lo = np.minimum(lo, np.asarray(r.lo))
+            hi = np.maximum(hi, np.asarray(r.hi))
+        return ScalarQuantizer(lo.tolist(), hi.tolist())
 
     def encode(self, vec: Column) -> Column:
         """array<numeric> → array<int> codes in [0, 255]."""
