@@ -404,3 +404,78 @@ def test_fuzzy_blocking_lossless(sc, strings, d):
         .collect()
     )
     assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=999),
+        ),
+        min_size=3,
+        max_size=24,
+        unique_by=lambda t: t[1],
+    ),
+    ppms=st.lists(
+        st.integers(min_value=50_000, max_value=400_000), min_size=2, max_size=3
+    ),
+)
+@_settings
+def test_mixture_sample_proportion_invariants(sc, groups, ppms):
+    """For ANY corpus and target ppm mixture: (1) every kept group count
+    is exactly floor(ppm_g * K / 1e6) for the computed K — i.e. the
+    proportions hold under floor rounding; (2) no group exceeds its
+    corpus count; (3) the binding group loses at most |targets| rows;
+    (4) the sample is repartition-invariant."""
+    from vector_db_spark.operators.sampling import mixture_sample
+
+    names = ["a", "b", "c"][: len(ppms)]
+    present = {g for g, _ in groups}
+    if not set(names) <= present:
+        groups = groups + [(n, 900 + i) for i, n in enumerate(names)]
+    targets = dict(zip(names, ppms))
+    df = sc.createDataFrame(groups, "source string, doc_id long")
+    out = mixture_sample(df, "source", targets).collect()
+    counts = {n: 0 for n in names}
+    for r in out:
+        counts[r.source] += 1
+    src = {n: 0 for n in names}
+    for g, _ in groups:
+        if g in src:
+            src[g] += 1
+    k_total = min(src[g] * 1_000_000 // targets[g] for g in names)
+    for g in names:
+        assert counts[g] == targets[g] * k_total // 1_000_000
+        assert counts[g] <= src[g]
+    binding = min(names, key=lambda g: src[g] * 1_000_000 // targets[g])
+    assert counts[binding] >= src[binding] - len(names)
+    again = mixture_sample(df.repartition(5), "source", targets).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_settings
+def test_fusion_weighted_norm_bounds(sc, texts):
+    """Min-max normalized scores always land in [0,1]; fused scores in
+    [0, w_t + w_v]; result sorted desc with id tiebreak."""
+    from vector_db_spark.operators.hybrid import fusion_weighted
+
+    rows = [
+        (i + 1, t, [float(i % 3), 1.0]) for i, t in enumerate(texts)
+    ]
+    df = sc.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    out = fusion_weighted(df, "a b", [1.0, 0.5], 5, w_text=0.7, w_vec=0.3).collect()
+    for r in out:
+        assert 0.0 <= r.tnorm <= 1.0 + 1e-12
+        assert 0.0 <= r.vnorm <= 1.0 + 1e-12
+        assert -1e-12 <= r.fused_score <= 1.0 + 1e-12
+    key = [(-r.fused_score, r.id) for r in out]
+    assert key == sorted(key)
