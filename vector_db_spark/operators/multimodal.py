@@ -492,3 +492,220 @@ def image_neardup(
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")
     )
     return simhash_candidates(hashes, max_hamming=max_hamming, chunks=chunks)
+
+
+def attach_noise_audio(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000,
+    n_samples: int = 2048, seed_col: str | None = None,
+) -> DataFrame:
+    """Deterministic white-noise audio clips (PCG64 per seed) — the
+    fingerprinting counterpart of attach_noise_images: the linear SYNTH
+    sample law is a sawtooth whose spectrum is identical across seeds,
+    adversarial for any spectral fingerprint."""
+    seed_src = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            seeds = pdf[seed_src].astype("int64")
+            head = _struct.pack(">II", sample_rate, n_samples)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [
+                        head
+                        + np.random.Generator(np.random.PCG64(int(s) & (2**63 - 1)))
+                        .integers(-32768, 32768, n_samples, dtype=np.int64)
+                        .astype("<i2")
+                        .tobytes()
+                        for s in seeds
+                    ],
+                    "meta": [
+                        {
+                            "sample_rate": sample_rate,
+                            "n_samples": n_samples,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+    return df.select(*cols).mapInPandas(gen, schema=AUDIO_TABLE_SCHEMA)
+
+
+def afp64(pcm: np.ndarray, bins: int = 64) -> int:
+    """64-bit audio fingerprint: rectified envelope pooled into ``bins``
+    equal windows → orthonormal DCT-II → bit j = coeff_j > median of the
+    AC coefficients. The same shape-not-level contract as pHash: scaling
+    the signal's amplitude rescales every DCT coefficient AND the median
+    by the same factor, so the hash is volume-invariant; temporal energy
+    STRUCTURE drives the bits."""
+    x = np.abs(pcm.astype(np.float64))
+    n = x.shape[0]
+    idx = (np.arange(bins + 1, dtype=np.int64) * n) // bins
+    pooled = np.array(
+        [x[idx[i] : idx[i + 1]].mean() if idx[i + 1] > idx[i] else 0.0 for i in range(bins)]
+    )
+    coeffs = _dct_matrix(bins) @ pooled
+    med = np.median(coeffs[1:])
+    val = np.uint64(0)
+    for b in coeffs > med:
+        val = (val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.astype(np.int64))
+
+
+def fingerprint_audio(media: DataFrame, bins: int = 64) -> DataFrame:
+    """(media_id, afp) for an audio table — one Arrow decode + DCT pass."""
+    if bins != 64:
+        raise ValueError("bins must be 64 (64-bit fingerprint contract)")
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [
+                        afp64(decode_audio_payload(bytes(d))[1], bins)
+                        for d in pdf["data"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(fp, schema="media_id long, afp long")
+
+
+def audio_neardup(
+    media: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs via fingerprint Hamming distance —
+    same pigeonhole blocking as image_neardup/SimHash."""
+    from vector_db_spark.operators.dedup import simhash_candidates
+
+    hashes = fingerprint_audio(media).select(
+        F.col("media_id").alias("id"), F.col("afp").alias("simhash")
+    )
+    return simhash_candidates(hashes, max_hamming=max_hamming, chunks=chunks)
+
+
+def phash_video_frames(video: DataFrame, every: int = 4) -> DataFrame:
+    """One pHash per sampled frame: (media_id, frame, phash). Video
+    near-dup policy composes downstream (e.g. two videos are near-dup
+    when most aligned sampled frames are within k bits)."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                frames = decode_video_payload(bytes(data))
+                for f in range(0, frames.shape[0], every):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame": f,
+                            "phash": phash64(frames[f]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(ph, schema="media_id long, frame int, phash long")
+
+
+def video_neardup(
+    video: DataFrame,
+    every: int = 4,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    min_frame_frac: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: per-sampled-frame pHash, frame-level
+    pigeonhole candidates keyed on (frame, chunk, value) — only ALIGNED
+    frames meet, so candidate volume is bounded the same way as images
+    per frame — then a pair is emitted when at least ``min_frame_frac``
+    of the sampled frames match within ``max_hamming`` bits. Returns
+    (a_id, b_id, matched_frames, total_frames)."""
+    from vector_db_spark.operators.dedup import simhash_candidates
+
+    frames = phash_video_frames(video, every=every)
+    # fold the frame index into the blocking id so only aligned frames
+    # pair up; ids recover by division
+    keyed = frames.select(
+        (F.col("media_id") * 1_000_000 + F.col("frame")).alias("id"),
+        F.col("phash").alias("simhash"),
+    )
+    frame_pairs = simhash_candidates(
+        keyed, max_hamming=max_hamming, chunks=chunks
+    ).filter(
+        (F.col("a_id") % 1_000_000) == (F.col("b_id") % 1_000_000)
+    )
+    per_video = (
+        frame_pairs.select(
+            (F.col("a_id") / 1_000_000).cast("long").alias("a_id"),
+            (F.col("b_id") / 1_000_000).cast("long").alias("b_id"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("matched_frames"))
+    )
+    totals = frames.groupBy("media_id").agg(F.count("*").alias("total_frames"))
+    return (
+        per_video.join(
+            totals.select(
+                F.col("media_id").alias("a_id"),
+                F.col("total_frames"),
+            ),
+            "a_id",
+        )
+        .filter(
+            F.col("matched_frames")
+            >= F.ceil(F.lit(float(min_frame_frac)) * F.col("total_frames"))
+        )
+        .select("a_id", "b_id", "matched_frames", "total_frames")
+    )
+
+
+def attach_noise_videos(
+    df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8,
+    channels: int = 3, n_frames: int = 12, seed_col: str | None = None,
+) -> DataFrame:
+    """Deterministic white-noise videos: frame f of seed s draws from
+    PCG64(s*65537 + f), so equal seeds give identical videos and
+    different seeds give frame-wise independent content (same rationale
+    as attach_noise_images)."""
+    seed_src = seed_col or id_col
+    n = width * height * channels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            seeds = pdf[seed_src].astype("int64")
+            head = _struct.pack(">IIII", width, height, channels, n_frames)
+            data = []
+            for s in seeds:
+                base = (int(s) * 65537) & (2**63 - 1)
+                frames = [
+                    np.random.Generator(np.random.PCG64(base + f))
+                    .integers(0, 256, n, dtype=np.uint8)
+                    .tobytes()
+                    for f in range(n_frames)
+                ]
+                data.append(head + b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": data,
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "channels": channels,
+                            "n_frames": n_frames,
+                            "format": "synth",
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+    return df.select(*cols).mapInPandas(gen, schema=VIDEO_TABLE_SCHEMA)

@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     "maxsim_batch_search",
     "stream_ivf_delete_full_probe",
     "image_phash_neardup",
+    "audio_fp_neardup",
+    "video_phash_neardup",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -216,3 +216,79 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup(media, max_hamming=3, chunks=4).select(
         "a_id", "b_id", "hamming"
     )
+
+
+_AUDIO_FP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+),
+h AS (SELECT doc_id, md5(text) AS m FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id
+"""
+
+
+@query("audio_fp_neardup", oracle=_AUDIO_FP_ORACLE)
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup end to end (the image gate's acoustic
+    twin): content-seeded noise clips + 10 planted exact dups →
+    envelope-DCT 64-bit fingerprints → pigeonhole blocking → popcount
+    verify. Found pairs must be exactly the equal-content pairs at
+    distance 0; independent noise clips sit ~32 bits apart."""
+    from vector_db_spark.operators.multimodal import (
+        attach_noise_audio,
+        audio_neardup,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).withColumn("seed", F.xxhash64(F.col("text")))
+    media = attach_noise_audio(docs, id_col="doc_id", seed_col="seed")
+    return audio_neardup(media, max_hamming=3, chunks=4).select(
+        "a_id", "b_id", "hamming"
+    )
+
+
+_VIDEO_PHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+),
+h AS (SELECT doc_id, md5(text) AS m FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(3 AS BIGINT) AS matched_frames, CAST(3 AS BIGINT) AS total_frames
+FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id
+"""
+
+
+@query("video_phash_neardup", oracle=_VIDEO_PHASH_ORACLE)
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup: per-sampled-frame pHash (frames 0/4/8 of 12),
+    frame-ALIGNED pigeonhole candidates, pair emitted when >= half the
+    sampled frames match. Planted exact dups must match on all 3 sampled
+    frames; independent noise videos share none. 200-doc slice keeps the
+    per-frame DCT volume test-sized (the operator itself is one
+    mapInPandas pass at any scale)."""
+    from vector_db_spark.operators.multimodal import (
+        attach_noise_videos,
+        video_neardup,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).withColumn("seed", F.xxhash64(F.col("text")))
+    media = attach_noise_videos(docs, id_col="doc_id", seed_col="seed", width=32, height=32)
+    return video_neardup(media, every=4, max_hamming=3, chunks=4)
