@@ -430,3 +430,48 @@ def test_semantic_pairs_reuses_prebuilt_cosine_ivf(spark):
     l2 = IvfIndex.build(emb, nlist=4, seed=42, max_iter=2, metric="l2")
     with _pytest.raises(ValueError, match="cosine"):
         semantic_pairs(emb, threshold=0.4, ivf=l2)
+
+
+def test_substring_dedup_catches_any_alignment(spark):
+    """The stride-1 window catches a duplicated passage at DIFFERENT
+    offsets in different docs — the case fixed-chunk dedup misses."""
+    from vector_db_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(25))
+    a = "a1 a2 a3 a4 a5 " + passage + " a6 a7"
+    b = "b1 b2 " + passage + " b3"          # different offset
+    c = "c1 c2 c3 c4 c5 c6 c7 c8 c9"        # shorter than the window
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in substring_dedup(df, window=20).collect()}
+    # doc 1 is the first occurrence: untouched
+    assert out[1].clean_text == a and out[1].n_removed == 0
+    # doc 2 loses exactly the 25 passage tokens, frame tokens survive
+    assert out[2].clean_text == "b1 b2 b3"
+    assert out[2].n_removed == 25
+    # doc 3: no window fits, unchanged
+    assert out[3].clean_text == c and out[3].n_removed == 0
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    """A passage repeated INSIDE one document: the first copy survives,
+    the second dies."""
+    from vector_db_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"q{i}" for i in range(20))
+    text = passage + " mid1 mid2 mid3 " + passage
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = substring_dedup(df, window=20).head()
+    assert r.clean_text == passage + " mid1 mid2 mid3"
+    assert r.n_removed == 20
+
+
+def test_substring_dedup_validation(spark):
+    from vector_db_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        substring_dedup(df, window=1)

@@ -691,3 +691,87 @@ def semantic_dedup(
         canonical.alias("canonical_id"),
         (canonical == F.col(id_col)).alias("keep"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup at token granularity — the sliding-window
+    form of Lee et al. 2022's ExactSubstr ("Deduplicating Training Data
+    Makes Language Models Better"): any ``window``-token span whose
+    content appears anywhere else in the corpus is removed from every
+    occurrence EXCEPT the globally first (min (doc, pos), the same
+    keep-first rule as chunk_dedup — but with stride 1, so duplicated
+    passages are caught at ANY alignment, the case fixed-chunk dedup
+    misses).
+
+    Shape: one row per token position (the skip-gram family's volume),
+    ONE hash shuffle on the window hash (a window ranks first-occurrence
+    and multiplicity together), dup positions regroup per doc, and span
+    removal + reassembly are row-local higher-order functions. No
+    suffix array is materialized — the rolling window IS the suffix set
+    bounded to length ``window``.
+
+    Removal policy: every token covered by a non-first duplicated window
+    dies. When a kept first occurrence overlaps a removed later one
+    INSIDE one document, the overlap tokens die with the removed span —
+    deterministic and conservative (never emits a duplicated span,
+    may trim its first copy's tail).
+
+    Returns (id_col, clean_text, n_tokens, n_removed). md5 window hashes
+    keep the whole operator value-exact against the SQL oracle.
+    """
+    from vector_db_spark.functions.text import tokens
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    wins = toks.select(
+        "id",
+        "toks",
+        F.posexplode_outer(
+            F.when(
+                F.size("toks") >= window,
+                F.sequence(F.lit(0), F.size("toks") - window),
+            ).otherwise(F.array())
+        ).alias("pos", "_"),
+    ).drop("_")
+    hashed = wins.withColumn(
+        "whash",
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, window), " ")
+        ),
+    ).select("id", "pos", "whash")
+    w_first = Window.partitionBy("whash").orderBy(
+        F.col("id").asc(), F.col("pos").asc()
+    )
+    occ = (
+        hashed.withColumn("rn", F.row_number().over(w_first))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("whash")))
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+    )
+    dup_pos = occ.groupBy("id").agg(F.sort_array(F.collect_list("pos")).alias("dups"))
+
+    joined = toks.join(dup_pos, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce(F.col("dups"), F.array().cast("array<int>")).alias("dups"),
+    )
+    covered = lambda p: F.exists(
+        F.col("dups"), lambda q: (q <= p) & (p < q + window)
+    )
+    kept = F.filter(
+        F.transform(F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~covered(s["i"]),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )

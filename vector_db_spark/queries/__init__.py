@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "substring_dedup_docs",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

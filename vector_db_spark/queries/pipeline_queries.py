@@ -1609,3 +1609,80 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     model = train_bpe(docs, n_merges=12)
     return tokenize_bpe(docs, model).select("doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 ExactSubstr, sliding-window form)
+# --------------------------------------------------------------------------
+
+_BOILER = "terms of service apply all rights reserved contact the site admin for removal requests and review the policy before reuse"
+
+_SUBSTR_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 20 THEN text || ' {_BOILER}' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM corpus
+),
+pos_exploded AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 20)) AS pos
+  FROM toks WHERE len(toks) >= 20
+),
+wins AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos+1:pos+20], ' ')) AS whash
+  FROM pos_exploded
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY whash) AS cnt
+  FROM wins
+),
+dups AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS dups
+  FROM occ WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.toks, COALESCE(d.dups, []) AS dups
+  FROM toks t LEFT JOIN dups d USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(
+           list_transform(generate_series(1, len(toks)),
+                          j -> struct_pack(t := toks[j], i := j - 1)),
+           s -> NOT len(list_filter(dups, q -> q <= s.i AND s.i < q + 20)) > 0
+         ) AS ks
+  FROM joined
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_transform(ks, s -> s.t), ' '), '') AS clean_text,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(toks) - COALESCE(len(ks), 0) AS INT) AS n_removed
+FROM kept
+"""
+
+
+@query("substring_dedup_docs", oracle=_SUBSTR_ORACLE)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring dedup (operators/dedup.
+    substring_dedup): a 21-token boilerplate tail is planted on 20 docs;
+    every 20-token window of it that recurs must vanish from all but the
+    globally first occurrence, at ANY alignment. One window-hash
+    shuffle; span removal is row-local HOFs. Value-exact: md5 window
+    hashes and identical keep-first ranking on both engines."""
+    from vector_db_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 20, F.concat(F.col("text"), F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dedup(docs, window=20)
