@@ -128,6 +128,23 @@ def main() -> None:
         4,
     )
 
+    # IVF-SQ decoded-distance probes (no rerank): recall loss = codec
+    # reconstruction error on top of cell pruning
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    ivfsq = IvfSqIndex.build(emb, ivf=ivf)
+    ivfsq.encoded.cache().count()
+    ivfsq_recalls = {
+        str(np_): round(
+            _recall(
+                exact_l2,
+                _topk_sets(ivfsq.search_batch(queries, K, nprobe=np_).collect()),
+            ),
+            4,
+        )
+        for np_ in IVF_PROBES
+    }
+
     tuned = ivf_recalls[str(IVF_PROBES[-1])]
     print(
         json.dumps(
@@ -139,6 +156,7 @@ def main() -> None:
                 "graph": graph_recalls,
                 "hamming_rerank": hamming_recall,
                 "pca_rerank": pca_recall,
+                "ivfsq": ivfsq_recalls,
                 "n_queries": N_QUERIES,
                 "nlist": NLIST,
                 "sf": sf,
