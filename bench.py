@@ -70,9 +70,13 @@ HEADLINE = [
     "multimodal_image_features",
     "stream_tumbling_agg",
     # round-4 additions: multi-vector late interaction (one max-combine
-    # shuffle) and target-proportion mixture sampling (one lottery window)
+    # shuffle), target-proportion mixture sampling (one lottery window),
+    # stride-1 exact-substring dedup (one window-hash shuffle), and
+    # perceptual-hash image dedup (Arrow DCT + pigeonhole blocking)
     "maxsim_label_search",
     "mixture_sample_docs",
+    "substring_dedup_docs",
+    "image_phash_neardup",
 ]
 
 K = 10

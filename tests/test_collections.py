@@ -484,3 +484,63 @@ def test_collection_graph_ip_metric(spark, tmp_path):
     got = [r.id for r in coll.search([1.0] * 8, 5, nprobe=2, ef_search=10**6).collect()]
     want = [r.id for r in knn(df, [1.0] * 8, 5, metric="ip", id_col="id").collect()]
     assert got == want
+
+
+def test_collection_search_batch_dispatch(spark, tmp_path):
+    """search_batch routes every index_type; exhaustive configs must
+    equal exact batch kNN through the catalog."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import batch_knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    df = _vec_df(spark)
+    queries = df.filter(F.col("id") <= 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def want(frame):
+        return [
+            (r.query_id, r.id, r.rank)
+            for r in batch_knn(frame, queries, 4, id_col="id")
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    exact = cat.create("be", dim=8, metric="l2", index_type="exact")
+    exact.insert(df)
+    got = [
+        (r.query_id, r.id, r.rank)
+        for r in exact.search_batch(queries, 4).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want(df)
+
+    ivf = cat.create("bi", dim=8, metric="l2", index_type="ivf")
+    ivf.insert(df)
+    ivf.build_index(nlist=4, max_iter=5)
+    got = [
+        (r.query_id, r.id, r.rank)
+        for r in ivf.search_batch(queries, 4, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want(df)
+
+    sq = cat.create("bs", dim=8, metric="l2", index_type="ivfsq")
+    sq.insert(df)
+    sq.build_index(nlist=4, max_iter=5)
+    got = [
+        (r.query_id, r.id, r.rank)
+        for r in sq.search_batch(queries, 4, nprobe=4, shortlist=10_000)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want(df)
+
+    # staleness contract holds for the batch path too
+    ivf.upsert(df.limit(1))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rebuild"):
+        ivf.search_batch(queries, 4)

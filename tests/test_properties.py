@@ -417,7 +417,8 @@ def test_fuzzy_blocking_lossless(sc, strings, d):
         unique_by=lambda t: t[1],
     ),
     ppms=st.lists(
-        st.integers(min_value=50_000, max_value=400_000), min_size=2, max_size=3
+        # max 333,333 each so any 3 sum within the 1,000,000 ppm budget
+        st.integers(min_value=50_000, max_value=333_333), min_size=2, max_size=3
     ),
 )
 @_settings

@@ -53,6 +53,9 @@ DEFAULT = [
     "knn_l2",
     "knn_quantized_l2",
     "embedding_neardup_blocked",
+    "substring_dedup_docs",
+    "maxsim_label_search",
+    "image_phash_neardup",
     "tpch_q3_shipping",
     "tpch_q5_region",
     "cube_lineitem",

@@ -709,6 +709,72 @@ class Collection(_BucketedStore):
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
         return idx.search(query, k, predicate=predicate, **params)
 
+    def search_batch(
+        self,
+        queries,
+        k: int,
+        predicate: Column | None = None,
+        **params,
+    ):
+        """Batch top-k (a DataFrame of (query_id, query_vec) rows) routed
+        by index_type — every family's set-oriented probe through one
+        catalog call, same staleness contract as search(). 'exact' runs
+        the broadcast batch kNN; compressed families rerank against the
+        collection's raw vectors."""
+        from vector_db_spark.operators.knn import batch_knn
+
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("collection is empty")
+        if self.info.index_type == "exact":
+            return batch_knn(
+                cur,
+                queries,
+                k,
+                metric=self.info.metric,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                predicate=predicate,
+            )
+        iv = self._indexed_version()
+        if iv is None:
+            raise ValueError("no index built; call build_index() first")
+        if iv != self.info.version:
+            raise ValueError(
+                f"index built at v{iv} but collection is at "
+                f"v{self.info.version}; call build_index() to rebuild"
+            )
+        path = self._index_dir()
+        if self.info.index_type == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            return IvfIndex.load(self.catalog.spark, path).search_batch(
+                queries, k, predicate=predicate, **params
+            )
+        if self.info.index_type == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            return GraphAnnIndex.load(self.catalog.spark, path).search_batch(
+                queries, k, predicate=predicate, **params
+            )
+        if self.info.index_type == "ivfpq":
+            from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+            return IvfPqIndex.load(self.catalog.spark, path).search_batch(
+                queries, k, predicate=predicate, **params
+            )
+        if self.info.index_type == "ivfsq":
+            from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+            return IvfSqIndex.load(self.catalog.spark, path).search_batch(
+                queries, k, predicate=predicate, rerank=cur, **params
+            )
+        from vector_db_spark.operators.ann import CosineLshIndex
+
+        return CosineLshIndex.load(self.catalog.spark, path).search_batch(
+            queries, k, predicate=predicate, **params
+        )
+
 
 class DocumentStore(_BucketedStore):
     """Schemaless per-id JSON document store ≅ the reference's scalar
