@@ -133,3 +133,33 @@ def test_reuses_prebuilt_coarse_quantizer(emb, qv):
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
     with pytest.raises(ValueError):
         IvfSqIndex.build(emb, ivf=IvfIndex.build(emb, nlist=4, metric="cosine"))
+
+
+def test_append_out_of_range_clamps_and_rerank_restores(spark, emb, qv, tmp_path):
+    """Appended vectors OUTSIDE the fitted [lo, hi] clamp to the codec
+    boundary (faiss SQ property): codes stay in [0, 255], decoded
+    distances degrade gracefully, and the raw rerank is exact over the
+    union."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+    from vector_db_spark.operators.knn import knn
+
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: (x * 10.0).cast("float")),
+    )
+    p = str(tmp_path / "clamp")
+    IvfSqIndex.build(half, nlist=4, seed=42, max_iter=3).save(p)
+    idx = IvfSqIndex.load(spark, p).append(rest, path=p)
+    reloaded = IvfSqIndex.load(spark, p)
+    codes = reloaded.encoded.select(
+        F.array_min("sq_codes").alias("lo"), F.array_max("sq_codes").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).head()
+    assert codes[0] >= 0 and codes[1] <= 255
+    union = half.unionByName(rest)
+    got = reloaded.search(qv, 10, nprobe=4, shortlist=10_000, rerank=union).collect()
+    want = knn(union, qv, 10).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert idx is not reloaded

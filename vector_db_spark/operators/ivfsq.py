@@ -148,6 +148,32 @@ class IvfSqIndex:
         idx.tombstones = load_tombstones(spark, path)
         return idx
 
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "IvfSqIndex":
+        """Incremental maintenance with BOTH quantizers frozen: new rows
+        assign to the existing centroids (Arrow GEMM) and encode through
+        the existing affine codec; with ``path`` only the new files land
+        in the cell layout. A new vector outside the fitted [lo, hi]
+        range CLAMPS to the codec boundary (faiss SQ has the identical
+        property) — its decoded distance degrades gracefully and the
+        rerank path restores exactness; refit on the retrain cadence.
+        Same tombstone caveat as IvfIndex.append: appending a tombstoned
+        id does not resurrect it until compaction."""
+        from vector_db_spark.operators.ann import _nearest_centroid_arrow
+
+        assigned = _nearest_centroid_arrow(
+            new_rows, self.vec_col, self.ivf.centroids, "l2", None
+        )
+        encoded_new = assigned.select(
+            *[c for c in self.encoded.columns if c != CODE_COL],
+            self.sq.encode(F.col(self.vec_col)).alias(CODE_COL),
+        )
+        if path is not None:
+            encoded_new.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
+                os.path.join(path, "encoded")
+            )
+        self.encoded = self.encoded.unionByName(encoded_new)
+        return self
+
     def delete(self, ids, path: str | None = None) -> "IvfSqIndex":
         """Tombstone delete (≅ faiss remove_vectors, reference:
         src/core/index/faiss_index.rs:131-138) — see IvfIndex.delete."""

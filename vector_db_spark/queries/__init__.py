@@ -65,6 +65,8 @@ _VERIFY_FIRST = [
     "audio_fp_neardup",
     "video_phash_neardup",
     "substring_dedup_docs",
+    "maxsim_filtered_search",
+    "ivfsq_append_rerank_exhaustive",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

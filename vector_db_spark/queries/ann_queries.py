@@ -956,3 +956,29 @@ def ann_ivf_knn_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )
+
+
+@query("ivfsq_append_rerank_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ivfsq_append_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ incremental lifecycle gate: build + persist on HALF the
+    corpus, append the other half through the persisted layout (both
+    quantizers frozen, only new files land), reload, then full probe +
+    corpus shortlist + raw rerank must equal exact kNN over the FULL
+    corpus — appended codes serve identically to built codes."""
+    import tempfile
+
+    from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfsq_append_")
+    IvfSqIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), nlist=8, seed=42, max_iter=5
+    ).save(path)
+    IvfSqIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") % 2 == 1), path=path
+    )
+    idx = IvfSqIndex.load(spark, path)
+    res = idx.search(
+        _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -256,3 +256,44 @@ def maxsim_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("maxsim_score", 6).alias("maxsim_score"),
         "rank",
     )
+
+
+_MAXSIM_FILTERED_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.label, tok.t, max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  WHERE e.label <> 3
+  GROUP BY e.label, tok.t
+),
+scored AS (
+  SELECT label, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY label
+),
+top AS (
+  SELECT label, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, label LIMIT {_MAXSIM_K}
+)
+SELECT label, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_filtered_search", oracle=_MAXSIM_FILTERED_ORACLE)
+def maxsim_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered MaxSim: the predicate prunes corpus rows BEFORE any
+    scoring (the §2.4 pre-filter contract on the late-interaction path) —
+    documents keep their max over MATCHING vectors only."""
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _N_TOKS).orderBy("vec_id").collect()
+    ]
+    res = maxsim_search(
+        emb, toks, _MAXSIM_K, doc_col="label", predicate=F.col("label") != 3
+    )
+    return res.select(
+        "label", F.round("maxsim_score", 6).alias("maxsim_score")
+    )
