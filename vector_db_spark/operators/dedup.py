@@ -698,6 +698,7 @@ def substring_dedup(
     window: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact-substring dedup at token granularity — the sliding-window
     form of Lee et al. 2022's ExactSubstr ("Deduplicating Training Data
@@ -721,15 +722,19 @@ def substring_dedup(
     deterministic and conservative (never emits a duplicated span,
     may trim its first copy's tail).
 
-    Returns (id_col, clean_text, n_tokens, n_removed). md5 window hashes
-    keep the whole operator value-exact against the SQL oracle.
+    Returns (id_col, *keep_cols, clean_text, n_tokens, n_removed):
+    ``keep_cols`` ride along row-locally (never a join back — at corpus
+    scale a doc_id->metadata map is not broadcastable). md5 window
+    hashes keep the whole operator value-exact against the SQL oracle.
     """
     from vector_db_spark.functions.text import tokens
 
     if window < 2:
         raise ValueError("window must be >= 2")
     toks = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        tokens(F.col(text_col)).alias("toks"),
     )
     wins = toks.select(
         "id",
@@ -759,6 +764,7 @@ def substring_dedup(
 
     joined = toks.join(dup_pos, "id", "left").select(
         "id",
+        *keep_cols,
         "toks",
         F.coalesce(F.col("dups"), F.array().cast("array<int>")).alias("dups"),
     )
@@ -771,6 +777,7 @@ def substring_dedup(
     )
     return joined.select(
         F.col("id").alias(id_col),
+        *keep_cols,
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
         F.size("toks").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).alias("n_removed"),

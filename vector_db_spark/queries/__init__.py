@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "substring_dedup_docs",
     "maxsim_filtered_search",
     "ivfsq_append_rerank_exhaustive",
+    "pipeline_prepare_corpus_v3",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

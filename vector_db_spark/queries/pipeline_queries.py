@@ -1686,3 +1686,108 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return substring_dedup(docs, window=20)
+
+
+# --------------------------------------------------------------------------
+# Composite curation pipeline v3 (round-4 capstone): exact-substring dedup
+# -> min-length rule -> target-proportion mixture rebalance, ONE plan
+# --------------------------------------------------------------------------
+
+_V3_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id < 20 THEN text || ' {_BOILER}' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM corpus
+),
+pos_exploded AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 20)) AS pos
+  FROM toks WHERE len(toks) >= 20
+),
+wins AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos+1:pos+20], ' ')) AS whash
+  FROM pos_exploded
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY whash) AS cnt
+  FROM wins
+),
+dups AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS dups
+  FROM occ WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, t.source,
+         CAST(len(t.toks) AS INT) AS n_tokens,
+         CAST(len(t.toks) - COALESCE(len(list_filter(
+           list_transform(generate_series(1, len(t.toks)),
+                          j -> struct_pack(t := t.toks[j], i := j - 1)),
+           s -> NOT len(list_filter(COALESCE(d.dups, []),
+                                    q -> q <= s.i AND s.i < q + 20)) > 0
+         )), 0) AS INT) AS n_removed
+  FROM toks t LEFT JOIN dups d USING (doc_id)
+),
+survivors AS (
+  SELECT doc_id, source, n_tokens, n_removed FROM cleaned
+  WHERE n_tokens - n_removed >= 5
+),
+t(source, ppm) AS (VALUES ('src0', 500000), ('src1', 300000), ('src2', 200000)),
+counts AS (
+  SELECT source, count(*) AS n FROM survivors
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+k AS (
+  SELECT min(c.n * 1000000 // t.ppm) AS k_total
+  FROM counts c JOIN t ON c.source = t.source
+),
+kept AS (SELECT t.source, t.ppm * k.k_total // 1000000 AS n_keep FROM t, k),
+ranked AS (
+  SELECT doc_id, source, n_tokens, n_removed,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix') ASC, doc_id ASC
+         ) AS rn
+  FROM survivors WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT r.doc_id, r.source, r.n_tokens, r.n_removed
+FROM ranked r JOIN kept ON r.source = kept.source
+WHERE r.rn <= kept.n_keep
+"""
+
+
+@query("pipeline_prepare_corpus_v3", oracle=_V3_ORACLE)
+def pipeline_prepare_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: the new curation stages COMPOSE value-exactly in
+    one plan — stride-1 exact-substring dedup (boilerplate planted on 20
+    docs), a clean-token minimum rule, then target-proportion mixture
+    rebalancing of the survivors to 50/30/20. Every stage's arithmetic
+    is engine-portable (md5 hashes, integer counts, integer ppm), so the
+    whole pipeline hash-matches one 12-CTE DuckDB oracle."""
+    from vector_db_spark.operators.dedup import substring_dedup
+    from vector_db_spark.operators.sampling import mixture_sample
+
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") < 20, F.concat(F.col("text"), F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = substring_dedup(docs, window=20, keep_cols=("source",))
+    survivors = cleaned.filter(
+        F.col("n_tokens") - F.col("n_removed") >= 5
+    ).select("doc_id", "source", "n_tokens", "n_removed")
+    return mixture_sample(
+        survivors,
+        "source",
+        {"src0": 500_000, "src1": 300_000, "src2": 200_000},
+    ).select("doc_id", "source", "n_tokens", "n_removed")
