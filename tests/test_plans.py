@@ -378,3 +378,50 @@ def test_write_sharded_bounds_every_file(spark, tmp_path):
     assert sum(sizes) == n
     assert max(sizes) <= 64
     assert len(files) >= n // 64
+
+
+def test_maxsim_is_one_partial_agg_shuffle(spark):
+    """MaxSim's plan contract (SURVEY §11): token dots row-local, ONE
+    exchange for the doc-key max aggregation with a map-side partial
+    agg before it, TakeOrderedAndProject for the top-k."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.late_interaction import maxsim_search
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    plan = (
+        maxsim_search(emb, toks, 5, doc_col="label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_substring_dedup_shuffle_shape(spark):
+    """Substring dedup's contract: ONE whash exchange feeds BOTH ranking
+    windows (count + row_number share the partitioning), the dup-span
+    regroup is its own hash aggregate, and the spans rejoin the docs —
+    never a Cartesian, never a corpus broadcast of text."""
+    from vector_db_spark.operators.dedup import substring_dedup
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = (
+        substring_dedup(docs, window=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 2
+    # exchanges: whash window partitioning + the per-doc regroup (the
+    # dup-span map rejoins via broadcast)
+    assert plan.count("Exchange (") <= 2 or plan.count("Exchange") <= 4
