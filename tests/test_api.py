@@ -1,0 +1,130 @@
+"""Request-facade parity tests (vector_db_spark/api.py) — mirrors the
+reference's rstest handler cases (create_index_handle.rs:119-175,
+insert_index_handle.rs:98-137, search_index_handle.rs:139-222,
+upsert_handle.rs:86-119, query_handle.rs:70-90): same payload shapes,
+same validation outcomes, status codes as ApiError.status."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_spark.api import ApiError, VectorDatabaseApi
+
+KEY_FLAT = {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    return VectorDatabaseApi(spark, str(tmp_path))
+
+
+def _status(fn, *a):
+    with pytest.raises(ApiError) as e:
+        fn(*a)
+    return e.value.status
+
+
+def test_create_validation_matrix(api):
+    """≅ create_index_handle.rs:119-175 case table."""
+    ok = api.create_index({"index_type": "FLAT", "dim": 3, "metric_type": "L2"})
+    assert ok["code"] == 0 and ok["index_key"]["index_type"] == "FLAT"
+    # numeric wire enums accepted (FLAT=0, L2=1)
+    assert api.create_index({"index_type": 0, "dim": 3, "metric_type": 1})["code"] == 0
+    assert _status(api.create_index, {"dim": 3, "metric_type": "L2"}) == 400
+    assert _status(api.create_index, {"index_type": "FLAT", "metric_type": "L2"}) == 400
+    assert _status(api.create_index, {"index_type": "FLAT", "dim": 0, "metric_type": "L2"}) == 400
+    # unknown index type -> error (index_factory.rs:157-161)
+    assert _status(api.create_index, {"index_type": "HNSW9000", "dim": 3, "metric_type": "L2"}) == 400
+    # HNSW requires max_elements; non-HNSW forbids it (create.rs:24-47)
+    assert _status(api.create_index, {"index_type": "HNSW", "dim": 3, "metric_type": "L2"}) == 400
+    assert _status(api.create_index, {"index_type": "FLAT", "dim": 3, "metric_type": "L2", "max_elements": 10}) == 400
+    assert api.create_index(
+        {"index_type": "HNSW", "dim": 3, "metric_type": "L2", "max_elements": 100}
+    )["code"] == 0
+
+
+def test_insert_validation_and_flow(api):
+    api.create_index(KEY_FLAT)
+    assert api.insert({"vectors": [1.0, 2.0, 3.0], "id": 1, "index_key": KEY_FLAT})["code"] == 0
+    # empty vector -> 400 (insert.rs:10)
+    assert _status(api.insert, {"vectors": [], "id": 2, "index_key": KEY_FLAT}) == 400
+    # id must be >= 1 (insert.rs:12-14)
+    assert _status(api.insert, {"vectors": [1.0, 2.0, 3.0], "id": 0, "index_key": KEY_FLAT}) == 400
+    # missing index -> 404 (app_error.rs:38-44)
+    other = {"index_type": "FLAT", "dim": 5, "metric_type": "L2"}
+    assert _status(api.insert, {"vectors": [1.0] * 5, "id": 3, "index_key": other}) == 404
+    # STRICT dim enforcement (divergence from search_index_handle.rs:201-215)
+    assert _status(api.insert, {"vectors": [1.0] * 6, "id": 4, "index_key": KEY_FLAT}) == 400
+
+
+def test_search_flat_happy_path_mirrors_reference_workflow(api):
+    """≅ faiss workflow test (faiss_index.rs:156-190): two identical
+    vectors + one distant; top-2 returns the identical pair at
+    distance < 1e-3."""
+    api.create_index(KEY_FLAT)
+    for i, v in [(1, [1.0, 1.0, 1.0]), (2, [1.0, 1.0, 1.0]), (3, [9.0, 9.0, 9.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": KEY_FLAT})
+    res = api.search({"vectors": [1.0, 1.0, 1.0], "k": 2, "index_key": KEY_FLAT})
+    assert res["code"] == 0
+    assert res["labels"] == [1, 2]
+    assert all(d < 1e-3 for d in res["distances"])
+    # k/vector validation (search.rs:6-17)
+    assert _status(api.search, {"vectors": [1.0] * 3, "k": 0, "index_key": KEY_FLAT}) == 400
+    assert _status(api.search, {"vectors": [], "k": 1, "index_key": KEY_FLAT}) == 400
+    missing = {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"}
+    assert _status(api.search, {"vectors": [1.0] * 3, "k": 1, "index_key": missing}) == 404
+
+
+def test_search_hnsw_and_usearch_backends(api):
+    """Approximate backends build lazily and serve the same results as
+    FLAT on this corpus (exhaustive-quality defaults)."""
+    for key in (
+        {"index_type": "HNSW", "dim": 3, "metric_type": "L2", "max_elements": 100},
+        {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"},
+    ):
+        req_key = {k: v for k, v in key.items() if k != "max_elements"}
+        api.create_index(key)
+        for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.1, 0.0])]:
+            api.insert({"vectors": v, "id": i, "index_key": req_key})
+        res = api.search({"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": req_key})
+        assert res["labels"][0] == 1 and set(res["labels"]) == {1, 3}
+        # mutation invalidates; next search rebuilds transparently
+        api.insert({"vectors": [0.95, 0.05, 0.0], "id": 4, "index_key": req_key})
+        res2 = api.search({"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": req_key})
+        assert res2["labels"] == [1, 4]
+
+
+def test_upsert_then_query_roundtrip(api):
+    """≅ vector_database.rs:97-145: upsert (doc + vector), query returns
+    the merged JSON incl. the folded vectors field; second upsert with
+    the same id REPLACES (one live row; the stale-HNSW bug is fixed by
+    design)."""
+    api.create_index(KEY_FLAT)
+    api.upsert(
+        {
+            "id": 1,
+            "vectors": [1.0, 2.0, 3.0],
+            "data": {"name": "sora", "age": 20},
+            "index_key": KEY_FLAT,
+        }
+    )
+    got = api.query({"id": 1})
+    assert got["code"] == 0
+    assert got["data"]["name"] == "sora" and got["data"]["age"] == 20
+    assert got["data"]["vectors"] == [1.0, 2.0, 3.0]
+    api.upsert(
+        {
+            "id": 1,
+            "vectors": [4.0, 5.0, 6.0],
+            "data": {"name": "sora2"},
+            "index_key": KEY_FLAT,
+        }
+    )
+    got2 = api.query({"id": 1})
+    assert got2["data"]["name"] == "sora2"
+    assert got2["data"]["vectors"] == [4.0, 5.0, 6.0]
+    res = api.search({"vectors": [4.0, 5.0, 6.0], "k": 1, "index_key": KEY_FLAT})
+    assert res["labels"] == [1] and res["distances"][0] < 1e-9
+    # query validation + miss (query_handle.rs:15-26)
+    assert _status(api.query, {"id": 0}) == 400
+    assert _status(api.query, {"id": 999}) == 500

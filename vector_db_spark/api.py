@@ -1,0 +1,256 @@
+"""Request-shaped facade over the engine: the reference's five handlers
+(create / insert / upsert / search / query — the COMPLETE query surface,
+/root/reference/src/router/mod.rs:1-7) as plain-dict request/response
+functions with the reference's validation semantics, so a reference
+client's payloads drive this engine unchanged (transport excluded — axum
+JSON-over-HTTP serves the same dicts; any web layer can wrap this).
+
+Parity contract (each rule cites the reference):
+
+- ``IndexKey {index_type, dim, metric_type}`` is the collection identity
+  (src/core/index_factory.rs:24-29). Enum wire values match:
+  FLAT=0 / HNSW=1 / USEARCH=3, unknown -> error (:17-22, :157-161);
+  InnerProduct=0 / L2=1 (:41-48).
+- create: dim >= 1 (src/models/request/create.rs:12-15); HNSW REQUIRES
+  max_elements, non-HNSW FORBIDS it (:24-47); default max_elements=1000
+  when a route supplies none (src/router/handle/create_index_handle.rs:25).
+- insert/upsert/query: id >= 1 (src/models/request/insert.rs:12-14);
+  insert/search vectors non-empty (insert.rs:10, search.rs:6-11);
+  search k >= 1 (search.rs:13-17).
+- upsert folds the ``vectors`` field into the stored JSON document
+  (src/router/handle/upsert_handle.rs:23-32) and REPLACES any existing
+  row (MERGE semantics — deliberately NOT replicating the reference's
+  stale-HNSW-vector bug, src/db/vector_database.rs:36-39; SURVEY §7.3.3).
+- responses carry ``code: 0`` on success with the reference's field
+  names (labels/distances, data) — src/models/response/*.rs; failures
+  raise ``ApiError`` whose ``status`` mirrors the reference's HTTP
+  mapping (400 validation, 404 index-not-found, 500 internal —
+  src/error/app_error.rs:38-44).
+
+Documented divergences (strictness improvements, SURVEY §7.4):
+- dim is ENFORCED on insert/search (the reference silently searches with
+  a mismatched dim, src/router/handle/search_index_handle.rs:201-215).
+- HNSW(=graph) serves InnerProduct (the reference's hnsw backend rejects
+  it, src/core/index_factory.rs:130; its usearch backend serves it).
+- Approximate indexes build lazily at first search after a mutation (the
+  reference pays graph-insert cost inside every insert; we amortize it
+  batch-style — results are identical because stale indexes are never
+  served, collections.py staleness contract).
+
+Backend mapping: FLAT -> 'exact' (no artifact, brute-force scan — the
+faiss IDMap,Flat analogue), HNSW -> 'graph' (per-cell NSW beam search),
+USEARCH -> 'ivf' (cell-pruned probes; usearch's role as "the other ANN
+backend"). Distances use backend-native conventions (squared L2
+ascending; raw inner product descending), SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from vector_db_spark.operators.collections import CollectionCatalog, DocumentStore
+
+_INDEX_TYPES = {0: "exact", "FLAT": "exact", 1: "graph", "HNSW": "graph",
+                3: "ivf", "USEARCH": "ivf"}
+_METRICS = {0: "ip", "InnerProduct": "ip", 1: "l2", "L2": "l2"}
+# wire names back out for response index_key echoes
+_TYPE_NAMES = {"exact": "FLAT", "graph": "HNSW", "ivf": "USEARCH"}
+
+DEFAULT_MAX_ELEMENTS = 1000  # create_index_handle.rs:25
+
+# build/search defaults per strategy; tuned for correctness-first serving
+# (exhaustive-quality defaults; callers override per request)
+_BUILD_PARAMS = {"ivf": {"nlist": 4, "max_iter": 5},
+                 "graph": {"nlist": 2, "m": 8, "ef_construction": 100, "max_iter": 5}}
+_SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200}}
+
+
+class ApiError(Exception):
+    """≅ AppError (src/error/app_error.rs): .status mirrors the HTTP
+    mapping — 400 ValidationError, 404 IndexNotFound, 500 internal."""
+
+    def __init__(self, status: int, msg: str):
+        super().__init__(msg)
+        self.status = status
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ApiError(400, msg)
+
+
+def _parse_key(index_key: Any) -> tuple[str, int, str]:
+    _require(index_key is not None, "index_key cannot be empty")
+    _require(isinstance(index_key, dict), "index_key must be an object")
+    itype_raw = index_key.get("index_type")
+    dim = index_key.get("dim")
+    metric_raw = index_key.get("metric_type")
+    _require(itype_raw is not None, "index_type cannot be empty")
+    _require(dim is not None, "dim cannot be empty")
+    _require(metric_raw is not None, "metric_type cannot be empty")
+    _require(int(dim) >= 1, "dim must be at least 1")
+    if itype_raw not in _INDEX_TYPES:
+        # unknown index type -> error (index_factory.rs:157-161)
+        raise ApiError(400, f"unknown index type {itype_raw!r}")
+    _require(metric_raw in _METRICS, f"unknown metric type {metric_raw!r}")
+    return _INDEX_TYPES[itype_raw], int(dim), _METRICS[metric_raw]
+
+
+class VectorDatabaseApi:
+    """One durable engine instance ≅ the reference process: a collection
+    catalog (vector indexes) + a document store (scalar JSON payloads,
+    src/db/scalar_storage.rs) under one root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.catalog = CollectionCatalog(spark, root + "/collections")
+        self.docs = DocumentStore(spark, root + "/docs")
+
+    # -- POST /create (create_index_handle.rs:12-54) ----------------------
+    def create_index(self, req: dict) -> dict:
+        itype, dim, metric = _parse_key(
+            {
+                "index_type": req.get("index_type"),
+                "dim": req.get("dim"),
+                "metric_type": req.get("metric_type"),
+            }
+        )
+        max_elements = req.get("max_elements")
+        wire_type = req.get("index_type")
+        is_hnsw = wire_type in (1, "HNSW")
+        if is_hnsw:
+            # HNSW requires max_elements (create.rs:24-35)
+            _require(
+                max_elements is not None,
+                "max_elements is required for HNSW index type",
+            )
+            _require(int(max_elements) >= 1, "max_elements must be at least 1")
+        else:
+            # non-HNSW forbids it (create.rs:36-43)
+            _require(
+                max_elements is None,
+                "max_elements is only allowed for HNSW index type",
+            )
+        name = self._name(itype, dim, metric)
+        try:
+            self.catalog.get(name)  # idempotent create: registry re-insert
+        except KeyError:
+            self.catalog.create(name, dim=dim, metric=metric, index_type=itype)
+        return {
+            "code": 0,
+            "index_key": {
+                "index_type": _TYPE_NAMES[itype],
+                "dim": dim,
+                "metric_type": "L2" if metric == "l2" else "InnerProduct",
+            },
+        }
+
+    @staticmethod
+    def _name(itype: str, dim: int, metric: str) -> str:
+        return f"{itype}_{dim}_{metric}"
+
+    def _collection(self, index_key: Any):
+        itype, dim, metric = _parse_key(index_key)
+        try:
+            return self.catalog.get(self._name(itype, dim, metric))
+        except KeyError:
+            # ≅ AppError::IndexNotFound -> 404 (app_error.rs:38-44)
+            raise ApiError(404, f"{index_key!r} index not found") from None
+
+    # -- POST /insert (insert_index_handle.rs:14-61) ----------------------
+    def insert(self, req: dict) -> dict:
+        vectors = req.get("vectors")
+        _require(vectors is not None and len(vectors) > 0,
+                 "vectors must contain at least one element")
+        rid = req.get("id")
+        _require(rid is not None, "id cannot be empty")
+        _require(int(rid) >= 1, "id must be at least 1")
+        coll = self._collection(req.get("index_key"))
+        if len(vectors) != coll.info.dim:
+            # STRICT divergence (module docstring): reject mismatched dim
+            raise ApiError(400, "dimension mismatch")
+        df = self.spark.createDataFrame(
+            [(int(rid), [float(x) for x in vectors])],
+            f"{coll.info.id_col} long, {coll.info.vec_col} array<float>",
+        )
+        coll.insert(df)
+        return {"code": 0}
+
+    # -- POST /upsert (upsert_handle.rs:11-44) ----------------------------
+    def upsert(self, req: dict) -> dict:
+        rid = req.get("id")
+        _require(rid is not None, "id cannot be empty")
+        _require(int(rid) >= 1, "id must be at least 1")
+        vectors = req.get("vectors")
+        if vectors is not None:
+            _require(len(vectors) > 0, "vectors must contain at least one element")
+        coll = self._collection(req.get("index_key"))
+        data = dict(req.get("data") or {})
+        if vectors is not None:
+            if len(vectors) != coll.info.dim:
+                raise ApiError(400, "dimension mismatch")
+            # fold vectors into the stored document (upsert_handle.rs:23-32)
+            data["vectors"] = [float(x) for x in vectors]
+            df = self.spark.createDataFrame(
+                [(int(rid), [float(x) for x in vectors])],
+                f"{coll.info.id_col} long, {coll.info.vec_col} array<float>",
+            )
+            coll.upsert(df)
+        doc_df = self.spark.createDataFrame(
+            [(int(rid), json.dumps(data))], "id long, doc string"
+        )
+        self.docs.put(doc_df)
+        return {"code": 0}
+
+    # -- POST /search (search_index_handle.rs:46-102) ---------------------
+    def search(self, req: dict) -> dict:
+        vectors = req.get("vectors")
+        _require(vectors is not None and len(vectors) > 0,
+                 "vectors must contain at least one element")
+        k = req.get("k")
+        _require(k is not None, "k cannot be empty")
+        _require(int(k) >= 1, "k must be at least 1")
+        coll = self._collection(req.get("index_key"))
+        if len(vectors) != coll.info.dim:
+            raise ApiError(400, "dimension mismatch")
+        itype = coll.info.index_type
+        if itype != "exact":
+            # lazy (re)build: never serve a stale index (module docstring)
+            try:
+                coll.search([0.0] * coll.info.dim, 1, **_SEARCH_PARAMS[itype])
+            except ValueError:
+                params = dict(_BUILD_PARAMS[itype])
+                # tiny collections: a cell count above the corpus size is
+                # untrainable; clamp (the reference's graphs trivially
+                # hold any n)
+                n = coll.scan().count()
+                params["nlist"] = max(1, min(params["nlist"], n))
+                coll.build_index(**params)
+        try:
+            rows = coll.search(
+                [float(x) for x in vectors],
+                int(k),
+                **(_SEARCH_PARAMS.get(itype, {})),
+            ).collect()
+        except ValueError as exc:
+            raise ApiError(500, str(exc)) from exc
+        out_col = "distance" if coll.info.metric == "l2" else "score"
+        return {
+            "code": 0,
+            "labels": [int(r[coll.info.id_col]) for r in rows],
+            "distances": [float(r[out_col]) for r in rows],
+        }
+
+    # -- POST /query (query_handle.rs:12-33) ------------------------------
+    def query(self, req: dict) -> dict:
+        rid = req.get("id")
+        _require(rid is not None, "id cannot be empty")
+        _require(int(rid) >= 1, "id must be at least 1")
+        row = self.docs.get(int(rid))
+        if row is None:
+            # scalar miss -> 500 (query_handle.rs:26, scalar_storage get err)
+            raise ApiError(500, f"no document for id {rid}")
+        return {"code": 0, "data": json.loads(row.doc)}
