@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "maxsim_filtered_search",
     "ivfsq_append_rerank_exhaustive",
     "pipeline_prepare_corpus_v3",
+    "ann_ivf_range_filtered",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -982,3 +982,29 @@ def ivfsq_append_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
         _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_RANGE_FILTERED_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+m AS (
+  SELECT e.vec_id, {_L2} AS distance FROM embeddings e, q
+  WHERE e.label <> 3
+)
+SELECT vec_id, round(distance, 6) AS distance
+FROM m WHERE distance <= {_RANGE_THRESHOLD}
+ORDER BY distance, vec_id
+"""
+
+
+@query("ann_ivf_range_filtered", oracle=_RANGE_FILTERED_ORACLE)
+def ann_ivf_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered range search — the last cell of the [top-k | range] ×
+    [filtered | unfiltered] matrix: the predicate pre-filters rows inside
+    the losslessly-pruned cells (≅ usearch filtered_search composed with
+    faiss range_search), value-exact at any nlist."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    res = idx.range_search(
+        _qvec(spark, sf_dir), _RANGE_THRESHOLD, predicate=F.col("label") != 3
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
