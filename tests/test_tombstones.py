@@ -164,3 +164,42 @@ def test_ivfpq_delete_roundtrip_and_vacuum(emb, qv, survivors, tmp_path):
     assert vac.encoded.count() == survivors.count()
     got = vac.search(qv, 10, nprobe=8, shortlist=10_000_000)
     assert _pairs(got) == _pairs(knn(survivors, qv, 10))
+
+
+def test_graph_append_rebuilds_only_affected_cells(spark, emb, tmp_path):
+    """Untouched cells' graph files must not move (mtime pin — the same
+    contract IvfIndex.append is pinned to); appended nodes are reachable
+    by the beam."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.graph import GraphAnnIndex
+    from vector_db_spark.operators.knn import knn
+
+    p = str(tmp_path / "g")
+    GraphAnnIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        nlist=8, m=16, ef_construction=200, seed=42, max_iter=5,
+    ).save(p)
+    # one new row -> exactly one affected cell
+    one = emb.filter(F.col("vec_id") == 1)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(p + "/graph/*/*.parquet")
+    }
+    GraphAnnIndex.load(spark, p).append(one, path=p)
+    after = glob.glob(p + "/graph/*/*.parquet")
+    untouched = [f for f in after if f in before and os.path.getmtime(f) == before[f]]
+    changed_dirs = {
+        os.path.dirname(f) for f in after if f not in before
+    }
+    assert len(changed_dirs) == 1  # one cell rebuilt
+    assert len(untouched) >= len(before) - 2  # the rest never rewritten
+    # appended node reachable at exhaustive settings
+    idx = GraphAnnIndex.load(spark, p)
+    qv = [float(x) for x in one.head().embedding]
+    got = [r.vec_id for r in idx.search(qv, 3, nprobe=8, ef_search=10**6).collect()]
+    union = emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") == 1))
+    want = [r.vec_id for r in knn(union, qv, 3).collect()]
+    assert got == want and got[0] == 1

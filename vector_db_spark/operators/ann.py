@@ -871,24 +871,17 @@ class CosineLshIndex:
         self.tombstones: DataFrame | None = None
 
     @staticmethod
-    def build(
-        corpus: DataFrame,
-        dim: int,
-        n_bits: int = 8,
-        n_tables: int = 4,
-        seed: int = 42,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-    ) -> "CosineLshIndex":
-        """All n_tables·n_bits hyperplane projections evaluate as ONE
+    def _bucketize(
+        corpus: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+    ) -> DataFrame:
+        """Corpus → long-format (id, vec, extras…, table, bucket). All
+        n_tables·n_bits hyperplane projections evaluate as ONE
         Arrow-batched matmul per partition — (batch × dim) @ (dim ×
         n_tables·n_bits), signs packed to per-table bucket ids — instead
         of n_tables·n_bits interpreted fold expressions over the corpus.
-        The bucket step is the whole LSH build cost at scale, so it gets
-        the BLAS treatment like the other quadratic-adjacent kernels."""
-        rng = np.random.RandomState(seed)
-        planes = rng.normal(size=(n_tables, n_bits, dim))
-        flat = planes.reshape(n_tables * n_bits, dim).T.copy()  # (dim, T*B)
+        Shared by build() and append() (frozen planes both times)."""
+        n_tables, n_bits = planes.shape[0], planes.shape[1]
+        flat = planes.reshape(n_tables * n_bits, planes.shape[2]).T.copy()
         weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
 
         @F.pandas_udf("array<long>")
@@ -910,7 +903,7 @@ class CosineLshIndex:
         # (measured 2× the build cost). _buckets always returns exactly
         # n_tables entries, so outer-vs-inner semantics are identical here
         # and the inference (which skips outer generates) never fires.
-        long_form = (
+        return (
             corpus.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
@@ -922,7 +915,38 @@ class CosineLshIndex:
                 F.posexplode_outer("_bk").alias("table", "bucket"),
             )
         )
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        dim: int,
+        n_bits: int = 8,
+        n_tables: int = 4,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "CosineLshIndex":
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_tables, n_bits, dim))
+        long_form = CosineLshIndex._bucketize(corpus, planes, id_col, vec_col)
         return CosineLshIndex(planes, long_form, id_col, vec_col)
+
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "CosineLshIndex":
+        """Incremental maintenance with FROZEN hyperplanes: new rows
+        bucketize through the same matmul kernel and (with ``path``)
+        append as new files into the (table, bucket) partitions — bucket
+        membership has no cross-row structure, so unlike the graph
+        family nothing rebuilds. Same tombstone caveat as IvfIndex.
+        append: an appended tombstoned id stays dead until compaction."""
+        bucketed = CosineLshIndex._bucketize(
+            new_rows, self.planes, self.id_col, self.vec_col
+        )
+        if path is not None:
+            bucketed.write.mode("append").partitionBy("table", "bucket").parquet(
+                os.path.join(path, "buckets")
+            )
+        self.buckets = self.buckets.unionByName(bucketed)
+        return self
 
     def save(self, path: str) -> None:
         """Persist buckets partitioned by (table, bucket) — search() after

@@ -172,6 +172,10 @@ class GraphAnnIndex:
         # metric='ip' builds beam in MIPS-augmented space [x, √(M²−‖x‖²)]
         # (M² stored here) — the same reduction IvfIndex uses.
         self.max_sq_norm: float | None = None
+        # construction params — append() rebuilds affected cells with the
+        # SAME m/ef_construction the index was built with
+        self._m: int = 16
+        self._ef_construction: int = 200
 
     @staticmethod
     def build(
@@ -237,6 +241,7 @@ class GraphAnnIndex:
         )
         idx = GraphAnnIndex(centroids, graph, id_col, vec_col, metric)
         idx.max_sq_norm = max_sq
+        idx._m, idx._ef_construction = m, ef_construction
         return idx
 
     def save(self, path: str) -> None:
@@ -259,6 +264,8 @@ class GraphAnnIndex:
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
                     "max_sq_norm": self.max_sq_norm,
+                    "m": self._m,
+                    "ef_construction": self._ef_construction,
                 },
                 f,
             )
@@ -283,8 +290,70 @@ class GraphAnnIndex:
             centroids, graph, meta["id_col"], meta["vec_col"], meta["metric"]
         )
         idx.max_sq_norm = meta.get("max_sq_norm")
+        idx._m = meta.get("m", 16)
+        idx._ef_construction = meta.get("ef_construction", 200)
         idx.tombstones = load_tombstones(spark, path)
         return idx
+
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "GraphAnnIndex":
+        """Incremental maintenance for the graph family: new rows assign
+        to the frozen centroids, and the AFFECTED CELLS' NSW subgraphs
+        rebuild (edges must reach the new nodes — appending edge-less
+        rows would leave them unreachable by the beam; the reference
+        pays the analogous re-wiring inside every hnsw/usearch insert).
+        Untouched cells' files never move: with ``path`` the rebuild
+        lands via DYNAMIC partition overwrite of only the affected cell
+        directories. Cost per batch is proportional to the size of the
+        touched cells, not the corpus — the honest incremental bound for
+        adjacency-bearing indexes. metric='ip' reuses the build-time M
+        (norms above it clamp, exactly as IvfIndex.append documents).
+        Appending a tombstoned id does not resurrect it until vacuum."""
+        from vector_db_spark.operators.ann import _nearest_centroid_arrow
+
+        assigned = _nearest_centroid_arrow(
+            new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
+        )
+        affected = [
+            r[_CLUSTER_COL]
+            for r in assigned.select(_CLUSTER_COL).distinct().collect()
+        ]
+        old_in_cells = self.graph.filter(
+            F.col(_CLUSTER_COL).isin(affected)
+        ).drop(NEIGHBOR_COL)
+        union = old_in_cells.unionByName(assigned)
+
+        id_col, vec_col, metric, max_sq = (
+            self.id_col, self.vec_col, self.metric, self.max_sq_norm,
+        )
+        m, efc = self._m, self._ef_construction
+        out_schema = StructType(
+            list(union.schema.fields)
+            + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
+        )
+
+        def _rebuild_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vecs = _map_metric(vecs, metric, max_sq)
+            adj = _nsw_build(vecs, m, efc)
+            ids = pdf[id_col].to_numpy()
+            pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
+            return pdf
+
+        rebuilt = union.groupBy(_CLUSTER_COL).applyInPandas(
+            _rebuild_cell, out_schema
+        )
+        if path is not None:
+            (
+                rebuilt.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_CLUSTER_COL)
+                .parquet(os.path.join(path, "graph"))
+            )
+        self.graph = self.graph.filter(
+            ~F.col(_CLUSTER_COL).isin(affected)
+        ).unionByName(rebuilt)
+        return self
 
     def delete(
         self, ids: Sequence[int] | DataFrame, path: str | None = None

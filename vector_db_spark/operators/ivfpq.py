@@ -178,6 +178,37 @@ class IvfPqIndex:
         idx.tombstones = load_tombstones(spark, path)
         return idx
 
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "IvfPqIndex":
+        """Incremental maintenance with the coarse quantizer AND the PQ
+        codebooks frozen (the faiss ``IndexIVFPQ.add`` shape): new rows
+        assign to existing cells (Arrow GEMM), their residuals encode
+        through the existing codebooks, and (with ``path``) only new
+        files land in the cell layout. Residuals of rows far outside the
+        training distribution quantize worse — shortlist rerank restores
+        exactness; re-train on the usual cadence. Same tombstone caveat
+        as IvfIndex.append."""
+        from vector_db_spark.operators.ann import _nearest_centroid_arrow
+
+        assigned = _nearest_centroid_arrow(
+            new_rows, self.vec_col, self.ivf.centroids, "l2", None
+        )
+        resid = F.zip_with(
+            F.col(self.vec_col),
+            _centroid_lookup(self.ivf.centroids, F.col(_CLUSTER_COL)),
+            lambda x, c: x.cast("double") - c,
+        )
+        encoded_new = self.pq.encode(
+            assigned.withColumn("_resid", resid), code_col="pq_codes"
+        ).drop("_resid")
+        encoded_new = encoded_new.select(*self.encoded.columns)
+        if path is not None:
+            encoded_new.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
+                os.path.join(path, "encoded")
+            )
+        self.encoded = self.encoded.unionByName(encoded_new)
+        self.ivf.assignments = self.encoded
+        return self
+
     def delete(
         self, ids, path: str | None = None
     ) -> "IvfPqIndex":

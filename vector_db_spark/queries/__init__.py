@@ -69,6 +69,9 @@ _VERIFY_FIRST = [
     "ivfsq_append_rerank_exhaustive",
     "pipeline_prepare_corpus_v3",
     "ann_ivf_range_filtered",
+    "ann_lsh_append_exhaustive",
+    "ivfpq_append_exhaustive",
+    "ann_graph_append_exhaustive",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -1008,3 +1008,77 @@ def ann_ivf_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec(spark, sf_dir), _RANGE_THRESHOLD, predicate=F.col("label") != 3
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_lsh_append_exhaustive", oracle=_knn_oracle(_COS, "score", "DESC"))
+def ann_lsh_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH incremental lifecycle: build + persist on half the corpus,
+    append the other half through the persisted (table, bucket) layout
+    (frozen hyperplanes — bucket membership has no cross-row structure,
+    so it's a pure file append), reload; at n_bits=1 / probe_radius=1
+    every bucket probes, so the result must equal exact cosine kNN over
+    the FULL corpus."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lsh_append_")
+    CosineLshIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), dim=64, n_bits=1, n_tables=2, seed=42
+    ).save(path)
+    CosineLshIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") % 2 == 1), path=path
+    )
+    idx = CosineLshIndex.load(spark, path)
+    res = idx.search(_qvec(spark, sf_dir), K, probe_radius=1)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("ivfpq_append_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ivfpq_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ incremental lifecycle (faiss IndexIVFPQ.add): build +
+    persist on half, append half (coarse quantizer AND codebooks frozen,
+    residual-encoded, new files only), reload; full probe + corpus
+    shortlist + raw rerank must equal exact kNN over the full corpus."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfpq_append_")
+    IvfPqIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        nlist=8, m=16, ksub=64, seed=42, max_iter=5,
+    ).save(path)
+    IvfPqIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") % 2 == 1), path=path
+    )
+    idx = IvfPqIndex.load(spark, path)
+    res = idx.search(
+        _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ann_graph_append_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ann_graph_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph incremental lifecycle (the reference re-wires its live graph
+    inside every insert, src/core/index/hnsw_index.rs:16-19; we amortize
+    per batch): build + persist on half, append half — ONLY the affected
+    cells' NSW subgraphs rebuild and land via dynamic partition
+    overwrite — reload; exhaustive beam over all cells must equal exact
+    kNN over the full corpus, proving appended nodes are REACHABLE
+    (edge-less appends would drop them silently)."""
+    import tempfile
+
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graph_append_")
+    GraphAnnIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        nlist=8, m=16, ef_construction=200, seed=42, max_iter=5,
+    ).save(path)
+    GraphAnnIndex.load(spark, path).append(
+        emb.filter(F.col("vec_id") % 2 == 1), path=path
+    )
+    idx = GraphAnnIndex.load(spark, path)
+    res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, ef_search=10**6)
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
