@@ -544,3 +544,66 @@ def test_collection_search_batch_dispatch(spark, tmp_path):
 
     with _pt.raises(ValueError, match="rebuild"):
         ivf.search_batch(queries, 4)
+
+
+def test_refresh_index_incremental_and_rebuild_paths(spark, tmp_path):
+    """refresh_index applies append/retire deltas through the index's own
+    lifecycle (no full rebuild); changed rows force a rebuild (tombstone
+    re-append contract); results always equal exact kNN over the live
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("r", dim=8, metric="l2", index_type="ivf")
+    df = _vec_df(spark, n=80)
+    coll.insert(df.filter(F.col("id") <= 60))
+    coll.build_index(nlist=4, max_iter=5)
+    assert coll.refresh_index(nlist=4, max_iter=5) == "fresh"
+
+    # append-only delta -> incremental
+    coll.insert(df.filter(F.col("id") > 60))
+    assert coll.refresh_index(nlist=4, max_iter=5) == "incremental"
+    qv = [0.0] * 8
+    got = [r.id for r in coll.search(qv, 5, nprobe=4).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
+    assert got == want
+
+    # retire-only delta -> incremental (tombstones)
+    coll.delete(F.col("id") % 9 == 0)
+    assert coll.refresh_index(nlist=4, max_iter=5) == "incremental"
+    got = [r.id for r in coll.search(qv, 5, nprobe=4).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
+    assert got == want
+
+    # changed rows -> rebuild
+    coll.upsert(
+        df.filter(F.col("id") == 2).withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(x * 2.0))")
+        )
+    )
+    assert coll.refresh_index(nlist=4, max_iter=5) == "rebuilt"
+    got = [r.id for r in coll.search(qv, 5, nprobe=4).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
+    assert got == want
+
+
+def test_refresh_index_graph_family(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("rg", dim=8, metric="l2", index_type="graph")
+    df = _vec_df(spark, n=60)
+    coll.insert(df.filter(F.col("id") <= 40))
+    coll.build_index(nlist=2, m=8, ef_construction=100, max_iter=5)
+    coll.insert(df.filter(F.col("id") > 40))
+    assert coll.refresh_index() == "incremental"
+    qv = [0.0] * 8
+    got = [r.id for r in coll.search(qv, 5, nprobe=2, ef_search=10**6).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
+    assert got == want

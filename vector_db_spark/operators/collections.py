@@ -647,6 +647,84 @@ class Collection(_BucketedStore):
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)
 
+    def refresh_index(self, **params) -> str:
+        """INCREMENTAL index maintenance: apply the collection's snapshot
+        delta since the indexed version through the index's own
+        append/tombstone lifecycle instead of a full rebuild — new ids
+        append (frozen quantizers/planes/codebooks; the graph family
+        rebuilds only its affected cells), removed ids tombstone.
+
+        Returns what happened: 'fresh' (nothing to do), 'incremental'
+        (delta applied), or 'rebuilt'. A rebuild still occurs when (a) no
+        index exists yet, or (b) the delta contains CHANGED rows —
+        re-appending a tombstoned id would leave BOTH physical copies
+        dead until compaction (tombstones.py contract), so in-place value
+        updates cannot go the delete+append route; embedding corpora are
+        append/retire-heavy, which is the case this accelerates.
+
+        The snapshot CDC (``diff``) is co-partitioned by construction;
+        the appended rows come from one semi-join against the live
+        snapshot. After the delta applies, the artifact records the new
+        version — search() serves it immediately."""
+        if self.info.index_type == "exact":
+            return "fresh"
+        iv = self._indexed_version()
+        if iv is None:
+            self.build_index(**params)
+            return "rebuilt"
+        # re-read catalog state: another handle may have mutated
+        self.info = self.catalog.get(self.info.name).info
+        if iv == self.info.version:
+            return "fresh"
+        changes = self.diff(iv).cache()
+        try:
+            n_changed = changes.filter(F.col("change") == "changed").count()
+            if n_changed > 0:
+                self.build_index(**params)
+                return "rebuilt"
+            added_ids = changes.filter(F.col("change") == "added").select(
+                self.info.id_col
+            )
+            removed_ids = changes.filter(F.col("change") == "removed").select(
+                self.info.id_col
+            )
+            path = self._index_dir()
+            idx = self._load_index()
+            if removed_ids.head(1):
+                idx.delete(removed_ids, path=path)
+            new_rows = self.scan().join(added_ids, self.info.id_col, "left_semi")
+            if new_rows.head(1):
+                idx.append(new_rows, path=path)
+            with open(os.path.join(path, "indexed_version.json"), "w") as f:
+                json.dump({"version": self.info.version}, f)
+            return "incremental"
+        finally:
+            changes.unpersist()
+
+    def _load_index(self):
+        """The persisted artifact as its family object (load dispatch)."""
+        path = self._index_dir()
+        t = self.info.index_type
+        if t == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            return IvfIndex.load(self.catalog.spark, path)
+        if t == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            return GraphAnnIndex.load(self.catalog.spark, path)
+        if t == "ivfpq":
+            from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+            return IvfPqIndex.load(self.catalog.spark, path)
+        if t == "ivfsq":
+            from vector_db_spark.operators.ivfsq import IvfSqIndex
+
+            return IvfSqIndex.load(self.catalog.spark, path)
+        from vector_db_spark.operators.ann import CosineLshIndex
+
+        return CosineLshIndex.load(self.catalog.spark, path)
+
     def _indexed_version(self) -> int | None:
         p = os.path.join(self._index_dir(), "indexed_version.json")
         if not os.path.exists(p):
