@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "ann_lsh_append_exhaustive",
     "ivfpq_append_exhaustive",
     "ann_graph_append_exhaustive",
+    "collection_incremental_refresh",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

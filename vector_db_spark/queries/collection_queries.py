@@ -264,3 +264,47 @@ def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return coll.diff(1)
+
+
+_REFRESH_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+live AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 <> 0),
+top AS (
+  SELECT l.vec_id, {l2_sq_sql("l.embedding", "q.qv")} AS distance
+  FROM live l, q
+  ORDER BY distance, l.vec_id
+  LIMIT 10
+)
+SELECT vec_id, round(distance, 6) AS distance FROM top
+"""
+
+
+@query("collection_incremental_refresh", oracle=_REFRESH_ORACLE)
+def collection_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance through the catalog: build on half
+    the corpus, ingest the rest, retire every 11th id, refresh_index —
+    the delta applies via append + tombstones (asserted: NOT a rebuild),
+    and the served results must equal exact kNN over the live snapshot
+    bit-for-bit."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    # ids shift by +1: the store enforces id >= 1 (reference contract,
+    # src/models/request/insert.rs:12-14) while fixture vec_ids start at 0
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") + 1).alias("id"), "embedding"
+    )
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="refresh_gate_"))
+    coll = cat.create("c", dim=64, metric="l2", index_type="ivf")
+    coll.insert(emb.filter(F.col("id") % 2 == 1))
+    coll.build_index(nlist=8, max_iter=5)
+    coll.insert(emb.filter(F.col("id") % 2 == 0))
+    coll.delete((F.col("id") - 1) % 11 == 0)
+    mode = coll.refresh_index(nlist=8, max_iter=5)
+    assert mode == "incremental", f"expected incremental refresh, got {mode}"
+    res = coll.search(_qvec(spark, sf_dir), 10, nprobe=8)
+    return res.select(
+        (F.col("id") - 1).alias("vec_id"),
+        F.round("distance", 6).alias("distance"),
+    )
