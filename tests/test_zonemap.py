@@ -218,3 +218,51 @@ def test_zonemap_all_null_file_pruned(spark, tmp_path):
     write_zonemapped(df, path, "price", n_files=2)
     got = read_zonemapped(spark, path, lo=0.0, hi=10.0)
     assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_append_prunes_and_preserves_existing_files(spark, tmp_path):
+    """Appended batches bring their own per-file stats; existing data
+    files and manifest rows never rewrite (mtime pin), and a band scan
+    over the combined table prunes files from BOTH batches while staying
+    lossless."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.sources.zonemap import (
+        append_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+        zonemap_files,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3 % 997).cast("double").alias("v")
+    )
+    p = str(tmp_path / "t")
+    write_zonemapped(df.filter(F.col("id") < 500), p, "v", n_files=5)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(p + "/*.parquet")
+    }
+    n_new = append_zonemapped(df.filter(F.col("id") >= 500), p, "v", n_files=5)
+    assert n_new == 5
+    # existing data files untouched
+    for f, t in before.items():
+        assert os.path.getmtime(f) == t
+    # lossless across batches
+    got = sorted(r.id for r in read_zonemapped(spark, p, lo=100.0, hi=300.0).collect())
+    want = sorted(
+        r.id for r in df.filter((F.col("v") >= 100.0) & (F.col("v") <= 300.0)).collect()
+    )
+    assert got == want
+    # pruning still bites: a narrow band keeps a strict file subset
+    kept, total = zonemap_files(spark, p, {"v": (0.0, 50.0)})
+    assert total == len(before) + n_new
+    assert len(kept) < total
+    # mismatched append columns refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="manifest columns"):
+        append_zonemapped(df, p, "id")

@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "ivfpq_append_exhaustive",
     "ann_graph_append_exhaustive",
     "collection_incremental_refresh",
+    "zonemap_append_scan",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -1546,3 +1546,35 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
     """)
+
+
+@query("zonemap_append_scan", oracle=_ZONEMAP_ORACLE)
+def zonemap_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map ingest: HALF of orders writes zone-mapped,
+    the other half APPENDS (batch-local clustering, per-file stats
+    appended to the manifest, existing files/rows untouched); the band
+    scan over the combined table must equal the unpruned full-table
+    filter bit-for-bit — manifests are per-file truths, so pruning stays
+    lossless across batches."""
+    import tempfile
+
+    from vector_db_spark.sources.zonemap import (
+        append_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zonemap_append_")
+    write_zonemapped(
+        orders.filter(F.col("o_orderkey") % 2 == 0), path, "o_totalprice", n_files=8
+    )
+    n_new = append_zonemapped(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, "o_totalprice", n_files=8
+    )
+    assert n_new > 0, "append must add files"
+    scan = read_zonemapped(spark, path, lo=100000, hi=150000)
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )

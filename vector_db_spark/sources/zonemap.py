@@ -148,6 +148,83 @@ def write_zonemapped(
         )
 
 
+def _data_files(spark: SparkSession, path: str) -> set[str]:
+    """Table data files (parquet parts, underscore dirs excluded) through
+    the Hadoop FS — works on any warehouse store."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return set()
+    return {
+        st.getPath().toString()
+        for st in fs.listStatus(root)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    }
+
+
+def append_zonemapped(
+    df: DataFrame,
+    path: str,
+    zone_cols: str | Sequence[str],
+    n_files: int | None = None,
+    zorder_bits: int = 8,
+) -> int:
+    """Incremental ingest into a zone-mapped table: the new batch
+    clusters INDEPENDENTLY (its own ranges / quantile buckets), its
+    files append to the table, and per-file stats for ONLY the new files
+    append to each column manifest. Existing data files and manifest
+    rows never rewrite — the daily-ingest shape (Delta appends add
+    data-skipping stats the same way; a global re-cluster is OPTIMIZE,
+    i.e. write_zonemapped again, run on a compaction cadence).
+
+    Pruning stays LOSSLESS regardless: manifests are per-file truths, so
+    batch-local clustering only affects how MANY files a predicate
+    retains (each batch's files cover that batch's ranges), never which
+    rows survive. Returns the number of files appended.
+    """
+    cols = [zone_cols] if isinstance(zone_cols, str) else [str(c) for c in zone_cols]
+    spark = df.sparkSession
+    have = _manifest_cols(spark, path)
+    if have and have != sorted(cols):
+        raise ValueError(
+            f"append zone_cols {sorted(cols)} != existing manifest columns {have}"
+        )
+    before = _data_files(spark, path)
+    if len(cols) == 1:
+        out = df
+        key = [F.col(cols[0])]
+    else:
+        out = df.withColumn("__z", _zvalue(df, cols, zorder_bits))
+        key = [F.col("__z")]
+    out = (
+        out.repartitionByRange(n_files, *key)
+        if n_files is not None
+        else out.repartitionByRange(*key)
+    )
+    out = out.sortWithinPartitions(*key)
+    if len(cols) > 1:
+        out = out.drop("__z")
+    out.write.mode("append").parquet(path)
+
+    new_files = sorted(_data_files(spark, path) - before)
+    if not new_files:
+        return 0
+    written = spark.read.parquet(*new_files).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    for c in cols:
+        stats = written.groupBy("file").agg(
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        stats.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, _MANIFEST_DIR, c)
+        )
+    return len(new_files)
+
+
 def _manifest_cols(spark: SparkSession, path: str) -> list[str]:
     """Zone-columns present in the manifest layout, listed through the
     HADOOP FileSystem API — the table may live on any warehouse store
