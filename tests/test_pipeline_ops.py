@@ -688,3 +688,46 @@ def test_fusion_weighted_constant_list_norms_to_one(spark):
     )
     rows = fusion_weighted(corpus, "common", [1.0, 0.0], 5).collect()
     assert all(r.tnorm == 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (operators/tfidf.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_scores_hand_computed(spark):
+    import math
+
+    from vector_db_spark.operators.tfidf import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b d")], ["doc_id", "text"]
+    )
+    rows = {
+        (r.id, r.term): r
+        for r in tfidf_scores(docs).collect()
+    }
+    # N=3; df: a->2, b->2, c->1, d->1
+    idf = lambda df: math.log((3 + 1.0) / (df + 1.0)) + 1.0
+    assert rows[(1, "a")].tf == 2 and rows[(1, "a")].df == 2
+    assert rows[(1, "a")].score == pytest.approx(2 * idf(2))
+    assert rows[(2, "c")].score == pytest.approx(1 * idf(1))
+    assert rows[(3, "b")].score == pytest.approx(2 * idf(2))
+    assert len(rows) == 6  # one row per distinct (doc, term)
+
+
+def test_tfidf_top_terms_rank_and_tiebreak(spark):
+    from vector_db_spark.operators.tfidf import tfidf_top_terms
+
+    # doc 1: 'x' and 'y' both tf=1 df=1 -> tied score; term asc breaks it
+    docs = spark.createDataFrame(
+        [(1, "x y common"), (2, "common common z")], ["doc_id", "text"]
+    )
+    top = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r.id, []).append((r.rk, r.term))
+    assert sorted(by_doc[1]) == [(1, "x"), (2, "y")]
+    # doc 2: rarer 'z' (df=1) with tf=1 vs 'common' (df=2) tf=2 —
+    # 2*idf(2) = 2*(ln(3/3)+1) = 2.0 > 1*idf(1) = ln(3/2)+1 ≈ 1.405
+    assert by_doc[2][0] == (1, "common")

@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "ann_graph_append_exhaustive",
     "collection_incremental_refresh",
     "zonemap_append_scan",
+    "tfidf_top_terms",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

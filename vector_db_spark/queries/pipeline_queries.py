@@ -1791,3 +1791,54 @@ def pipeline_prepare_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         {"src0": 500_000, "src1": 300_000, "src2": 200_000},
     ).select("doc_id", "source", "n_tokens", "n_removed")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: corpus-statistics term weighting
+# (operators/tfidf.py). Corpus df/N come from ALL documents; the output is
+# restricted to the first 200 doc ids to keep the gate compact.
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS score, rk
+FROM ranked WHERE rk <= 3 AND doc_id < 200
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn idf). Plan: tf
+    is one (doc,term) shuffle with map-side partial agg, df re-reduces
+    those rows by term, idf joins back as a vocabulary equi-join, and
+    the per-doc top-k is a single row_number window. The doc_id < 200
+    restriction applies to the OUTPUT only — df/N stay corpus-wide."""
+    from vector_db_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    res = tfidf_top_terms(docs, k=3)
+    return res.filter(F.col("id") < 200).select(
+        F.col("id").alias("doc_id"),
+        "term",
+        F.round("score", 6).alias("score"),
+        "rk",
+    )
