@@ -731,3 +731,21 @@ def test_tfidf_top_terms_rank_and_tiebreak(spark):
     # doc 2: rarer 'z' (df=1) with tf=1 vs 'common' (df=2) tf=2 —
     # 2*idf(2) = 2*(ln(3/3)+1) = 2.0 > 1*idf(1) = ln(3/2)+1 ≈ 1.405
     assert by_doc[2][0] == (1, "common")
+
+
+def test_copurchase_lift_hand_computed(spark):
+    from vector_db_spark.operators.assoc import copurchase_lift
+
+    # orders: o1={p1,p2}, o2={p1,p2}, o3={p1,p3}, o4={p2} -> N=4
+    # counts: p1=3, p2=3, p3=1
+    # (p1,p2): support 2, lift = 2*4/(3*3) = 8/9
+    # (p1,p3): support 1, lift = 1*4/(3*1) = 4/3
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 2)]
+    baskets = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        (r.part_a, r.part_b): (r.support, r.lift)
+        for r in copurchase_lift(baskets).collect()
+    }
+    assert got[(1, 2)] == (2, pytest.approx(8 / 9))
+    assert got[(1, 3)] == (1, pytest.approx(4 / 3))
+    assert set(got) == {(1, 2), (1, 3)}  # duplicate line-items collapse

@@ -425,3 +425,17 @@ def test_substring_dedup_shuffle_shape(spark):
     # exchanges: whash window partitioning + the per-doc regroup (the
     # dup-span map rejoins via broadcast)
     assert plan.count("Exchange (") <= 2 or plan.count("Exchange") <= 4
+
+
+def test_tfidf_pushes_output_filter_to_tf_branch_only(spark):
+    """The doc_id<200 OUTPUT restriction must reach the tf branch's scan
+    (no tf work for non-output docs) while the df/N branches stay
+    corpus-wide — pushing it there would silently shift idf."""
+    from vector_db_spark.queries import QUERIES
+
+    res = QUERIES["tfidf_top_terms"](spark, SF)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # exactly one of the three document scans carries the pushed filter
+    assert plan.count("LessThan(doc_id,200)") == 1, plan
+    # top-k per doc uses the rank-limit pushdown, not a full sort+filter
+    assert "WindowGroupLimit" in plan, plan

@@ -75,6 +75,8 @@ _VERIFY_FIRST = [
     "collection_incremental_refresh",
     "zonemap_append_scan",
     "tfidf_top_terms",
+    "knn_classify",
+    "copurchase_lift",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -703,3 +703,52 @@ def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", F.round("part_value", 4).alias("part_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association: co-purchase pairs with lift (operators/assoc.py)
+# --------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+pc AS (SELECT pk, COUNT(*) AS cnt FROM op GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.support,
+         (CAST(p.support AS DOUBLE) * n.n_orders) / (ca.cnt * cb.cnt) AS lift
+  FROM pairs p
+  JOIN pc ca ON p.part_a = ca.pk
+  JOIN pc cb ON p.part_b = cb.pk
+  CROSS JOIN n
+)
+SELECT part_a, part_b, support, round(lift, 6) AS lift
+FROM scored
+ORDER BY support DESC, lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("copurchase_lift", oracle=_COPURCHASE_ORACLE)
+def copurchase_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs by (support, lift). The self-join
+    keys on the order — per-order fanout is basket-width², bounded by
+    the domain, so pair volume stays a constant factor of the distinct
+    (order, part) relation at any corpus size."""
+    from vector_db_spark.operators.assoc import copurchase_lift
+
+    res = copurchase_lift(_t(spark, sf_dir, "lineitem"))
+    return (
+        res.select("part_a", "part_b", "support", F.round("lift", 6).alias("lift"))
+        .orderBy(
+            F.col("support").desc(),
+            F.col("lift").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )

@@ -11,7 +11,7 @@ column to 6 decimals on both sides (SURVEY.md §7.3.1-2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import l2_norm
@@ -445,3 +445,70 @@ def knn_hamming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return batch_knn_hamming(codes, queries, _BATCH_K)
+
+
+# --------------------------------------------------------------------------
+# kNN classification: majority vote among the 10 nearest neighbors
+# (self excluded). The vote — not the neighbor list — is the output, so
+# this is the engine's "predict" surface over the same exact-kNN core.
+# --------------------------------------------------------------------------
+
+_CLS_K = 10
+_CLS_L2 = l2_sq_sql("e.embedding", "q.qv")
+
+_CLASSIFY_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {_CLS_L2} AS dist
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM scored
+),
+nb AS (
+  SELECT query_id, label FROM ranked WHERE rank > 1 AND rank <= {_CLS_K + 1}
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes FROM nb GROUP BY query_id, label
+),
+best AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label
+         ) AS vrk
+  FROM votes
+)
+SELECT query_id, label AS predicted_label, votes FROM best WHERE vrk = 1
+"""
+
+
+@query("knn_classify", oracle=_CLASSIFY_ORACLE)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification for 25 held-in queries: batch
+    exact kNN at k+1 (rank 1 is the query itself — distance 0 — and is
+    dropped), label join on the tiny neighbor set (broadcast), then one
+    window picks the plurality label (ties to the smaller label). The
+    corpus is scanned once for all queries and never shuffles."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nb = batch_knn(emb, queries, _CLS_K + 1, metric="l2").filter(F.col("rank") > 1)
+    labeled = F.broadcast(nb.select("query_id", "vec_id")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(w))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
