@@ -749,3 +749,39 @@ def test_copurchase_lift_hand_computed(spark):
     assert got[(1, 2)] == (2, pytest.approx(8 / 9))
     assert got[(1, 3)] == (1, pytest.approx(4 / 3))
     assert set(got) == {(1, 2), (1, 3)}  # duplicate line-items collapse
+
+
+def test_pagerank_hand_computed_and_mass_properties(spark):
+    from vector_db_spark.operators.pagerank import INIT_MASS, pagerank
+
+    # 3-cycle: every node has out_deg 1 and in_deg 1 -> mass stays uniform
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    out = {r.id: r.mass for r in pagerank(edges, nodes, iters=3).collect()}
+    base = 15 * INIT_MASS // 100
+    expect = INIT_MASS
+    for _ in range(3):
+        expect = base + (85 * expect) // 100
+    assert out == {1: expect, 2: expect, 3: expect}
+
+    # star: 1,2,3 all point at 4; 4 points at 1. After one round node 4
+    # holds base + 85% of three full masses; sources hold base (+1's inflow)
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+    out = {r.id: r.mass for r in pagerank(edges, nodes, iters=1).collect()}
+    assert out[4] == base + (85 * (3 * INIT_MASS)) // 100
+    assert out[2] == base == out[3]
+    assert out[1] == base + (85 * INIT_MASS) // 100
+    # sink-free graph: mass only shrinks via integer floors
+    assert sum(out.values()) <= 4 * INIT_MASS
+
+
+def test_pagerank_validates_damping(spark):
+    from vector_db_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(1,)], ["id"])
+    edges = spark.createDataFrame([(1, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, nodes, damping_pct=0)

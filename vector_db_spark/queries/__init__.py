@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "tfidf_top_terms",
     "knn_classify",
     "copurchase_lift",
+    "pagerank_knn_graph",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -512,3 +512,79 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrk") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the exact 5-NN graph (operators/pagerank.py): iterative
+# distributed graph analytics in exact integer mass units, so the hash
+# compare is bitwise even though the computation is 5 chained shuffles.
+# --------------------------------------------------------------------------
+
+_PR_SUB = 2000  # subgraph bound keeps the oracle's O(n^2) edge CTE bounded
+_PR_ITERS = 5
+_PR_L2 = l2_sq_sql("a.embedding", "b.embedding")
+
+
+def _pr_oracle() -> str:
+    base = 15 * 10**12 // 100
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+m{i} AS (
+  SELECT n.id,
+         CAST({base} + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM(m.mass // e.out_deg) AS insum
+    FROM ed e JOIN m{i - 1} m ON e.src = m.id GROUP BY e.dst
+  ) s ON n.id = s.dst
+)""")
+    return f"""
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PR_SUB}
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_PR_L2} AS dist
+  FROM sub a, sub b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM scored
+),
+edges AS (SELECT src, dst FROM ranked WHERE rk <= 5),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src),
+nodes AS (SELECT vec_id AS id FROM sub),
+m0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS mass FROM nodes),
+{",".join(its)}
+SELECT id AS vec_id, mass FROM m{_PR_ITERS}
+ORDER BY mass DESC, id LIMIT 20
+"""
+
+
+@query("pagerank_knn_graph", oracle=_pr_oracle())
+def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hubs of the exact 5-NN digraph by 5-round PageRank. Edge
+    build is one batch exact kNN (corpus scanned once, queries
+    broadcast); each round is one equi-join + integer-sum shuffle, and
+    integer mass units make the result engine-portable bit-for-bit."""
+    from vector_db_spark.operators.pagerank import pagerank
+
+    sub = _emb(spark, sf_dir).filter(F.col("vec_id") < _PR_SUB).select(
+        "vec_id", "embedding"
+    )
+    queries = sub.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = (
+        batch_knn(sub, queries, 6, metric="l2")
+        .filter(F.col("rank") > 1)
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    nodes = sub.select(F.col("vec_id").alias("id"))
+    res = pagerank(edges, nodes, iters=_PR_ITERS)
+    return (
+        res.select(F.col("id").alias("vec_id"), "mass")
+        .orderBy(F.col("mass").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
