@@ -77,6 +77,12 @@ HEADLINE = [
     "mixture_sample_docs",
     "substring_dedup_docs",
     "image_phash_neardup",
+    # round-4 continuation: corpus-statistics keyword weighting (3
+    # shuffles), iterative integer-unit graph analytics (5 chained
+    # join+agg rounds), bounded-fanout basket self-join
+    "tfidf_top_terms",
+    "pagerank_knn_graph",
+    "copurchase_lift",
 ]
 
 K = 10

@@ -53,8 +53,12 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100]")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = e.join(deg, "src")
-    n = nodes.select(F.col(id_col).alias("id"))
+    # cut lineage once: the (possibly expensive) edge derivation would
+    # otherwise be re-evaluated inside EVERY round's plan — iters+1
+    # rebuilds of the kNN graph in the gate query (the CC operator's
+    # localCheckpoint pattern, dedup.py:419)
+    ed = e.join(deg, "src").localCheckpoint()
+    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
     base = (100 - damping_pct) * INIT_MASS // 100
     mass = n.select("id", F.lit(INIT_MASS).cast("long").alias("mass"))
     for _ in range(iters):

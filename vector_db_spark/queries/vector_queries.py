@@ -570,8 +570,14 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer mass units make the result engine-portable bit-for-bit."""
     from vector_db_spark.operators.pagerank import pagerank
 
-    sub = _emb(spark, sf_dir).filter(F.col("vec_id") < _PR_SUB).select(
-        "vec_id", "embedding"
+    # the pruned subgraph arrives as ONE file chunk — left alone, the
+    # 2000-query × 2000-row scored cross join (4M l2 folds) runs in a
+    # single task; spread the corpus side across the cluster first
+    sub = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _PR_SUB)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     queries = sub.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
