@@ -785,3 +785,44 @@ def test_pagerank_validates_damping(spark):
     edges = spark.createDataFrame([(1, 1)], ["src", "dst"])
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank(edges, nodes, damping_pct=0)
+
+
+def test_mg_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    from vector_db_spark.operators.sketch import heavy_hitters
+
+    # 'hot' = 30% of tokens but deliberately SPREAD across many rows and
+    # partitions; tail tokens are unique. k=3 -> report above 1/3.
+    rows = [(i, "hot tail%d" % i) for i in range(60)] + [
+        (100 + i, "hot hot unique%d" % i) for i in range(15)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    # totals: 60*2 + 15*3 = 165 tokens; hot = 60 + 30 = 90 > 165/3
+    got = {r.token: r.n for r in heavy_hitters(docs, 3).collect()}
+    assert got == {"hot": 90}
+    # tighter threshold admits nothing else (tail is all-unique)
+    assert {r.token for r in heavy_hitters(docs, 100).collect()} == {"hot"}
+
+
+def test_mg_summary_bounded_per_partition():
+    import pandas as pd
+
+    from vector_db_spark.operators.sketch import _mg_partition
+
+    # one partition fed 3 batches of mostly-distinct tokens: the summary
+    # must never exceed k rows even though thousands of tokens stream by
+    fn = _mg_partition(8)
+    batches = (
+        pd.DataFrame({"token": [f"t{j}_{i}" for j in range(1000)] + ["HH"] * 600})
+        for i in range(3)
+    )
+    out = pd.concat(list(fn(batches)))
+    assert len(out) <= 8
+    assert "HH" in set(out["token"])  # 1800/4800 >> n/(k+1): must survive
+
+
+def test_mg_heavy_hitters_validates_k(spark):
+    from vector_db_spark.operators.sketch import heavy_hitters
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(docs, 0)

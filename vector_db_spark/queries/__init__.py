@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "knn_classify",
     "copurchase_lift",
     "pagerank_knn_graph",
+    "heavy_hitters_mg",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

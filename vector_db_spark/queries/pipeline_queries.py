@@ -1842,3 +1842,39 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         "rk",
     )
+
+
+# --------------------------------------------------------------------------
+# Scalable exact heavy hitters (operators/sketch.py): two-pass Misra-Gries
+# candidates + exact verify — the 100 TB form of heavy_hitter_tokens, whose
+# full-vocabulary shuffle this replaces with bounded summaries. Same final
+# answer, so the gate is exact.
+# --------------------------------------------------------------------------
+
+_MG_K = 100
+
+_MG_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM tok),
+c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT c.token, c.n
+FROM c CROSS JOIN n
+WHERE c.n * {_MG_K} > n.total
+ORDER BY c.n DESC, c.token
+"""
+
+
+@query("heavy_hitters_mg", oracle=_MG_ORACLE)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above 1% corpus frequency via MG-candidates + exact-verify.
+    The answer is identical to the brute-force oracle for ANY input
+    partitioning (candidates have no false negatives; pass 2 is exact),
+    but no shuffle ever carries the full vocabulary."""
+    from vector_db_spark.operators.sketch import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    res = heavy_hitters(docs, _MG_K)
+    return res.orderBy(F.col("n").desc(), F.col("token").asc())
