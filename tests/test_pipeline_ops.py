@@ -826,3 +826,32 @@ def test_mg_heavy_hitters_validates_k(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(docs, 0)
+
+
+def test_label_propagation_two_cliques(spark):
+    from vector_db_spark.operators.labelprop import label_propagation
+
+    # two directed triangles (cliques) joined by nothing: every node must
+    # adopt its clique's minimum id
+    tri = lambda a, b, c: [
+        (a, b), (b, a), (b, c), (c, b), (a, c), (c, a)
+    ]
+    edges = spark.createDataFrame(tri(1, 2, 3) + tri(10, 11, 12), ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12)], ["id"])
+    out = {r.id: r.label for r in label_propagation(edges, nodes, iters=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from vector_db_spark.operators.labelprop import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    out = {r.id: r.label for r in label_propagation(edges, nodes, iters=2).collect()}
+    assert out[99] == 99  # no in-edges -> label never changes
+    assert out[2] == 1    # adopts its only in-neighbor
+    assert out[1] == 1    # no in-edges either
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="iters"):
+        label_propagation(edges, nodes, iters=0)

@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "copurchase_lift",
     "pagerank_knn_graph",
     "heavy_hitters_mg",
+    "label_propagation_knn",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

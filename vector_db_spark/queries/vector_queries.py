@@ -594,3 +594,90 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mass").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation over the same 5-NN graph (operators/labelprop.py):
+# density communities of mutually-similar vectors. Deterministic
+# synchronous LPA — integer votes, ties to the smaller label — so three
+# unrolled rounds hash-match the oracle exactly.
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+v{i} AS (
+  SELECT e.dst, m.label, COUNT(*) AS votes
+  FROM edges e JOIN l{i - 1} m ON e.src = m.id GROUP BY e.dst, m.label
+),
+w{i} AS (
+  SELECT dst, label AS new_label FROM (
+    SELECT dst, label,
+           row_number() OVER (
+             PARTITION BY dst ORDER BY votes DESC, label
+           ) AS rk
+    FROM v{i}
+  ) WHERE rk = 1
+),
+l{i} AS (
+  SELECT l.id, CAST(COALESCE(w.new_label, l.label) AS BIGINT) AS label
+  FROM l{i - 1} l LEFT JOIN w{i} w ON l.id = w.dst
+)""")
+    return f"""
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PR_SUB}
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_PR_L2} AS dist
+  FROM sub a, sub b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM scored
+),
+edges AS (SELECT src, dst FROM ranked WHERE rk <= 5),
+l0 AS (SELECT vec_id AS id, vec_id AS label FROM sub),
+{",".join(rounds)}
+SELECT label AS community, COUNT(*) AS n_members
+FROM l{_LPA_ITERS}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@query("label_propagation_knn", oracle=_lpa_oracle())
+def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 LPA communities of the exact 5-NN digraph after 3 rounds,
+    by member count. Shares the edge build (and its parallelism fix)
+    with pagerank_knn_graph; each round is one join + one vote shuffle
+    + one plurality window."""
+    from vector_db_spark.operators.labelprop import label_propagation
+
+    sub = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _PR_SUB)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = sub.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = (
+        batch_knn(sub, queries, 6, metric="l2")
+        .filter(F.col("rank") > 1)
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    nodes = sub.select(F.col("vec_id").alias("id"))
+    lab = label_propagation(edges, nodes, iters=_LPA_ITERS)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
