@@ -852,6 +852,5 @@ def test_label_propagation_isolated_node_keeps_label(spark):
     assert out[2] == 1    # adopts its only in-neighbor
     assert out[1] == 1    # no in-edges either
 
-    import pytest as _pt
-    with _pt.raises(ValueError, match="iters"):
+    with pytest.raises(ValueError, match="iters"):
         label_propagation(edges, nodes, iters=0)
