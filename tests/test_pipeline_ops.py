@@ -854,3 +854,21 @@ def test_label_propagation_isolated_node_keeps_label(spark):
 
     with pytest.raises(ValueError, match="iters"):
         label_propagation(edges, nodes, iters=0)
+
+
+def test_triangles_hand_computed(spark):
+    from vector_db_spark.operators.triangles import (
+        triangle_participation,
+        triangles,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5); input directed,
+    # duplicated, and with a self-loop — all must be normalized away
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4), (3, 3)], ["src", "dst"]
+    )
+    tri = {tuple(r) for r in triangles(edges).collect()}
+    assert tri == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+    part = {r.id: r.n_triangles for r in triangle_participation(edges).collect()}
+    assert part == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in no triangle

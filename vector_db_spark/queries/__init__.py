@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "pagerank_knn_graph",
     "heavy_hitters_mg",
     "label_propagation_knn",
+    "triangle_participation_knn",
     # --- rows-only probe paths: attestation refresh (rows-only rows);
     # their exhaustive SQL-backed counterparts are already green and
     # recall pins in tests/ guard probe quality ---

@@ -681,3 +681,73 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle participation on the same 5-NN graph (operators/triangles.py):
+# exact oriented-join counting — clique density per vector neighborhood.
+# --------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PR_SUB}
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_PR_L2} AS dist
+  FROM sub a, sub b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM scored
+),
+knn_edges AS (SELECT src, dst FROM ranked WHERE rk <= 5),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM knn_edges
+),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM und ab
+  JOIN und bc ON ab.v = bc.u
+  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+),
+member AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id AS vec_id, COUNT(*) AS n_triangles
+FROM member GROUP BY id
+ORDER BY n_triangles DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("triangle_participation_knn", oracle=_TRI_ORACLE)
+def triangle_participation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most clique-embedded vectors of the 5-NN graph by exact
+    triangle membership. Wedge fanout is bounded by the oriented
+    out-degree (≤ k on a kNN graph), so the two joins stay k²·n."""
+    from vector_db_spark.operators.triangles import triangle_participation
+
+    sub = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _PR_SUB)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = sub.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = (
+        batch_knn(sub, queries, 6, metric="l2")
+        .filter(F.col("rank") > 1)
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    res = triangle_participation(edges)
+    return (
+        res.select(F.col("id").alias("vec_id"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
