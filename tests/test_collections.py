@@ -590,6 +590,40 @@ def test_refresh_index_incremental_and_rebuild_paths(spark, tmp_path):
     assert got == want
 
 
+def test_refresh_index_delete_then_reinsert_rebuilds(spark, tmp_path):
+    """A delete at refresh N followed by a re-insert of the same id shows
+    up only as 'added' at refresh N+1 — but the id is still in the
+    persisted tombstone manifest, so an append would leave the fresh copy
+    dead (silently missing from search).  Resurrected ids must force a
+    rebuild (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import knn
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("rr", dim=8, metric="l2", index_type="ivf")
+    df = _vec_df(spark, n=60)
+    coll.insert(df)
+    coll.build_index(nlist=4, max_iter=5)
+
+    # refresh N: retire id 7 (tombstone persisted)
+    coll.delete(F.col("id") == 7)
+    assert coll.refresh_index(nlist=4, max_iter=5) == "incremental"
+
+    # refresh N+1: the SAME id comes back — diff says only 'added'
+    coll.insert(df.filter(F.col("id") == 7))
+    assert coll.refresh_index(nlist=4, max_iter=5) == "rebuilt"
+
+    # id 7 must be servable again
+    qrow = df.filter(F.col("id") == 7).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    got = [r.id for r in coll.search(qv, 3, nprobe=4).collect()]
+    want = [r.id for r in knn(coll.scan(), qv, 3, id_col="id").collect()]
+    assert got == want
+    assert 7 in got
+
+
 def test_refresh_index_graph_family(spark, tmp_path):
     from pyspark.sql import functions as F
 

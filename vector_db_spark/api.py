@@ -216,6 +216,12 @@ class VectorDatabaseApi:
         coll = self._collection(req.get("index_key"))
         if len(vectors) != coll.info.dim:
             raise ApiError(400, "dimension mismatch")
+        # Empty collection: the reference's backends return an empty
+        # result set for a search over zero vectors; without this guard
+        # the lazy-build path below would count()/build_index() on a
+        # None scan and escape the ApiError contract (ADVICE r4).
+        if coll.scan() is None:
+            return {"code": 0, "labels": [], "distances": []}
         itype = coll.info.index_type
         if itype != "exact":
             # lazy (re)build: never serve a stale index (module docstring)

@@ -67,6 +67,9 @@ def copurchase_lift(
             "part_a",
             "part_b",
             "support",
+            (F.col("support").cast("double") / F.col("cnt_a")).alias(
+                "confidence_a_b"
+            ),
             (
                 (F.col("support").cast("double") * F.col("n_orders"))
                 / (F.col("cnt_a") * F.col("cnt_b"))

@@ -690,6 +690,25 @@ class Collection(_BucketedStore):
             )
             path = self._index_dir()
             idx = self._load_index()
+            # A delete at refresh N followed by a re-insert of the SAME id
+            # shows up here only as 'added' — but the id is still in the
+            # persisted tombstone manifest, so an append would leave the
+            # new physical copy dead behind the tombstone until compaction
+            # (tombstones.py contract) and search() would silently omit a
+            # live id.  Resurrected ids therefore force the same full
+            # rebuild as 'changed' rows (ADVICE r4).
+            tomb = getattr(idx, "tombstones", None)
+            if tomb is not None:
+                from vector_db_spark.operators.tombstones import DEL_COL
+
+                resurrected = added_ids.join(
+                    F.broadcast(tomb),
+                    added_ids[self.info.id_col] == tomb[DEL_COL],
+                    "left_semi",
+                )
+                if resurrected.head(1):
+                    self.build_index(**params)
+                    return "rebuilt"
             if removed_ids.head(1):
                 idx.delete(removed_ids, path=path)
             new_rows = self.scan().join(added_ids, self.info.id_col, "left_semi")

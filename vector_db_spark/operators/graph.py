@@ -344,6 +344,12 @@ class GraphAnnIndex:
             _rebuild_cell, out_schema
         )
         if path is not None:
+            # Materialize BEFORE the dynamic-partition overwrite: the
+            # rebuilt plan lazily reads the very cell files the write is
+            # about to replace; without the cut a mid-write failure could
+            # commit some cell dirs while the in-memory union still
+            # references the old files (ADVICE r4).
+            rebuilt = rebuilt.localCheckpoint()
             (
                 rebuilt.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
