@@ -129,3 +129,109 @@ def test_batch_validation(emb, spark):
     )
     with pytest.raises(ValueError, match="non-empty"):
         maxsim_search_batch(emb, empty, 3, doc_col="label")
+
+
+# ---------------------------------------------------------------------------
+# MaxSimIvfIndex — the PLAID decomposition (token IVF candidates + exact
+# rerank). Gate pattern mirrors every other family: full probe + full
+# shortlist must be VALUE-EXACT vs the exact operator.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def msidx(emb):
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    return MaxSimIvfIndex.build(emb, nlist=8, doc_col="label", max_iter=5)
+
+
+def _pairs(rows):
+    return [(int(r.label), r.maxsim_score) for r in rows]
+
+
+def test_maxsim_ivf_exhaustive_equals_exact(emb, toks, msidx):
+    exact = _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())
+    # candidate path without shortlist (stage 1+3 only)
+    full = _pairs(msidx.search(toks, 5, nprobe=8).collect())
+    assert full == exact
+    # shortlist path (stage 2 approximation active, bound non-binding)
+    fullsl = _pairs(msidx.search(toks, 5, nprobe=8, shortlist=10**6).collect())
+    assert fullsl == exact
+
+
+def test_maxsim_ivf_shortlist_arrow_path(emb, toks, msidx, monkeypatch):
+    want = _pairs(msidx.search(toks, 5, nprobe=8, shortlist=10**6).collect())
+    monkeypatch.setattr(li, "_LITERAL_TERM_CEILING", 1)
+    # ceiling=1 forces BOTH the centroid-score gather kernel and the
+    # rerank's Arrow GEMM; values must agree to fp tolerance
+    got = _pairs(msidx.search(toks, 5, nprobe=8, shortlist=10**6).collect())
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-9)
+
+
+def test_maxsim_ivf_probe_recall(emb, toks, msidx):
+    """Sub-scan settings must still find most of the true top-k — the
+    same recall pin every ANN family carries."""
+    exact = {d for d, _ in _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())}
+    got = _pairs(msidx.search(toks, 5, nprobe=4, shortlist=7).collect())
+    assert len(got) == 5
+    assert len({d for d, _ in got} & exact) >= 4
+    # reported scores are EXACT MaxSim for every returned doc
+    all_exact = dict(
+        _pairs(maxsim_search(emb, toks, 100, doc_col="label").collect())
+    )
+    for d, s in got:
+        assert s == pytest.approx(all_exact[d], abs=1e-9)
+
+
+def test_maxsim_ivf_predicate(emb, toks, msidx):
+    exact = _pairs(
+        maxsim_search(
+            emb, toks, 3, doc_col="label", predicate=F.col("label") != 3
+        ).collect()
+    )
+    got = _pairs(
+        msidx.search(toks, 3, nprobe=8, predicate=F.col("label") != 3).collect()
+    )
+    assert got == exact
+
+
+def test_maxsim_ivf_save_load_delete(emb, toks, msidx, tmp_path):
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    path = str(tmp_path / "msivf")
+    msidx.save(path)
+    spark = emb.sparkSession
+    loaded = MaxSimIvfIndex.load(spark, path)
+    exact = _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())
+    assert _pairs(loaded.search(toks, 5, nprobe=8).collect()) == exact
+
+    # doc-level tombstone: the deleted doc disappears from results
+    top_doc = exact[0][0]
+    loaded.delete([top_doc], path=path)
+    after = _pairs(loaded.search(toks, 5, nprobe=8).collect())
+    assert top_doc not in {d for d, _ in after}
+    want = _pairs(
+        maxsim_search(
+            emb, toks, 5, doc_col="label",
+            predicate=F.col("label") != top_doc,
+        ).collect()
+    )
+    assert after == want
+    # the persisted manifest serves the delete on a fresh load
+    again = MaxSimIvfIndex.load(spark, path)
+    assert _pairs(again.search(toks, 5, nprobe=8).collect()) == want
+
+
+def test_maxsim_ivf_validation(msidx, toks):
+    with pytest.raises(ValueError):
+        msidx.search(toks, 0)
+    with pytest.raises(ValueError):
+        msidx.search(toks, 3, nprobe=0)
+    with pytest.raises(ValueError):
+        msidx.search(toks, 3, shortlist=0)
+    with pytest.raises(ValueError):
+        msidx.search([], 3)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        msidx.search([[1.0, 2.0]], 3)

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import dot
@@ -239,3 +239,260 @@ def maxsim_search_batch(
     return stacked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+class MaxSimIvfIndex:
+    """Token-level IVF candidate generation for MaxSim — the PLAID
+    decomposition (Santhanam et al., CIKM'22) re-expressed as DataFrame
+    ops.
+
+    Every single-vector family here pairs an exact operator with a
+    sub-scan ANN path (the reference's own exact/approx split,
+    /root/reference/src/core/index/faiss_index.rs:60-69 vs
+    /root/reference/src/core/index/hnsw_index.rs:21-35); this closes the
+    same split for MULTI-vector retrieval, whose exact operator
+    (`maxsim_search`) is otherwise O(corpus) per query batch.
+
+    Three stages, each sub-scan at 100 TB:
+
+    1. **candidate generation** — an IVF coarse quantizer over the TOKEN
+       vectors (metric='ip' MIPS augmentation, reusing `IvfIndex`
+       verbatim: token rows are just a corpus whose id column is the doc
+       key).  Per query token the `nprobe` nearest cells come from a
+       driver-side argsort over nlist centroids; candidate docs are the
+       docs with >= 1 token in the probed-cell union — a partition-pruned
+       scan of the cell-partitioned layout, never the full corpus.
+    2. **approximate scoring** (only when `shortlist` bounds the rerank)
+       — PLAID's centroid-score bound: a doc's per-token max dot is
+       approximated by the best <centroid_cell, q_t> over the doc's
+       distinct (doc, cell) pairs inside probed cells (missing token ->
+       0).  The centroid-score table is nlist x T driver-side floats; the
+       distributed side aggregates distinct (doc, cell) pairs — orders of
+       magnitude fewer rows than token rows — with one map-side-combined
+       max shuffle on the doc key.  Top-`shortlist` docs survive.
+    3. **exact rerank** — `maxsim_search` over the candidate docs' FULL
+       token sets (a semi-join; broadcast when `shortlist` bounds it), so
+       reported scores are bit-identical to the exact operator for every
+       returned doc.
+
+    `nprobe >= nlist` with `shortlist=None` (or >= n_docs) degenerates to
+    the exact operator — value-exact, the same lossless-configuration
+    gate every other ANN family carries (`ivfpq_exhaustive` pattern).
+    """
+
+    def __init__(self, ivf) -> None:
+        self.ivf = ivf
+        self.doc_col = ivf.id_col
+        self.vec_col = ivf.vec_col
+
+    # -- lifecycle: delegate to the token-level IvfIndex -----------------
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        nlist: int = 16,
+        *,
+        doc_col: str,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> "MaxSimIvfIndex":
+        """`corpus` is long-format multi-vector (one row per (doc,
+        vector)), the same layout the exact operator takes."""
+        from vector_db_spark.operators.ann import IvfIndex
+
+        return MaxSimIvfIndex(
+            IvfIndex.build(
+                corpus,
+                nlist=nlist,
+                seed=seed,
+                id_col=doc_col,
+                vec_col=vec_col,
+                max_iter=max_iter,
+                metric="ip",
+            )
+        )
+
+    def save(self, path: str) -> None:
+        self.ivf.save(path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "MaxSimIvfIndex":
+        from vector_db_spark.operators.ann import IvfIndex
+
+        return MaxSimIvfIndex(IvfIndex.load(spark, path))
+
+    def append(self, new_rows: DataFrame, path: str | None = None):
+        self.ivf.append(new_rows, path=path)
+        return self
+
+    def delete(self, ids, path: str | None = None):
+        """Doc-level tombstone: every token row of the doc is excluded
+        from candidate generation AND rerank (the manifest anti-join
+        keys on the doc column)."""
+        self.ivf.delete(ids, path=path)
+        return self
+
+    # -- search ----------------------------------------------------------
+
+    def search(
+        self,
+        query_tokens: Sequence[Sequence[float]],
+        k: int,
+        *,
+        nprobe: int = 4,
+        shortlist: int | None = None,
+        predicate: Column | None = None,
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Top-k documents by exact MaxSim over the IVF candidate set.
+
+        `shortlist=None` reranks every candidate doc (lossless given full
+        probe); an integer bounds the rerank to the `shortlist` best docs
+        under the centroid-score approximation (stage 2)."""
+        import numpy as np
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        if shortlist is not None and shortlist < 1:
+            raise ValueError("shortlist must be >= 1 or None")
+        toks = [list(map(float, t)) for t in query_tokens]
+        if not toks:
+            raise ValueError("query_tokens must be non-empty")
+        dims = {len(t) for t in toks}
+        if len(dims) != 1:
+            raise ValueError(
+                f"query tokens must share one dimension, got {dims}"
+            )
+        dim = dims.pop()
+
+        # stage 1: probed cells per token (driver-side argsort over nlist
+        # centroid distances — nlist * T floats, never data)
+        nlist = len(self.ivf.centroids)
+        nprobe = min(nprobe, nlist)
+        probed = [self.ivf.probe_order(t)[:nprobe] for t in toks]
+        union_cells = sorted({c for cells in probed for c in cells})
+
+        live = self.ivf._live()
+        if predicate is not None:
+            live = live.filter(predicate)
+        cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+
+        if shortlist is None:
+            cand_docs = cand_rows.select(self.doc_col).distinct()
+            rerank_src = live.join(cand_docs, self.doc_col, "left_semi")
+        else:
+            # stage 2: centroid-score approximation over distinct
+            # (doc, cell) pairs.  Centroids are MIPS-augmented (dim+1);
+            # the query's augmentation component is 0, so the score is
+            # the raw-dim dot.
+            cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
+            qm = np.asarray(toks, dtype=np.float64)  # T x dim
+            s = cents @ qm.T  # nlist x T
+            # mask: a cell contributes to token t only when probed for t
+            masked = np.full((nlist, len(toks)), np.nan)
+            for t, cells in enumerate(probed):
+                for c in cells:
+                    masked[c, t] = s[c, t]
+
+            doc_cells = cand_rows.select(self.doc_col, _CLUSTER_COL).distinct()
+            n_terms = nlist * len(toks)
+            if n_terms <= _LITERAL_TERM_CEILING:
+                score_cols = []
+                for t in range(len(toks)):
+                    arr = F.array(
+                        *[
+                            F.lit(None).cast("double")
+                            if np.isnan(masked[c, t])
+                            else F.lit(float(masked[c, t]))
+                            for c in range(nlist)
+                        ]
+                    )
+                    score_cols.append(
+                        F.element_at(arr, F.col(_CLUSTER_COL) + 1).alias(
+                            f"_a{t}"
+                        )
+                    )
+                scored = doc_cells.select(self.doc_col, *score_cols)
+                agg = scored.groupBy(self.doc_col).agg(
+                    *[
+                        F.max(f"_a{t}").alias(f"_m{t}")
+                        for t in range(len(toks))
+                    ]
+                )
+            else:
+                # past the literal-planning ceiling: one Arrow lookup
+                # kernel (cluster -> T centroid scores), same agg shape
+                agg = self._centroid_scores_arrow(doc_cells, masked).groupBy(
+                    self.doc_col
+                ).agg(
+                    *[
+                        F.max(F.col("_cs")[t]).alias(f"_m{t}")
+                        for t in range(len(toks))
+                    ]
+                )
+            approx = F.coalesce(F.col("_m0"), F.lit(0.0))
+            for t in range(1, len(toks)):
+                approx = approx + F.coalesce(F.col(f"_m{t}"), F.lit(0.0))
+            cand_docs = (
+                agg.select(self.doc_col, approx.alias("_approx"))
+                .orderBy(F.col("_approx").desc(), F.col(self.doc_col).asc())
+                .limit(shortlist)
+                .select(self.doc_col)
+            )
+            # shortlist bounds the doc set -> broadcast the semi-join
+            rerank_src = live.join(
+                F.broadcast(cand_docs), self.doc_col, "left_semi"
+            )
+
+        # stage 3: exact MaxSim over the candidates' full token sets —
+        # identical fold order to the exact operator, so returned scores
+        # are bit-equal to maxsim_search for every surviving doc
+        return maxsim_search(
+            rerank_src,
+            toks,
+            k,
+            doc_col=self.doc_col,
+            vec_col=self.vec_col,
+            score_col=score_col,
+        )
+
+    def _centroid_scores_arrow(
+        self, doc_cells: DataFrame, masked
+    ) -> DataFrame:
+        """(doc, cell) -> (doc, _cs array<double>) by one vectorized
+        row-gather into the nlist x T masked centroid-score table."""
+        import numpy as np
+        import pandas as pd
+
+        doc_col = self.doc_col
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        doc_type = dict(
+            (f.name, f.dataType.simpleString())
+            for f in doc_cells.schema.fields
+        )[doc_col]
+        table = [
+            [None if np.isnan(v) else float(v) for v in row] for row in masked
+        ]
+
+        def gather(it):
+            tab = np.asarray(masked, dtype=np.float64)
+            for pdf in it:
+                cells = pdf[_CLUSTER_COL].to_numpy()
+                rows = tab[cells]  # |batch| x T gather
+                out = pd.DataFrame({doc_col: pdf[doc_col]})
+                out["_cs"] = [
+                    [None if np.isnan(v) else float(v) for v in r]
+                    for r in rows
+                ]
+                yield out
+
+        _ = table  # driver-side validation of finite table shape
+        return doc_cells.mapInPandas(
+            gather, schema=f"`{doc_col}` {doc_type}, _cs array<double>"
+        )

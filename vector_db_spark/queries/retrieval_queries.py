@@ -297,3 +297,88 @@ def maxsim_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "label", F.round("maxsim_score", 6).alias("maxsim_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxSim with token-level IVF candidate generation (the PLAID
+# decomposition, operators/late_interaction.MaxSimIvfIndex). Docs are
+# vec_id % 97 groups (97 multi-vector docs — a real doc population, vs
+# the 10 label groups). The exhaustive gate holds the family to the same
+# lossless-configuration standard as every single-vector ANN family:
+# full probe + non-binding shortlist must be VALUE-EXACT against the
+# DuckDB exact-MaxSim oracle.
+# ---------------------------------------------------------------------------
+
+_MSIVF_NDOC = 97
+_MSIVF_K = 5
+
+_MSIVF_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+top AS (
+  SELECT doc, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, doc LIMIT {_MSIVF_K}
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+def _msivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        (F.col("vec_id") % _MSIVF_NDOC).alias("doc"), "embedding"
+    )
+
+
+def _msivf_toks(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _N_TOKS).orderBy("vec_id").collect()
+    ]
+
+
+@query("maxsim_ivf_exhaustive", oracle=_MSIVF_ORACLE)
+def maxsim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID pipeline at lossless settings: token IVF candidate
+    generation (full probe), centroid-score shortlist (non-binding
+    bound, so the stage-2 approximation path executes but prunes
+    nothing), exact MaxSim rerank — must equal the exact operator
+    bit-for-bit (same fold order as the oracle's ordered sum)."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    idx = MaxSimIvfIndex.build(
+        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    )
+    res = idx.search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=10**9
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_ivf_probe")
+def maxsim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-scan PLAID retrieval (rows-only probe; recall pinned in
+    tests/test_late_interaction.py): probe a quarter of the cells per
+    token, rerank a 20-doc shortlist — the scan-bound path a 100 TB
+    retrieval user actually hits. Returned scores are exact MaxSim for
+    every surviving doc (stage-3 contract)."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    idx = MaxSimIvfIndex.build(
+        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    )
+    res = idx.search(
+        _msivf_toks(spark, sf_dir), 10, nprobe=4, shortlist=20
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
