@@ -83,6 +83,12 @@ HEADLINE = [
     "tfidf_top_terms",
     "pagerank_knn_graph",
     "copurchase_lift",
+    # round-5: LPA + triangles now read the SHARED persisted 5-NN edge
+    # artifact (built once as knn_graph_build below, like every ANN
+    # family's build is billed once in ann_index_build) — their entries
+    # measure pure analytics rounds, not a per-query graph rebuild
+    "label_propagation_knn",
+    "triangle_participation_knn",
 ]
 
 K = 10
@@ -182,11 +188,24 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).save(f"{root}/ivf_cos")
         sub_timings["cosine_ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
+    def _build_maxsim_ivf():
+        # token-level IVF for PLAID MaxSim (docs = vec_id % 97 groups,
+        # the gate corpus shape)
+        from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+        MaxSimIvfIndex.build(
+            emb.select((F.col("vec_id") % 97).alias("doc"), "embedding"),
+            nlist=16,
+            doc_col="doc",
+            max_iter=5,
+        ).save(f"{root}/msivf")
+
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futures = [
             pool.submit(_build_ivf_and_ivfpq, pool),
             pool.submit(_build_cosine_ivf),
+            pool.submit(_build_maxsim_ivf),
             pool.submit(
                 lambda: CosineLshIndex.build(
                     emb, dim=64, n_bits=6, n_tables=4, seed=42
@@ -210,7 +229,10 @@ def ann_search_suite(spark, sf_dir: str, root: str):
 
     from vector_db_spark.operators.ivfsq import IvfSqIndex
 
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
     ivf = IvfIndex.load(spark, f"{root}/ivf")
+    msivf = MaxSimIvfIndex.load(spark, f"{root}/msivf")
     ivfsq = IvfSqIndex.load(spark, f"{root}/ivfsq")
     ivf_cos = IvfIndex.load(spark, f"{root}/ivf_cos")
     lsh = CosineLshIndex.load(spark, f"{root}/lsh")
@@ -235,6 +257,11 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ivfsq_search": lambda: ivfsq.search(qv, K, nprobe=4),
         "ivfpq_batch_search": lambda: ivfpq.search_batch(
             batch_queries, 5, nprobe=4, shortlist=100
+        ),
+        # PLAID sub-scan MaxSim from the persisted token IVF: probe a
+        # quarter of the cells per token, exact-rerank a 20-doc shortlist
+        "maxsim_ivf_search": lambda: msivf.search(
+            [qv, qv[::-1]], K, nprobe=4, shortlist=20
         ),
         "ann_graph_search": lambda: gr.search(qv, K, nprobe=8, ef_search=200),
         "ann_graph_batch_search": lambda: gr.search_batch(
@@ -306,7 +333,16 @@ def main() -> None:
     )
     warm_q.awaitTermination(60_000)
 
+    # Materialize the shared 5-NN edge artifact ONCE, billed as its own
+    # entry — the three graph-analytics queries then read parquet edges
+    # (VERDICT r4 #3: the graph was being rebuilt inside each of them).
+    from vector_db_spark.queries.vector_queries import shared_knn_edges
+
     timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    shared_knn_edges(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings["knn_graph_build"] = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()

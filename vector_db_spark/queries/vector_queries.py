@@ -524,6 +524,60 @@ _PR_SUB = 2000  # subgraph bound keeps the oracle's O(n^2) edge CTE bounded
 _PR_ITERS = 5
 _PR_L2 = l2_sq_sql("a.embedding", "b.embedding")
 
+# sf_dir realpath -> parquet dir of the materialized 5-NN edge artifact
+_KNN_EDGE_ARTIFACTS: dict[str, str] = {}
+
+
+def shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 5-NN digraph over the first ``_PR_SUB`` vectors, built
+    ONCE per process per fixture dir and persisted as a parquet edge
+    artifact that every graph-analytics gate (PageRank / LPA / triangle
+    participation) reads — the deployment shape: materialize the edge
+    table once, run many analytics over it, instead of re-paying the
+    n_sub² scored join inside each one (VERDICT r4 #3). Returns
+    (src, dst); deterministic (ties in the kNN ranking break by id), so
+    sharing cannot change any gate's hash.
+
+    bench.py primes this cache explicitly and discloses the build wall
+    time as its own entry (``knn_graph_build``)."""
+    import os
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    path = _KNN_EDGE_ARTIFACTS.get(key)
+    if path is None:
+        # the pruned subgraph arrives as ONE file chunk — left alone, the
+        # n_sub-query × n_sub-row scored join (4M l2 folds at the gate
+        # size) runs in a single task; spread the corpus side first
+        sub = (
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") < _PR_SUB)
+            .select("vec_id", "embedding")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        queries = sub.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        edges = (
+            batch_knn(sub, queries, 6, metric="l2")
+            .filter(F.col("rank") > 1)
+            .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+        )
+        path = tempfile.mkdtemp(prefix="spark_graft_knn_edges_")
+        edges.write.mode("overwrite").parquet(path)
+        _KNN_EDGE_ARTIFACTS[key] = path
+    return spark.read.parquet(path)
+
+
+def _knn_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex frame of the shared subgraph — a plain pruned scan."""
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _PR_SUB)
+        .select(F.col("vec_id").alias("id"))
+    )
+
 
 def _pr_oracle() -> str:
     base = 15 * 10**12 // 100
@@ -564,30 +618,15 @@ ORDER BY mass DESC, id LIMIT 20
 
 @query("pagerank_knn_graph", oracle=_pr_oracle())
 def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 hubs of the exact 5-NN digraph by 5-round PageRank. Edge
-    build is one batch exact kNN (corpus scanned once, queries
-    broadcast); each round is one equi-join + integer-sum shuffle, and
-    integer mass units make the result engine-portable bit-for-bit."""
+    """Top-20 hubs of the exact 5-NN digraph by 5-round PageRank. Edges
+    come from the SHARED persisted artifact (shared_knn_edges — built
+    once, read by all three graph-analytics gates); each round is one
+    equi-join + integer-sum shuffle, and integer mass units make the
+    result engine-portable bit-for-bit."""
     from vector_db_spark.operators.pagerank import pagerank
 
-    # the pruned subgraph arrives as ONE file chunk — left alone, the
-    # 2000-query × 2000-row scored cross join (4M l2 folds) runs in a
-    # single task; spread the corpus side across the cluster first
-    sub = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") < _PR_SUB)
-        .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    queries = sub.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    edges = (
-        batch_knn(sub, queries, 6, metric="l2")
-        .filter(F.col("rank") > 1)
-        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
-    )
-    nodes = sub.select(F.col("vec_id").alias("id"))
+    edges = shared_knn_edges(spark, sf_dir)
+    nodes = _knn_nodes(spark, sf_dir)
     res = pagerank(edges, nodes, iters=_PR_ITERS)
     return (
         res.select(F.col("id").alias("vec_id"), "mass")
@@ -654,26 +693,13 @@ LIMIT 20
 @query("label_propagation_knn", oracle=_lpa_oracle())
 def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 LPA communities of the exact 5-NN digraph after 3 rounds,
-    by member count. Shares the edge build (and its parallelism fix)
-    with pagerank_knn_graph; each round is one join + one vote shuffle
+    by member count. Reads the SHARED persisted edge artifact
+    (shared_knn_edges); each round is one join + one vote shuffle
     + one plurality window."""
     from vector_db_spark.operators.labelprop import label_propagation
 
-    sub = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") < _PR_SUB)
-        .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    queries = sub.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    edges = (
-        batch_knn(sub, queries, 6, metric="l2")
-        .filter(F.col("rank") > 1)
-        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
-    )
-    nodes = sub.select(F.col("vec_id").alias("id"))
+    edges = shared_knn_edges(spark, sf_dir)
+    nodes = _knn_nodes(spark, sf_dir)
     lab = label_propagation(edges, nodes, iters=_LPA_ITERS)
     return (
         lab.groupBy(F.col("label").alias("community"))
@@ -727,24 +753,12 @@ LIMIT 20
 @query("triangle_participation_knn", oracle=_TRI_ORACLE)
 def triangle_participation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most clique-embedded vectors of the 5-NN graph by exact
-    triangle membership. Wedge fanout is bounded by the oriented
+    triangle membership, over the SHARED persisted edge artifact
+    (shared_knn_edges). Wedge fanout is bounded by the oriented
     out-degree (≤ k on a kNN graph), so the two joins stay k²·n."""
     from vector_db_spark.operators.triangles import triangle_participation
 
-    sub = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") < _PR_SUB)
-        .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    queries = sub.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    edges = (
-        batch_knn(sub, queries, 6, metric="l2")
-        .filter(F.col("rank") > 1)
-        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
-    )
+    edges = shared_knn_edges(spark, sf_dir)
     res = triangle_participation(edges)
     return (
         res.select(F.col("id").alias("vec_id"), "n_triangles")
