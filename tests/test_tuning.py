@@ -1,0 +1,100 @@
+"""Recall-targeted knob tuning (operators/tuning.py).
+
+The reference hardcodes ef_search=200 (search_index_handle.rs:80); the
+tuner instead picks the cheapest knob meeting a recall target measured
+against the exact operator. Pins: the returned setting meets the target
+on the TUNING sample by construction, generalizes to held-out queries,
+is minimal (one step cheaper fails), and tuning cost stays logarithmic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.ann import IvfIndex
+from vector_db_spark.operators.graph import GraphAnnIndex
+from vector_db_spark.operators.tuning import tune_graph, tune_ivf
+from vector_db_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.01"
+K = 10
+TARGET = 0.8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _queries(emb, lo, hi):
+    return emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _recall_of(index, emb, queries, k, **params):
+    from vector_db_spark.operators.knn import batch_knn
+    from vector_db_spark.operators.tuning import _recall, _topk_sets
+
+    exact = _topk_sets(
+        batch_knn(emb, queries, k, metric=index.metric).collect(),
+        "query_id",
+        "vec_id",
+    )
+    approx = _topk_sets(
+        index.search_batch(queries, k, **params).collect(), "query_id", "vec_id"
+    )
+    return _recall(exact, approx)
+
+
+def test_tune_ivf_meets_target_and_is_minimal(emb):
+    idx = IvfIndex.build(emb, nlist=32, seed=42, max_iter=5)
+    sample = _queries(emb, 0, 20)
+    out = tune_ivf(idx, sample, k=K, recall_target=TARGET)
+    assert out["recall"] >= TARGET
+    assert 1 <= out["nprobe"] <= 32
+    # logarithmic evaluation count: ascent + binary refine over 32 cells
+    assert out["evals"] <= 11
+    # minimality on the tuning sample: one probe fewer fails the target
+    if out["nprobe"] > 1:
+        worse = _recall_of(idx, emb, sample, K, nprobe=out["nprobe"] - 1)
+        assert worse < TARGET
+    # generalization: the chosen knob holds on HELD-OUT queries
+    held = _queries(emb, 20, 40)
+    assert _recall_of(idx, emb, held, K, nprobe=out["nprobe"]) >= TARGET - 0.1
+
+
+def test_tune_ivf_target_one_needs_full_probe_or_lossless(emb):
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    sample = _queries(emb, 0, 10)
+    out = tune_ivf(idx, sample, k=K, recall_target=1.0)
+    # recall 1.0 is guaranteed at nprobe=nlist (lossless by construction)
+    assert out["recall"] == 1.0
+    assert out["nprobe"] <= 8
+
+
+def test_tune_graph_meets_target_on_ladder(emb):
+    idx = GraphAnnIndex.build(emb, nlist=4, m=8, ef_construction=100, seed=42)
+    sample = _queries(emb, 0, 20)
+    out = tune_graph(idx, sample, k=K, recall_target=TARGET)
+    assert out["recall"] >= TARGET
+    assert out["nprobe"] >= 1 and out["ef_search"] >= 10
+    # the chosen pair reproduces its recall on held-out queries
+    held = _queries(emb, 20, 40)
+    got = _recall_of(
+        idx, emb, held, K, nprobe=out["nprobe"], ef_search=out["ef_search"]
+    )
+    assert got >= TARGET - 0.1
+
+
+def test_tune_validates_target(emb):
+    idx = IvfIndex.build(emb.limit(50), nlist=2, seed=42, max_iter=3)
+    sample = _queries(emb, 0, 5)
+    with pytest.raises(ValueError, match="recall_target"):
+        tune_ivf(idx, sample, recall_target=0.0)
+    with pytest.raises(ValueError, match="recall_target"):
+        tune_graph(idx, sample, recall_target=1.5)

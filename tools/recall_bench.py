@@ -145,6 +145,13 @@ def main() -> None:
         for np_ in IVF_PROBES
     }
 
+    # recall-TARGETED tuning (operators/tuning.py): the answer to "which
+    # knob do I deploy" — cheapest setting meeting 0.95 on the sample
+    from vector_db_spark.operators.tuning import tune_graph, tune_ivf
+
+    ivf_tuned = tune_ivf(ivf, queries, k=K, recall_target=0.95)
+    graph_tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
+
     tuned = ivf_recalls[str(IVF_PROBES[-1])]
     print(
         json.dumps(
@@ -152,6 +159,14 @@ def main() -> None:
                 "metric": "ann_recall@10",
                 "value": tuned,
                 "ivf": ivf_recalls,
+                "ivf_tuned": {
+                    k_: (round(v, 4) if isinstance(v, float) else v)
+                    for k_, v in ivf_tuned.items()
+                },
+                "graph_tuned": {
+                    k_: (round(v, 4) if isinstance(v, float) else v)
+                    for k_, v in graph_tuned.items()
+                },
                 "lsh": lsh_recalls,
                 "graph": graph_recalls,
                 "hamming_rerank": hamming_recall,

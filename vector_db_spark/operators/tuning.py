@@ -1,0 +1,218 @@
+"""Recall-targeted knob tuning for the ANN families.
+
+The reference HARDCODES its search effort — ``ef_search = 200`` baked
+into the handler (/root/reference/src/router/handle/
+search_index_handle.rs:80) — so every deployment pays the same probe
+cost regardless of its recall needs. This module answers the question
+the hardcode dodges: *which knob value do I deploy?*  Given a bounded
+sample of real queries and a recall target, it finds the CHEAPEST
+setting whose recall@k against the exact operator (over the same live
+rows, same metric) meets the target.
+
+Cost model: every evaluation is ONE distributed batch-search job over
+the sample (the sample is the bounded side — identical contract to
+`search_batch`), so tuning cost is (#evaluations) × (one probe job).
+The search strategies keep #evaluations logarithmic:
+
+- `tune_ivf` — recall is monotone in ``nprobe`` (more cells can only
+  add candidates), so geometric ascent (1, 2, 4, …, nlist) finds a
+  passing value, then binary search pins the MINIMAL passing nprobe.
+- `tune_graph` — two knobs. Recall is monotone in ``nprobe`` but only
+  empirically-monotone in ``ef_search`` (a wider beam explores more of
+  each cell's NSW graph), so the tuner walks a cost-ordered ladder of
+  (nprobe, ef) pairs (cost ≈ nprobe · ef, the number of beam
+  expansions actually paid) and returns the first pair that passes —
+  minimal in the ladder's cost order.
+
+At 100 TB this runs on a sampled query log at deployment time (or on a
+retrain cadence — quantizer drift moves the recall curve); the chosen
+knobs then serve until the next `retrain`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from vector_db_spark.operators.knn import batch_knn
+
+
+def _topk_sets(rows, query_id_col: str, id_col: str) -> dict:
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[query_id_col], set()).add(r[id_col])
+    return out
+
+
+def _recall(exact: dict, approx: dict) -> float:
+    per_q = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(per_q) / len(per_q) if per_q else 1.0
+
+
+def _exact_sets(
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    k: int,
+    *,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> dict:
+    rows = batch_knn(
+        corpus,
+        sample_queries,
+        k,
+        metric=metric,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).collect()
+    return _topk_sets(rows, query_id_col, id_col)
+
+
+def tune_ivf(
+    index,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Minimal ``nprobe`` with recall@k ≥ ``recall_target`` on the
+    sample, vs exact search over the index's live rows.
+
+    Returns ``{"nprobe": n, "recall": r, "evals": m}``; if even a full
+    probe misses the target (possible only when the sample's exact sets
+    are tombstone-filtered differently — full probe is lossless by
+    construction) the full-probe setting is returned with its recall.
+    """
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+
+    nlist = len(index.centroids)
+    sample = sample_queries.localCheckpoint()
+    exact = _exact_sets(
+        index._live().drop(_CLUSTER_COL),
+        sample,
+        k,
+        metric=index.metric,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+    evals = 0
+    recalls: dict[int, float] = {}
+
+    def measure(nprobe: int) -> float:
+        nonlocal evals
+        if nprobe not in recalls:
+            evals += 1
+            rows = index.search_batch(
+                sample,
+                k,
+                nprobe=nprobe,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+            ).collect()
+            recalls[nprobe] = _recall(
+                exact, _topk_sets(rows, query_id_col, index.id_col)
+            )
+        return recalls[nprobe]
+
+    # geometric ascent to the first passing power of two
+    lo, hi = 0, None
+    n = 1
+    while True:
+        r = measure(min(n, nlist))
+        if r >= recall_target:
+            hi = min(n, nlist)
+            break
+        lo = min(n, nlist)
+        if n >= nlist:
+            return {"nprobe": nlist, "recall": r, "evals": evals}
+        n *= 2
+    # binary refine to the minimal passing nprobe (recall monotone)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if measure(mid) >= recall_target:
+            hi = mid
+        else:
+            lo = mid
+    return {"nprobe": hi, "recall": recalls[hi], "evals": evals}
+
+
+def tune_graph(
+    index,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    ef_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Cheapest (nprobe, ef_search) on a cost-ordered ladder with
+    recall@k ≥ ``recall_target`` on the sample.
+
+    ``ef_ladder`` defaults to (k, 2k, 4k, 8k, 16k) capped below by 16.
+    Returns ``{"nprobe": n, "ef_search": ef, "recall": r, "evals": m}``;
+    falls back to the most expensive rung (with its recall) when nothing
+    passes.
+    """
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+    from vector_db_spark.operators.tombstones import apply_tombstones
+
+    nlist = index.graph.select(_CLUSTER_COL).distinct().count()
+    sample = sample_queries.localCheckpoint()
+    live_nodes = apply_tombstones(
+        index.graph, index.id_col, index.tombstones
+    ).select(index.id_col, index.vec_col)
+    exact = _exact_sets(
+        live_nodes,
+        sample,
+        k,
+        metric=index.metric,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+    if ef_ladder is None:
+        ef_ladder = tuple(max(16, k * m) for m in (1, 2, 4, 8, 16))
+    probes = []
+    n = 1
+    while n < nlist:
+        probes.append(n)
+        n *= 2
+    probes.append(nlist)
+    ladder = sorted(
+        ((p, ef) for p in probes for ef in ef_ladder),
+        key=lambda t: (t[0] * t[1], t[0]),
+    )
+
+    evals = 0
+    last = None
+    for nprobe, ef in ladder:
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            nprobe=nprobe,
+            ef_search=ef,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).collect()
+        r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"nprobe": nprobe, "ef_search": ef, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    return last
