@@ -128,3 +128,57 @@ def test_upsert_then_query_roundtrip(api):
     # query validation + miss (query_handle.rs:15-26)
     assert _status(api.query, {"id": 0}) == 400
     assert _status(api.query, {"id": 999}) == 500
+
+
+def test_search_batch_matches_sequential_one_job_per_collection(api):
+    """N-request batch (engine extension): one Collection.search_batch
+    invocation serves the whole group, responses identical to calling
+    search() per request (VERDICT r4 residual #1)."""
+    from vector_db_spark.operators import collections as colls
+
+    key = {"index_type": "USEARCH", "dim": 4, "metric_type": "L2"}
+    api.create_index(key)
+    for i in range(1, 21):
+        api.insert(
+            {"vectors": [float(i), float(i % 5), 1.0, 0.0], "id": i,
+             "index_key": key}
+        )
+    reqs = [
+        {"vectors": [float(q), float(q % 5), 1.0, 0.0], "k": 3 + (q % 2),
+         "index_key": key}
+        for q in (2, 7, 11, 16, 19)
+    ]
+    seq = [api.search(r) for r in reqs]
+
+    calls = {"n": 0}
+    orig = colls.Collection.search_batch
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    colls.Collection.search_batch = counting
+    try:
+        got = api.search_batch(reqs)
+    finally:
+        colls.Collection.search_batch = orig
+    assert calls["n"] == 1  # five requests, ONE distributed batch job
+    assert got == seq
+
+
+def test_search_batch_mixed_validity_and_empty_collection(api):
+    key = {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}
+    api.create_index(key)  # created, never inserted -> empty
+    missing = {"index_type": "FLAT", "dim": 9, "metric_type": "L2"}
+    got = api.search_batch(
+        [
+            {"vectors": [1.0, 2.0, 3.0], "k": 2, "index_key": key},
+            {"vectors": [], "k": 2, "index_key": key},
+            {"vectors": [1.0] * 9, "k": 2, "index_key": missing},
+            {"vectors": [1.0, 2.0], "k": 2, "index_key": key},
+        ]
+    )
+    assert got[0] == {"code": 0, "labels": [], "distances": []}
+    assert got[1]["code"] == 400
+    assert got[2]["code"] == 404
+    assert got[3]["code"] == 400 and "dimension" in got[3]["error"]
