@@ -1,0 +1,228 @@
+"""OPQ — Optimized Product Quantization (Ge et al., CVPR 2013; faiss's
+``OPQ`` pre-transform): learn an orthonormal rotation R that minimizes
+PQ quantization error, encode R·x, search with rotated queries.
+
+Plain PQ quantizes each subspace independently, so its error is hostage
+to how variance happens to fall across the arbitrary dim-order subspace
+split. OPQ alternates two closed-form steps on the SAME bounded training
+sample the PQ fit uses (driver-side, corpus-size-independent — the
+IvfIndex/ProductQuantizer fit policy):
+
+1. fix R → train per-subspace codebooks on the rotated sample
+   (exactly `ProductQuantizer.fit`'s Lloyd iterations);
+2. fix the codebooks → the error-minimizing orthonormal R is the
+   orthogonal Procrustes solution: SVD of Ŷᵀ X (reconstructions ×
+   inputs), R = U Vᵀ.
+
+R is initialized to I, and the returned model keeps the (R, codebooks)
+pair with the LOWEST training reconstruction error seen — iteration 0
+is therefore exactly plain PQ, so OPQ's training error is ≤ plain PQ's
+BY CONSTRUCTION at equal code budget (pinned in tests/test_pq.py along
+with the search-recall comparison).
+
+Rotation is applied inside the SAME Arrow encode kernel that computes
+the codes (a dim×dim literal-expression rotation would blow the
+Catalyst planning ceiling, ann.py's measured limit); queries rotate
+driver-side (one dim×dim matvec). Because R is orthonormal, L2 is
+preserved — ADC in the rotated space approximates the TRUE distance,
+and the rerank stage uses the raw corpus vectors with the unrotated
+query unchanged. Scan cost, code bytes, and the search plan are
+IDENTICAL to plain PQ; only the codebook geometry improves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.pq import ProductQuantizer, _lloyd
+
+
+def _train_books(pts: np.ndarray, m: int, ksub: int, seed: int, iters: int) -> np.ndarray:
+    dsub = pts.shape[1] // m
+    return np.stack(
+        [
+            _lloyd(pts[:, i * dsub : (i + 1) * dsub], ksub, seed + i, iters)
+            for i in range(m)
+        ]
+    )
+
+
+def _encode_np(pts: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8 codes against (m, ksub, dsub) books."""
+    m, _, dsub = books.shape
+    codes = np.empty((pts.shape[0], m), dtype=np.uint8)
+    for i in range(m):
+        sub = pts[:, i * dsub : (i + 1) * dsub]
+        cb = books[i]
+        d = (
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :]
+        )
+        codes[:, i] = d.argmin(axis=1)
+    return codes
+
+
+def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    return np.concatenate(
+        [books[i][codes[:, i]] for i in range(books.shape[0])], axis=1
+    )
+
+
+class OpqQuantizer:
+    """Rotation + product quantizer; codes are M-byte binary, the same
+    storage/scan footprint as plain PQ at equal (m, ksub)."""
+
+    def __init__(self, rotation: np.ndarray, pq: ProductQuantizer):
+        self.rotation = rotation  # (dim, dim), orthonormal rows
+        self.pq = pq
+        self.id_col = pq.id_col
+        self.vec_col = pq.vec_col
+
+    @staticmethod
+    def fit(
+        corpus: DataFrame,
+        m: int = 8,
+        ksub: int = 256,
+        seed: int = 42,
+        iters: int = 10,
+        opq_iters: int = 8,
+        sample_per_code: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "OpqQuantizer":
+        """Alternating Lloyd/Procrustes on a bounded sample. Keeps the
+        best (R, codebooks) by training reconstruction MSE, so the
+        result is never worse than plain PQ on the training sample."""
+        if not 1 <= ksub <= 256:
+            raise ValueError("ksub must be in [1, 256] (uint8 codes)")
+        dim = len(corpus.select(vec_col).head()[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        target = ksub * sample_per_code
+        n = corpus.count()
+        sampled = corpus.select(F.col(vec_col).alias("v"))
+        if n > target:
+            sampled = sampled.sample(
+                fraction=min(1.0, 1.2 * target / n), seed=seed
+            )
+        pts = np.asarray(
+            [r.v for r in sampled.limit(target).collect()], dtype=np.float64
+        )
+
+        rot = np.eye(dim)
+        best = None  # (mse, rot, books)
+        for _ in range(max(1, opq_iters)):
+            rotated = pts @ rot.T
+            books = _train_books(rotated, m, ksub, seed, iters)
+            recon = _reconstruct_np(_encode_np(rotated, books), books)
+            mse = float(((rotated - recon) ** 2).sum(axis=1).mean())
+            if best is None or mse < best[0]:
+                best = (mse, rot.copy(), books)
+            # Procrustes: R minimizing ||X Rᵀ − Ŷ||_F over orthonormal R
+            u, _, vt = np.linalg.svd(recon.T @ pts)
+            rot = u @ vt
+        _, rot, books = best
+        pq = ProductQuantizer(books, id_col, vec_col)
+        return OpqQuantizer(rot, pq)
+
+    def train_mse(self, pts: np.ndarray) -> float:
+        """Mean squared reconstruction error of ``pts`` under this model
+        (rotation-space — comparable to plain PQ's error on the same
+        points because R is orthonormal)."""
+        rotated = np.asarray(pts, dtype=np.float64) @ self.rotation.T
+        recon = _reconstruct_np(
+            _encode_np(rotated, self.pq.codebooks), self.pq.codebooks
+        )
+        return float(((rotated - recon) ** 2).sum(axis=1).mean())
+
+    def encode(self, df: DataFrame, code_col: str = "opq_codes") -> DataFrame:
+        """Corpus → (…, opq_codes binary): rotation + per-subspace argmin
+        fused in one Arrow kernel (same batch matmul count as PQ encode
+        plus one GEMM for the rotation)."""
+        rot = self.rotation
+        books = self.pq.codebooks
+
+        @F.pandas_udf("binary")
+        def _enc(vecs: pd.Series) -> pd.Series:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            codes = _encode_np(v @ rot.T, books)
+            return pd.Series([c.tobytes() for c in codes])
+
+        return df.withColumn(code_col, _enc(F.col(self.vec_col)))
+
+    def _rotate_query(self, query: Sequence[float]) -> np.ndarray:
+        q = np.asarray(list(query), dtype=np.float64)
+        if q.shape[0] != self.rotation.shape[1]:
+            raise ValueError(
+                f"dimension mismatch: query has {q.shape[0]} components, "
+                f"index dim is {self.rotation.shape[1]}"
+            )
+        return self.rotation @ q
+
+    def search(
+        self,
+        encoded: DataFrame,
+        query: Sequence[float],
+        k: int,
+        code_col: str = "opq_codes",
+        rerank: DataFrame | None = None,
+        shortlist: int = 0,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """ADC top-k in the rotated space; with ``rerank`` the shortlist
+        is re-scored EXACTLY on raw vectors with the unrotated query
+        (valid because R preserves L2). ``shortlist >= |corpus|`` makes
+        the result identical to exact kNN — the lossless-configuration
+        gate (opq_rerank_full)."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        q_rot = self._rotate_query(query)
+        if predicate is not None:
+            encoded = encoded.filter(predicate)
+        scored = self.pq._adc_scores(encoded, q_rot, code_col)
+        if rerank is None:
+            return scored.orderBy(
+                F.col("distance").asc(), F.col(self.id_col).asc()
+            ).limit(k)
+        from vector_db_spark.operators.knn import knn
+
+        ell = shortlist or 4 * k
+        if ell < k:
+            raise ValueError("shortlist must be >= k")
+        cand = (
+            scored.orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
+            .limit(ell)
+            .select(self.id_col)
+        )
+        short = rerank.join(F.broadcast(cand), on=self.id_col, how="inner")
+        return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "rotation.npy"), self.rotation)
+        np.save(os.path.join(path, "codebooks.npy"), self.pq.codebooks)
+        import json
+
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+
+    @staticmethod
+    def load(path: str) -> "OpqQuantizer":
+        import json
+        import os
+
+        rot = np.load(os.path.join(path, "rotation.npy"))
+        books = np.load(os.path.join(path, "codebooks.npy"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return OpqQuantizer(
+            rot, ProductQuantizer(books, meta["id_col"], meta["vec_col"])
+        )

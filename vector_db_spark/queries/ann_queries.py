@@ -1082,3 +1082,42 @@ def ann_graph_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = GraphAnnIndex.load(spark, path)
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=8, ef_search=10**6)
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation rung (operators/opq.py): learned orthonormal rotation in
+# front of PQ — same code bytes, same scan plan, lower quantization error.
+# ---------------------------------------------------------------------------
+
+
+def _opq(spark, sf_dir):
+    from vector_db_spark.operators.opq import OpqQuantizer
+
+    emb = _emb(spark, sf_dir)
+    oq = OpqQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8, opq_iters=6)
+    return emb, oq, oq.encode(emb).select("vec_id", "opq_codes")
+
+
+@query("opq_rerank_full", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def opq_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ correctness gate (same pattern as pq_rerank_full_shortlist):
+    rotate → encode → rotated-query ADC → corpus-sized shortlist →
+    raw-vector rerank with the UNROTATED query must reproduce exact kNN
+    bit-for-bit — the rotation's L2 invariance and the whole codec path
+    verified at once."""
+    emb, oq, enc = _opq(spark, sf_dir)
+    res = oq.search(
+        enc, _qvec(spark, sf_dir), K, rerank=emb, shortlist=10_000_000
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("opq_adc_knn")
+def opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain OPQ search (rows-only; the recall IMPROVEMENT
+    over plain PQ at equal (m, ksub) budget is pinned in
+    tests/test_pq.py). Same in-row recall floor as pq_adc_knn."""
+    _, oq, enc = _opq(spark, sf_dir)
+    res = oq.search(enc, _qvec(spark, sf_dir), K)
+    res = res.select("vec_id", F.round("distance", 6).alias("distance"))
+    return _recall_gated(res, _exact_ids(spark, sf_dir), 0.3, "opq_adc_knn")
