@@ -235,3 +235,83 @@ def test_maxsim_ivf_validation(msidx, toks):
         msidx.search([], 3)
     with pytest.raises(ValueError, match="dimension mismatch"):
         msidx.search([[1.0, 2.0]], 3)
+
+
+def _qframe(emb, spark):
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    return spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+
+
+def test_maxsim_ivf_batch_exhaustive_equals_exact(emb, msidx, spark):
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    queries = _qframe(emb, spark)
+    exact = [
+        (r.query_id, r.label, r.maxsim_score, r.rank)
+        for r in maxsim_search_batch(emb, queries, 5, doc_col="label")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    for kw in ({}, {"shortlist": 10**6}):
+        got = [
+            (r.query_id, r.label, r.maxsim_score, r.rank)
+            for r in msidx.search_batch(queries, 5, nprobe=8, **kw)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert got == exact
+
+
+def test_maxsim_ivf_batch_shortlists_are_per_query(emb, msidx, spark):
+    """A doc shortlisted only by query A must not appear in query B's
+    ranking (the candidates mask) — and per-query results at sub-scan
+    settings keep exact scores for every returned doc."""
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    queries = _qframe(emb, spark)
+    got = msidx.search_batch(queries, 5, nprobe=4, shortlist=6).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    toks = {
+        0: [
+            [float(x) for x in r.token_vec]
+            for r in queries.filter(F.col("query_id") == 0)
+            .orderBy("token_id")
+            .collect()
+        ],
+        1: [
+            [float(x) for x in r.token_vec]
+            for r in queries.filter(F.col("query_id") == 1)
+            .orderBy("token_id")
+            .collect()
+        ],
+    }
+    for q in (0, 1):
+        all_exact = dict(
+            (int(r.label), r.maxsim_score)
+            for r in maxsim_search(emb, toks[q], 100, doc_col="label").collect()
+        )
+        for r in got:
+            if r.query_id == q:
+                assert r.maxsim_score == pytest.approx(
+                    all_exact[int(r.label)], abs=1e-9
+                )
+
+
+def test_maxsim_ivf_batch_validation(msidx, emb, spark):
+    queries = _qframe(emb, spark)
+    with pytest.raises(ValueError):
+        msidx.search_batch(queries, 0)
+    with pytest.raises(ValueError):
+        msidx.search_batch(queries, 3, nprobe=0)
+    with pytest.raises(ValueError):
+        msidx.search_batch(queries, 3, shortlist=0)
+    empty = spark.createDataFrame(
+        [], "query_id long, token_id long, token_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        msidx.search_batch(empty, 3)

@@ -159,9 +159,15 @@ def maxsim_search_batch(
     token_vec_col: str = "token_vec",
     token_id_col: str = "token_id",
     score_col: str = "maxsim_score",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k MaxSim per query for a DataFrame of multi-token queries
     (long format: one row per (query, token)).
+
+    ``candidates`` (columns: query_id, doc) restricts each query's
+    ranking to ITS OWN candidate pairs — the hook the IVF path uses so
+    per-query shortlists don't leak docs across queries; None ranks
+    every query against every corpus doc.
 
     The query set is small (it's the search REQUEST — same bounded-side
     contract as every batch-kNN path), so its tokens collect driver-side
@@ -233,6 +239,14 @@ def maxsim_search_batch(
         F.col("doc").alias(doc_col),
         F.col("qs.s").alias(score_col),
     )
+    if candidates is not None:
+        # equi-join on (query, doc); shortlisted candidate sets are small
+        # enough that AQE broadcasts, full-probe (gate) sets are not —
+        # let the runtime choose rather than forcing a broadcast
+        stacked = stacked.join(
+            candidates.select(query_id_col, doc_col).distinct(),
+            on=[query_id_col, doc_col],
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).desc(), F.col(doc_col).asc()
     )
@@ -459,6 +473,181 @@ class MaxSimIvfIndex:
             doc_col=self.doc_col,
             vec_col=self.vec_col,
             score_col=score_col,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 4,
+        shortlist: int | None = None,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        token_vec_col: str = "token_vec",
+        token_id_col: str = "token_id",
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Top-k exact MaxSim per query over per-query IVF candidate
+        sets — the batch formulation of `search` (same long-format query
+        frame as `maxsim_search_batch`).
+
+        Probed cells resolve per (query, token) driver-side; candidate
+        (query, doc) pairs come from ONE equi-join of the probed
+        (query, cell) set against the cell-partitioned corpus. With
+        `shortlist`, the centroid-score approximation ranks each query's
+        candidates and keeps its own `shortlist` best (one window). The
+        exact rerank scores the candidate docs' full token sets in one
+        corpus pass and masks each query to its own candidates, so no
+        query sees a doc another query shortlisted. ``nprobe >= nlist``
+        with ``shortlist=None`` equals exact `maxsim_search_batch`
+        (the batch exhaustive gate).
+
+        Returns (query_id, doc, score, rank), rank <= k per query.
+        """
+        import numpy as np
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        if shortlist is not None and shortlist < 1:
+            raise ValueError("shortlist must be >= 1 or None")
+        rows = (
+            queries.select(query_id_col, token_id_col, token_vec_col)
+            .orderBy(query_id_col, token_id_col)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("queries must be non-empty")
+        toks = [list(map(float, r[token_vec_col])) for r in rows]
+        owner = [r[query_id_col] for r in rows]
+        dims = {len(t) for t in toks}
+        if len(dims) != 1:
+            raise ValueError(
+                f"query tokens must share one dimension, got {dims}"
+            )
+        dim = dims.pop()
+
+        nlist = len(self.ivf.centroids)
+        nprobe = min(nprobe, nlist)
+        probed = [self.ivf.probe_order(t)[:nprobe] for t in toks]
+        cells_by_query: dict = {}
+        for i, q in enumerate(owner):
+            cells_by_query.setdefault(q, set()).update(probed[i])
+        union_cells = sorted({c for cs in cells_by_query.values() for c in cs})
+
+        live = self.ivf._live()
+        if predicate is not None:
+            live = live.filter(predicate)
+        cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+
+        spark = live.sparkSession
+        qtype = dict(
+            (f.name, f.dataType.simpleString()) for f in queries.schema.fields
+        )[query_id_col]
+        probe_pairs = spark.createDataFrame(
+            [(q, int(c)) for q, cs in cells_by_query.items() for c in sorted(cs)],
+            f"`{query_id_col}` {qtype}, `{_CLUSTER_COL}` int",
+        )
+        # (query, doc) candidates: one broadcast equi-join on the
+        # partition column — the corpus side stays cell-pruned
+        cand_pairs = (
+            cand_rows.join(F.broadcast(probe_pairs), on=_CLUSTER_COL)
+            .select(query_id_col, F.col(self.doc_col))
+            .distinct()
+        )
+
+        if shortlist is not None:
+            # stage 2 (batch): per-token masked centroid scores over
+            # distinct (doc, cell) pairs, per-query sums, one window
+            # keeps each query's `shortlist` best candidates
+            cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
+            qm = np.asarray(toks, dtype=np.float64)
+            s = cents @ qm.T  # nlist x T_total
+            masked = np.full((nlist, len(toks)), np.nan)
+            for t, cells in enumerate(probed):
+                for c in cells:
+                    masked[c, t] = s[c, t]
+            doc_cells = cand_rows.select(self.doc_col, _CLUSTER_COL).distinct()
+            if nlist * len(toks) <= _LITERAL_TERM_CEILING:
+                score_cols = []
+                for t in range(len(toks)):
+                    arr = F.array(
+                        *[
+                            F.lit(None).cast("double")
+                            if np.isnan(masked[c, t])
+                            else F.lit(float(masked[c, t]))
+                            for c in range(nlist)
+                        ]
+                    )
+                    score_cols.append(
+                        F.element_at(arr, F.col(_CLUSTER_COL) + 1).alias(
+                            f"_a{t}"
+                        )
+                    )
+                agg = doc_cells.select(self.doc_col, *score_cols).groupBy(
+                    self.doc_col
+                ).agg(
+                    *[
+                        F.max(f"_a{t}").alias(f"_m{t}")
+                        for t in range(len(toks))
+                    ]
+                )
+            else:
+                agg = self._centroid_scores_arrow(doc_cells, masked).groupBy(
+                    self.doc_col
+                ).agg(
+                    *[
+                        F.max(F.col("_cs")[t]).alias(f"_m{t}")
+                        for t in range(len(toks))
+                    ]
+                )
+            by_query: dict = {}
+            for i, q in enumerate(owner):
+                by_query.setdefault(q, []).append(i)
+            structs = []
+            for q, idxs in by_query.items():
+                total = F.coalesce(F.col(f"_m{idxs[0]}"), F.lit(0.0))
+                for i in idxs[1:]:
+                    total = total + F.coalesce(F.col(f"_m{i}"), F.lit(0.0))
+                structs.append(
+                    F.struct(F.lit(q).alias("qid"), total.alias("s"))
+                )
+            approx = agg.select(
+                self.doc_col, F.explode(F.array(*structs)).alias("qs")
+            ).select(
+                F.col("qs.qid").alias(query_id_col),
+                self.doc_col,
+                F.col("qs.s").alias("_approx"),
+            ).join(cand_pairs, on=[query_id_col, self.doc_col])
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.col("_approx").desc(), F.col(self.doc_col).asc()
+            )
+            cand_pairs = (
+                approx.withColumn("_ark", F.row_number().over(w))
+                .filter(F.col("_ark") <= shortlist)
+                .select(query_id_col, self.doc_col)
+            )
+
+        rerank_src = live.join(
+            cand_pairs.select(self.doc_col).distinct(),
+            self.doc_col,
+            "left_semi",
+        )
+        return maxsim_search_batch(
+            rerank_src,
+            queries,
+            k,
+            doc_col=self.doc_col,
+            vec_col=self.vec_col,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+            score_col=score_col,
+            candidates=cand_pairs,
         )
 
     def _centroid_scores_arrow(

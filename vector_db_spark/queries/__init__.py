@@ -21,69 +21,31 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Rounds 1-3 attested 150 slots (142 distinct queries
-# value-green).  Round-4 rotation (VERDICT.md round 3, "Next round" item
-# 1): slots 1-7 are the ONLY oracle-backed queries that have never had a
-# driver row (all late-round-3 additions, locally value-exact at
-# sf0.001/sf0.01).  The slots after them hold new round-4 gate queries as
-# they land (ANN tombstone deletes, graph ip metric, filtered graph/IVF-PQ
-# batch, streaming IVF append), then rows-only probes for attestation
-# refresh.  Previously-attested queries rotate to the back and keep their
-# earlier green rows.
+# ``queries()``.  Cumulative state after round 4: ALL oracle-backed
+# queries in the registry have a green driver hash row (r1-r4; VERDICT r4
+# "0 never-attested").  Round-5 ordering (VERDICT r4 item 7):
+# (1) the four NEW round-5 gates (PLAID MaxSim-IVF, OPQ rung);
+# (2) every gate whose code path CHANGED this round (video blocking
+#     rewrite, refresh resurrect fix, copurchase confidence column,
+#     shared 5-NN edge artifact + auto mass units for the graph trio);
+# (3) freshness re-attestation of all 17 pre-round rows-only probes;
+# (4) a rotating cross-family sample of r1/r2-attested gates at the
+#     CURRENT code.  Everything else keeps its earlier green rows.
 _VERIFY_FIRST = [
-    # --- the 7 never-attested round-3 queries (VERDICT r3 item 1) ---
-    "fuzzy_name_pairs",
-    "fuzzy_entity_canonical",
-    "zonemap_pruned_scan",
-    "zorder_box_scan",
-    "ann_ivf_retrain_ip_full_probe",
-    "ann_ivf_batch_cosine_full_probe",
-    "ann_ivf_batch_ip_full_probe",
-    # --- new round-4 gate queries (registered this round) ---
-    "ann_ivf_delete_full_probe",
-    "ann_lsh_delete_exhaustive",
-    "ann_graph_delete_exhaustive",
-    "ivfpq_delete_exhaustive",
-    "ann_graph_ip_exhaustive",
-    "ann_graph_batch_filtered_exhaustive",
-    "ivfpq_batch_filtered_exhaustive",
-    "stream_ivf_append_full_probe",
-    # --- round-4 session-2 additions: IVF-SQ family, MaxSim late
-    # interaction, weighted fusion, mixture sampling ---
-    "ivfsq_decoded_full_probe",
-    "ivfsq_rerank_exhaustive",
-    "ivfsq_batch_rerank_exhaustive",
-    "ivfsq_delete_exhaustive",
-    "maxsim_label_search",
-    "fusion_weighted_search",
-    "mixture_sample_docs",
-    "ann_ivf_knn_join_exhaustive",
-    "tpch_q11_value_share",
-    "maxsim_batch_search",
-    "stream_ivf_delete_full_probe",
-    "image_phash_neardup",
-    "audio_fp_neardup",
+    # --- (1) new round-5 gates ---
+    "maxsim_ivf_exhaustive",
+    "maxsim_ivf_batch_exhaustive",
+    "opq_rerank_full",
+    "maxsim_ivf_probe",
+    "opq_adc_knn",
+    # --- (2) gates over round-5-changed code paths ---
     "video_phash_neardup",
-    "substring_dedup_docs",
-    "maxsim_filtered_search",
-    "ivfsq_append_rerank_exhaustive",
-    "pipeline_prepare_corpus_v3",
-    "ann_ivf_range_filtered",
-    "ann_lsh_append_exhaustive",
-    "ivfpq_append_exhaustive",
-    "ann_graph_append_exhaustive",
     "collection_incremental_refresh",
-    "zonemap_append_scan",
-    "tfidf_top_terms",
-    "knn_classify",
     "copurchase_lift",
     "pagerank_knn_graph",
-    "heavy_hitters_mg",
     "label_propagation_knn",
     "triangle_participation_knn",
-    # --- rows-only probe paths: attestation refresh (rows-only rows);
-    # their exhaustive SQL-backed counterparts are already green and
-    # recall pins in tests/ guard probe quality ---
+    # --- (3) rows-only probes: freshness re-attestation ---
     "mmr_rerank_diverse",
     "rocchio_expanded_search",
     "pca_shortlist_search",
@@ -93,6 +55,28 @@ _VERIFY_FIRST = [
     "bpe_tokenize_docs",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "ann_ivf_probe",
+    "ann_lsh_cosine",
+    "ann_lsh_filtered",
+    "ann_ivf_batch_probe",
+    "pq_adc_knn",
+    "ivfpq_probe",
+    "ann_graph_nsw",
+    "sketch_stats_orders",
+    # --- (4) rotating freshness sample of early-round gates ---
+    "knn_l2",
+    "knn_ip",
+    "knn_cosine",
+    "knn_filtered_neq",
+    "knn_batch",
+    "point_lookup",
+    "upsert_readback",
+    "tpch_q1_pricing",
+    "tpch_q5_region",
+    "window_top_customers",
+    "events_sessionization",
+    "dedup_exact",
+    "stream_tumbling_agg",
 ]
 
 

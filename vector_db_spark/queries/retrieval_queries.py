@@ -382,3 +382,58 @@ def maxsim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _msivf_toks(spark, sf_dir), 10, nprobe=4, shortlist=20
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+_MSIVF_BATCH_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id // 3 AS query_id, vec_id AS t, embedding AS qv
+  FROM embeddings WHERE vec_id < 6
+),
+per AS (
+  SELECT tok.query_id, e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY tok.query_id, doc, tok.t
+),
+scored AS (
+  SELECT query_id, doc, sum(m ORDER BY t) AS maxsim_score
+  FROM per GROUP BY query_id, doc
+),
+ranked AS (
+  SELECT query_id, doc, maxsim_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY maxsim_score DESC, doc
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, doc, round(maxsim_score, 6) AS maxsim_score, rank
+FROM ranked WHERE rank <= {_MSIVF_K}
+"""
+
+
+@query("maxsim_ivf_batch_exhaustive", oracle=_MSIVF_BATCH_ORACLE)
+def maxsim_ivf_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PLAID at lossless settings: per-query candidate sets from
+    one probed-(query, cell) equi-join, non-binding per-query shortlist
+    windows, one exact rerank pass masked to each query's own candidates
+    — must equal exact batch MaxSim bit-for-bit."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    idx = MaxSimIvfIndex.build(
+        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    )
+    res = idx.search_batch(queries, _MSIVF_K, nprobe=16, shortlist=10**9)
+    return res.select(
+        "query_id",
+        "doc",
+        F.round("maxsim_score", 6).alias("maxsim_score"),
+        "rank",
+    )
