@@ -439,3 +439,56 @@ def test_tfidf_pushes_output_filter_to_tf_branch_only(spark):
     assert plan.count("LessThan(doc_id,200)") == 1, plan
     # top-k per doc uses the rank-limit pushdown, not a full sort+filter
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_maxsim_ivf_candidate_scan_prunes_partitions(spark, tmp_path):
+    """PLAID stage 1 on a LOADED token IVF: the candidate-generation
+    scan must be parquet partition pruning on cluster_id (the sub-scan
+    property the family exists for), and the exact rerank keeps the
+    one-partial-agg-shuffle MaxSim shape downstream."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    idx = MaxSimIvfIndex.build(emb, nlist=4, doc_col="label", max_iter=2)
+    idx.save(str(tmp_path / "ms"))
+    loaded = MaxSimIvfIndex.load(spark, str(tmp_path / "ms"))
+    plan = (
+        loaded.search(toks, 3, nprobe=1, shortlist=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "cluster_id" in seg[:250] for seg in plan.split("PartitionFilters")[1:]
+    ), plan[:500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_opq_adc_scan_reads_codes_not_vectors(spark):
+    """OPQ's compressed-domain scan must read ONLY (id, codes) — same
+    contract as plain PQ/Hamming: pulling the raw vector column would
+    forfeit the 16x scan-byte cut the codec pays for."""
+    import tempfile
+
+    from vector_db_spark.operators.opq import OpqQuantizer
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    oq = OpqQuantizer.fit(emb, m=8, ksub=16, seed=42, iters=2, opq_iters=2)
+    path = tempfile.mkdtemp(prefix="opq_") + "/codes.parquet"
+    oq.encode(emb).select("vec_id", "opq_codes").write.mode("overwrite").parquet(path)
+    saved = spark.read.parquet(path)
+    qv = [0.0] * 64
+    plan = (
+        oq.search(saved, qv, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "embedding" not in plan
