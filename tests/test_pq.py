@@ -379,3 +379,42 @@ def test_opq_improves_on_pq_at_equal_budget(spark, emb):
         rp += len(exact & {r.vec_id for r in pq.search(enc_p, qv, 10).collect()})
         ro += len(exact & {r.vec_id for r in oq.search(enc_o, qv, 10).collect()})
     assert ro >= rp  # equal-budget recall never worse, typically better
+
+
+def test_ivfopq_exhaustive_and_lifecycle(spark, emb, tmp_path):
+    """IVF-OPQ composition: full probe + full shortlist == exact kNN;
+    append rotates against the frozen geometry; deletes tombstone; the
+    artifact round-trips with its rotation."""
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfOpqIndex.build(
+        half, nlist=4, m=16, ksub=16, seed=42, max_iter=3, pq_iters=4,
+        opq_iters=3,
+    )
+    path = str(tmp_path / "ivfopq")
+    idx.save(path)
+    loaded = IvfOpqIndex.load(spark, path)
+    loaded.append(rest, path=path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
+    got = loaded.search(qv, 10, nprobe=4, shortlist=10**7, rerank=emb).collect()
+    want = knn(emb, qv, 10).collect()
+    assert [(r.vec_id, r.distance) for r in got] == [
+        (r.vec_id, r.distance) for r in want
+    ]
+
+    # tombstone the top hit; it must vanish and results equal exact-minus
+    top = got[0].vec_id
+    loaded.delete([int(top)], path=path)
+    after = loaded.search(qv, 10, nprobe=4, shortlist=10**7, rerank=emb).collect()
+    want2 = knn(emb, qv, 10, predicate=F.col("vec_id") != int(top)).collect()
+    assert [(r.vec_id, r.distance) for r in after] == [
+        (r.vec_id, r.distance) for r in want2
+    ]
+
+    # contract: shortlist rerank without the raw frame is refused
+    with pytest.raises(ValueError, match="raw corpus"):
+        loaded.search(qv, 5, shortlist=50)

@@ -226,3 +226,156 @@ class OpqQuantizer:
         return OpqQuantizer(
             rot, ProductQuantizer(books, meta["id_col"], meta["vec_col"])
         )
+
+
+def rotate_corpus(
+    df: DataFrame, rotation: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Replace ``vec_col`` with R·x (one Arrow GEMM per batch — a dim²
+    literal expression would stall Catalyst, ann.py's measured ceiling).
+    All other columns pass through for predicates/ids."""
+    rot = rotation
+
+    @F.pandas_udf("array<double>")
+    def _rot(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        out = v @ rot.T
+        return pd.Series(list(out))
+
+    return df.withColumn(vec_col, _rot(F.col(vec_col)))
+
+
+class IvfOpqIndex:
+    """faiss's flagship composition ``OPQ{M},IVF{nlist},PQ{M}``: the
+    learned rotation feeds the IVF-PQ layout — cells, residuals, and
+    codebooks all live in the rotated space, where the PQ subspace split
+    wastes less of its code budget.
+
+    The stored artifact is a plain IvfPqIndex over the ROTATED vectors
+    plus ``rotation.npy`` — every IVF-PQ property (cell-partitioned
+    parquet, partition-pruned ADC probes, tombstones, append with frozen
+    quantizers) is inherited by construction, not reimplemented.
+
+    Exactness contract: the shortlist rerank takes the RAW corpus frame
+    and the UNROTATED query (L2 is rotation-invariant, but float folds
+    are not — reranking rotated copies would be equal only to ~1e-14,
+    not bit-exact, so the wrapper reranks against the original floats).
+    Full probe + corpus-sized shortlist therefore reproduces exact kNN
+    bit-for-bit (gate: ivfopq_exhaustive)."""
+
+    def __init__(self, rotation: np.ndarray, ivfpq) -> None:
+        self.rotation = rotation
+        self.ivfpq = ivfpq
+        self.id_col = ivfpq.id_col
+        self.vec_col = ivfpq.vec_col
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        nlist: int = 16,
+        m: int = 8,
+        ksub: int = 256,
+        seed: int = 42,
+        max_iter: int = 20,
+        pq_iters: int = 10,
+        opq_iters: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfOpqIndex":
+        from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+        # OPQ training (rotation wrt the plain-PQ objective on a bounded
+        # sample — the standard faiss pre-transform recipe; the interim
+        # codebooks are discarded, residual codebooks retrain below)
+        oq = OpqQuantizer.fit(
+            corpus,
+            m=m,
+            ksub=ksub,
+            seed=seed,
+            iters=pq_iters,
+            opq_iters=opq_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        rotated = rotate_corpus(corpus, oq.rotation, vec_col)
+        ivfpq = IvfPqIndex.build(
+            rotated,
+            nlist=nlist,
+            m=m,
+            ksub=ksub,
+            seed=seed,
+            max_iter=max_iter,
+            pq_iters=pq_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return IvfOpqIndex(oq.rotation, ivfpq)
+
+    def save(self, path: str) -> None:
+        import os
+
+        self.ivfpq.save(path)
+        np.save(os.path.join(path, "rotation.npy"), self.rotation)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfOpqIndex":
+        import os
+
+        from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+        rot = np.load(os.path.join(path, "rotation.npy"))
+        return IvfOpqIndex(rot, IvfPqIndex.load(spark, path))
+
+    def append(self, new_rows: DataFrame, path: str | None = None):
+        """Frozen rotation + frozen quantizers: new rows rotate, assign,
+        and residual-encode against the build-time geometry (the IVF-PQ
+        append contract)."""
+        self.ivfpq.append(
+            rotate_corpus(new_rows, self.rotation, self.vec_col), path=path
+        )
+        return self
+
+    def delete(self, ids, path: str | None = None):
+        self.ivfpq.delete(ids, path=path)
+        return self
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        nprobe: int = 4,
+        shortlist: int = 0,
+        rerank: DataFrame | None = None,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """ADC over probed cells in rotated space; with ``rerank`` (the
+        RAW corpus frame — REQUIRED for the exactness contract, since the
+        stored vectors are rotated copies) the L-best ADC candidates are
+        exact-reranked against the original floats with the unrotated
+        query. ``shortlist`` without ``rerank`` raises."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        q = np.asarray(list(query), dtype=np.float64)
+        if q.shape[0] != self.rotation.shape[1]:
+            raise ValueError(
+                f"dimension mismatch: query has {q.shape[0]} components, "
+                f"index dim is {self.rotation.shape[1]}"
+            )
+        q_rot = [float(x) for x in self.rotation @ q]
+        if shortlist == 0 and rerank is None:
+            return self.ivfpq.search(q_rot, k, nprobe, predicate=predicate)
+        if rerank is None:
+            raise ValueError(
+                "shortlist rerank needs the raw corpus frame (rerank=); "
+                "the stored vectors are rotated copies"
+            )
+        ell = shortlist or 4 * k
+        if ell < k:
+            raise ValueError("shortlist must be >= k")
+        from vector_db_spark.operators.knn import knn
+
+        cand = self.ivfpq.search(
+            q_rot, ell, nprobe, predicate=predicate
+        ).select(self.id_col)
+        short = rerank.join(F.broadcast(cand), on=self.id_col, how="inner")
+        return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)

@@ -1121,3 +1121,23 @@ def opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = oq.search(enc, _qvec(spark, sf_dir), K)
     res = res.select("vec_id", F.round("distance", 6).alias("distance"))
     return _recall_gated(res, _exact_ids(spark, sf_dir), 0.3, "opq_adc_knn")
+
+
+@query("ivfopq_exhaustive", oracle=_knn_oracle(_L2, "distance", "ASC"))
+def ivfopq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-OPQ correctness gate (faiss 'OPQ16,IVF8,PQ16'): learned
+    rotation → coarse cells → residual PQ, full probe + corpus-sized
+    shortlist, exact rerank on the RAW corpus with the unrotated query —
+    must reproduce exact kNN bit-for-bit (rotated-copy rerank would only
+    agree to ~1e-14; the wrapper's contract forbids it)."""
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfOpqIndex.build(
+        emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, pq_iters=8,
+        opq_iters=4,
+    )
+    res = idx.search(
+        _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
