@@ -98,3 +98,56 @@ def test_tune_validates_target(emb):
         tune_ivf(idx, sample, recall_target=0.0)
     with pytest.raises(ValueError, match="recall_target"):
         tune_graph(idx, sample, recall_target=1.5)
+
+
+def test_tune_ivfpq_meets_target_on_ladder(emb):
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+    from vector_db_spark.operators.tuning import tune_ivfpq
+
+    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=16, seed=42, max_iter=3)
+    sample = _queries(emb, 0, 20)
+    out = tune_ivfpq(idx, sample, k=K, recall_target=TARGET)
+    assert out["recall"] >= TARGET
+    assert out["nprobe"] >= 1 and out["shortlist"] >= 2 * K
+    # reproduce at the chosen knobs on held-out queries
+    held = _queries(emb, 20, 40)
+    from vector_db_spark.operators.knn import batch_knn
+    from vector_db_spark.operators.tuning import _recall, _topk_sets
+
+    exact = _topk_sets(
+        batch_knn(emb, held, K).collect(), "query_id", "vec_id"
+    )
+    rows = idx.search_batch(
+        held, K, nprobe=out["nprobe"], shortlist=out["shortlist"]
+    ).collect()
+    assert _recall(exact, _topk_sets(rows, "query_id", "vec_id")) >= TARGET - 0.1
+
+
+def test_tune_maxsim_meets_target_on_ladder(emb, spark):
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimIvfIndex,
+        maxsim_search_batch,
+    )
+    from vector_db_spark.operators.tuning import _recall, _topk_sets, tune_maxsim
+
+    corpus = emb.select((F.col("vec_id") % 97).alias("doc"), "embedding")
+    idx = MaxSimIvfIndex.build(corpus, nlist=16, doc_col="doc", max_iter=3)
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 12).orderBy("vec_id").collect()
+    ]
+    sample = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    out = tune_maxsim(idx, sample, k=5, recall_target=TARGET)
+    assert out["recall"] >= TARGET
+    # chosen knobs reproduce their recall on the tuning queries
+    exact = _topk_sets(
+        maxsim_search_batch(corpus, sample, 5, doc_col="doc").collect(),
+        "query_id",
+        "doc",
+    )
+    rows = idx.search_batch(
+        sample, 5, nprobe=out["nprobe"], shortlist=out["shortlist"]
+    ).collect()
+    assert _recall(exact, _topk_sets(rows, "query_id", "doc")) >= TARGET

@@ -216,3 +216,134 @@ def tune_graph(
         if r >= recall_target:
             return last
     return last
+
+
+def tune_ivfpq(
+    index,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    shortlist_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Cheapest (nprobe, shortlist) on a cost-ordered ladder with
+    recall@k ≥ ``recall_target`` for the IVF-PQ family.
+
+    Cost proxy = nprobe · shortlist: ADC scan bytes scale with nprobe,
+    the exact-rerank join with shortlist — recall is monotone in both,
+    so walking the ladder in cost order and stopping at the first pass
+    is minimal in that order. ``shortlist_ladder`` defaults to
+    (2k, 4k, 8k, 16k). Returns
+    ``{"nprobe": n, "shortlist": L, "recall": r, "evals": m}``; the most
+    expensive rung (with its recall) when nothing passes."""
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+
+    nlist = len(index.ivf.centroids)
+    sample = sample_queries.localCheckpoint()
+    exact = _exact_sets(
+        index._live().drop(_CLUSTER_COL, "pq_codes"),
+        sample,
+        k,
+        metric="l2",
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    if shortlist_ladder is None:
+        shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
+    probes = []
+    n = 1
+    while n < nlist:
+        probes.append(n)
+        n *= 2
+    probes.append(nlist)
+    ladder = sorted(
+        ((p, sl) for p in probes for sl in shortlist_ladder),
+        key=lambda t: (t[0] * t[1], t[0]),
+    )
+    evals = 0
+    last = None
+    for nprobe, sl in ladder:
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            nprobe=nprobe,
+            shortlist=sl,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).collect()
+        r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    return last
+
+
+def tune_maxsim(
+    index,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    shortlist_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    token_vec_col: str = "token_vec",
+    token_id_col: str = "token_id",
+) -> dict:
+    """Cheapest (nprobe, shortlist) for the PLAID MaxSim family, against
+    the EXACT batch MaxSim operator over the index's live token rows.
+    One distributed batch job per ladder rung (the sample is the bounded
+    side). Returns the same shape as ``tune_ivfpq``."""
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    nlist = len(index.ivf.centroids)
+    sample = sample_queries.localCheckpoint()
+    exact_rows = maxsim_search_batch(
+        index.ivf._live().drop(_CLUSTER_COL),
+        sample,
+        k,
+        doc_col=index.doc_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        token_vec_col=token_vec_col,
+        token_id_col=token_id_col,
+    ).collect()
+    exact = _topk_sets(exact_rows, query_id_col, index.doc_col)
+
+    if shortlist_ladder is None:
+        shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
+    probes = []
+    n = 1
+    while n < nlist:
+        probes.append(n)
+        n *= 2
+    probes.append(nlist)
+    ladder = sorted(
+        ((p, sl) for p in probes for sl in shortlist_ladder),
+        key=lambda t: (t[0] * t[1], t[0]),
+    )
+    evals = 0
+    last = None
+    for nprobe, sl in ladder:
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            nprobe=nprobe,
+            shortlist=sl,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+        ).collect()
+        r = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
+        last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    return last
