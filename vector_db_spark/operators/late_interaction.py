@@ -363,7 +363,13 @@ class MaxSimIvfIndex:
 
         `shortlist=None` reranks every candidate doc (lossless given full
         probe); an integer bounds the rerank to the `shortlist` best docs
-        under the centroid-score approximation (stage 2)."""
+        under the centroid-score approximation (stage 2).
+
+        Pick `shortlist` in the serving range (hundreds-to-thousands):
+        the bound is enforced with orderBy+limit, which Spark plans as a
+        TakeOrdered per-partition heap for small limits but as a
+        single-task global sort for huge ones — a bound you don't expect
+        to bind should be `None`, not a sentinel like 10^9."""
         import numpy as np
 
         from vector_db_spark.operators.ann import _CLUSTER_COL

@@ -360,8 +360,13 @@ def maxsim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = MaxSimIvfIndex.build(
         _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
     )
+    # non-binding bound: docs = vec_id % 97 gives <= 97 docs by
+    # construction, so shortlist=_MSIVF_NDOC exercises the stage-2
+    # approximation while provably pruning nothing — and stays a
+    # TakeOrdered, not the global sort a 10^9 limit would plan
     res = idx.search(
-        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=10**9
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16,
+        shortlist=_MSIVF_NDOC,
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
 
@@ -430,7 +435,9 @@ def maxsim_ivf_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = MaxSimIvfIndex.build(
         _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
     )
-    res = idx.search_batch(queries, _MSIVF_K, nprobe=16, shortlist=10**9)
+    res = idx.search_batch(
+        queries, _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
+    )
     return res.select(
         "query_id",
         "doc",

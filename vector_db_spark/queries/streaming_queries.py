@@ -567,3 +567,60 @@ def stream_ivf_delete_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex.load(spark, path)
     res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_MSIVF_STREAM_ORACLE = None  # set below from retrieval_queries to avoid drift
+
+
+@query("stream_maxsim_append_exhaustive")
+def stream_maxsim_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance for the MULTI-vector family: the
+    PLAID token IVF is a plain IvfIndex artifact (doc key as id), so
+    `stream_ivf_append` serves it unchanged — build on the even vec_ids'
+    token rows, stream the odd rows in as 4 micro-batches, reload as
+    MaxSimIvfIndex, full-probe + non-binding shortlist. Must equal exact
+    MaxSim over the FULL corpus (same oracle as maxsim_ivf_exhaustive —
+    registered below to share the SQL string, not a copy)."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+    from vector_db_spark.queries.retrieval_queries import (
+        _MSIVF_K,
+        _msivf_corpus,
+        _msivf_toks,
+    )
+    from vector_db_spark.streaming.ingest import stream_ivf_append
+
+    corpus = _msivf_corpus(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="stream_msivf_")
+    even = corpus.filter(F.col("doc") % 2 == 0)
+    MaxSimIvfIndex.build(even, nlist=16, doc_col="doc", max_iter=5).save(path)
+
+    stage = tempfile.mkdtemp(prefix="stream_msivf_in_")
+    (
+        corpus.filter(F.col("doc") % 2 == 1)
+        .repartition(4, "doc")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    vec_stream = (
+        spark.readStream.schema("doc long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ivf_append(
+        vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ms_")
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    idx = MaxSimIvfIndex.load(spark, path)
+    res = idx.search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=97
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+# share the exact-MaxSim oracle with maxsim_ivf_exhaustive (one SQL
+# string, no drift between the batch and streaming gates)
+from vector_db_spark.queries.registry import ORACLES as _OR  # noqa: E402
+from vector_db_spark.queries.retrieval_queries import _MSIVF_ORACLE  # noqa: E402
+
+_OR["stream_maxsim_append_exhaustive"] = _MSIVF_ORACLE
