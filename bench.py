@@ -188,6 +188,17 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).save(f"{root}/ivf_cos")
         sub_timings["cosine_ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
+    def _build_opq():
+        # OPQ rung at the PQ family's (m, ksub): rotation + codes persist,
+        # the ADC entry below scans the same M bytes/row as plain PQ
+        from vector_db_spark.operators.opq import OpqQuantizer
+
+        oq = OpqQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4)
+        oq.save(f"{root}/opq")
+        oq.encode(emb).select("vec_id", "opq_codes").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/opq_codes")
+
     def _build_maxsim_ivf():
         # token-level IVF for PLAID MaxSim (docs = vec_id % 97 groups,
         # the gate corpus shape)
@@ -201,11 +212,12 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).save(f"{root}/msivf")
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=7) as pool:
+    with ThreadPoolExecutor(max_workers=9) as pool:
         futures = [
             pool.submit(_build_ivf_and_ivfpq, pool),
             pool.submit(_build_cosine_ivf),
             pool.submit(_build_maxsim_ivf),
+            pool.submit(_build_opq),
             pool.submit(
                 lambda: CosineLshIndex.build(
                     emb, dim=64, n_bits=6, n_tables=4, seed=42
@@ -230,7 +242,10 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     from vector_db_spark.operators.ivfsq import IvfSqIndex
 
     from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+    from vector_db_spark.operators.opq import OpqQuantizer
 
+    opqz = OpqQuantizer.load(f"{root}/opq")
+    opq_codes = spark.read.parquet(f"{root}/opq_codes")
     ivf = IvfIndex.load(spark, f"{root}/ivf")
     msivf = MaxSimIvfIndex.load(spark, f"{root}/msivf")
     ivfsq = IvfSqIndex.load(spark, f"{root}/ivfsq")
@@ -250,6 +265,9 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ann_lsh_search": lambda: lsh.search(qv, K),
         "ann_lsh_batch_search": lambda: lsh.search_batch(batch_queries, 5),
         "pq_adc_search": lambda: pqz.search(codes, qv, K),
+        # OPQ ADC from persisted rotated codes: identical scan bytes to
+        # pq_adc_search, better codebook geometry (recall pinned in tests)
+        "opq_adc_search": lambda: opqz.search(opq_codes, qv, K),
         "ivfpq_search": lambda: ivfpq.search(qv, K, nprobe=4, shortlist=100),
         # int8 decoded-distance probe from the persisted cell layout:
         # 1/4 the scan bytes of ann_ivf_search, pure codegen (no rerank —

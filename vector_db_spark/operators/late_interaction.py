@@ -347,6 +347,18 @@ class MaxSimIvfIndex:
         self.ivf.delete(ids, path=path)
         return self
 
+    def vacuum(self, path: str) -> "MaxSimIvfIndex":
+        """Compaction into a fresh directory (IvfIndex.vacuum contract:
+        never overwrite a layout being read; flip readers over)."""
+        return MaxSimIvfIndex(self.ivf.vacuum(path))
+
+    def retrain(self, nlist: int | None = None, seed: int = 42, max_iter: int = 20) -> "MaxSimIvfIndex":
+        """Quantizer refresh over the live token rows (drops tombstoned
+        docs; the appended-norm watermark resets — IvfIndex.retrain)."""
+        return MaxSimIvfIndex(
+            self.ivf.retrain(nlist=nlist, seed=seed, max_iter=max_iter)
+        )
+
     # -- search ----------------------------------------------------------
 
     def search(
