@@ -418,3 +418,29 @@ def test_ivfopq_exhaustive_and_lifecycle(spark, emb, tmp_path):
     # contract: shortlist rerank without the raw frame is refused
     with pytest.raises(ValueError, match="raw corpus"):
         loaded.search(qv, 5, shortlist=50)
+
+
+def test_ivfopq_batch_exhaustive_equals_exact(spark, emb):
+    from vector_db_spark.operators.knn import batch_knn
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    idx = IvfOpqIndex.build(
+        emb, nlist=4, m=16, ksub=16, seed=42, max_iter=3, pq_iters=4,
+        opq_iters=3,
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r.query_id, r.vec_id, r.distance, r.rank)
+        for r in idx.search_batch(queries, 5, nprobe=4, shortlist=10**6, rerank=emb)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r.query_id, r.vec_id, r.distance, r.rank)
+        for r in batch_knn(emb, queries, 5).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="raw corpus"):
+        idx.search_batch(queries, 5, shortlist=50)

@@ -379,3 +379,78 @@ class IvfOpqIndex:
         ).select(self.id_col)
         short = rerank.join(F.broadcast(cand), on=self.id_col, how="inner")
         return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        shortlist: int = 0,
+        rerank: DataFrame | None = None,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Batch top-k through the rotated IVF-PQ layout. The query side
+        rotates with the same Arrow kernel as the corpus; the inherited
+        cogrouped ADC + global-shortlist pipeline runs untouched in
+        rotated space; with ``rerank`` (the RAW corpus — required, same
+        contract as `search`) the per-query shortlists re-score exactly
+        against the original floats with the unrotated queries.
+        nprobe >= nlist + corpus-sized shortlist == exact batch kNN
+        (gate: ivfopq_batch_exhaustive). Returns
+        (query_id, id, distance, rank)."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        rotated_q = rotate_corpus(queries, self.rotation, query_vec_col)
+        if shortlist == 0 and rerank is None:
+            return self.ivfpq.search_batch(
+                rotated_q,
+                k,
+                nprobe,
+                predicate=predicate,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+            )
+        if rerank is None:
+            raise ValueError(
+                "shortlist rerank needs the raw corpus frame (rerank=); "
+                "the stored vectors are rotated copies"
+            )
+        ell = shortlist or 4 * k
+        if ell < k:
+            raise ValueError("shortlist must be >= k")
+        from pyspark.sql import Window
+
+        from vector_db_spark.operators.knn import _metric
+
+        cand = self.ivfpq.search_batch(
+            rotated_q,
+            ell,
+            nprobe,
+            shortlist=ell,
+            predicate=predicate,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(query_id_col, self.id_col)
+        expr_fn, _ = _metric("l2")
+        qside = queries.select(
+            F.col(query_id_col), F.col(query_vec_col)
+        )
+        scored = (
+            rerank.join(F.broadcast(cand), on=self.id_col)
+            .join(F.broadcast(qside), on=query_id_col)
+            .select(
+                query_id_col,
+                self.id_col,
+                expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(
+                    "distance"
+                ),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("distance").asc(), F.col(self.id_col).asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )

@@ -37,6 +37,7 @@ _VERIFY_FIRST = [
     "maxsim_ivf_batch_exhaustive",
     "opq_rerank_full",
     "ivfopq_exhaustive",
+    "ivfopq_batch_exhaustive",
     "stream_maxsim_append_exhaustive",
     "maxsim_ivf_probe",
     "opq_adc_knn",

@@ -1141,3 +1141,27 @@ def ivfopq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec(spark, sf_dir), K, nprobe=8, shortlist=10_000_000, rerank=emb
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("ivfopq_batch_exhaustive", oracle=_BATCH_ORACLE)
+def ivfopq_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-OPQ gate: rotated queries through the inherited
+    cogrouped ADC pipeline, raw-corpus exact rerank with unrotated
+    queries — full probe + corpus-sized shortlist must reproduce exact
+    batch kNN bit-for-bit."""
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfOpqIndex.build(
+        emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, pq_iters=8,
+        opq_iters=4,
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search_batch(
+        queries, _BATCH_K, nprobe=8, shortlist=100000, rerank=emb
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
