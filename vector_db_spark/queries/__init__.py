@@ -39,6 +39,9 @@ _VERIFY_FIRST = [
     "ivfopq_exhaustive",
     "ivfopq_batch_exhaustive",
     "stream_maxsim_append_exhaustive",
+    "opq_filtered_rerank_exhaustive",
+    "ivfopq_filtered_exhaustive",
+    "maxsim_ivf_filtered_exhaustive",
     "maxsim_ivf_probe",
     "opq_adc_knn",
     # --- (2) gates over round-5-changed code paths ---

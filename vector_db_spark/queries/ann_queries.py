@@ -1165,3 +1165,55 @@ def ivfopq_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )
+
+
+@query(
+    "opq_filtered_rerank_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"),
+)
+def opq_filtered_rerank_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-OPQ gate: predicate pre-filters the rotated codes scan
+    before ADC; with a corpus-sized shortlist the raw-vector rerank must
+    equal exact FILTERED kNN bit-for-bit — the rotation rung joins the
+    filtered-search matrix."""
+    from vector_db_spark.operators.opq import OpqQuantizer
+
+    emb = _emb(spark, sf_dir)
+    oq = OpqQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4)
+    enc = oq.encode(emb).select("vec_id", "label", "opq_codes")
+    res = oq.search(
+        enc,
+        _qvec(spark, sf_dir),
+        K,
+        rerank=emb,
+        shortlist=10_000_000,
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "ivfopq_filtered_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC", "WHERE e.label = 3"),
+)
+def ivfopq_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF-OPQ gate: the metadata predicate rides the rotated
+    frame (rotation replaces only the vector column) and composes with
+    cell pruning; full probe + corpus shortlist + raw rerank must equal
+    exact filtered kNN."""
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfOpqIndex.build(
+        emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, pq_iters=8,
+        opq_iters=4,
+    )
+    res = idx.search(
+        _qvec(spark, sf_dir),
+        K,
+        nprobe=8,
+        shortlist=10_000_000,
+        rerank=emb,
+        predicate=F.col("label") == 3,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

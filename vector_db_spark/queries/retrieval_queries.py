@@ -444,3 +444,46 @@ def maxsim_ivf_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("maxsim_score", 6).alias("maxsim_score"),
         "rank",
     )
+
+
+_MSIVF_FILTERED_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  WHERE (e.vec_id % {_MSIVF_NDOC}) % 5 <> 2
+  GROUP BY doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+top AS (
+  SELECT doc, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, doc LIMIT {_MSIVF_K}
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_ivf_filtered_exhaustive", oracle=_MSIVF_FILTERED_ORACLE)
+def maxsim_ivf_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered PLAID gate: the predicate pre-filters token rows before
+    candidate generation AND the exact rerank (the same pre-filter
+    semantics as every search family); at lossless settings the result
+    must equal exact filtered MaxSim."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    idx = MaxSimIvfIndex.build(
+        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    )
+    res = idx.search(
+        _msivf_toks(spark, sf_dir),
+        _MSIVF_K,
+        nprobe=16,
+        shortlist=_MSIVF_NDOC,
+        predicate=(F.col("doc") % 5) != 2,
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
