@@ -315,3 +315,29 @@ def test_maxsim_ivf_batch_validation(msidx, emb, spark):
     )
     with pytest.raises(ValueError, match="non-empty"):
         msidx.search_batch(empty, 3)
+
+
+def test_maxsim_ivf_vacuum_and_retrain(emb, toks, tmp_path):
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimIvfIndex,
+        maxsim_search,
+    )
+
+    idx = MaxSimIvfIndex.build(emb, nlist=8, doc_col="label", max_iter=5)
+    path = str(tmp_path / "ms0")
+    idx.save(path)
+    loaded = MaxSimIvfIndex.load(emb.sparkSession, path)
+    loaded.delete([3], path=path)
+    want = _pairs(
+        maxsim_search(
+            emb, toks, 5, doc_col="label", predicate=F.col("label") != 3
+        ).collect()
+    )
+    # vacuum compacts the deleted doc's rows into a fresh layout with an
+    # empty manifest; results over the survivors are unchanged
+    compacted = loaded.vacuum(str(tmp_path / "ms1"))
+    assert compacted.ivf.tombstones is None
+    assert _pairs(compacted.search(toks, 5, nprobe=8).collect()) == want
+    # retrain refits the quantizer over live rows; full probe stays exact
+    fresh = loaded.retrain(max_iter=5)
+    assert _pairs(fresh.search(toks, 5, nprobe=8).collect()) == want
