@@ -145,6 +145,38 @@ def main() -> None:
         for np_ in IVF_PROBES
     }
 
+    # OPQ vs plain PQ at equal code budget (the rotation rung's reason
+    # to exist): raw-ADC recall over identical M-byte scans
+    from vector_db_spark.operators.opq import OpqQuantizer
+    from vector_db_spark.operators.pq import ProductQuantizer
+
+    pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+    pq_enc = pqz.encode(emb).select("vec_id", "pq_codes").cache()
+    pq_enc.count()
+    oqz = OpqQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4)
+    opq_enc = oqz.encode(emb).select("vec_id", "opq_codes").cache()
+    opq_enc.count()
+    pq_recall = round(
+        _recall(
+            exact_l2,
+            {
+                qid: {r.vec_id for r in pqz.search(pq_enc, qv, K).collect()}
+                for qid, qv in qvecs.items()
+            },
+        ),
+        4,
+    )
+    opq_recall = round(
+        _recall(
+            exact_l2,
+            {
+                qid: {r.vec_id for r in oqz.search(opq_enc, qv, K).collect()}
+                for qid, qv in qvecs.items()
+            },
+        ),
+        4,
+    )
+
     # recall-TARGETED tuning (operators/tuning.py): the answer to "which
     # knob do I deploy" — cheapest setting meeting 0.95 on the sample
     from vector_db_spark.operators.tuning import tune_graph, tune_ivf
@@ -167,6 +199,8 @@ def main() -> None:
                     k_: (round(v, 4) if isinstance(v, float) else v)
                     for k_, v in graph_tuned.items()
                 },
+                "pq_adc": pq_recall,
+                "opq_adc": opq_recall,
                 "lsh": lsh_recalls,
                 "graph": graph_recalls,
                 "hamming_rerank": hamming_recall,
