@@ -463,6 +463,42 @@ def test_collection_compressed_index_types(spark, tmp_path):
     got = [r.id for r in sq.search(qv, 5, nprobe=4, shortlist=10_000).collect()]
     assert got == want
 
+    # ivfopq: rotated compressed layout; the catalog injects the raw
+    # snapshot as the rerank frame (the stored vectors are rotated)
+    oq = cat.create("o", dim=8, metric="l2", index_type="ivfopq")
+    oq.insert(df)
+    oq.build_index(nlist=4, m=4, ksub=16, max_iter=5, pq_iters=4, opq_iters=3)
+    got = [r.id for r in oq.search(qv, 5, nprobe=4, shortlist=10_000).collect()]
+    assert got == want
+    # batch path through the same dispatch
+    queries = df.limit(2).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from vector_db_spark.operators.knn import batch_knn
+
+    bwant = [
+        (r.query_id, r.id, r.rank)
+        for r in batch_knn(df, queries, 3, id_col="id")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    bgot = [
+        (r.query_id, r.id, r.rank)
+        for r in oq.search_batch(queries, 3, nprobe=4, shortlist=10_000)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert bgot == bwant
+    # incremental refresh through the rotated append path
+    extra = _vec_df(spark, n=130).filter(F.col("id") > 100)
+    oq.insert(extra)
+    assert oq.refresh_index(
+        nlist=4, m=4, ksub=16, max_iter=5, pq_iters=4, opq_iters=3
+    ) == "incremental"
+    want2 = [r.id for r in knn(oq.scan(), qv, 5, id_col="id").collect()]
+    got2 = [r.id for r in oq.search(qv, 5, nprobe=4, shortlist=10_000).collect()]
+    assert got2 == want2
+
     # metric validation at build time
     bad = cat.create("bad_pq", dim=8, metric="cosine", index_type="ivfpq")
     bad.insert(df)

@@ -52,10 +52,11 @@ from pyspark.sql import functions as F
 VALID_METRICS = ("l2", "ip", "cosine")
 # ≅ IndexType {FLAT, HNSW, USEARCH} (src/core/index_factory.rs:17-22);
 # ours name search strategies, not libraries: 'graph' is the
-# HNSW-equivalent (per-cell NSW, operators/graph.py); 'ivfpq'/'ivfsq'
-# are the compressed-cell layouts (operators/ivfpq.py, ivfsq.py) the
+# HNSW-equivalent (per-cell NSW, operators/graph.py); 'ivfpq'/'ivfsq'/
+# 'ivfopq' are the compressed-cell layouts (operators/ivfpq.py, ivfsq.py,
+# opq.py — the last adds the learned OPQ rotation in front) the
 # faiss factory would spell IVFx,PQy / IVFx,SQ8.
-VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph", "ivfpq", "ivfsq")
+VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph", "ivfpq", "ivfsq", "ivfopq")
 
 
 def merge_upsert(
@@ -631,6 +632,17 @@ class Collection(_BucketedStore):
                 vec_col=self.info.vec_col,
                 **params,
             ).save(path)
+        elif self.info.index_type == "ivfopq":
+            from vector_db_spark.operators.opq import IvfOpqIndex
+
+            if self.info.metric != "l2":
+                raise ValueError("ivfopq index supports only the l2 metric")
+            IvfOpqIndex.build(
+                cur,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                **params,
+            ).save(path)
         else:  # lsh
             from vector_db_spark.operators.ann import CosineLshIndex
 
@@ -740,6 +752,10 @@ class Collection(_BucketedStore):
             from vector_db_spark.operators.ivfsq import IvfSqIndex
 
             return IvfSqIndex.load(self.catalog.spark, path)
+        if t == "ivfopq":
+            from vector_db_spark.operators.opq import IvfOpqIndex
+
+            return IvfOpqIndex.load(self.catalog.spark, path)
         from vector_db_spark.operators.ann import CosineLshIndex
 
         return CosineLshIndex.load(self.catalog.spark, path)
@@ -801,6 +817,14 @@ class Collection(_BucketedStore):
             # exact final distances come from the collection's raw
             # vectors (the codes layout deliberately drops them)
             return sidx.search(query, k, predicate=predicate, rerank=cur, **params)
+        if self.info.index_type == "ivfopq":
+            from vector_db_spark.operators.opq import IvfOpqIndex
+
+            oidx = IvfOpqIndex.load(self.catalog.spark, self._index_dir())
+            # shortlist rerank against the collection's RAW vectors with
+            # the unrotated query (the stored copies are rotated)
+            params.setdefault("shortlist", 4 * k)
+            return oidx.search(query, k, predicate=predicate, rerank=cur, **params)
         from vector_db_spark.operators.ann import CosineLshIndex
 
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
@@ -864,6 +888,13 @@ class Collection(_BucketedStore):
             from vector_db_spark.operators.ivfsq import IvfSqIndex
 
             return IvfSqIndex.load(self.catalog.spark, path).search_batch(
+                queries, k, predicate=predicate, rerank=cur, **params
+            )
+        if self.info.index_type == "ivfopq":
+            from vector_db_spark.operators.opq import IvfOpqIndex
+
+            params.setdefault("shortlist", 4 * k)
+            return IvfOpqIndex.load(self.catalog.spark, path).search_batch(
                 queries, k, predicate=predicate, rerank=cur, **params
             )
         from vector_db_spark.operators.ann import CosineLshIndex

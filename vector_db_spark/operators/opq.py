@@ -339,6 +339,12 @@ class IvfOpqIndex:
         self.ivfpq.delete(ids, path=path)
         return self
 
+    @property
+    def tombstones(self):
+        """Delegated delete manifest (refresh_index's resurrect check
+        reads it on every family)."""
+        return self.ivfpq.tombstones
+
     def search(
         self,
         query: Sequence[float],

@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     "opq_filtered_rerank_exhaustive",
     "ivfopq_filtered_exhaustive",
     "maxsim_ivf_filtered_exhaustive",
+    "collection_ivfopq_lifecycle",
     "maxsim_ivf_probe",
     "opq_adc_knn",
     # --- (2) gates over round-5-changed code paths ---

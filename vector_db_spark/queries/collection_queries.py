@@ -308,3 +308,24 @@ def collection_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("id") - 1).alias("vec_id"),
         F.round("distance", 6).alias("distance"),
     )
+
+
+@query("collection_ivfopq_lifecycle", oracle=_LIFECYCLE_ORACLE)
+def collection_ivfopq_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh catalog family end-to-end: create(ivfopq) → insert →
+    build (rotation + cells + residual PQ) → dispatch search, which
+    injects the collection's RAW snapshot as the rerank frame (stored
+    vectors are rotated copies). Full probe + corpus shortlist ⇒ exact,
+    same oracle as collection_index_lifecycle."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_opq_"))
+    coll = cat.create("lifecycle_opq", dim=64, metric="l2", index_type="ivfopq")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, m=16, ksub=64, max_iter=5, pq_iters=8, opq_iters=4)
+    qv = _qvec(spark, sf_dir)
+    res = coll.search(qv, 10, nprobe=8, shortlist=10_000_000)
+    return res.select("id", F.round("distance", 6).alias("distance"))
