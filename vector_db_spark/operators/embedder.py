@@ -1,0 +1,112 @@
+"""Deterministic text → dense-vector embedding via the hashing trick
+(feature hashing, Weinberger et al., ICML 2009 — the sklearn
+HashingVectorizer recipe with a signed hash).
+
+The engine's vector surface (kNN, every ANN family, dedup, MaxSim)
+consumes `array<float>` columns; the fixtures ship pre-computed
+embeddings, but a real corpus starts as TEXT. This operator closes the
+loop with a model-free, engine-portable embedder: every token hashes to
+one of ``dim`` buckets with a ±1 sign, a document's vector is the signed
+bucket-count histogram (optionally L2-normalized) — the standard cheap
+baseline for near-dup blocking, clustering, and retrieval experiments,
+and the deterministic stand-in where a learned encoder would slot in at
+a deployment (same schema, same downstream operators).
+
+Engine-portability: the hash is md5 (the one hash Spark and DuckDB
+share — the md5-lottery pattern of operators/sampling.py): bucket =
+first 8 hex digits as int mod dim, sign = parity of the 9th digit, BOTH
+from one md5 evaluation. Unnormalized vectors are signed INTEGER counts
+— bit-exact across engines, so the oracle gate is an ordinary value
+hash; normalization is one float divide per component at the end
+(verified against NumPy in tests, not hash-compared).
+
+Scale shape: tokenize → explode is row-local; ONE hash shuffle on
+(doc, bucket) with map-side partial SUM (the vocabulary never
+materializes — buckets are fixed-width); the dense array assembles
+row-locally from a per-doc map. No UDFs anywhere — the whole pipeline
+is native Catalyst expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased single-space split, empties dropped — deliberately the
+    simplest split both engines express identically (regex whitespace
+    classes differ across engines)."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def text_hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    *,
+    out_col: str = "embedding",
+    salt: str = "fh",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` (array<double>, length ``dim``): the signed
+    hashed token-count vector of ``text_col``.
+
+    ``normalize=False`` emits raw signed integer counts (engine-exact;
+    the oracle gate's form). Documents with no tokens get the zero
+    vector (normalization leaves zeros untouched — no 0/0).
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    other = [c for c in df.columns]
+    tok = df.select(
+        *other, F.explode_outer(_tokens(F.col(text_col))).alias("__tok")
+    )
+    h = F.md5(F.concat(F.col("__tok"), F.lit(salt)))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
+    ).alias("__bucket")
+    sign = (
+        F.when(F.conv(F.substring(h, 9, 1), 16, 10) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("__sign")
+    )
+    # explode_outer keeps token-less docs as a NULL-token row; its sign
+    # must not contribute
+    contrib = F.when(F.col("__tok").isNull(), F.lit(0)).otherwise(sign)
+    per_bucket = (
+        tok.select(*other, bucket, contrib.alias("__s"))
+        .groupBy(*other, "__bucket")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    assembled = per_bucket.groupBy(*other).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("__bucket"), F.lit(0)).alias("k"),
+                    F.col("__v").alias("v"),
+                )
+            )
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    out = assembled.withColumn(out_col, vec).drop("__m")
+    if not normalize:
+        return out
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(out_col), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    return out.withColumn(
+        out_col,
+        F.when(
+            norm > 0,
+            F.transform(F.col(out_col), lambda x: x / norm),
+        ).otherwise(F.col(out_col)),
+    )

@@ -43,6 +43,7 @@ _VERIFY_FIRST = [
     "ivfopq_filtered_exhaustive",
     "maxsim_ivf_filtered_exhaustive",
     "collection_ivfopq_lifecycle",
+    "text_hash_embed_docs",
     "maxsim_ivf_probe",
     "opq_adc_knn",
     # --- (2) gates over round-5-changed code paths ---

@@ -1878,3 +1878,61 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     res = heavy_hitters(docs, _MG_K)
     return res.orderBy(F.col("n").desc(), F.col("token").asc())
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing text embedder (operators/embedder.py): text -> dense
+# signed-count vector, md5-portable across engines. The gate posexplodes
+# the assembled array against a DuckDB doc x position grid, so bucket
+# hashing, sign parity, the (doc, bucket) partial-sum shuffle, AND the
+# dense-array assembly (including zero fill) are all value-checked.
+# --------------------------------------------------------------------------
+
+_EMBED_DIM = 32
+_EMBED_DOCS = 200
+
+_EMBED_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_EMBED_DOCS}
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+  FROM docs
+),
+fb AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(token || 'fh'), 1, 8)) AS BIGINT)
+           % {_EMBED_DIM} AS bucket,
+         CASE WHEN CAST(CONCAT('0x', substr(md5(token || 'fh'), 9, 1)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+bsum AS (SELECT doc_id, bucket, SUM(s) AS v FROM fb GROUP BY doc_id, bucket),
+grid AS (
+  SELECT d.doc_id, r.range AS pos FROM docs d CROSS JOIN range(0, {_EMBED_DIM}) r
+)
+SELECT g.doc_id, CAST(g.pos AS INT) AS pos,
+       CAST(COALESCE(b.v, 0) AS DOUBLE) AS val
+FROM grid g LEFT JOIN bsum b ON g.doc_id = b.doc_id AND g.pos = b.bucket
+ORDER BY g.doc_id, pos
+"""
+
+
+@query("text_hash_embed_docs", oracle=_EMBED_ORACLE)
+def text_hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed signed token-count vectors for the first 200 documents,
+    posexploded to (doc_id, pos, val) rows — unnormalized integer counts,
+    so the cross-engine compare is bit-exact."""
+    from vector_db_spark.operators.embedder import text_hash_embed
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EMBED_DOCS)
+        .select("doc_id", "text")
+    )
+    emb = text_hash_embed(docs, dim=_EMBED_DIM, normalize=False)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
+        .orderBy("doc_id", "pos")
+    )
