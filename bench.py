@@ -89,6 +89,9 @@ HEADLINE = [
     # measure pure analytics rounds, not a per-query graph rebuild
     "label_propagation_knn",
     "triangle_participation_knn",
+    # round-5: corpus-scale feature-hashing embedder (text -> dense
+    # vectors, zero UDFs — one (doc, bucket) shuffle + integer reduce)
+    "text_embed_corpus_stats",
 ]
 
 K = 10

@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "maxsim_ivf_filtered_exhaustive",
     "collection_ivfopq_lifecycle",
     "text_hash_embed_docs",
+    "text_embed_corpus_stats",
     "maxsim_ivf_probe",
     "opq_adc_knn",
     # --- (2) gates over round-5-changed code paths ---

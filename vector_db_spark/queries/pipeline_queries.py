@@ -1936,3 +1936,57 @@ def text_hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
         .orderBy("doc_id", "pos")
     )
+
+
+_EMBED_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+  FROM documents
+),
+fb AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', substr(md5(token || 'fh'), 1, 8)) AS BIGINT)
+           % {_EMBED_DIM} AS bucket,
+         CASE WHEN CAST(CONCAT('0x', substr(md5(token || 'fh'), 9, 1)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+bsum AS (
+  SELECT doc_id, source, bucket, SUM(s) AS v
+  FROM fb GROUP BY doc_id, source, bucket
+)
+SELECT source, CAST(SUM(ABS(v)) AS BIGINT) AS l1_mass,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM bsum GROUP BY source ORDER BY source
+"""
+
+
+@query("text_embed_corpus_stats", oracle=_EMBED_STATS_ORACLE)
+def text_embed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedder gate + bench entry: hash-embed EVERY
+    document (unnormalized signed counts) and reduce to per-source L1
+    mass — integer arithmetic end-to-end, so the full tokenize → hash →
+    (doc, bucket) shuffle → assembly pipeline is value-checked at corpus
+    size, not a 200-doc sample. Docs with no tokens contribute 0 mass
+    but still count (zero-vector contract)."""
+    from vector_db_spark.operators.embedder import text_hash_embed
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    emb = text_hash_embed(docs, dim=_EMBED_DIM, normalize=False)
+    l1 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.abs(x).cast("long"),
+    )
+    return (
+        emb.select("source", "doc_id", l1.alias("__l1"))
+        .groupBy("source")
+        .agg(
+            F.sum("__l1").alias("l1_mass"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
