@@ -86,3 +86,46 @@ def test_end_to_end_text_to_ann(docs, spark):
     qv = _ref_embed(qrow.text, 32)
     top = idx.search(list(qv), 1, nprobe=4).head()
     assert top.doc_id == 7
+
+
+def _ref_char_embed(text: str, dim: int, n: int = 3, salt: str = "fh"):
+    v = np.zeros(dim)
+    s = text.lower()
+    for i in range(max(0, len(s) - n + 1)):
+        g = s[i : i + n]
+        h = hashlib.md5((g + salt).encode()).hexdigest()
+        b = int(h[:8], 16) % dim
+        v[b] += 1 if int(h[8], 16) % 2 == 0 else -1
+    nn = np.linalg.norm(v)
+    return v / nn if nn > 0 else v
+
+
+def test_char_analyzer_matches_numpy_reference(docs):
+    rows = (
+        text_hash_embed(docs, dim=24, analyzer="char", ngram=3)
+        .orderBy("doc_id")
+        .head(15)
+    )
+    texts = {r.doc_id: r.text for r in docs.orderBy("doc_id").head(15)}
+    for r in rows:
+        want = _ref_char_embed(texts[r.doc_id], 24)
+        np.testing.assert_allclose(np.asarray(r.embedding), want, atol=1e-12)
+
+
+def test_char_analyzer_short_text_is_zero(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "abc")], "doc_id long, text string")
+    out = {
+        r.doc_id: list(r.embedding)
+        for r in text_hash_embed(
+            df, dim=8, analyzer="char", ngram=3, normalize=False
+        ).collect()
+    }
+    assert out[1] == [0.0] * 8  # shorter than the gram width
+    assert sum(abs(x) for x in out[2]) == 1.0  # exactly one trigram
+
+
+def test_analyzer_validation(docs):
+    with pytest.raises(ValueError, match="analyzer"):
+        text_hash_embed(docs, analyzer="bpe")
+    with pytest.raises(ValueError, match="ngram"):
+        text_hash_embed(docs, analyzer="char", ngram=0)

@@ -40,6 +40,21 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
 
 
+def _char_grams(text: Column, n: int) -> Column:
+    """All overlapping lowercased character n-grams (whitespace kept —
+    crossing-the-space grams carry word-boundary signal, the
+    HashingVectorizer 'char' analyzer's behavior). Texts shorter than
+    ``n`` produce no grams."""
+    s = F.lower(text)
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: F.substring(s, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def text_hash_embed(
     df: DataFrame,
     text_col: str = "text",
@@ -48,20 +63,32 @@ def text_hash_embed(
     out_col: str = "embedding",
     salt: str = "fh",
     normalize: bool = True,
+    analyzer: str = "word",
+    ngram: int = 3,
 ) -> DataFrame:
     """Append ``out_col`` (array<double>, length ``dim``): the signed
-    hashed token-count vector of ``text_col``.
+    hashed feature-count vector of ``text_col``.
 
+    ``analyzer='word'`` hashes space-split tokens; ``'char'`` hashes all
+    overlapping character ``ngram``-grams — the analyzer for scripts
+    without whitespace word boundaries (and for typo-robust near-dup).
     ``normalize=False`` emits raw signed integer counts (engine-exact;
-    the oracle gate's form). Documents with no tokens get the zero
+    the oracle gate's form). Documents with no features get the zero
     vector (normalization leaves zeros untouched — no 0/0).
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    other = [c for c in df.columns]
-    tok = df.select(
-        *other, F.explode_outer(_tokens(F.col(text_col))).alias("__tok")
+    if analyzer not in ("word", "char"):
+        raise ValueError(f"unknown analyzer {analyzer!r}; expected word|char")
+    if analyzer == "char" and ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    feats = (
+        _tokens(F.col(text_col))
+        if analyzer == "word"
+        else _char_grams(F.col(text_col), ngram)
     )
+    other = [c for c in df.columns]
+    tok = df.select(*other, F.explode_outer(feats).alias("__tok"))
     h = F.md5(F.concat(F.col("__tok"), F.lit(salt)))
     bucket = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
