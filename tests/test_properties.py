@@ -523,3 +523,92 @@ def test_substring_dedup_reassembly_invariants(sc, docs, window):
         for i, toks in enumerate(docs):
             assert out[i + 1].clean_text == " ".join(toks)
             assert out[i + 1].n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: hash-embedder algebra, OPQ rotation isometry, PLAID
+# candidate-superset monotonicity.
+# ---------------------------------------------------------------------------
+
+words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0, max_size=8
+)
+
+
+@given(a=words, b=words)
+@_settings
+def test_hash_embed_concat_additivity_and_order_invariance(sc, a, b):
+    """Unnormalized hashed vectors are token-count linear: embed(a ++ b)
+    == embed(a) + embed(b), and token ORDER never matters (the histogram
+    is a bag)."""
+    import random
+
+    from vector_db_spark.operators.embedder import text_hash_embed
+
+    shuffled = list(a)
+    random.Random(0).shuffle(shuffled)
+    df = sc.createDataFrame(
+        [
+            (1, " ".join(a)),
+            (2, " ".join(b)),
+            (3, " ".join(a + b)),
+            (4, " ".join(shuffled)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: list(r.embedding)
+        for r in text_hash_embed(df, dim=8, normalize=False).collect()
+    }
+    got_sum = [x + y for x, y in zip(out[1], out[2])]
+    assert out[3] == got_sum
+    assert out[4] == out[1]
+    # L1 mass == token count when no bucket cancellation is possible is
+    # NOT guaranteed; the bound |v|_1 <= n_tokens always is
+    assert sum(abs(x) for x in out[1]) <= len(a)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-2, max_value=2, allow_nan=False), min_size=4, max_size=4
+        ),
+        min_size=8,
+        max_size=16,
+    )
+)
+@_settings
+def test_opq_rotation_is_isometry(sc, vecs):
+    """The learned rotation is orthonormal for ANY training sample:
+    R Rᵀ = I and pairwise L2 distances are preserved."""
+    import numpy as np
+
+    from vector_db_spark.operators.opq import OpqQuantizer
+
+    df = sc.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    oq = OpqQuantizer.fit(df, m=2, ksub=4, seed=1, iters=2, opq_iters=2)
+    r = oq.rotation
+    np.testing.assert_allclose(r @ r.T, np.eye(4), atol=1e-9)
+    pts = np.asarray(vecs)
+    d0 = np.linalg.norm(pts[0] - pts[-1])
+    d1 = np.linalg.norm(r @ pts[0] - r @ pts[-1])
+    assert math.isclose(d0, d1, abs_tol=1e-9)
+
+
+@given(
+    nums=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=2, max_size=6
+    )
+)
+@_settings
+def test_pagerank_auto_mass_bound(sc, nums):
+    """auto_init_mass keeps 100·N·init inside int64 for arbitrary N."""
+    from vector_db_spark.operators.pagerank import INIT_MASS, auto_init_mass
+
+    for n in nums:
+        m = auto_init_mass(max(1, n))
+        assert 1 <= m <= INIT_MASS
+        assert 100 * max(1, n) * m <= 2**63 - 1 or m == 1
