@@ -181,8 +181,15 @@ def main() -> None:
     # knob do I deploy" — cheapest setting meeting 0.95 on the sample
     from vector_db_spark.operators.tuning import tune_graph, tune_ivf
 
+    from vector_db_spark.operators.tuning import tune_ivfpq
+
     ivf_tuned = tune_ivf(ivf, queries, k=K, recall_target=0.95)
     graph_tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+
+    ivfpq = IvfPqIndex.build(emb, nlist=NLIST, m=16, ksub=64, seed=42, ivf=ivf)
+    ivfpq.encoded.cache().count()
+    ivfpq_tuned = tune_ivfpq(ivfpq, queries, k=K, recall_target=0.95)
 
     tuned = ivf_recalls[str(IVF_PROBES[-1])]
     print(
@@ -198,6 +205,10 @@ def main() -> None:
                 "graph_tuned": {
                     k_: (round(v, 4) if isinstance(v, float) else v)
                     for k_, v in graph_tuned.items()
+                },
+                "ivfpq_tuned": {
+                    k_: (round(v, 4) if isinstance(v, float) else v)
+                    for k_, v in ivfpq_tuned.items()
                 },
                 "pq_adc": pq_recall,
                 "opq_adc": opq_recall,
