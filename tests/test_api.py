@@ -176,9 +176,14 @@ def test_search_batch_mixed_validity_and_empty_collection(api):
             {"vectors": [], "k": 2, "index_key": key},
             {"vectors": [1.0] * 9, "k": 2, "index_key": missing},
             {"vectors": [1.0, 2.0], "k": 2, "index_key": key},
+            # malformed payloads must error in place, not crash the batch
+            {"vectors": ["a", "b", "c"], "k": 2, "index_key": key},
+            {"vectors": [1.0, 2.0, 3.0], "k": "abc", "index_key": key},
         ]
     )
     assert got[0] == {"code": 0, "labels": [], "distances": []}
     assert got[1]["code"] == 400
     assert got[2]["code"] == 404
     assert got[3]["code"] == 400 and "dimension" in got[3]["error"]
+    assert got[4]["code"] == 400
+    assert got[5]["code"] == 400

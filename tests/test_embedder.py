@@ -129,3 +129,17 @@ def test_analyzer_validation(docs):
         text_hash_embed(docs, analyzer="bpe")
     with pytest.raises(ValueError, match="ngram"):
         text_hash_embed(docs, analyzer="char", ngram=0)
+
+
+def test_duplicate_rows_survive(spark):
+    """Append-a-column contract: one output row per input row even when
+    the payload is identical (code-review r5 finding)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (1, "hello world")],
+        "doc_id long, text string",
+    )
+    rows = text_hash_embed(df, dim=8, normalize=False).collect()
+    assert len(rows) == 3
+    dup = [list(r.embedding) for r in rows if r.doc_id == 1]
+    assert len(dup) == 2 and dup[0] == dup[1]
+    assert sum(abs(x) for x in dup[0]) == 2  # two tokens, counted once

@@ -743,11 +743,12 @@ def test_copurchase_lift_hand_computed(spark):
     rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 2)]
     baskets = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
     got = {
-        (r.part_a, r.part_b): (r.support, r.lift)
+        (r.part_a, r.part_b): (r.support, r.confidence_a_b, r.lift)
         for r in copurchase_lift(baskets).collect()
     }
-    assert got[(1, 2)] == (2, pytest.approx(8 / 9))
-    assert got[(1, 3)] == (1, pytest.approx(4 / 3))
+    # confidence_a_b = support / count(a): part 1 is in 3 baskets
+    assert got[(1, 2)] == (2, pytest.approx(2 / 3), pytest.approx(8 / 9))
+    assert got[(1, 3)] == (1, pytest.approx(1 / 3), pytest.approx(4 / 3))
     assert set(got) == {(1, 2), (1, 3)}  # duplicate line-items collapse
 
 

@@ -293,11 +293,17 @@ class VectorDatabaseApi:
                 coll = self._collection(req.get("index_key"))
                 if len(vectors) != coll.info.dim:
                     raise ApiError(400, "dimension mismatch")
+                # conversions inside the try: a non-numeric component or
+                # k must error THIS request, never crash the batch
+                parsed = (i, [float(x) for x in vectors], int(k))
             except ApiError as exc:
                 results[i] = {"code": exc.status, "error": str(exc)}
                 continue
+            except (ValueError, TypeError) as exc:
+                results[i] = {"code": 400, "error": str(exc)}
+                continue
             ent = groups.setdefault(coll.info.name, (coll, []))
-            ent[1].append((i, [float(x) for x in vectors], int(k)))
+            ent[1].append(parsed)
 
         for _, (coll, items) in groups.items():
             if coll.scan() is None:

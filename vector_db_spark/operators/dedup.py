@@ -357,14 +357,20 @@ def simhash_candidates(
     hashes: DataFrame,
     max_hamming: int = 3,
     chunks: int = 4,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over 64-bit
     SimHashes. Pigeonhole blocking: split into ``chunks`` 16-bit pieces;
     distance ≤ chunks−1 guarantees ≥1 equal chunk, so candidates meet via
     an equi-join on (chunk index, chunk value), then exact popcount
-    verifies. Requires max_hamming < chunks."""
+    verifies. Requires max_hamming < chunks.
+
+    ``key_cols`` adds extra columns to the BLOCKING key and the output:
+    only rows sharing every key column can pair (video_neardup blocks on
+    the frame index this way — one machinery for all three modalities)."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    keys = list(key_cols)
     width = 64 // chunks
     mask = (1 << width) - 1
     pieces = F.array(
@@ -386,8 +392,10 @@ def simhash_candidates(
     # as lsh_candidate_pairs). Bucket-local pairs are quadratic in bucket
     # size — the pigeonhole contract; 16-bit chunk values keep buckets
     # small except where duplicates genuinely pile up.
-    blocked = hashes.select("id", "simhash", F.explode(pieces).alias("p"))
-    buckets = blocked.groupBy("p.chunk", "p.val").agg(
+    blocked = hashes.select(
+        *keys, "id", "simhash", F.explode(pieces).alias("p")
+    )
+    buckets = blocked.groupBy(*keys, "p.chunk", "p.val").agg(
         F.array_sort(
             F.collect_set(F.struct(F.col("id"), F.col("simhash")))
         ).alias("members")
@@ -409,8 +417,8 @@ def simhash_candidates(
     )
     return (
         buckets.filter(F.size("members") > 1)
-        .select(F.explode(pairs).alias("pr"))
-        .select("pr.a_id", "pr.b_id", "pr.hamming")
+        .select(*keys, F.explode(pairs).alias("pr"))
+        .select(*keys, "pr.a_id", "pr.b_id", "pr.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

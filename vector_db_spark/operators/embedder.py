@@ -88,7 +88,12 @@ def text_hash_embed(
         else _char_grams(F.col(text_col), ngram)
     )
     other = [c for c in df.columns]
-    tok = df.select(*other, F.explode_outer(feats).alias("__tok"))
+    # Per-ROW key for the re-grouping: grouping by the payload columns
+    # alone would silently collapse duplicate input rows into one output
+    # row with summed counts — the operator's contract is append-a-column,
+    # one output row per input row, whatever the payload.
+    src = df.withColumn("__rid", F.monotonically_increasing_id())
+    tok = src.select("__rid", *other, F.explode_outer(feats).alias("__tok"))
     h = F.md5(F.concat(F.col("__tok"), F.lit(salt)))
     bucket = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
@@ -102,11 +107,11 @@ def text_hash_embed(
     # must not contribute
     contrib = F.when(F.col("__tok").isNull(), F.lit(0)).otherwise(sign)
     per_bucket = (
-        tok.select(*other, bucket, contrib.alias("__s"))
-        .groupBy(*other, "__bucket")
+        tok.select("__rid", *other, bucket, contrib.alias("__s"))
+        .groupBy("__rid", *other, "__bucket")
         .agg(F.sum("__s").alias("__v"))
     )
-    assembled = per_bucket.groupBy(*other).agg(
+    assembled = per_bucket.groupBy("__rid", *other).agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
@@ -122,7 +127,7 @@ def text_hash_embed(
             F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
         ).cast("double"),
     )
-    out = assembled.withColumn(out_col, vec).drop("__m")
+    out = assembled.withColumn(out_col, vec).drop("__m", "__rid")
     if not normalize:
         return out
     norm = F.sqrt(

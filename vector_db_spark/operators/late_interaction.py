@@ -419,54 +419,11 @@ class MaxSimIvfIndex:
             rerank_src = live.join(cand_docs, self.doc_col, "left_semi")
         else:
             # stage 2: centroid-score approximation over distinct
-            # (doc, cell) pairs.  Centroids are MIPS-augmented (dim+1);
-            # the query's augmentation component is 0, so the score is
-            # the raw-dim dot.
-            cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
-            qm = np.asarray(toks, dtype=np.float64)  # T x dim
-            s = cents @ qm.T  # nlist x T
-            # mask: a cell contributes to token t only when probed for t
-            masked = np.full((nlist, len(toks)), np.nan)
-            for t, cells in enumerate(probed):
-                for c in cells:
-                    masked[c, t] = s[c, t]
-
+            # (doc, cell) pairs (shared machinery: _masked_scores /
+            # _stage2_doc_maxes)
+            masked = self._masked_scores(toks, probed, dim)
             doc_cells = cand_rows.select(self.doc_col, _CLUSTER_COL).distinct()
-            n_terms = nlist * len(toks)
-            if n_terms <= _LITERAL_TERM_CEILING:
-                score_cols = []
-                for t in range(len(toks)):
-                    arr = F.array(
-                        *[
-                            F.lit(None).cast("double")
-                            if np.isnan(masked[c, t])
-                            else F.lit(float(masked[c, t]))
-                            for c in range(nlist)
-                        ]
-                    )
-                    score_cols.append(
-                        F.element_at(arr, F.col(_CLUSTER_COL) + 1).alias(
-                            f"_a{t}"
-                        )
-                    )
-                scored = doc_cells.select(self.doc_col, *score_cols)
-                agg = scored.groupBy(self.doc_col).agg(
-                    *[
-                        F.max(f"_a{t}").alias(f"_m{t}")
-                        for t in range(len(toks))
-                    ]
-                )
-            else:
-                # past the literal-planning ceiling: one Arrow lookup
-                # kernel (cluster -> T centroid scores), same agg shape
-                agg = self._centroid_scores_arrow(doc_cells, masked).groupBy(
-                    self.doc_col
-                ).agg(
-                    *[
-                        F.max(F.col("_cs")[t]).alias(f"_m{t}")
-                        for t in range(len(toks))
-                    ]
-                )
+            agg = self._stage2_doc_maxes(doc_cells, masked, len(toks))
             approx = F.coalesce(F.col("_m0"), F.lit(0.0))
             for t in range(1, len(toks)):
                 approx = approx + F.coalesce(F.col(f"_m{t}"), F.lit(0.0))
@@ -580,49 +537,11 @@ class MaxSimIvfIndex:
 
         if shortlist is not None:
             # stage 2 (batch): per-token masked centroid scores over
-            # distinct (doc, cell) pairs, per-query sums, one window
-            # keeps each query's `shortlist` best candidates
-            cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
-            qm = np.asarray(toks, dtype=np.float64)
-            s = cents @ qm.T  # nlist x T_total
-            masked = np.full((nlist, len(toks)), np.nan)
-            for t, cells in enumerate(probed):
-                for c in cells:
-                    masked[c, t] = s[c, t]
+            # distinct (doc, cell) pairs (shared machinery), per-query
+            # sums, one window keeps each query's `shortlist` best
+            masked = self._masked_scores(toks, probed, dim)
             doc_cells = cand_rows.select(self.doc_col, _CLUSTER_COL).distinct()
-            if nlist * len(toks) <= _LITERAL_TERM_CEILING:
-                score_cols = []
-                for t in range(len(toks)):
-                    arr = F.array(
-                        *[
-                            F.lit(None).cast("double")
-                            if np.isnan(masked[c, t])
-                            else F.lit(float(masked[c, t]))
-                            for c in range(nlist)
-                        ]
-                    )
-                    score_cols.append(
-                        F.element_at(arr, F.col(_CLUSTER_COL) + 1).alias(
-                            f"_a{t}"
-                        )
-                    )
-                agg = doc_cells.select(self.doc_col, *score_cols).groupBy(
-                    self.doc_col
-                ).agg(
-                    *[
-                        F.max(f"_a{t}").alias(f"_m{t}")
-                        for t in range(len(toks))
-                    ]
-                )
-            else:
-                agg = self._centroid_scores_arrow(doc_cells, masked).groupBy(
-                    self.doc_col
-                ).agg(
-                    *[
-                        F.max(F.col("_cs")[t]).alias(f"_m{t}")
-                        for t in range(len(toks))
-                    ]
-                )
+            agg = self._stage2_doc_maxes(doc_cells, masked, len(toks))
             by_query: dict = {}
             for i, q in enumerate(owner):
                 by_query.setdefault(q, []).append(i)
@@ -668,6 +587,56 @@ class MaxSimIvfIndex:
             candidates=cand_pairs,
         )
 
+    def _masked_scores(self, toks: list, probed: list, dim: int):
+        """nlist × T centroid-score table, NaN where a cell is not probed
+        for that token. Centroids are MIPS-augmented (dim+1); the query's
+        augmentation component is 0, so the score is the raw-dim dot."""
+        import numpy as np
+
+        nlist = len(self.ivf.centroids)
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
+        s = cents @ np.asarray(toks, dtype=np.float64).T  # nlist x T
+        masked = np.full((nlist, len(toks)), np.nan)
+        for t, cells in enumerate(probed):
+            for c in cells:
+                masked[c, t] = s[c, t]
+        return masked
+
+    def _stage2_doc_maxes(
+        self, doc_cells: DataFrame, masked, n_toks: int
+    ) -> DataFrame:
+        """Per-doc per-token MAX centroid score over the doc's distinct
+        (doc, cell) pairs — literal arrays under the Catalyst planning
+        ceiling, one Arrow gather kernel past it. Emits (doc, _m0.._mT);
+        a NULL _m{t} means no probed cell held the doc for token t."""
+        import numpy as np
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        nlist = masked.shape[0]
+        if nlist * n_toks <= _LITERAL_TERM_CEILING:
+            score_cols = []
+            for t in range(n_toks):
+                arr = F.array(
+                    *[
+                        F.lit(None).cast("double")
+                        if np.isnan(masked[c, t])
+                        else F.lit(float(masked[c, t]))
+                        for c in range(nlist)
+                    ]
+                )
+                score_cols.append(
+                    F.element_at(arr, F.col(_CLUSTER_COL) + 1).alias(f"_a{t}")
+                )
+            return doc_cells.select(self.doc_col, *score_cols).groupBy(
+                self.doc_col
+            ).agg(*[F.max(f"_a{t}").alias(f"_m{t}") for t in range(n_toks)])
+        return self._centroid_scores_arrow(doc_cells, masked).groupBy(
+            self.doc_col
+        ).agg(
+            *[F.max(F.col("_cs")[t]).alias(f"_m{t}") for t in range(n_toks)]
+        )
+
     def _centroid_scores_arrow(
         self, doc_cells: DataFrame, masked
     ) -> DataFrame:
@@ -683,9 +652,6 @@ class MaxSimIvfIndex:
             (f.name, f.dataType.simpleString())
             for f in doc_cells.schema.fields
         )[doc_col]
-        table = [
-            [None if np.isnan(v) else float(v) for v in row] for row in masked
-        ]
 
         def gather(it):
             tab = np.asarray(masked, dtype=np.float64)
@@ -699,7 +665,6 @@ class MaxSimIvfIndex:
                 ]
                 yield out
 
-        _ = table  # driver-side validation of finite table shape
         return doc_cells.mapInPandas(
             gather, schema=f"`{doc_col}` {doc_type}, _cs array<double>"
         )

@@ -625,58 +625,22 @@ def video_neardup(
     per frame — then a pair is emitted when at least ``min_frame_frac``
     of the sampled frames match within ``max_hamming`` bits. Returns
     (a_id, b_id, matched_frames, total_frames)."""
-    if max_hamming >= chunks:
-        raise ValueError("pigeonhole blocking needs max_hamming < chunks")
     frames = phash_video_frames(video, every=every)
     # Pigeonhole buckets keyed on the THREE-column key (frame, chunk,
-    # value): only aligned frames ever meet, with no arithmetic folding
-    # of (media_id, frame) into one long (the folded key overflowed /
-    # collided past |id| ~9.2e12 or frame >= 1e6 and lost precision on
-    # the float-division recovery — ADVICE r4).  Same one-pass
-    # groupBy-bucket + in-bucket array pair enumeration as
-    # dedup.simhash_candidates.
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    pieces = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftright(F.col("phash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for i in range(chunks)
-        ]
+    # value) via simhash_candidates' key_cols hook — only aligned frames
+    # ever meet, one blocking machinery for all three modalities (the
+    # folded media_id*10^6+frame key overflowed/collided and lost
+    # precision on recovery — ADVICE r4; the inline copy of the bucket
+    # machinery was the code-review r5 finding).
+    from vector_db_spark.operators.dedup import simhash_candidates
+
+    keyed = frames.select(
+        F.col("frame"),
+        F.col("media_id").alias("id"),
+        F.col("phash").alias("simhash"),
     )
-    blocked = frames.select(
-        "media_id", "frame", "phash", F.explode(pieces).alias("p")
-    )
-    buckets = blocked.groupBy("frame", "p.chunk", "p.val").agg(
-        F.array_sort(
-            F.collect_set(F.struct(F.col("media_id"), F.col("phash")))
-        ).alias("members")
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["media_id"].alias("a_id"),
-                    y["media_id"].alias("b_id"),
-                    F.bit_count(x["phash"].bitwiseXOR(y["phash"])).alias(
-                        "hamming"
-                    ),
-                ),
-            ),
-        )
-    )
-    frame_pairs = (
-        buckets.filter(F.size("members") > 1)
-        .select(F.col("frame"), F.explode(pairs).alias("pr"))
-        .select("frame", "pr.a_id", "pr.b_id", "pr.hamming")
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    frame_pairs = simhash_candidates(
+        keyed, max_hamming=max_hamming, chunks=chunks, key_cols=("frame",)
     )
     per_video = (
         frame_pairs.groupBy("a_id", "b_id")

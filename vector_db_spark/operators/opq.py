@@ -39,7 +39,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_spark.operators.pq import ProductQuantizer, _lloyd
+from vector_db_spark.operators.pq import (
+    ProductQuantizer,
+    _lloyd,
+    sample_training_points,
+    shortlist_rerank,
+)
 
 
 def _train_books(pts: np.ndarray, m: int, ksub: int, seed: int, iters: int) -> np.ndarray:
@@ -104,15 +109,8 @@ class OpqQuantizer:
         dim = len(corpus.select(vec_col).head()[0])
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        target = ksub * sample_per_code
-        n = corpus.count()
-        sampled = corpus.select(F.col(vec_col).alias("v"))
-        if n > target:
-            sampled = sampled.sample(
-                fraction=min(1.0, 1.2 * target / n), seed=seed
-            )
-        pts = np.asarray(
-            [r.v for r in sampled.limit(target).collect()], dtype=np.float64
+        pts = sample_training_points(
+            corpus, vec_col, ksub * sample_per_code, seed
         )
 
         rot = np.eye(dim)
@@ -190,18 +188,12 @@ class OpqQuantizer:
             return scored.orderBy(
                 F.col("distance").asc(), F.col(self.id_col).asc()
             ).limit(k)
-        from vector_db_spark.operators.knn import knn
-
-        ell = shortlist or 4 * k
-        if ell < k:
-            raise ValueError("shortlist must be >= k")
-        cand = (
-            scored.orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
-            .limit(ell)
-            .select(self.id_col)
+        # shared refinement tail — exact distances against the UNROTATED
+        # query on the raw corpus (L2 invariance of R)
+        return shortlist_rerank(
+            scored, rerank, query, k, shortlist or 4 * k,
+            self.id_col, self.vec_col,
         )
-        short = rerank.join(F.broadcast(cand), on=self.id_col, how="inner")
-        return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
 
     def save(self, path: str) -> None:
         import os

@@ -49,6 +49,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def sample_training_points(
+    corpus: DataFrame, vec_col: str, target: int, seed: int
+) -> np.ndarray:
+    """Bounded training sample (≤ target vectors) as a float64 matrix —
+    the shared fit policy of the PQ/OPQ quantizers (cost independent of
+    corpus size; same trade as the IVF coarse quantizer)."""
+    n = corpus.count()
+    sampled = corpus.select(F.col(vec_col).alias("v"))
+    if n > target:
+        sampled = sampled.sample(fraction=min(1.0, 1.2 * target / n), seed=seed)
+    return np.asarray(
+        [r.v for r in sampled.limit(target).collect()], dtype=np.float64
+    )
+
+
+def shortlist_rerank(
+    scored: DataFrame,
+    rerank: DataFrame,
+    query,
+    k: int,
+    ell: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC→exact refinement tail: take the ``ell`` best ADC rows
+    (ties by id), broadcast-join their ids back to the raw corpus, exact
+    kNN on the raw vectors. ``query`` is whatever vector the exact
+    distances should be computed against (the UNROTATED query for OPQ)."""
+    from vector_db_spark.operators.knn import knn
+
+    if ell < k:
+        raise ValueError("shortlist must be >= k")
+    cand = (
+        scored.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(ell)
+        .select(id_col)
+    )
+    short = rerank.join(F.broadcast(cand), on=id_col, how="inner")
+    return knn(short, query, k, id_col=id_col, vec_col=vec_col)
+
+
 def _lloyd(pts: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     k = min(k, pts.shape[0])
@@ -100,13 +141,8 @@ class ProductQuantizer:
         dim = len(corpus.select(vec_col).head()[0])
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        target = ksub * sample_per_code
-        n = corpus.count()
-        sampled = corpus.select(F.col(vec_col).alias("v"))
-        if n > target:
-            sampled = sampled.sample(fraction=min(1.0, 1.2 * target / n), seed=seed)
-        pts = np.asarray(
-            [r.v for r in sampled.limit(target).collect()], dtype=np.float64
+        pts = sample_training_points(
+            corpus, vec_col, ksub * sample_per_code, seed
         )
         dsub = dim // m
         books = np.stack(
@@ -202,16 +238,10 @@ class ProductQuantizer:
             return scored.orderBy(
                 F.col("distance").asc(), F.col(self.id_col).asc()
             ).limit(k)
-        from vector_db_spark.operators.knn import knn
-
-        ell = shortlist or 4 * k
-        if ell < k:
-            raise ValueError("shortlist must be >= k")
-        cand = scored.orderBy(
-            F.col("distance").asc(), F.col(self.id_col).asc()
-        ).limit(ell).select(self.id_col)
-        short = rerank.join(F.broadcast(cand), on=self.id_col, how="inner")
-        return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
+        return shortlist_rerank(
+            scored, rerank, query, k, shortlist or 4 * k,
+            self.id_col, self.vec_col,
+        )
 
     def reconstruct(self, codes: bytes | Sequence[int]) -> np.ndarray:
         idx = (

@@ -569,8 +569,6 @@ def stream_ivf_delete_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-_MSIVF_STREAM_ORACLE = None  # set below from retrieval_queries to avoid drift
-
 
 @query("stream_maxsim_append_exhaustive")
 def stream_maxsim_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
