@@ -700,12 +700,20 @@ def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sketch_stats_orders")
 def sketch_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct count + approximate quantiles as SCALAR columns.
+
+    Rows-only gate (sketch internals differ across engines), so the
+    result must be canonicalizable by the driver's pandas sort+hash —
+    an ``array<double>`` column is unhashable there (the one red row of
+    CORRECTNESS_r05).  Three scalar quantile columns instead; the
+    error-bound-vs-exact assertion lives in tests/test_driver_contract.py.
+    """
     orders = _t(spark, sf_dir, "orders")
     return orders.agg(
         F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("o_totalprice", F.lit(0.5), 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), 10000).alias("p99"),
     )
 
 
