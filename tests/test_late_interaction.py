@@ -341,3 +341,182 @@ def test_maxsim_ivf_vacuum_and_retrain(emb, toks, tmp_path):
     # retrain refits the quantizer over live rows; full probe stays exact
     fresh = loaded.retrain(max_iter=5)
     assert _pairs(fresh.search(toks, 5, nprobe=8).collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# MaxSimPqIndex — compressed PLAID (ColBERTv2 residual PQ over the token
+# IVF). Gate standard: lossless settings ≡ exact operator bit-for-bit;
+# ADC math pinned against driver-side reconstruction; codes column must
+# actually be smaller than the raw token store.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mspq(emb):
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+    return MaxSimPqIndex.build(
+        emb, nlist=8, m=8, ksub=16, doc_col="label", max_iter=5, pq_iters=5
+    )
+
+
+def test_maxsim_pq_exhaustive_equals_exact(emb, toks, mspq):
+    exact = _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())
+    # candidate path without shortlist (stage 1+3 only)
+    assert _pairs(mspq.search(toks, 5, nprobe=8).collect()) == exact
+    # residual-ADC shortlist path active, bound non-binding
+    assert _pairs(mspq.search(toks, 5, nprobe=8, shortlist=10).collect()) == exact
+
+
+def test_maxsim_pq_filtered_exhaustive(emb, toks, mspq):
+    exact = _pairs(
+        maxsim_search(
+            emb, toks, 3, doc_col="label", predicate=F.col("label") != 3
+        ).collect()
+    )
+    got = _pairs(
+        mspq.search(
+            toks, 3, nprobe=8, shortlist=10, predicate=F.col("label") != 3
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_maxsim_pq_batch_exhaustive(emb, mspq, spark):
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    queries = _qframe(emb, spark)
+    want = [
+        (int(r.query_id), int(r.label), r.maxsim_score, r.rank)
+        for r in maxsim_search_batch(emb, queries, 3, doc_col="label")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (int(r.query_id), int(r.label), r.maxsim_score, r.rank)
+        for r in mspq.search_batch(queries, 3, nprobe=8, shortlist=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_maxsim_pq_probe_scores_are_exact(emb, toks, mspq):
+    """Stage-3 contract: whatever the ADC shortlist admits, reported
+    scores are exact MaxSim — plus the family recall pin."""
+    all_exact = dict(
+        _pairs(maxsim_search(emb, toks, 100, doc_col="label").collect())
+    )
+    got = _pairs(mspq.search(toks, 5, nprobe=4, shortlist=7).collect())
+    assert len(got) == 5
+    for d, s in got:
+        assert s == pytest.approx(all_exact[d], abs=1e-9)
+    exact5 = {d for d, _ in _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())}
+    assert len({d for d, _ in got} & exact5) >= 4
+
+
+def test_maxsim_pq_adc_matches_reconstruction(emb, toks, mspq):
+    """The stage-2 ADC dot must equal ⟨q_t, centroid_cell⟩ + ⟨q_t,
+    reconstructed residual⟩ computed driver-side from the same codes —
+    the IP twin of pq.py's ADC-vs-reconstruction accuracy contract."""
+    import numpy as np
+
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+
+    live = mspq._ivf._live()
+    sample = live.limit(8).collect()
+    # per-doc rows aren't keyed by row id; recompute per sampled row via
+    # a one-row frame through the same kernel
+    for r in sample:
+        one = live.sparkSession.createDataFrame([r], live.schema)
+        out = mspq._adc_dots(one, toks).collect()[0]
+        cents = mspq._raw_centroids()
+        codes = np.frombuffer(r.pq_codes, dtype=np.uint8)
+        recon = np.concatenate(
+            [mspq.codebooks[i][codes[i]] for i in range(mspq.m)]
+        )
+        c = cents[r[_CLUSTER_COL]]
+        for t, q in enumerate(np.asarray(toks, dtype=np.float64)):
+            want = float(q @ c + q @ recon)
+            assert out.dots[t] == pytest.approx(want, rel=1e-12, abs=1e-12)
+
+
+def test_maxsim_pq_lifecycle(emb, toks, tmp_path, spark):
+    """save → load → append → delete → reload → vacuum, exhaustive ≡
+    exact over the evolving corpus at every step (frozen codebooks)."""
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+    base = emb.filter(F.col("vec_id") >= 50)
+    extra = emb.filter(F.col("vec_id") < 50)
+    idx = MaxSimPqIndex.build(
+        base, nlist=8, m=8, ksub=16, doc_col="label", max_iter=5, pq_iters=5
+    )
+    path = str(tmp_path / "mspq0")
+    idx.save(path)
+    loaded = MaxSimPqIndex.load(spark, path)
+    assert loaded.m == 8 and loaded.ksub == 16
+
+    loaded.append(extra, path=path)
+    want = _pairs(maxsim_search(emb, toks, 5, doc_col="label").collect())
+    assert _pairs(loaded.search(toks, 5, nprobe=8, shortlist=10).collect()) == want
+
+    loaded.delete([want[0][0]], path=path)
+    want2 = _pairs(
+        maxsim_search(
+            emb, toks, 5, doc_col="label",
+            predicate=F.col("label") != want[0][0],
+        ).collect()
+    )
+    assert _pairs(loaded.search(toks, 5, nprobe=8, shortlist=10).collect()) == want2
+
+    # manifest + appended files survive a reload
+    again = MaxSimPqIndex.load(spark, path)
+    assert _pairs(again.search(toks, 5, nprobe=8, shortlist=10).collect()) == want2
+    compacted = again.vacuum(str(tmp_path / "mspq1"))
+    assert compacted._ivf.tombstones is None
+    assert (
+        _pairs(compacted.search(toks, 5, nprobe=8, shortlist=10).collect())
+        == want2
+    )
+
+
+def test_maxsim_pq_codes_smaller_than_raw(emb, tmp_path, spark, mspq):
+    """The scan artifact the compression exists for: in the saved cell
+    layout, the codes column's parquet bytes must be a small fraction of
+    the raw token-vector column's."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    path = str(tmp_path / "mspq_bytes")
+    mspq.save(path)
+    code_b = vec_b = 0
+    for f in glob.glob(f"{path}/assignments/**/*.parquet", recursive=True):
+        meta = pq_.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema.split(".")[0]
+                if name == "pq_codes":
+                    code_b += col.total_compressed_size
+                elif name == "embedding":
+                    vec_b += col.total_compressed_size
+    assert code_b > 0 and vec_b > 0
+    # 64-dim float32 ≈ 256B/row raw vs 8B codes; parquet overhead leaves
+    # well over 4× even at this tiny SF
+    assert code_b * 4 < vec_b
+
+
+def test_maxsim_pq_validation(mspq, toks):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        mspq.search(toks, 0)
+    with _pt.raises(ValueError, match="nprobe"):
+        mspq.search(toks, 1, nprobe=0)
+    with _pt.raises(ValueError, match="shortlist"):
+        mspq.search(toks, 1, shortlist=0)
+    with _pt.raises(ValueError, match="non-empty"):
+        mspq.search([], 1)
+    with _pt.raises(ValueError, match="dimension mismatch"):
+        mspq.search([[1.0, 2.0]], 1)

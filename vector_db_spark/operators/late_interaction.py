@@ -668,3 +668,490 @@ class MaxSimIvfIndex:
         return doc_cells.mapInPandas(
             gather, schema=f"`{doc_col}` {doc_type}, _cs array<double>"
         )
+
+
+class MaxSimPqIndex:
+    """PLAID with a COMPRESSED token store — the ColBERTv2 residual
+    scheme (Santhanam et al., NAACL'22 §3.2) on top of `MaxSimIvfIndex`.
+
+    The reference maintains a compression ladder per single-vector index
+    (flat → HNSW → usearch, /root/reference/src/core/index_factory.rs:85-156);
+    `MaxSimIvfIndex` was the one family here whose scan artifact stayed
+    raw float32 token vectors — at 100 TB multi-vector corpora the token
+    store dominates total bytes. This class PQ-encodes each token's
+    RESIDUAL against its IVF cell centroid (the exact machinery
+    `IvfPqIndex` uses for single vectors, operators/ivfpq.py) so the
+    candidate-scoring scan reads M bytes per token instead of dim·4:
+
+    1. **candidate generation** — unchanged: probed-cell union over the
+       token IVF (partition-pruned scan).
+    2. **approximate scoring** — per candidate token row, the token-t dot
+       is reconstructed as ⟨q_t, centroid_cell⟩ + IP-ADC over the
+       residual codes: an (m × ksub) inner-product table per query token
+       (driver-side constants) + m uint8 lookups per row. Strictly
+       tighter than the parent's centroid-score bound (which drops the
+       residual term entirely), at M bytes/row scanned — per-doc
+       per-token max, token sum, top-`shortlist` docs survive.
+    3. **exact rerank** — identical to the parent: `maxsim_search` over
+       the shortlisted docs' raw token vectors, so returned scores are
+       bit-equal to the exact operator for every returned doc.
+
+    Raw vectors stay in the cell layout for stage 3 (parquet is columnar:
+    the stage-2 scan projects only (doc, cell, codes) and never reads the
+    vector column — pinned by the codes/raw bytes comparison in bench).
+
+    `nprobe >= nlist` + non-binding `shortlist` degenerates to the exact
+    operator (`maxsim_pq_exhaustive` gate — the same lossless-settings
+    standard every ANN family carries).
+    """
+
+    _CODE_COL = "pq_codes"
+
+    def __init__(self, msivf: MaxSimIvfIndex, codebooks) -> None:
+        import numpy as np
+
+        self.msivf = msivf
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.m = self.codebooks.shape[0]
+        self.ksub = self.codebooks.shape[1]
+        self.dsub = self.codebooks.shape[2]
+        self.doc_col = msivf.doc_col
+        self.vec_col = msivf.vec_col
+
+    # -- internals -------------------------------------------------------
+
+    @property
+    def _ivf(self):
+        return self.msivf.ivf
+
+    def _dim(self) -> int:
+        # metric='ip' centroids carry the MIPS augmentation component
+        return len(self._ivf.centroids[0]) - (
+            1 if self._ivf.metric == "ip" else 0
+        )
+
+    def _raw_centroids(self):
+        import numpy as np
+
+        return np.asarray(self._ivf.centroids, dtype=np.float64)[
+            :, : self._dim()
+        ]
+
+    def _quantizer(self):
+        from vector_db_spark.operators.pq import ProductQuantizer
+
+        return ProductQuantizer(self.codebooks, self.doc_col, "_resid")
+
+    def _encode(self, assigned: DataFrame) -> DataFrame:
+        """(…, cluster_id) → (…, pq_codes): residual vs the RAW slice of
+        the cell centroid, encoded through the frozen codebooks."""
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+        from vector_db_spark.operators.ivfpq import _centroid_lookup
+
+        raw_cents = [list(map(float, c)) for c in self._raw_centroids()]
+        resid = F.zip_with(
+            F.col(self.vec_col),
+            _centroid_lookup(raw_cents, F.col(_CLUSTER_COL)),
+            lambda x, c: x.cast("double") - c,
+        )
+        return (
+            self._quantizer()
+            .encode(assigned.withColumn("_resid", resid), code_col=self._CODE_COL)
+            .drop("_resid")
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        nlist: int = 16,
+        m: int = 8,
+        ksub: int = 256,
+        *,
+        doc_col: str,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 20,
+        pq_iters: int = 10,
+        sample_per_code: int = 64,
+        msivf: MaxSimIvfIndex | None = None,
+    ) -> "MaxSimPqIndex":
+        """Train over long-format multi-vector `corpus`. ``msivf`` accepts
+        a pre-built token IVF over the same corpus (the faiss composition
+        — a deployment that already serves uncompressed PLAID reuses its
+        quantizer fit and cell layout instead of refitting)."""
+        from vector_db_spark.operators.pq import ProductQuantizer
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+        from vector_db_spark.operators.ivfpq import _centroid_lookup
+
+        if msivf is None:
+            msivf = MaxSimIvfIndex.build(
+                corpus,
+                nlist=nlist,
+                doc_col=doc_col,
+                vec_col=vec_col,
+                seed=seed,
+                max_iter=max_iter,
+            )
+        ivf = msivf.ivf
+        dim = len(ivf.centroids[0]) - (1 if ivf.metric == "ip" else 0)
+        raw_cents = [list(map(float, c[:dim])) for c in ivf.centroids]
+        resid = F.zip_with(
+            F.col(msivf.vec_col),
+            _centroid_lookup(raw_cents, F.col(_CLUSTER_COL)),
+            lambda x, c: x.cast("double") - c,
+        )
+        with_resid = ivf.assignments.withColumn("_resid", resid)
+        pq = ProductQuantizer.fit(
+            with_resid,
+            m=m,
+            ksub=ksub,
+            seed=seed,
+            iters=pq_iters,
+            sample_per_code=sample_per_code,
+            id_col=msivf.doc_col,
+            vec_col="_resid",
+        )
+        ivf.assignments = pq.encode(
+            with_resid, code_col=MaxSimPqIndex._CODE_COL
+        ).drop("_resid")
+        return MaxSimPqIndex(msivf, pq.codebooks)
+
+    def save(self, path: str) -> None:
+        """Cell-partitioned (tokens + codes) layout via the IVF save,
+        plus the codebook tensor — after load(), the stage-2 scan is
+        parquet partition pruning over the M-byte codes column."""
+        import os
+
+        import numpy as np
+
+        self.msivf.save(path)
+        np.save(os.path.join(path, "pq_codebooks.npy"), self.codebooks)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "MaxSimPqIndex":
+        import os
+
+        import numpy as np
+
+        return MaxSimPqIndex(
+            MaxSimIvfIndex.load(spark, path),
+            np.load(os.path.join(path, "pq_codebooks.npy")),
+        )
+
+    def append(self, new_rows: DataFrame, path: str | None = None):
+        """Incremental maintenance with the coarse quantizer AND the
+        codebooks frozen (faiss `IndexIVFPQ.add` shape; same ip-norm
+        watermark bookkeeping as IvfIndex.append): new token rows assign
+        to existing cells, their residuals encode through the existing
+        codebooks, and with ``path`` only new files land in the layout."""
+        import os
+
+        from vector_db_spark.functions.vector import dot as _dot
+        from vector_db_spark.operators.ann import (
+            _CLUSTER_COL,
+            _nearest_centroid_arrow,
+        )
+
+        ivf = self._ivf
+        if ivf.metric == "ip":
+            v = F.col(self.vec_col)
+            appended_max = float(new_rows.agg(F.max(_dot(v, v))).head()[0])
+            ivf.max_appended_sq_norm = max(
+                ivf.max_appended_sq_norm or 0.0, appended_max
+            )
+        assigned = _nearest_centroid_arrow(
+            new_rows, self.vec_col, ivf.centroids, ivf.metric, ivf.max_sq_norm
+        )
+        encoded_new = self._encode(assigned).select(*ivf.assignments.columns)
+        ivf.cell_radii = None
+        if path is not None:
+            encoded_new.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
+                os.path.join(path, "assignments")
+            )
+            ivf._write_meta(path)
+        ivf.assignments = ivf.assignments.unionByName(encoded_new)
+        return self
+
+    def delete(self, ids, path: str | None = None):
+        """Doc-level tombstone — candidate generation, ADC scoring, and
+        rerank all serve through the manifest anti-join."""
+        self.msivf.delete(ids, path=path)
+        return self
+
+    def vacuum(self, path: str) -> "MaxSimPqIndex":
+        """Compaction into a fresh directory (codes ride along in the
+        assignments frame; codebooks re-persist unchanged)."""
+        import os
+
+        import numpy as np
+
+        out = MaxSimPqIndex(self.msivf.vacuum(path), self.codebooks)
+        np.save(os.path.join(path, "pq_codebooks.npy"), self.codebooks)
+        return out
+
+    # -- search ----------------------------------------------------------
+
+    def _adc_dots(self, rows: DataFrame, toks: list[list[float]]) -> DataFrame:
+        """(doc, cluster_id, pq_codes) → (doc, dots array<double>): the
+        token-t approximate dot ⟨q_t, centroid_cell⟩ + Σ_i ip_table[t, i,
+        code_i] for ALL T query tokens, one Arrow batch kernel. Driver
+        constants: (nlist × T) centroid dots + (T × m × ksub) IP tables."""
+        import numpy as np
+        import pandas as pd
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        doc_col, code_col = self.doc_col, self._CODE_COL
+        m, dsub = self.m, self.dsub
+        qmat = np.asarray(toks, dtype=np.float64)  # T x dim
+        cent_dots = self._raw_centroids() @ qmat.T  # nlist x T
+        # ip_tables[t, i, j] = <q_t[sub_i], codebook[i][j]>
+        ip_tables = np.stack(
+            [
+                np.stack(
+                    [
+                        self.codebooks[i] @ q[i * dsub : (i + 1) * dsub]
+                        for i in range(m)
+                    ]
+                )
+                for q in qmat
+            ]
+        )  # T x m x ksub
+        doc_type = dict(
+            (f.name, f.dataType.simpleString()) for f in rows.schema.fields
+        )[doc_col]
+
+        def adc(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                cmat = np.frombuffer(
+                    b"".join(pdf[code_col]), dtype=np.uint8
+                ).reshape(-1, m)
+                cells = pdf[_CLUSTER_COL].to_numpy()
+                dots = cent_dots[cells]  # B x T (copy via fancy index)
+                for t in range(ip_tables.shape[0]):
+                    dots[:, t] += ip_tables[t][
+                        np.arange(m)[None, :], cmat
+                    ].sum(axis=1)
+                yield pd.DataFrame(
+                    {doc_col: pdf[doc_col], "dots": list(dots)}
+                )
+
+        return rows.select(doc_col, _CLUSTER_COL, code_col).mapInPandas(
+            adc, schema=f"`{doc_col}` {doc_type}, dots array<double>"
+        )
+
+    def search(
+        self,
+        query_tokens: Sequence[Sequence[float]],
+        k: int,
+        *,
+        nprobe: int = 4,
+        shortlist: int | None = None,
+        predicate: Column | None = None,
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Top-k documents by exact MaxSim over the ADC-shortlisted IVF
+        candidate set. ``shortlist=None`` reranks every candidate doc
+        (lossless under full probe); an integer bounds the rerank to the
+        `shortlist` best docs under the residual-ADC approximation."""
+        import numpy as np
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        if shortlist is not None and shortlist < 1:
+            raise ValueError("shortlist must be >= 1 or None")
+        toks = [list(map(float, t)) for t in query_tokens]
+        if not toks:
+            raise ValueError("query_tokens must be non-empty")
+        dims = {len(t) for t in toks}
+        if len(dims) != 1:
+            raise ValueError(f"query tokens must share one dimension, got {dims}")
+        if dims.pop() != self._dim():
+            raise ValueError(
+                f"dimension mismatch: query tokens have {len(toks[0])} "
+                f"components, index dim is {self._dim()}"
+            )
+
+        ivf = self._ivf
+        nlist = len(ivf.centroids)
+        nprobe = min(nprobe, nlist)
+        probed = [ivf.probe_order(t)[:nprobe] for t in toks]
+        union_cells = sorted({c for cells in probed for c in cells})
+
+        live = ivf._live()
+        if predicate is not None:
+            live = live.filter(predicate)
+        cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+
+        if shortlist is None:
+            cand_docs = cand_rows.select(self.doc_col).distinct()
+            rerank_src = live.join(cand_docs, self.doc_col, "left_semi")
+        else:
+            scored = self._adc_dots(cand_rows, toks)
+            maxes = scored.groupBy(self.doc_col).agg(
+                *[
+                    F.max(F.col("dots")[t]).alias(f"_m{t}")
+                    for t in range(len(toks))
+                ]
+            )
+            approx = F.col("_m0")
+            for t in range(1, len(toks)):
+                approx = approx + F.col(f"_m{t}")
+            cand_docs = (
+                maxes.select(self.doc_col, approx.alias("_approx"))
+                .orderBy(F.col("_approx").desc(), F.col(self.doc_col).asc())
+                .limit(shortlist)
+                .select(self.doc_col)
+            )
+            rerank_src = live.join(
+                F.broadcast(cand_docs), self.doc_col, "left_semi"
+            )
+
+        return maxsim_search(
+            rerank_src,
+            toks,
+            k,
+            doc_col=self.doc_col,
+            vec_col=self.vec_col,
+            score_col=score_col,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 4,
+        shortlist: int | None = None,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        token_vec_col: str = "token_vec",
+        token_id_col: str = "token_id",
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Batch formulation: per-query IVF candidate pairs from one
+        broadcast probe-pair equi-join (identical to the parent), stage-2
+        residual-ADC scoring of ALL batch tokens in one codes pass, one
+        window keeps each query's `shortlist` best, one exact rerank
+        masked per query. ``nprobe >= nlist`` + non-binding `shortlist`
+        equals exact `maxsim_search_batch`."""
+        import numpy as np
+
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        if shortlist is not None and shortlist < 1:
+            raise ValueError("shortlist must be >= 1 or None")
+        rows = (
+            queries.select(query_id_col, token_id_col, token_vec_col)
+            .orderBy(query_id_col, token_id_col)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("queries must be non-empty")
+        toks = [list(map(float, r[token_vec_col])) for r in rows]
+        owner = [r[query_id_col] for r in rows]
+        dims = {len(t) for t in toks}
+        if len(dims) != 1:
+            raise ValueError(f"query tokens must share one dimension, got {dims}")
+        if dims.pop() != self._dim():
+            raise ValueError(
+                f"dimension mismatch: query tokens have {len(toks[0])} "
+                f"components, index dim is {self._dim()}"
+            )
+
+        ivf = self._ivf
+        nlist = len(ivf.centroids)
+        nprobe = min(nprobe, nlist)
+        probed = [ivf.probe_order(t)[:nprobe] for t in toks]
+        cells_by_query: dict = {}
+        for i, q in enumerate(owner):
+            cells_by_query.setdefault(q, set()).update(probed[i])
+        union_cells = sorted({c for cs in cells_by_query.values() for c in cs})
+
+        live = ivf._live()
+        if predicate is not None:
+            live = live.filter(predicate)
+        cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+
+        spark = live.sparkSession
+        qtype = dict(
+            (f.name, f.dataType.simpleString()) for f in queries.schema.fields
+        )[query_id_col]
+        probe_pairs = spark.createDataFrame(
+            [(q, int(c)) for q, cs in cells_by_query.items() for c in sorted(cs)],
+            f"`{query_id_col}` {qtype}, `{_CLUSTER_COL}` int",
+        )
+        cand_pairs = (
+            cand_rows.join(F.broadcast(probe_pairs), on=_CLUSTER_COL)
+            .select(query_id_col, F.col(self.doc_col))
+            .distinct()
+        )
+
+        if shortlist is not None:
+            # stage 2 (batch): one residual-ADC pass over the candidate
+            # codes computes every batch token's dot; per-doc maxes, then
+            # per-query sums restricted to each query's own candidates
+            scored = self._adc_dots(cand_rows, toks)
+            maxes = scored.groupBy(self.doc_col).agg(
+                *[
+                    F.max(F.col("dots")[t]).alias(f"_m{t}")
+                    for t in range(len(toks))
+                ]
+            )
+            by_query: dict = {}
+            for i, q in enumerate(owner):
+                by_query.setdefault(q, []).append(i)
+            structs = []
+            for q, idxs in by_query.items():
+                total = F.col(f"_m{idxs[0]}")
+                for i in idxs[1:]:
+                    total = total + F.col(f"_m{i}")
+                structs.append(
+                    F.struct(F.lit(q).alias("qid"), total.alias("s"))
+                )
+            approx = maxes.select(
+                self.doc_col, F.explode(F.array(*structs)).alias("qs")
+            ).select(
+                F.col("qs.qid").alias(query_id_col),
+                self.doc_col,
+                F.col("qs.s").alias("_approx"),
+            ).join(cand_pairs, on=[query_id_col, self.doc_col])
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.col("_approx").desc(), F.col(self.doc_col).asc()
+            )
+            cand_pairs = (
+                approx.withColumn("_ark", F.row_number().over(w))
+                .filter(F.col("_ark") <= shortlist)
+                .select(query_id_col, self.doc_col)
+            )
+
+        rerank_src = live.join(
+            cand_pairs.select(self.doc_col).distinct(),
+            self.doc_col,
+            "left_semi",
+        )
+        return maxsim_search_batch(
+            rerank_src,
+            queries,
+            k,
+            doc_col=self.doc_col,
+            vec_col=self.vec_col,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+            score_col=score_col,
+            candidates=cand_pairs,
+        )

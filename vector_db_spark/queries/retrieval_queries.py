@@ -487,3 +487,92 @@ def maxsim_ivf_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
         predicate=(F.col("doc") % 5) != 2,
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: compressed PLAID (MaxSimPqIndex — ColBERTv2 residual PQ over
+# the token IVF, operators/late_interaction.py). Same corpus/query/oracle
+# shapes as the maxsim_ivf_* family: at lossless settings (full probe,
+# non-binding shortlist) the residual-ADC stage executes but prunes
+# nothing, and the exact rerank must reproduce exact MaxSim bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _mspq_index(spark: SparkSession, sf_dir: str):
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+    return MaxSimPqIndex.build(
+        _msivf_corpus(spark, sf_dir),
+        nlist=16,
+        m=8,
+        ksub=32,
+        doc_col="doc",
+        max_iter=5,
+        pq_iters=5,
+    )
+
+
+@query("maxsim_pq_exhaustive", oracle=_MSIVF_ORACLE)
+def maxsim_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-PLAID lossless gate: full probe + non-binding shortlist
+    routes every doc through the residual-ADC approximation and the exact
+    raw-token rerank — must equal the exact operator (same fold order as
+    the oracle's ordered sum), proving the codes layer never corrupts
+    served scores (approximation lives only in candidate pruning)."""
+    res = _mspq_index(spark, sf_dir).search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_pq_probe")
+def maxsim_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-scan compressed-PLAID retrieval (rows-only probe; recall
+    pinned in tests/test_late_interaction.py): a quarter of the cells per
+    token, 20-doc shortlist ranked by residual ADC over M=8-byte codes —
+    the scan reads 8 bytes/token instead of 256 (the bytes comparison is
+    recorded by bench.py as maxsim_codes_bytes / maxsim_raw_bytes)."""
+    res = _mspq_index(spark, sf_dir).search(
+        _msivf_toks(spark, sf_dir), 10, nprobe=4, shortlist=20
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_pq_batch_exhaustive", oracle=_MSIVF_BATCH_ORACLE)
+def maxsim_pq_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch compressed PLAID at lossless settings: one residual-ADC pass
+    scores all batch tokens, per-query shortlist windows prune nothing
+    (non-binding), one masked exact rerank — must equal exact batch
+    MaxSim bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    res = _mspq_index(spark, sf_dir).search_batch(
+        queries, _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
+    )
+    return res.select(
+        "query_id",
+        "doc",
+        F.round("maxsim_score", 6).alias("maxsim_score"),
+        "rank",
+    )
+
+
+@query("maxsim_pq_filtered_exhaustive", oracle=_MSIVF_FILTERED_ORACLE)
+def maxsim_pq_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered compressed-PLAID gate: predicate pre-filters token rows
+    before candidate generation, ADC scoring, and the exact rerank; at
+    lossless settings equals exact filtered MaxSim."""
+    res = _mspq_index(spark, sf_dir).search(
+        _msivf_toks(spark, sf_dir),
+        _MSIVF_K,
+        nprobe=16,
+        shortlist=_MSIVF_NDOC,
+        predicate=(F.col("doc") % 5) != 2,
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
