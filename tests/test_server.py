@@ -1,0 +1,187 @@
+"""Socket-level e2e for the HTTP transport (vector_db_spark/server.py).
+
+Drives a LIVE port with the reference's own rstest payloads:
+
+- search case table — src/router/handle/search_index_handle.rs:139-142:
+  (valid vec, missing index) → 404; (UNKNOWN index type) → 404;
+  (empty vectors) → 400.
+- create case table — src/router/handle/create_index_handle.rs:119-127 +
+  the HNSW/max_elements rules (src/models/request/create.rs:24-47).
+- insert → search → upsert → query round-trip over the wire
+  (insert_index_handle.rs / upsert_handle.rs / query_handle.rs tests).
+- transport-only concerns: malformed JSON → 400, unknown route → 404,
+  error body shape {"code": -1, "error_msg": ...} (app_error.rs:47-52).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+KEY_FLAT = {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from vector_db_spark.api import VectorDatabaseApi
+    from vector_db_spark.server import VectorDbHttpServer
+
+    api = VectorDatabaseApi(
+        spark, str(tmp_path_factory.mktemp("http_root"))
+    )
+    srv = VectorDbHttpServer(api).start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, path: str, payload, raw: bytes | None = None):
+    """POST json (or raw bytes) → (status, parsed body)."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=raw if raw is not None else json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(
+        f"http://{server.host}:{server.port}/health", timeout=30
+    ) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"code": 0}
+
+
+def test_create_case_table(server):
+    # create_index_handle.rs:119-127 — FLAT dims at both metrics → OK
+    for dim, metric in [(128, "L2"), (256, "L2"), (10, "InnerProduct")]:
+        status, body = _post(
+            server,
+            "/create",
+            {"index_type": "FLAT", "dim": dim, "metric_type": metric},
+        )
+        assert status == 200
+        assert body["code"] == 0
+        assert body["index_key"]["dim"] == dim
+    # HNSW requires max_elements (create.rs:24-35)
+    status, body = _post(
+        server, "/create", {"index_type": "HNSW", "dim": 3, "metric_type": "L2"}
+    )
+    assert status == 400 and body["code"] == -1
+    status, _ = _post(
+        server,
+        "/create",
+        {"index_type": "HNSW", "dim": 8, "metric_type": "L2",
+         "max_elements": 1000},
+    )
+    assert status == 200
+
+
+def test_search_rstest_case_table(server):
+    # search_index_handle.rs:140 — valid vector, index never created → 404
+    missing = {"index_type": "FLAT", "dim": 7, "metric_type": "L2"}
+    status, body = _post(
+        server, "/search", {"vectors": [1.0] * 7, "k": 3, "index_key": missing}
+    )
+    assert status == 404 and body["code"] == -1 and "error_msg" in body
+    # :141 — UNKNOWN index type → 404 (UnsupportedIndexType mapping)
+    status, body = _post(
+        server,
+        "/search",
+        {"vectors": [0.5, 1.5, 2.5], "k": 3,
+         "index_key": {"index_type": "UNKNOWN", "dim": 3, "metric_type": "L2"}},
+    )
+    assert status == 404 and body["code"] == -1
+    # :142 — empty vectors → 400
+    status, body = _post(
+        server, "/search", {"vectors": [], "k": 1, "index_key": KEY_FLAT}
+    )
+    assert status == 400 and body["code"] == -1
+
+
+def test_insert_search_upsert_query_roundtrip(server):
+    status, _ = _post(server, "/create", KEY_FLAT)
+    assert status == 200
+    for rid, vec in [(1, [1.0, 2.0, 3.0]), (2, [10.0, 10.0, 10.0])]:
+        status, body = _post(
+            server, "/insert",
+            {"id": rid, "vectors": vec, "index_key": KEY_FLAT},
+        )
+        assert status == 200 and body == {"code": 0}
+
+    status, body = _post(
+        server, "/search",
+        {"vectors": [1.0, 2.0, 3.0], "k": 2, "index_key": KEY_FLAT},
+    )
+    assert status == 200
+    assert body["code"] == 0
+    assert body["labels"] == [1, 2]
+    assert body["distances"][0] == pytest.approx(0.0)
+    # squared L2 (backend-native, SURVEY §2.7): (9²+8²+7²)
+    assert body["distances"][1] == pytest.approx(81 + 64 + 49)
+
+    # upsert replaces the vector AND stores the JSON doc (MERGE semantics)
+    status, body = _post(
+        server, "/upsert",
+        {"id": 2, "vectors": [1.0, 2.0, 4.0], "index_key": KEY_FLAT,
+         "data": {"tag": "fresh"}},
+    )
+    assert status == 200 and body == {"code": 0}
+    status, body = _post(
+        server, "/search",
+        {"vectors": [1.0, 2.0, 3.0], "k": 2, "index_key": KEY_FLAT},
+    )
+    assert body["labels"] == [1, 2]
+    assert body["distances"][1] == pytest.approx(1.0)
+
+    # /query returns the stored doc with vectors folded in
+    # (upsert_handle.rs:23-32)
+    status, body = _post(server, "/query", {"id": 2})
+    assert status == 200
+    assert body["code"] == 0
+    assert body["data"]["tag"] == "fresh"
+    assert body["data"]["vectors"] == [1.0, 2.0, 4.0]
+    # missing doc → 500 (query_handle.rs:26)
+    status, body = _post(server, "/query", {"id": 424242})
+    assert status == 500 and body["code"] == -1
+
+
+def test_search_batch_over_the_wire(server):
+    _post(server, "/create", KEY_FLAT)
+    reqs = [
+        {"vectors": [1.0, 2.0, 3.0], "k": 1, "index_key": KEY_FLAT},
+        {"vectors": [], "k": 1, "index_key": KEY_FLAT},  # errors in place
+        {"vectors": [1.0, 2.0, 4.0], "k": 2, "index_key": KEY_FLAT},
+    ]
+    status, body = _post(server, "/search_batch", reqs)
+    assert status == 200
+    assert body[0]["code"] == 0 and body[0]["labels"][0] == 1
+    assert body[1]["code"] == 400
+    assert body[2]["code"] == 0 and len(body[2]["labels"]) == 2
+
+
+def test_transport_rejections(server):
+    # malformed JSON → 400 (axum Json-extractor behavior)
+    status, body = _post(server, "/search", None, raw=b"{not json")
+    assert status == 400 and body["code"] == -1
+    # object route given a list / list route given an object → 400
+    status, _ = _post(server, "/search", [1, 2, 3])
+    assert status == 400
+    status, _ = _post(server, "/search_batch", {"vectors": []})
+    assert status == 400
+    # unknown route → 404 on both verbs
+    status, _ = _post(server, "/nope", {})
+    assert status == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"http://{server.host}:{server.port}/nope", timeout=30
+        )
+    assert e.value.code == 404

@@ -179,7 +179,18 @@ class VectorDatabaseApi:
         return f"{itype}_{dim}_{metric}"
 
     def _collection(self, index_key: Any):
-        itype, dim, metric = _parse_key(index_key)
+        try:
+            itype, dim, metric = _parse_key(index_key)
+        except ApiError as exc:
+            # On LOOKUP paths an unknown enum is the reference's
+            # UnsupportedIndexType -> 404 (app_error.rs:38-44; the search
+            # handler's match falls through to it for UNKNOWN), not the
+            # 400 a create-side validation failure gets — the search
+            # rstest table pins NOT_FOUND for the UNKNOWN case
+            # (search_index_handle.rs:141).
+            if "unknown index type" in str(exc):
+                raise ApiError(404, f"Unsupported index type: {exc}") from None
+            raise
         try:
             return self.catalog.get(self._name(itype, dim, metric))
         except KeyError:

@@ -329,3 +329,84 @@ def collection_ivfopq_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _qvec(spark, sf_dir)
     res = coll.search(qv, 10, nprobe=8, shortlist=10_000_000)
     return res.select("id", F.round("distance", 6).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: HTTP transport round-trip (vector_db_spark/server.py). The
+# whole reference deployment shape — axum JSON service in front of the
+# engine (src/router/mod.rs:1-7) — driven end-to-end over a LIVE socket:
+# create index, insert vectors, search; the wire response must equal the
+# DuckDB exact-kNN oracle over the same rows. JSON float64 round-trips
+# exactly, so the usual fold-order parity carries through the transport.
+# ---------------------------------------------------------------------------
+
+_HTTP_N = 8
+_HTTP_K = 5
+
+_HTTP_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+cand AS (
+  SELECT e.vec_id AS label,
+         round({l2_sq_sql('e.embedding', 'q.qv')}, 6) AS distance
+  FROM embeddings e, q
+  WHERE e.vec_id BETWEEN 1 AND {_HTTP_N}
+)
+SELECT label, distance FROM cand ORDER BY distance, label LIMIT {_HTTP_K}
+"""
+
+
+@query("http_search_roundtrip", oracle=_HTTP_ORACLE)
+def http_search_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /create → N× POST /insert → POST /search against a live
+    ephemeral-port server; the JSON response (reference field names:
+    labels/distances) is re-framed and must hash-match exact kNN SQL."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from vector_db_spark.api import VectorDatabaseApi
+    from vector_db_spark.server import VectorDbHttpServer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= _HTTP_N)
+        ).collect()
+    ]
+    dim = len(rows[0][1])
+    qv = dict(rows)[1]
+
+    srv = VectorDbHttpServer(
+        VectorDatabaseApi(spark, tempfile.mkdtemp(prefix="http_gate_"))
+    ).start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                return _json.loads(resp.read())
+
+        key = {"index_type": "FLAT", "dim": dim, "metric_type": "L2"}
+        assert post("/create", key)["code"] == 0
+        for rid, vec in rows:
+            assert post(
+                "/insert", {"id": rid, "vectors": vec, "index_key": key}
+            )["code"] == 0
+        out = post(
+            "/search", {"vectors": qv, "k": _HTTP_K, "index_key": key}
+        )
+        assert out["code"] == 0
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [
+            (int(l), float(d))
+            for l, d in zip(out["labels"], out["distances"])
+        ],
+        "label long, distance double",
+    ).select("label", F.round("distance", 6).alias("distance"))
