@@ -151,3 +151,20 @@ def test_tune_maxsim_meets_target_on_ladder(emb, spark):
         sample, 5, nprobe=out["nprobe"], shortlist=out["shortlist"]
     ).collect()
     assert _recall(exact, _topk_sets(rows, "query_id", "doc")) >= TARGET
+
+
+def test_tune_ivfpq_escalates_shortlist_past_ladder(emb):
+    """At a recall target the default k-proportional ladder cannot meet
+    (coarse codes, high density — the sf1 regime), the tuner must
+    escalate the shortlist geometrically instead of silently returning a
+    below-target knob. target=1.0 forces escalation toward the exact-
+    rerank bound (full probe + corpus-size shortlist ⇒ recall 1.0)."""
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+    from vector_db_spark.operators.tuning import tune_ivfpq
+
+    # m=4, ksub=4: deliberately terrible codes so shortlist=16k misses
+    idx = IvfPqIndex.build(emb, nlist=4, m=4, ksub=4, seed=42, max_iter=3)
+    sample = _queries(emb, 0, 10)
+    out = tune_ivfpq(idx, sample, k=K, recall_target=1.0)
+    assert out["recall"] == 1.0
+    assert out["shortlist"] > 16 * K  # escalated beyond the ladder

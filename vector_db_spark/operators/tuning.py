@@ -281,6 +281,29 @@ def tune_ivfpq(
         last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
         if r >= recall_target:
             return last
+    # Ladder exhausted below target — the density regime where the codes'
+    # quantization error crowds true neighbors out of a k-proportional
+    # shortlist (observed at the 10× sf1 fixture: (32, 160) → 0.936).
+    # Escalate the shortlist geometrically at full probe until the target
+    # is met; bounded by the corpus size, where full probe + full
+    # shortlist IS exact rerank (recall 1.0), so this terminates.
+    n_rows = index._live().count()
+    sl = shortlist_ladder[-1]
+    while sl < n_rows:
+        sl = min(2 * sl, n_rows)
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            nprobe=nlist,
+            shortlist=sl,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).collect()
+        r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"nprobe": nlist, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
     return last
 
 
