@@ -488,3 +488,44 @@ def test_stream_ivf_delete_replay_idempotent(spark, tmp_path):
         for r in knn(df.filter(F.col("vec_id") % 5 != 0), [0.0] * 8, 10).collect()
     ]
     assert got == want
+
+
+def test_stream_ivfopq_append_matches_batch_append(spark, tmp_path):
+    """Streaming micro-batch appends through the frozen rotation +
+    quantizers must serve exactly what one batch append serves (and both
+    equal exact kNN at lossless settings) — the round-6 closure of the
+    streaming-maintenance matrix over the newest families."""
+    from vector_db_spark.operators.knn import knn
+    from vector_db_spark.operators.opq import IvfOpqIndex
+    from vector_db_spark.streaming.ingest import stream_ivfopq_append
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "iop_stream")
+    IvfOpqIndex.build(
+        even, nlist=4, m=8, ksub=16, seed=42, max_iter=3, pq_iters=3,
+        opq_iters=2,
+    ).save(path)
+
+    stage = str(tmp_path / "stage")
+    odd.repartition(2, "vec_id").write.mode("append").parquet(stage)
+    q = stream_ivfopq_append(
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120_000)
+
+    idx = IvfOpqIndex.load(spark, path)
+    got = idx.search(
+        qv, 10, nprobe=4, shortlist=10_000_000, rerank=emb
+    ).collect()
+    want = knn(emb, qv, 10).collect()
+    assert [(r.vec_id, r.distance) for r in got] == [
+        (r.vec_id, r.distance) for r in want
+    ]

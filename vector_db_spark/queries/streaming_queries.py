@@ -622,3 +622,99 @@ from vector_db_spark.queries.registry import ORACLES as _OR  # noqa: E402
 from vector_db_spark.queries.retrieval_queries import _MSIVF_ORACLE  # noqa: E402
 
 _OR["stream_maxsim_append_exhaustive"] = _MSIVF_ORACLE
+
+
+@query(
+    "stream_ivfopq_append_exhaustive",
+    oracle=_knn_oracle(_L2, "distance", "ASC"),
+)
+def stream_ivfopq_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the IVF-OPQ composition (round 6 —
+    the newest families get the same Structured-Streaming gate as every
+    other index): build + persist on the even vec_ids, stream the odd
+    rows in as 4 micro-batches through the rotation-frozen append, then
+    reload, full-probe with corpus-sized shortlist, raw-corpus rerank.
+    Must reproduce exact kNN over the FULL corpus bit-for-bit — streamed
+    rows rotate/assign/encode identically to built rows."""
+    from vector_db_spark.operators.opq import IvfOpqIndex
+    from vector_db_spark.streaming.ingest import stream_ivfopq_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="stream_ivfopq_")
+    IvfOpqIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        nlist=8, m=16, ksub=64, seed=42, max_iter=5, pq_iters=8, opq_iters=4,
+    ).save(path)
+
+    stage = tempfile.mkdtemp(prefix="stream_ivfopq_in_")
+    (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .repartition(4, "vec_id")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ivfopq_append(
+        vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_iop_")
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    idx = IvfOpqIndex.load(spark, path)
+    res = idx.search(
+        _qvec(spark, sf_dir), _KNN_K, nprobe=8, shortlist=10_000_000,
+        rerank=emb,
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "stream_opq_append_rerank_full",
+    oracle=_knn_oracle(_L2, "distance", "ASC"),
+)
+def stream_opq_append_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the standalone OPQ codes table: fit +
+    persist the quantizer on the evens, write their codes, stream the
+    odd rows in as 4 micro-batches through the frozen-quantizer encode-
+    and-append, then rotated-query ADC over the grown codes table with
+    corpus-sized shortlist + raw rerank ≡ exact kNN over the full
+    corpus."""
+    from vector_db_spark.operators.opq import OpqQuantizer
+    from vector_db_spark.streaming.ingest import stream_opq_codes_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    oq = OpqQuantizer.fit(even, m=16, ksub=64, seed=42, iters=8, opq_iters=4)
+    qpath = tempfile.mkdtemp(prefix="stream_opq_q_")
+    oq.save(qpath)
+    codes_path = tempfile.mkdtemp(prefix="stream_opq_codes_")
+    oq.encode(even).select("vec_id", "opq_codes").write.mode("append").parquet(
+        codes_path
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_opq_in_")
+    (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .repartition(4, "vec_id")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_opq_codes_append(
+        vec_stream, qpath, codes_path,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_opq_"),
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    enc = spark.read.parquet(codes_path)
+    res = OpqQuantizer.load(qpath).search(
+        enc, _qvec(spark, sf_dir), _KNN_K, rerank=emb, shortlist=10_000_000
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))

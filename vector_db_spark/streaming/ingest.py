@@ -239,3 +239,76 @@ def stream_ivf_delete(
         else writer.trigger(processingTime="5 seconds")
     )
     return trigger.start()
+
+
+def stream_ivfopq_append(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous maintenance for the IVF-OPQ composition — the
+    rotation-frozen streaming closure of `IvfOpqIndex.append`: each
+    micro-batch reloads the index head (rotation + centroids + codebooks,
+    a few KB of driver artifacts), rotates the batch through the frozen
+    R (one Arrow GEMM), assigns to the frozen rotated-space cells,
+    residual-encodes through the frozen codebooks, and appends ONLY the
+    new files into the cell-partitioned codes layout. Same at-least-once
+    caveat and retrain cadence as `stream_ivf_append`."""
+    from vector_db_spark.operators.opq import IvfOpqIndex
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        idx = IvfOpqIndex.load(batch.sparkSession, index_path)
+        idx.append(batch, path=index_path)
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
+
+
+def stream_opq_codes_append(
+    vec_stream: DataFrame,
+    quantizer_path: str,
+    codes_path: str,
+    checkpoint_dir: str,
+    code_col: str = "opq_codes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous maintenance for a standalone OPQ (or, with the same
+    call shape, PQ) codes table: each micro-batch encodes through the
+    PERSISTED frozen quantizer (rotation + codebooks load once per batch,
+    a few KB) and appends only its own files to the codes parquet — the
+    codes table stays the M-bytes-per-row scan artifact while ingest
+    runs. Searches reading ``codes_path`` see each batch as its files
+    commit; rows far outside the training distribution quantize worse
+    until the scheduled refit (the batch append contract)."""
+    from vector_db_spark.operators.opq import OpqQuantizer
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        oq = OpqQuantizer.load(quantizer_path)
+        enc = oq.encode(batch, code_col=code_col).select(
+            oq.pq.id_col, code_col
+        )
+        enc.write.mode("append").parquet(codes_path)
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
