@@ -143,3 +143,81 @@ def test_duplicate_rows_survive(spark):
     dup = [list(r.embedding) for r in rows if r.doc_id == 1]
     assert len(dup) == 2 and dup[0] == dup[1]
     assert sum(abs(x) for x in dup[0]) == 2  # two tokens, counted once
+
+
+# --- learned rung: MLlib Word2Vec doc vectors (fit_word2vec/word2vec_embed) ---
+
+
+def test_w2v_deterministic_across_fits(docs):
+    """Single-partition + fixed seed ⇒ two independent fits produce
+    bit-identical doc vectors (the rows-only gate and recall pins depend
+    on this)."""
+    from vector_db_spark.operators.embedder import fit_word2vec, word2vec_embed
+
+    a = word2vec_embed(docs, fit_word2vec(docs, dim=16)).collect()
+    b = word2vec_embed(docs, fit_word2vec(docs, dim=16)).collect()
+    va = {r.doc_id: list(r.embedding) for r in a}
+    vb = {r.doc_id: list(r.embedding) for r in b}
+    assert va == vb
+
+
+def test_w2v_mean_pooling_matches_vocab_table(spark):
+    """A doc's vector is the sum of its in-vocab tokens' word vectors
+    divided by the TOTAL token count (Word2VecModel.transform's combiner
+    — OOV tokens contribute zero but still count in the denominator);
+    token-less docs get the zero vector."""
+    from vector_db_spark.operators.embedder import fit_word2vec, word2vec_embed
+
+    corpus = spark.createDataFrame(
+        [(i, "red blue green red blue red") for i in range(20)]
+        + [(100 + i, "cat dog bird cat dog cat") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = fit_word2vec(corpus, dim=8, min_count=1)
+    vocab = {
+        r.word: np.array(r.vector.toArray())
+        for r in model.getVectors().collect()
+    }
+    probe = spark.createDataFrame(
+        [(1, "red dog"), (2, "zzz-oov red"), (3, ""), (4, "qqq-oov")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: np.array(r.embedding)
+        for r in word2vec_embed(probe, model).collect()
+    }
+    np.testing.assert_allclose(
+        out[1], (vocab["red"] + vocab["dog"]) / 2, rtol=1e-6
+    )
+    # OOV contributes a zero vector but counts toward the divisor
+    np.testing.assert_allclose(out[2], vocab["red"] / 2, rtol=1e-6)
+    assert np.all(out[3] == 0.0) and np.all(out[4] == 0.0)
+    assert all(len(v) == 8 for v in out.values())
+
+
+def test_w2v_feeds_ann_lifecycle(docs, spark):
+    """Learned vectors drive the standard IVF lifecycle: full-probe IVF
+    over w2v doc vectors ≡ brute-force cosine kNN, bit-for-bit — the
+    lossless-configuration standard every vector source must meet."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.embedder import fit_word2vec, word2vec_embed
+    from vector_db_spark.operators.knn import knn
+
+    model = fit_word2vec(docs, dim=16)
+    emb = word2vec_embed(docs, model).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    norm_sq = F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    emb = emb.filter(norm_sq > 0).cache()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    idx = IvfIndex.build(emb, nlist=4, metric="cosine", max_iter=5)
+    got = [
+        (r.vec_id, round(r.score, 8))
+        for r in idx.search(qv, 5, nprobe=4).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 8))
+        for r in knn(emb, qv, 5, metric="cosine").collect()
+    ]
+    emb.unpersist()
+    assert got == want

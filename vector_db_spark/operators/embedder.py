@@ -142,3 +142,74 @@ def text_hash_embed(
             F.transform(F.col(out_col), lambda x: x / norm),
         ).otherwise(F.col(out_col)),
     )
+
+
+def fit_word2vec(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    *,
+    seed: int = 42,
+    min_count: int = 2,
+    window: int = 5,
+    max_iter: int = 1,
+    step_size: float = 0.025,
+):
+    """Fit an MLlib Word2Vec (skip-gram, Mikolov et al. 2013) over the
+    corpus — the LEARNED rung above the hash embedder: co-occurrence
+    geometry instead of lexical bucket counts, same array<float> output
+    surface, so every downstream operator (kNN, the ANN families, dedup,
+    MaxSim) consumes it unchanged.
+
+    Determinism: MLlib's fit is hogwild-parallel across partitions, so
+    the tokenized corpus is repartitioned to ONE partition before the
+    fit — with a fixed seed the model is then bit-reproducible (the
+    rows-only gate + recall pins depend on it). The fit input is bounded
+    the same way every quantizer fit is: the vocabulary (top words by
+    count, ``min_count`` floor) and vector table live driver-side; at
+    100 TB you fit on a bounded sample (the `sample_training_points`
+    policy) and `word2vec_embed` the full corpus with the frozen model.
+
+    Returns the fitted `Word2VecModel`.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = df.select(_tokens(F.col(text_col)).alias("__toks")).repartition(1)
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        windowSize=window,
+        maxIter=max_iter,
+        stepSize=step_size,
+        seed=seed,
+        inputCol="__toks",
+        outputCol="__vec",
+        numPartitions=1,
+    )
+    return w2v.fit(toks)
+
+
+def word2vec_embed(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    *,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append ``out_col`` (array<double>): the document vector under a
+    fitted Word2Vec model — the sum of its in-vocab tokens' word vectors
+    divided by the TOTAL token count (Word2VecModel.transform's combiner;
+    OOV tokens contribute zero but count in the denominator, token-less
+    documents get the zero vector). The model broadcast is
+    the vocab table (driver-bounded); the transform itself is one
+    distributed map — no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.setInputCol("__toks").setOutputCol("__vec").transform(
+        df.withColumn("__toks", _tokens(F.col(text_col)))
+    )
+    return out.withColumn(
+        out_col, vector_to_array(F.col("__vec")).cast("array<double>")
+    ).drop("__toks", "__vec")

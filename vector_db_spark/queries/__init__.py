@@ -21,71 +21,73 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Cumulative state after round 4: ALL oracle-backed
-# queries in the registry have a green driver hash row (r1-r4; VERDICT r4
-# "0 never-attested").  Round-5 ordering (VERDICT r4 item 7):
-# (1) the four NEW round-5 gates (PLAID MaxSim-IVF, OPQ rung);
-# (2) every gate whose code path CHANGED this round (video blocking
-#     rewrite, refresh resurrect fix, copurchase confidence column,
-#     shared 5-NN edge artifact + auto mass units for the graph trio);
-# (3) freshness re-attestation of all 17 pre-round rows-only probes;
-# (4) a rotating cross-family sample of r1/r2-attested gates at the
-#     CURRENT code.  Everything else keeps its earlier green rows.
+# ``queries()``.  Cumulative state after round 5: every oracle-backed
+# query has a green driver hash row in SOME round (VERDICT r5 registry
+# audit), but the r5 backlog is zero, so round-6 spends the window on
+# (1) the NEW round-6 gates (PLAID residual-PQ, HTTP transport,
+#     streaming OPQ/IVF-OPQ append, the learned-embedding rung);
+# (2) ``sketch_stats_orders`` — the one red r5 row, now returning scalar
+#     quantile columns; its re-attestation is the round's first goal;
+# (3) attestation FRESHNESS (VERDICT r5 item 5): the oldest gates — the
+#     33 whose only green row is round 1 plus ``collection_index_lifecycle``
+#     — so every §2 gate has a green row on post-refactor code;
+# (4) the remaining slots on a cross-family sample of r2-only gates.
+# Everything else keeps its earlier green rows.
 _VERIFY_FIRST = [
-    # --- (1) new round-5 gates ---
-    "maxsim_ivf_exhaustive",
-    "maxsim_ivf_batch_exhaustive",
-    "opq_rerank_full",
-    "ivfopq_exhaustive",
-    "ivfopq_batch_exhaustive",
-    "stream_maxsim_append_exhaustive",
-    "opq_filtered_rerank_exhaustive",
-    "ivfopq_filtered_exhaustive",
-    "maxsim_ivf_filtered_exhaustive",
-    "collection_ivfopq_lifecycle",
-    "text_hash_embed_docs",
-    "text_embed_corpus_stats",
-    "maxsim_ivf_probe",
-    "opq_adc_knn",
-    # --- (2) gates over round-5-changed code paths ---
-    "video_phash_neardup",
-    "collection_incremental_refresh",
-    "copurchase_lift",
-    "pagerank_knn_graph",
-    "label_propagation_knn",
-    "triangle_participation_knn",
-    # --- (3) rows-only probes: freshness re-attestation ---
-    "mmr_rerank_diverse",
-    "rocchio_expanded_search",
-    "pca_shortlist_search",
-    "semantic_dedup_clustered",
-    "bpe_vocab_docs",
-    "quality_classifier_score",
-    "bpe_tokenize_docs",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "ann_ivf_probe",
-    "ann_lsh_cosine",
-    "ann_lsh_filtered",
-    "ann_ivf_batch_probe",
-    "pq_adc_knn",
-    "ivfpq_probe",
-    "ann_graph_nsw",
+    # --- (1) new round-6 gates ---
+    "maxsim_pq_exhaustive",
+    "maxsim_pq_batch_exhaustive",
+    "maxsim_pq_filtered_exhaustive",
+    "maxsim_pq_probe",
+    "http_search_roundtrip",
+    "stream_ivfopq_append_exhaustive",
+    "stream_opq_append_rerank_full",
+    "text_w2v_embed_ann",
+    # --- (2) the r5 red row, fixed (scalar quantile columns) ---
     "sketch_stats_orders",
-    # --- (4) rotating freshness sample of early-round gates ---
-    "knn_l2",
-    "knn_ip",
-    "knn_cosine",
-    "knn_filtered_neq",
-    "knn_batch",
-    "point_lookup",
-    "upsert_readback",
-    "tpch_q1_pricing",
-    "tpch_q5_region",
-    "window_top_customers",
-    "events_sessionization",
-    "dedup_exact",
-    "stream_tumbling_agg",
+    # --- (3) oldest gates: only green row is round 1 ---
+    "knn_filtered_eq",
+    "knn_quantized_l2",
+    "delete_then_search",
+    "ann_ivf_full_probe",
+    "ann_ivf_cosine_full_probe",
+    "ann_ivf_ip_full_probe",
+    "ann_ivf_batch_full_probe",
+    "ivfpq_exhaustive",
+    "pq_rerank_full_shortlist",
+    "collection_index_lifecycle",
+    "dedup_clusters",
+    "embedding_neardup",
+    "embedding_neardup_blocked",
+    "neardup_jaccard",
+    "neardup_char_jaccard",
+    "doc_fingerprint",
+    "decontamination",
+    "stratified_sample_docs",
+    "pack_sequences_docs",
+    "pipeline_prepare_corpus",
+    "bm25_topk_docs",
+    "hybrid_search_rrf",
+    "bpe_token_stats",
+    "token_stats",
+    "heavy_hitter_tokens",
+    "lang_id_predict",
+    "text_quality",
+    "repetition_quality",
+    "pii_redaction",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "tpch_q3_shipping",
+    # --- (4) cross-family sample of r2-only gates (fills to 50 exactly) ---
+    "ann_graph_exhaustive",
+    "ann_lsh_filtered_exhaustive",
+    "asof_click_purchase",
+    "collection_time_travel",
+    "docstore_extract",
+    "cube_lineitem",
+    "stream_dedup_events",
 ]
 
 

@@ -1990,3 +1990,56 @@ def text_embed_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("text_w2v_embed_ann")
+def text_w2v_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-embedding rung (VERDICT r5 #7; rows-only — Word2Vec's SGD
+    fit is not expressible in DuckDB): fit a deterministic single-
+    partition skip-gram over the documents corpus, mean-pool doc vectors
+    (operators/embedder.fit_word2vec/word2vec_embed), and feed the
+    STANDARD IVF lifecycle — build a cosine IVF over the learned
+    vectors, full-probe search for doc 0's vector. The in-row gate
+    refuses to return unless full probe equals brute-force cosine kNN
+    over the same vectors bit-for-bit (the lossless-configuration
+    standard every vector source must meet before the ANN families can
+    serve it). Retrieval-quality comparison vs the hash embedder is
+    recorded by tools/embedder_compare.py (EMBEDDER_r06.json)."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.embedder import fit_word2vec, word2vec_embed
+    from vector_db_spark.operators.knn import knn
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    model = fit_word2vec(docs, dim=32, max_iter=2)
+    emb = word2vec_embed(docs, model).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    # cosine needs a direction: token-less docs embed to the zero vector
+    norm_sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    emb = emb.filter(norm_sq > 0).cache()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+
+    idx = IvfIndex.build(emb, nlist=8, metric="cosine", max_iter=5)
+    res = idx.search(qv, 10, nprobe=8).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    got = [(r.vec_id, r.score) for r in res.collect()]
+    want = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qv, 10, metric="cosine")
+        .select("vec_id", F.round("score", 6).alias("score"))
+        .collect()
+    ]
+    emb.unpersist()
+    if got != want:
+        raise AssertionError(
+            f"text_w2v_embed_ann: full-probe IVF != exact kNN over the "
+            f"learned vectors: {got} vs {want}"
+        )
+    return res

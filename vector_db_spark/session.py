@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Artifact tools capture stdout+stderr into one-line JSON files;
+        # the console progress bar interleaves control characters into
+        # that stream and corrupts them (RECALL_sf1_r06 needed scrubbing).
+        .config("spark.ui.showConsoleProgress", "false")
         # Bucketed catalog tables (sources.generic.write_bucketed) land in
         # tmp, not the process cwd — the in-memory catalog is per-session,
         # so the warehouse is scratch space, never a durable artifact.
