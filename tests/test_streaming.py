@@ -529,3 +529,55 @@ def test_stream_ivfopq_append_matches_batch_append(spark, tmp_path):
     assert [(r.vec_id, r.distance) for r in got] == [
         (r.vec_id, r.distance) for r in want
     ]
+
+
+def test_stream_maxsim_pq_append_matches_exact(spark, tmp_path):
+    """Codebook-frozen streaming appends into the residual-PQ PLAID
+    layout: after draining, full-probe + non-binding shortlist over the
+    reloaded index must equal exact MaxSim over the full corpus — the
+    compressed multi-vector family's closure of the streaming matrix."""
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimPqIndex,
+        maxsim_search,
+    )
+    from vector_db_spark.streaming.ingest import stream_maxsim_pq_append
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.select((F.col("vec_id") % 13).alias("doc"), "embedding")
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+
+    path = str(tmp_path / "mspq_stream")
+    MaxSimPqIndex.build(
+        corpus.filter(F.col("doc") % 2 == 0),
+        nlist=4, m=8, ksub=16, doc_col="doc", max_iter=3, pq_iters=3,
+    ).save(path)
+
+    stage = str(tmp_path / "stage")
+    (
+        corpus.filter(F.col("doc") % 2 == 1)
+        .repartition(2, "doc")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    q = stream_maxsim_pq_append(
+        spark.readStream.schema("doc long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        path,
+        checkpoint_dir=str(tmp_path / "ckpt_mspq"),
+    )
+    q.awaitTermination(120_000)
+
+    idx = MaxSimPqIndex.load(spark, path)
+    got = [
+        (r.doc, round(r.maxsim_score, 8))
+        for r in idx.search(toks, 5, nprobe=4, shortlist=13).collect()
+    ]
+    want = [
+        (r.doc, round(r.maxsim_score, 8))
+        for r in maxsim_search(corpus, toks, 5, doc_col="doc").collect()
+    ]
+    assert got == want

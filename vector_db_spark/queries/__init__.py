@@ -43,6 +43,8 @@ _VERIFY_FIRST = [
     "stream_ivfopq_append_exhaustive",
     "stream_opq_append_rerank_full",
     "text_w2v_embed_ann",
+    "maxsim_pq_delete_exhaustive",
+    "stream_maxsim_pq_append_exhaustive",
     # --- (2) the r5 red row, fixed (scalar quantile columns) ---
     "sketch_stats_orders",
     # --- (3) oldest gates: only green row is round 1 ---
@@ -86,8 +88,6 @@ _VERIFY_FIRST = [
     "asof_click_purchase",
     "collection_time_travel",
     "docstore_extract",
-    "cube_lineitem",
-    "stream_dedup_events",
 ]
 
 

@@ -576,3 +576,43 @@ def maxsim_pq_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame
         predicate=(F.col("doc") % 5) != 2,
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+_MSIVF_DELETE_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  WHERE (e.vec_id % {_MSIVF_NDOC}) % 7 <> 3
+  GROUP BY doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+top AS (
+  SELECT doc, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, doc LIMIT {_MSIVF_K}
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_pq_delete_exhaustive", oracle=_MSIVF_DELETE_ORACLE)
+def maxsim_pq_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete gate for the compressed multi-vector family (completes the
+    per-family delete matrix: every persisted index — now including
+    residual-PQ PLAID — serves correctly through doc-level tombstones):
+    build over the full corpus, tombstone the doc % 7 == 3 docs, then a
+    lossless-settings search must equal exact MaxSim over the survivors
+    — candidate generation, ADC scoring, AND the raw-token rerank all
+    anti-join the manifest (reference remove semantics,
+    src/core/index/faiss_index.rs:131-138, at doc granularity)."""
+    idx = _mspq_index(spark, sf_dir)
+    idx.delete([d for d in range(_MSIVF_NDOC) if d % 7 == 3])
+    res = idx.search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))

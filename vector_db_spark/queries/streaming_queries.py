@@ -718,3 +718,60 @@ def stream_opq_append_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame
         enc, _qvec(spark, sf_dir), _KNN_K, rerank=emb, shortlist=10_000_000
     )
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query("stream_maxsim_pq_append_exhaustive")
+def stream_maxsim_pq_append_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance for the COMPRESSED multi-vector family
+    (round 6 — closes the Structured-Streaming matrix: every persisted
+    family, raw and compressed, single- and multi-vector, now has a
+    streaming append gate): build + persist residual-PQ PLAID on the
+    even docs' token rows, stream the odd docs in as 4 micro-batches
+    through the codebook-frozen append (assign → residual-encode →
+    cell-partitioned file append), reload, then full-probe +
+    non-binding shortlist. Must equal exact MaxSim over the FULL corpus
+    (oracle shared with maxsim_ivf_exhaustive below) — streamed tokens
+    assign and encode identically to built ones, and the raw-token
+    rerank serves them bit-for-bit."""
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+    from vector_db_spark.queries.retrieval_queries import (
+        _MSIVF_K,
+        _msivf_corpus,
+        _msivf_toks,
+    )
+    from vector_db_spark.streaming.ingest import stream_maxsim_pq_append
+
+    corpus = _msivf_corpus(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="stream_mspq_")
+    MaxSimPqIndex.build(
+        corpus.filter(F.col("doc") % 2 == 0),
+        nlist=16, m=8, ksub=32, doc_col="doc", max_iter=5, pq_iters=5,
+    ).save(path)
+
+    stage = tempfile.mkdtemp(prefix="stream_mspq_in_")
+    (
+        corpus.filter(F.col("doc") % 2 == 1)
+        .repartition(4, "doc")
+        .write.mode("append")
+        .parquet(stage)
+    )
+    tok_stream = (
+        spark.readStream.schema("doc long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_maxsim_pq_append(
+        tok_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_mspq_")
+    )
+    q.awaitTermination(_TIMEOUT_MS)
+
+    idx = MaxSimPqIndex.load(spark, path)
+    res = idx.search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=97
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+_OR["stream_maxsim_pq_append_exhaustive"] = _MSIVF_ORACLE

@@ -312,3 +312,40 @@ def stream_opq_codes_append(
         else writer.trigger(processingTime="5 seconds")
     )
     return trigger.start()
+
+
+def stream_maxsim_pq_append(
+    token_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous maintenance for the compressed multi-vector family
+    (MaxSimPqIndex, the ColBERTv2 residual-PQ PLAID): each micro-batch of
+    (doc, embedding) token rows reloads the index head (token centroids +
+    residual codebooks — driver-bounded artifacts), assigns to the frozen
+    cells, residual-encodes through the frozen codebooks, and appends
+    ONLY the new files into the cell-partitioned tokens+codes layout.
+    Completes the Structured-Streaming maintenance matrix: every
+    persisted family, single- and multi-vector, raw and compressed, now
+    has a streaming append path with identical semantics to its batch
+    append. Same at-least-once caveat and retrain cadence as
+    `stream_ivf_append`."""
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        idx = MaxSimPqIndex.load(batch.sparkSession, index_path)
+        idx.append(batch, path=index_path)
+
+    writer = (
+        token_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="5 seconds")
+    )
+    return trigger.start()
