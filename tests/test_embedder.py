@@ -221,3 +221,37 @@ def test_w2v_feeds_ann_lifecycle(docs, spark):
     ]
     emb.unpersist()
     assert got == want
+
+
+def test_w2v_fit_input_cap_binds(docs, spark):
+    """`fit_word2vec`'s single deterministic fit partition must never see
+    the whole corpus: `_bounded_fit_input` caps the fit frame at
+    max_fit_rows with the shared seeded-sample policy (the round-7
+    defect was an uncapped repartition(1))."""
+    from vector_db_spark.operators.embedder import (
+        _bounded_fit_input,
+        fit_word2vec,
+    )
+
+    capped = _bounded_fit_input(docs, "text", max_fit_rows=10, seed=42)
+    assert capped.count() <= 10
+    # under the cap the frame passes through complete
+    small = _bounded_fit_input(docs.limit(5), "text", max_fit_rows=10, seed=42)
+    assert small.count() == 5
+    # the cap is seed-deterministic: same seed, same surviving rows
+    a = sorted(r["__toks"] for r in capped.collect())
+    b = sorted(
+        r["__toks"]
+        for r in _bounded_fit_input(docs, "text", max_fit_rows=10, seed=42).collect()
+    )
+    assert a == b
+    # a capped fit still yields a usable deterministic model
+    m1 = fit_word2vec(docs, dim=8, max_fit_rows=20)
+    m2 = fit_word2vec(docs, dim=8, max_fit_rows=20)
+    v1 = {r.word: list(r.vector.toArray()) for r in m1.getVectors().collect()}
+    v2 = {r.word: list(r.vector.toArray()) for r in m2.getVectors().collect()}
+    assert v1 == v2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_fit_rows"):
+        fit_word2vec(docs, dim=8, max_fit_rows=0)

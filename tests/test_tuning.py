@@ -168,3 +168,57 @@ def test_tune_ivfpq_escalates_shortlist_past_ladder(emb):
     out = tune_ivfpq(idx, sample, k=K, recall_target=1.0)
     assert out["recall"] == 1.0
     assert out["shortlist"] > 16 * K  # escalated beyond the ladder
+
+
+def test_tune_maxsim_compressed_family(emb, spark):
+    """The tuner addresses the residual-PQ PLAID family (`MaxSimPqIndex`)
+    through the same public `.ivf` handle as the uncompressed variant —
+    the round-7 defect was an AttributeError right here. target=1.0
+    exercises the doc-granular shortlist escalation past the ladder:
+    full probe + all-docs shortlist is exact rerank, so recall 1.0 is
+    guaranteed and the loop terminates at the doc-population bound."""
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimPqIndex,
+        maxsim_search_batch,
+    )
+    from vector_db_spark.operators.tuning import _recall, _topk_sets, tune_maxsim
+
+    corpus = emb.select((F.col("vec_id") % 97).alias("doc"), "embedding")
+    idx = MaxSimPqIndex.build(
+        corpus, nlist=16, m=8, ksub=16, doc_col="doc", max_iter=3, pq_iters=4
+    )
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 12).orderBy("vec_id").collect()
+    ]
+    sample = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    out = tune_maxsim(idx, sample, k=5, recall_target=TARGET)
+    assert out["recall"] >= TARGET
+    assert out["nprobe"] >= 1 and out["shortlist"] >= 1
+    # held-out reproduction at the chosen knobs
+    hrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(
+            (F.col("vec_id") >= 12) & (F.col("vec_id") < 24)
+        ).orderBy("vec_id").collect()
+    ]
+    held = spark.createDataFrame(
+        hrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    exact = _topk_sets(
+        maxsim_search_batch(corpus, held, 5, doc_col="doc").collect(),
+        "query_id",
+        "doc",
+    )
+    rows = idx.search_batch(
+        held, 5, nprobe=out["nprobe"], shortlist=out["shortlist"]
+    ).collect()
+    # 4 held-out queries x 5 docs on a 97-doc fixture: one swapped doc
+    # moves recall by 0.05, so the generalization bound is loose here
+    # (the statistically meaningful sf0.1/sf1 lines live in RECALL_r08)
+    assert _recall(exact, _topk_sets(rows, "query_id", "doc")) >= TARGET - 0.25
+    # escalation path terminates at the exact-rerank bound
+    hard = tune_maxsim(idx, sample, k=5, recall_target=1.0)
+    assert hard["recall"] == 1.0

@@ -144,6 +144,25 @@ def text_hash_embed(
     )
 
 
+def _bounded_fit_input(
+    df: DataFrame, text_col: str, max_fit_rows: int, seed: int
+) -> DataFrame:
+    """The Word2Vec fit frame, capped at ``max_fit_rows`` documents —
+    the same bounded-fit policy as every quantizer training sample
+    (`pq.sample_training_points`): a seeded Bernoulli sample with 20%
+    headroom, then a hard ``limit``. Separated out so the cap is
+    directly property-testable (tests/test_embedder.py)."""
+    if max_fit_rows < 1:
+        raise ValueError("max_fit_rows must be >= 1")
+    toks = df.select(_tokens(F.col(text_col)).alias("__toks"))
+    n = toks.count()
+    if n > max_fit_rows:
+        toks = toks.sample(
+            fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed
+        ).limit(max_fit_rows)
+    return toks
+
+
 def fit_word2vec(
     df: DataFrame,
     text_col: str = "text",
@@ -154,6 +173,7 @@ def fit_word2vec(
     window: int = 5,
     max_iter: int = 1,
     step_size: float = 0.025,
+    max_fit_rows: int = 100_000,
 ):
     """Fit an MLlib Word2Vec (skip-gram, Mikolov et al. 2013) over the
     corpus — the LEARNED rung above the hash embedder: co-occurrence
@@ -162,13 +182,14 @@ def fit_word2vec(
     MaxSim) consumes it unchanged.
 
     Determinism: MLlib's fit is hogwild-parallel across partitions, so
-    the tokenized corpus is repartitioned to ONE partition before the
+    the tokenized fit input is repartitioned to ONE partition before the
     fit — with a fixed seed the model is then bit-reproducible (the
-    rows-only gate + recall pins depend on it). The fit input is bounded
-    the same way every quantizer fit is: the vocabulary (top words by
-    count, ``min_count`` floor) and vector table live driver-side; at
-    100 TB you fit on a bounded sample (the `sample_training_points`
-    policy) and `word2vec_embed` the full corpus with the frozen model.
+    rows-only gate + recall pins depend on it). That single partition is
+    why the fit input MUST be bounded: ``max_fit_rows`` caps it with the
+    same seeded-sample policy as every quantizer fit
+    (`pq.sample_training_points`), so at 100 TB the one fit task sees a
+    fixed-size sample, never the corpus, and `word2vec_embed` applies
+    the frozen model distributed over the full corpus.
 
     Returns the fitted `Word2VecModel`.
     """
@@ -176,7 +197,7 @@ def fit_word2vec(
 
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    toks = df.select(_tokens(F.col(text_col)).alias("__toks")).repartition(1)
+    toks = _bounded_fit_input(df, text_col, max_fit_rows, seed).repartition(1)
     w2v = Word2Vec(
         vectorSize=dim,
         minCount=min_count,

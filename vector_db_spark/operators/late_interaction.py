@@ -336,6 +336,12 @@ class MaxSimIvfIndex:
 
         return MaxSimIvfIndex(IvfIndex.load(spark, path))
 
+    @property
+    def tombstones(self):
+        """Doc-level tombstone manifest (None when nothing is deleted) —
+        surfaced for the catalog's resurrected-id refresh check."""
+        return self.ivf.tombstones
+
     def append(self, new_rows: DataFrame, path: str | None = None):
         self.ivf.append(new_rows, path=path)
         return self
@@ -721,8 +727,22 @@ class MaxSimPqIndex:
     # -- internals -------------------------------------------------------
 
     @property
+    def ivf(self):
+        """The underlying token-level IvfIndex — the same public handle
+        the uncompressed family exposes (`MaxSimIvfIndex.ivf`), so knob
+        tuners and introspection (`tuning.tune_maxsim`, `describe`/
+        `cell_stats`) address either PLAID variant uniformly."""
+        return self.msivf.ivf
+
+    @property
     def _ivf(self):
         return self.msivf.ivf
+
+    @property
+    def tombstones(self):
+        """Doc-level tombstone manifest (None when nothing is deleted) —
+        surfaced for the catalog's resurrected-id refresh check."""
+        return self.msivf.ivf.tombstones
 
     def _dim(self) -> int:
         # metric='ip' centroids carry the MIPS augmentation component

@@ -317,10 +317,17 @@ def tune_maxsim(
     token_vec_col: str = "token_vec",
     token_id_col: str = "token_id",
 ) -> dict:
-    """Cheapest (nprobe, shortlist) for the PLAID MaxSim family, against
-    the EXACT batch MaxSim operator over the index's live token rows.
-    One distributed batch job per ladder rung (the sample is the bounded
-    side). Returns the same shape as ``tune_ivfpq``."""
+    """Cheapest (nprobe, shortlist) for the PLAID MaxSim families —
+    `MaxSimIvfIndex` (raw token store) and `MaxSimPqIndex` (residual-PQ
+    codes) both expose the token-level coarse quantizer as ``.ivf``, so
+    one tuner serves the whole multi-vector ladder — against the EXACT
+    batch MaxSim operator over the index's live token rows. One
+    distributed batch job per ladder rung (the sample is the bounded
+    side). When the cost-ordered ladder exhausts below target (the
+    compressed family's ADC-quality regime), the shortlist escalates
+    geometrically at full probe, bounded by the doc population — where
+    full probe + all-docs shortlist IS exact rerank (recall 1.0), so it
+    terminates. Returns the same shape as ``tune_ivfpq``."""
     if not 0.0 < recall_target <= 1.0:
         raise ValueError("recall_target must be in (0, 1]")
     from vector_db_spark.operators.ann import _CLUSTER_COL
@@ -367,6 +374,28 @@ def tune_maxsim(
         ).collect()
         r = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
         last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    # Ladder exhausted below target — escalate the shortlist geometrically
+    # at full probe (the tune_ivfpq escalation, at doc granularity: the
+    # shortlist bounds DOCS, so the ceiling is the doc population, where
+    # full probe + all-docs shortlist degenerates to the exact operator).
+    n_docs = index.ivf._live().select(index.doc_col).distinct().count()
+    sl = shortlist_ladder[-1]
+    while sl < n_docs:
+        sl = min(2 * sl, n_docs)
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            nprobe=nlist,
+            shortlist=sl,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+        ).collect()
+        r = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
+        last = {"nprobe": nlist, "shortlist": sl, "recall": r, "evals": evals}
         if r >= recall_target:
             return last
     return last
