@@ -185,3 +185,112 @@ def test_transport_rejections(server):
             f"http://{server.host}:{server.port}/nope", timeout=30
         )
     assert e.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# Per-collection dispatch locking (reference granularity: one mutex per
+# index, src/core/index/faiss_index.rs:19-21). A stub API with a slow
+# search observes true handler concurrency — no Spark timing flakiness.
+# ---------------------------------------------------------------------------
+
+
+class _ConcurrencyProbeApi:
+    """Duck-typed VectorDatabaseApi: search() sleeps and records, per
+    collection key and globally, how many handlers were inside it at
+    once."""
+
+    def __init__(self):
+        import threading
+
+        self._mu = threading.Lock()
+        self._active: dict = {}
+        self.max_per_key: dict = {}
+        self._total = 0
+        self.max_total = 0
+
+    def collection_key(self, index_key):
+        return (index_key or {}).get("name")
+
+    def search(self, req):
+        import time
+
+        key = req["index_key"]["name"]
+        with self._mu:
+            self._active[key] = self._active.get(key, 0) + 1
+            self._total += 1
+            self.max_per_key[key] = max(
+                self.max_per_key.get(key, 0), self._active[key]
+            )
+            self.max_total = max(self.max_total, self._total)
+        time.sleep(0.4)
+        with self._mu:
+            self._active[key] -= 1
+            self._total -= 1
+        return {"code": 0, "labels": [], "distances": []}
+
+
+def test_per_collection_locking_allows_cross_collection_parallelism():
+    """Two searches against DIFFERENT collections must overlap in time
+    (max global concurrency 2); two against the SAME collection must
+    serialize (max per-key concurrency 1)."""
+    import json as _json
+    import threading
+    import urllib.request as _rq
+
+    from vector_db_spark.server import VectorDbHttpServer
+
+    api = _ConcurrencyProbeApi()
+    srv = VectorDbHttpServer(api).start()
+    try:
+        def post_search(name):
+            req = _rq.Request(
+                f"http://{srv.host}:{srv.port}/search",
+                data=_json.dumps(
+                    {"vectors": [0.0], "k": 1, "index_key": {"name": name}}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with _rq.urlopen(req, timeout=30) as resp:
+                assert _json.loads(resp.read())["code"] == 0
+
+        # phase 1: different collections in parallel -> must overlap
+        ts = [threading.Thread(target=post_search, args=(n,)) for n in ("a", "b")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert api.max_total == 2, "searches on different collections serialized"
+        assert api.max_per_key["a"] == 1 and api.max_per_key["b"] == 1
+
+        # phase 2: same collection twice -> must serialize
+        ts = [threading.Thread(target=post_search, args=("c",)) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert api.max_per_key["c"] == 1, "same-collection searches overlapped"
+    finally:
+        srv.stop()
+
+
+def test_lock_keys_are_sorted_and_deduped():
+    """Deadlock-freedom invariant: every handler acquires its lock set in
+    sorted order, upsert folds in the shared doc-store key, batch dedups
+    across requests, and unparseable keys fall back to the catalog key."""
+    from vector_db_spark.server import _CATALOG_KEY, _DOCS_KEY, _lock_keys
+
+    api = _ConcurrencyProbeApi()
+    assert _lock_keys(api, "create_index", {}) == [_CATALOG_KEY]
+    assert _lock_keys(api, "query", {"id": 1}) == [_DOCS_KEY]
+    assert _lock_keys(api, "search", {"index_key": {"name": "x"}}) == ["x"]
+    got = _lock_keys(api, "upsert", {"index_key": {"name": "x"}})
+    assert got == sorted({_DOCS_KEY, "x"}) and len(got) == 2
+    batch = [
+        {"index_key": {"name": "b"}},
+        {"index_key": {"name": "a"}},
+        {"index_key": {"name": "b"}},
+        "not-a-dict",
+    ]
+    assert _lock_keys(api, "search_batch", batch) == ["a", "b"]
+    assert _lock_keys(api, "search", {"index_key": None}) == [_CATALOG_KEY]

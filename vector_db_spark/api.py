@@ -178,6 +178,19 @@ class VectorDatabaseApi:
     def _name(itype: str, dim: int, metric: str) -> str:
         return f"{itype}_{dim}_{metric}"
 
+    def collection_key(self, index_key: Any) -> str | None:
+        """Catalog name a request's ``index_key`` addresses, or None when
+        the key doesn't parse — the transport layer uses this to pick a
+        PER-COLLECTION dispatch lock (reference granularity: one mutex
+        per index, src/core/index/faiss_index.rs:19-21), falling back to
+        the catalog lock for unparseable keys (the handler then raises
+        the proper ApiError under that lock)."""
+        try:
+            itype, dim, metric = _parse_key(index_key)
+        except ApiError:
+            return None
+        return self._name(itype, dim, metric)
+
     def _collection(self, index_key: Any):
         try:
             itype, dim, metric = _parse_key(index_key)

@@ -19,19 +19,24 @@ this layer only speaks sockets and JSON:
 - unknown route → 404.
 
 Driver-process serving model: handlers run Spark jobs, so the server
-lives in the driver. ``ThreadingHTTPServer`` accepts concurrently, but
-dispatch serializes on one lock — catalog mutations (create/insert/
-upsert + lazy index rebuild) are read-modify-write on shared state, and
-correctness-first serving beats racy parallelism here. Scale-out serving
-is N driver replicas behind a load balancer over the same parquet root
-(immutable-version snapshot reads make replicas coherent), not threads
-in one driver.
+lives in the driver. ``ThreadingHTTPServer`` accepts concurrently;
+dispatch locking is PER COLLECTION — the reference's granularity (one
+mutex per index, src/core/index/faiss_index.rs:19-21): requests against
+different collections run in parallel (Spark's scheduler interleaves
+their jobs), while operations on the SAME collection serialize (insert/
+upsert/search share read-modify-write state: the snapshot version chain
+and the lazy index rebuild). Catalog-level mutations (/create) and the
+shared document store (/query, /upsert's doc write) serialize on their
+own global keys. Scale-out serving is N driver replicas behind a load
+balancer over the same parquet root (immutable-version snapshot reads
+make replicas coherent), not threads in one driver.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+from contextlib import ExitStack
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from vector_db_spark.api import ApiError, VectorDatabaseApi
@@ -45,8 +50,50 @@ _ROUTES = {
     "/search_batch": "search_batch",
 }
 
+# reserved lock keys (collection names never collide: catalog names are
+# "{type}_{dim}_{metric}")
+_CATALOG_KEY = "::catalog"
+_DOCS_KEY = "::docs"
 
-def _make_handler(api: VectorDatabaseApi, lock: threading.Lock):
+
+class _LockRegistry:
+    """Named locks, created on first use — ≅ the reference's per-index
+    ``Arc<Mutex>`` map (src/core/index_factory.rs:70-72). The registry
+    only ever grows by one entry per collection name; entries are a
+    threading.Lock each, so unbounded growth is not a concern at any
+    realistic collection count."""
+
+    def __init__(self) -> None:
+        self._meta = threading.Lock()
+        self._locks: dict[str, threading.Lock] = {}
+
+    def get(self, key: str) -> threading.Lock:
+        with self._meta:
+            return self._locks.setdefault(key, threading.Lock())
+
+
+def _lock_keys(api, method: str, payload) -> list[str]:
+    """The lock set a request must hold, SORTED — every handler acquires
+    in sorted order, so overlapping sets cannot deadlock."""
+    if method == "create_index":
+        return [_CATALOG_KEY]
+    if method == "query":
+        return [_DOCS_KEY]
+    if method == "search_batch":
+        keys = {
+            api.collection_key(r.get("index_key")) or _CATALOG_KEY
+            for r in payload
+            if isinstance(r, dict)
+        }
+        return sorted(keys) or [_CATALOG_KEY]
+    coll = api.collection_key(payload.get("index_key")) or _CATALOG_KEY
+    if method == "upsert":
+        # collection row + shared doc store; sorted with the other keys
+        return sorted({coll, _DOCS_KEY})
+    return [coll]
+
+
+def _make_handler(api: VectorDatabaseApi, locks: _LockRegistry):
     class Handler(BaseHTTPRequestHandler):
         # silence per-request stderr logging (the reference logs via
         # env_logger; a test server must not spam pytest output)
@@ -87,7 +134,9 @@ def _make_handler(api: VectorDatabaseApi, lock: threading.Lock):
                 self._err(400, f"payload must be a JSON {want.__name__}")
                 return
             try:
-                with lock:
+                with ExitStack() as stack:
+                    for key in _lock_keys(api, method, payload):
+                        stack.enter_context(locks.get(key))
                     out = getattr(api, method)(payload)
             except ApiError as exc:
                 self._err(exc.status, str(exc))
@@ -106,9 +155,9 @@ class VectorDbHttpServer:
     def __init__(
         self, api: VectorDatabaseApi, host: str = "127.0.0.1", port: int = 0
     ):
-        self._lock = threading.Lock()
+        self._locks = _LockRegistry()
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(api, self._lock)
+            (host, port), _make_handler(api, self._locks)
         )
         self.host = host
         self.port = self.httpd.server_address[1]
