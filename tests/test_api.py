@@ -187,3 +187,80 @@ def test_search_batch_mixed_validity_and_empty_collection(api):
     assert got[3]["code"] == 400 and "dimension" in got[3]["error"]
     assert got[4]["code"] == 400
     assert got[5]["code"] == 400
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector (MaxSim) engine-extension wire types (MAXSIM=4,
+# MAXSIM_PQ=5): `vectors` is a LIST of token vectors, scores are exact
+# MaxSim under the default full-probe serving params.
+# ---------------------------------------------------------------------------
+
+KEY_MS = {"index_type": "MAXSIM", "dim": 3, "metric_type": "InnerProduct"}
+
+
+def test_maxsim_create_validation(api):
+    # metric must be InnerProduct (MaxSim IS an inner-product score)
+    assert _status(
+        api.create_index,
+        {"index_type": "MAXSIM", "dim": 3, "metric_type": "L2"},
+    ) == 400
+    assert _status(
+        api.create_index,
+        {"index_type": "MAXSIM_PQ", "dim": 3, "metric_type": "L2"},
+    ) == 400
+    # numeric wire values accepted (engine extension: 4 / 5)
+    out = api.create_index({"index_type": 4, "dim": 3, "metric_type": 0})
+    assert out["code"] == 0 and out["index_key"]["index_type"] == "MAXSIM"
+    out = api.create_index({"index_type": 5, "dim": 3, "metric_type": 0})
+    assert out["code"] == 0 and out["index_key"]["index_type"] == "MAXSIM_PQ"
+    # max_elements stays HNSW-only
+    assert _status(
+        api.create_index,
+        {"index_type": "MAXSIM", "dim": 3, "metric_type": "InnerProduct",
+         "max_elements": 10},
+    ) == 400
+
+
+def test_maxsim_insert_search_exact(api):
+    api.create_index(KEY_MS)
+    docs = {
+        1: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        2: [[0.0, 0.0, 1.0]],
+        3: [[0.5, 0.5, 0.0], [0.0, 0.0, -1.0], [1.0, 1.0, 1.0]],
+    }
+    for rid, toks in docs.items():
+        assert api.insert(
+            {"id": rid, "vectors": toks, "index_key": KEY_MS}
+        )["code"] == 0
+    # flat (single-vector) payload against a multi-vector collection -> 400
+    assert _status(
+        api.insert, {"id": 9, "vectors": [1.0, 2.0, 3.0], "index_key": KEY_MS}
+    ) == 400
+    # token dim mismatch -> 400
+    assert _status(
+        api.insert, {"id": 9, "vectors": [[1.0, 2.0]], "index_key": KEY_MS}
+    ) == 400
+
+    q = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+    out = api.search({"vectors": q, "k": 3, "index_key": KEY_MS})
+    assert out["code"] == 0
+    # exact MaxSim by hand: sum over query tokens of per-doc max dot
+    want = {
+        d: sum(max(sum(a * b for a, b in zip(t, tok)) for tok in toks)
+               for t in q)
+        for d, toks in docs.items()
+    }
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert out["labels"] == order
+    for lab, score in zip(out["labels"], out["distances"]):
+        assert score == pytest.approx(want[lab], abs=1e-6)
+
+    # batch: one valid + one dim-mismatch + one non-dict, error in place
+    res = api.search_batch([
+        {"vectors": q, "k": 2, "index_key": KEY_MS},
+        {"vectors": [[1.0]], "k": 2, "index_key": KEY_MS},
+        "nope",
+    ])
+    assert res[0]["code"] == 0 and res[0]["labels"] == order[:2]
+    assert res[1]["code"] == 400
+    assert res[2]["code"] == 400

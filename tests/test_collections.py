@@ -677,3 +677,99 @@ def test_refresh_index_graph_family(spark, tmp_path):
     got = [r.id for r in coll.search(qv, 5, nprobe=2, ef_search=10**6).collect()]
     want = [r.id for r in knn(coll.scan(), qv, 5, id_col="id").collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector (MaxSim) collections through the catalog — the one-factory
+# parity item (every backend through one registry dispatch,
+# src/core/index_factory.rs:75-163), extended to the PLAID families.
+# ---------------------------------------------------------------------------
+
+
+def _doc_df(spark, n_docs=10, n_tok=3, dim=8, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    data = [
+        (
+            d + 1,
+            [[float(x) for x in rng.normal(size=dim)] for _ in range(n_tok)],
+        )
+        for d in range(n_docs)
+    ]
+    return spark.createDataFrame(data, "id long, embedding array<array<float>>")
+
+
+def _ms_exact(coll, toks, k):
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    rows = maxsim_search(
+        coll._exploded(coll.scan()), toks, k, doc_col="id", vec_col="embedding"
+    ).collect()
+    return [(r.id, round(r.maxsim_score, 9)) for r in rows]
+
+
+@pytest.mark.parametrize("itype", ["maxsim", "maxsim_pq"])
+def test_collection_maxsim_lifecycle(spark, tmp_path, itype):
+    """create → validated doc insert → build → dispatch search/search_batch
+    at lossless settings ≡ exact MaxSim; then append + retire docs and
+    refresh_index must go incremental and stay exact."""
+    cat = CollectionCatalog(spark, str(tmp_path / itype))
+    coll = cat.create("c", dim=8, metric="ip", index_type=itype)
+    docs = _doc_df(spark, n_docs=10)
+    coll.insert(docs)
+    params = (
+        dict(nlist=4, max_iter=5)
+        if itype == "maxsim"
+        else dict(nlist=4, max_iter=5, m=4, ksub=8, pq_iters=4)
+    )
+    coll.build_index(**params)
+    toks = [[float(i == j) for i in range(8)] for j in range(2)]
+    got = [
+        (r.id, round(r.score, 9))
+        for r in coll.search(toks, 4, nprobe=4).collect()
+    ]
+    assert got == _ms_exact(coll, toks, 4)
+
+    # batch dispatch: 2 queries of 2 tokens, per-query ranks
+    qdf = spark.createDataFrame(
+        [(q, t, toks[t]) for q in range(2) for t in range(2)],
+        "query_id long, token_id int, token_vec array<float>",
+    )
+    rows = coll.search_batch(qdf, 3, nprobe=4).collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(r.rank <= 3 for r in rows)
+
+    # append + retire -> incremental refresh, still exact
+    extra = _doc_df(spark, n_docs=14, seed=11).filter(F.col("id") > 10)
+    coll.insert(extra)
+    coll.delete(F.col("id") % 5 == 0)
+    assert coll.refresh_index(**params) == "incremental"
+    got2 = [
+        (r.id, round(r.score, 9))
+        for r in coll.search(toks, 4, nprobe=4).collect()
+    ]
+    assert got2 == _ms_exact(coll, toks, 4)
+
+
+def test_collection_maxsim_validation(spark, tmp_path):
+    cat = CollectionCatalog(spark, str(tmp_path))
+    # MaxSim is an inner-product score: other metrics are rejected
+    with pytest.raises(ValueError, match="ip"):
+        cat.create("bad", dim=8, metric="l2", index_type="maxsim")
+    with pytest.raises(ValueError, match="ip"):
+        cat.create("bad", dim=8, metric="cosine", index_type="maxsim_pq")
+    coll = cat.create("ok", dim=4, metric="ip", index_type="maxsim")
+    # a token with the wrong dim fails the plan-level write guard
+    bad = spark.createDataFrame(
+        [(1, [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0]])],
+        "id long, embedding array<array<float>>",
+    )
+    with pytest.raises(Exception, match="dim=4"):
+        coll.insert(bad)
+    # an empty token set is rejected too
+    empty = spark.createDataFrame(
+        [(1, [])], "id long, embedding array<array<float>>"
+    )
+    with pytest.raises(Exception, match="token"):
+        coll.insert(empty)

@@ -207,11 +207,17 @@ class _ConcurrencyProbeApi:
         self.max_per_key: dict = {}
         self._total = 0
         self.max_total = 0
+        # when set, handlers inside search() rendezvous here instead of
+        # relying on a sleep window — parallel requests PROVE overlap by
+        # meeting at the barrier, however slowly the host spawns threads
+        # (ADVICE r8: sleep-window overlap flakes on loaded CI machines)
+        self.barrier = None
 
     def collection_key(self, index_key):
         return (index_key or {}).get("name")
 
     def search(self, req):
+        import threading
         import time
 
         key = req["index_key"]["name"]
@@ -222,7 +228,14 @@ class _ConcurrencyProbeApi:
                 self.max_per_key.get(key, 0), self._active[key]
             )
             self.max_total = max(self.max_total, self._total)
-        time.sleep(0.4)
+        bar = self.barrier
+        if bar is not None:
+            try:
+                bar.wait(timeout=30)
+            except threading.BrokenBarrierError:
+                pass  # serialized — the max_total assertion reports it
+        else:
+            time.sleep(0.4)
         with self._mu:
             self._active[key] -= 1
             self._total -= 1
@@ -254,7 +267,10 @@ def test_per_collection_locking_allows_cross_collection_parallelism():
             with _rq.urlopen(req, timeout=30) as resp:
                 assert _json.loads(resp.read())["code"] == 0
 
-        # phase 1: different collections in parallel -> must overlap
+        # phase 1: different collections in parallel -> must overlap.
+        # Both handlers rendezvous at a barrier INSIDE search(), so the
+        # overlap proof is positive synchronization, not a sleep window.
+        api.barrier = threading.Barrier(2)
         ts = [threading.Thread(target=post_search, args=(n,)) for n in ("a", "b")]
         for t in ts:
             t.start()
@@ -263,7 +279,9 @@ def test_per_collection_locking_allows_cross_collection_parallelism():
         assert api.max_total == 2, "searches on different collections serialized"
         assert api.max_per_key["a"] == 1 and api.max_per_key["b"] == 1
 
-        # phase 2: same collection twice -> must serialize
+        # phase 2: same collection twice -> must serialize (a barrier
+        # would deadlock here — that serialization IS the assertion)
+        api.barrier = None
         ts = [threading.Thread(target=post_search, args=("c",)) for _ in range(2)]
         for t in ts:
             t.start()

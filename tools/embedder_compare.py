@@ -13,6 +13,17 @@ Compared embedders (same 64-dim budget):
 - hash-char3  — signed char-3-gram hashing (typo-robust lexical)
 - w2v         — MLlib skip-gram, mean-pooled doc vectors (learned rung)
 
+The driver fixture's planted duplicates are all STRONG (Jaccard >= 0.6);
+the weak band (0.25 <= J < 0.6) — where embedding quality actually
+separates — is empty at every sf (EMBEDDER_r06 ``weak_pairs: 0``). When
+that happens this tool PLANTS partner documents: for a bounded sample of
+docs, a partner = ~60% of the doc's word prefix + ~50% of another doc's
+word suffix, which lands word-3-shingle Jaccard ≈ 0.3-0.5 against its
+source. Ground truth stays the MEASURED jaccard_pairs relation over the
+augmented corpus (planted pairs that drift out of the band tier
+themselves correctly), and partners inherit lang/source so the purity
+metrics stay meaningful.
+
 Usage: python tools/embedder_compare.py [sf_dir] — prints ONE JSON line.
 """
 
@@ -86,6 +97,41 @@ def neighborhood_purity(
     return sum(vals) / len(vals)
 
 
+N_PLANT = 128
+PLANT_OFFSET = 10_000_000
+
+
+def plant_weak_partners(spark, full) -> "object":
+    """A bounded frame of planted weak-band partner docs: partner i =
+    60% word-prefix of sampled doc i + 50% word-suffix of sampled doc
+    i+1 (cyclic), lang/source inherited from the source doc. Driver-side
+    over N_PLANT collected rows — measurement tooling, not an engine op."""
+    rows = (
+        full.select("doc_id", "text", "lang", "source")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 24)
+        .orderBy("doc_id")
+        .limit(N_PLANT)
+        .collect()
+    )
+    planted = []
+    for i, r in enumerate(rows):
+        a = r.text.split()
+        d = rows[(i + 1) % len(rows)].text.split()
+        take_a = max(1, int(0.6 * len(a)))
+        take_d = max(1, int(0.5 * len(d)))
+        planted.append(
+            (
+                PLANT_OFFSET + int(r.doc_id),
+                " ".join(a[:take_a] + d[-take_d:]),
+                r.lang,
+                r.source,
+            )
+        )
+    return spark.createDataFrame(
+        planted, "doc_id long, text string, lang string, source string"
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
@@ -94,14 +140,29 @@ def main() -> None:
     spark = get_spark("embedder_compare")
     spark.sparkContext.setLogLevel("ERROR")
 
-    full = load_table(spark, sf_dir, "documents").cache()
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_planted = 0
+    probe = {
+        (int(r.a_id), int(r.b_id)): float(r.jaccard)
+        for r in jaccard_pairs(base, threshold=WEAK_THRESHOLD).collect()
+    }
+    if not any(j < THRESHOLD for j in probe.values()):
+        planted_df = plant_weak_partners(spark, base)
+        n_planted = planted_df.count()
+        full = base.unionByName(planted_df).cache()
+        full.count()
+        all_pairs = {
+            (int(r.a_id), int(r.b_id)): float(r.jaccard)
+            for r in jaccard_pairs(full, threshold=WEAK_THRESHOLD).collect()
+        }
+    else:
+        full = base.cache()
+        full.count()
+        all_pairs = probe
     docs = full.select("doc_id", "text")
     meta = full.select("doc_id", "lang", "source")
-    full.count()
-    all_pairs = {
-        (int(r.a_id), int(r.b_id)): float(r.jaccard)
-        for r in jaccard_pairs(docs, threshold=WEAK_THRESHOLD).collect()
-    }
     strong = [p for p, j in all_pairs.items() if j >= THRESHOLD]
     weak = [p for p, j in all_pairs.items() if j < THRESHOLD]
     if not strong:
@@ -131,7 +192,10 @@ def main() -> None:
         },
         # weak tier (0.25 <= jaccard < 0.6): partially-overlapping docs —
         # the discriminative band where embedding quality separates
+        # (planted partner docs when the fixture ships none, see module
+        # docstring; ground truth is the measured jaccard either way)
         "weak_pairs": len(weak),
+        "planted_docs": n_planted,
         "weak": {
             "hash_word": round(partner_recall(hash_word, weak), 4) if weak else None,
             "hash_char3": round(partner_recall(hash_char, weak), 4) if weak else None,

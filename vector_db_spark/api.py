@@ -42,6 +42,15 @@ faiss IDMap,Flat analogue), HNSW -> 'graph' (per-cell NSW beam search),
 USEARCH -> 'ivf' (cell-pruned probes; usearch's role as "the other ANN
 backend"). Distances use backend-native conventions (squared L2
 ascending; raw inner product descending), SURVEY §2.7.
+
+Engine-extension wire types (beyond the reference enum): MAXSIM=4 and
+MAXSIM_PQ=5 address MULTI-vector (late-interaction) collections — a row
+is a document, the ``vectors`` payload is a LIST of dim-length token
+vectors, and search scores are exact MaxSim (sum over query tokens of
+the per-document max inner product; metric_type must be InnerProduct).
+Default serving params are full-probe + unbounded rerank, so API-served
+scores equal the exact operator; callers opt into approximation with
+per-request knobs.
 """
 
 from __future__ import annotations
@@ -54,18 +63,34 @@ from pyspark.sql import SparkSession
 from vector_db_spark.operators.collections import CollectionCatalog, DocumentStore
 
 _INDEX_TYPES = {0: "exact", "FLAT": "exact", 1: "graph", "HNSW": "graph",
-                3: "ivf", "USEARCH": "ivf"}
+                3: "ivf", "USEARCH": "ivf",
+                # engine-extension wire values (the reference enum stops at
+                # USEARCH=3, index_factory.rs:17-22): multi-vector PLAID
+                # collections — a row is a document, `vectors` is a LIST of
+                # token vectors, scores are late-interaction MaxSim.
+                4: "maxsim", "MAXSIM": "maxsim",
+                5: "maxsim_pq", "MAXSIM_PQ": "maxsim_pq"}
 _METRICS = {0: "ip", "InnerProduct": "ip", 1: "l2", "L2": "l2"}
 # wire names back out for response index_key echoes
-_TYPE_NAMES = {"exact": "FLAT", "graph": "HNSW", "ivf": "USEARCH"}
+_TYPE_NAMES = {"exact": "FLAT", "graph": "HNSW", "ivf": "USEARCH",
+               "maxsim": "MAXSIM", "maxsim_pq": "MAXSIM_PQ"}
+_MULTI_TYPES = ("maxsim", "maxsim_pq")
 
 DEFAULT_MAX_ELEMENTS = 1000  # create_index_handle.rs:25
 
 # build/search defaults per strategy; tuned for correctness-first serving
-# (exhaustive-quality defaults; callers override per request)
+# (exhaustive-quality defaults; callers override per request). The maxsim
+# families default to full probe (nprobe = nlist) with an unbounded
+# rerank shortlist, so API-served scores are exact MaxSim; maxsim_pq's
+# m=1 subspace fits any dim (codes quality only matters when a caller
+# opts into a binding shortlist).
 _BUILD_PARAMS = {"ivf": {"nlist": 4, "max_iter": 5},
-                 "graph": {"nlist": 2, "m": 8, "ef_construction": 100, "max_iter": 5}}
-_SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200}}
+                 "graph": {"nlist": 2, "m": 8, "ef_construction": 100, "max_iter": 5},
+                 "maxsim": {"nlist": 4, "max_iter": 5},
+                 "maxsim_pq": {"nlist": 4, "max_iter": 5, "m": 1, "ksub": 16,
+                               "pq_iters": 4}}
+_SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200},
+                  "maxsim": {"nprobe": 4}, "maxsim_pq": {"nprobe": 4}}
 
 
 class ApiError(Exception):
@@ -120,8 +145,12 @@ class VectorDatabaseApi:
         itype = coll.info.index_type
         if itype == "exact":
             return
+        probe_q = (
+            [[0.0] * coll.info.dim] if itype in _MULTI_TYPES
+            else [0.0] * coll.info.dim
+        )
         try:
-            coll.search([0.0] * coll.info.dim, 1, **_SEARCH_PARAMS[itype])
+            coll.search(probe_q, 1, **_SEARCH_PARAMS[itype])
         except ValueError:
             params = dict(_BUILD_PARAMS[itype])
             # tiny collections: a cell count above the corpus size is
@@ -144,6 +173,11 @@ class VectorDatabaseApi:
                 "metric_type": req.get("metric_type"),
             }
         )
+        if itype in _MULTI_TYPES and metric != "ip":
+            # MaxSim IS an inner-product score (collections.py contract)
+            raise ApiError(
+                400, f"{_TYPE_NAMES[itype]} requires metric_type InnerProduct"
+            )
         max_elements = req.get("max_elements")
         wire_type = req.get("index_type")
         is_hnsw = wire_type in (1, "HNSW")
@@ -210,6 +244,33 @@ class VectorDatabaseApi:
             # ≅ AppError::IndexNotFound -> 404 (app_error.rs:38-44)
             raise ApiError(404, f"{index_key!r} index not found") from None
 
+    @staticmethod
+    def _parse_vectors(vectors, coll) -> tuple[list, str]:
+        """Validated python payload + its DataFrame column type. Single-
+        vector collections take a dim-length list of numbers; multi-vector
+        (maxsim) collections take a non-empty LIST of dim-length token
+        vectors (STRICT divergence, module docstring: dim is enforced)."""
+        if coll.info.index_type in _MULTI_TYPES:
+            if not all(isinstance(t, (list, tuple)) for t in vectors):
+                raise ApiError(
+                    400,
+                    "vectors must be a list of token vectors for a "
+                    "multi-vector collection",
+                )
+            try:
+                toks = [[float(x) for x in t] for t in vectors]
+            except (TypeError, ValueError):
+                raise ApiError(400, "invalid vector component") from None
+            if any(len(t) != coll.info.dim for t in toks):
+                raise ApiError(400, "dimension mismatch")
+            return toks, "array<array<float>>"
+        if len(vectors) != coll.info.dim:
+            raise ApiError(400, "dimension mismatch")
+        try:
+            return [float(x) for x in vectors], "array<float>"
+        except (TypeError, ValueError):
+            raise ApiError(400, "invalid vector component") from None
+
     # -- POST /insert (insert_index_handle.rs:14-61) ----------------------
     def insert(self, req: dict) -> dict:
         vectors = req.get("vectors")
@@ -219,12 +280,10 @@ class VectorDatabaseApi:
         _require(rid is not None, "id cannot be empty")
         _require(int(rid) >= 1, "id must be at least 1")
         coll = self._collection(req.get("index_key"))
-        if len(vectors) != coll.info.dim:
-            # STRICT divergence (module docstring): reject mismatched dim
-            raise ApiError(400, "dimension mismatch")
+        vec, vtype = self._parse_vectors(vectors, coll)
         df = self.spark.createDataFrame(
-            [(int(rid), [float(x) for x in vectors])],
-            f"{coll.info.id_col} long, {coll.info.vec_col} array<float>",
+            [(int(rid), vec)],
+            f"{coll.info.id_col} long, {coll.info.vec_col} {vtype}",
         )
         coll.insert(df)
         return {"code": 0}
@@ -240,13 +299,12 @@ class VectorDatabaseApi:
         coll = self._collection(req.get("index_key"))
         data = dict(req.get("data") or {})
         if vectors is not None:
-            if len(vectors) != coll.info.dim:
-                raise ApiError(400, "dimension mismatch")
+            vec, vtype = self._parse_vectors(vectors, coll)
             # fold vectors into the stored document (upsert_handle.rs:23-32)
-            data["vectors"] = [float(x) for x in vectors]
+            data["vectors"] = vec
             df = self.spark.createDataFrame(
-                [(int(rid), [float(x) for x in vectors])],
-                f"{coll.info.id_col} long, {coll.info.vec_col} array<float>",
+                [(int(rid), vec)],
+                f"{coll.info.id_col} long, {coll.info.vec_col} {vtype}",
             )
             coll.upsert(df)
         doc_df = self.spark.createDataFrame(
@@ -264,8 +322,7 @@ class VectorDatabaseApi:
         _require(k is not None, "k cannot be empty")
         _require(int(k) >= 1, "k must be at least 1")
         coll = self._collection(req.get("index_key"))
-        if len(vectors) != coll.info.dim:
-            raise ApiError(400, "dimension mismatch")
+        vec, _ = self._parse_vectors(vectors, coll)
         # Empty collection: the reference's backends return an empty
         # result set for a search over zero vectors; without this guard
         # the lazy-build path below would count()/build_index() on a
@@ -276,7 +333,7 @@ class VectorDatabaseApi:
         self._ensure_index(coll)
         try:
             rows = coll.search(
-                [float(x) for x in vectors],
+                vec,
                 int(k),
                 **(_SEARCH_PARAMS.get(itype, {})),
             ).collect()
@@ -308,6 +365,9 @@ class VectorDatabaseApi:
         groups: dict = {}  # collection name -> (coll, [(idx, vec, k)])
         for i, req in enumerate(reqs):
             try:
+                # non-dict entries error in place (the transport's
+                # _lock_keys tolerates them; the handler must too)
+                _require(isinstance(req, dict), "request must be an object")
                 vectors = req.get("vectors")
                 _require(vectors is not None and len(vectors) > 0,
                          "vectors must contain at least one element")
@@ -315,11 +375,10 @@ class VectorDatabaseApi:
                 _require(k is not None, "k cannot be empty")
                 _require(int(k) >= 1, "k must be at least 1")
                 coll = self._collection(req.get("index_key"))
-                if len(vectors) != coll.info.dim:
-                    raise ApiError(400, "dimension mismatch")
                 # conversions inside the try: a non-numeric component or
                 # k must error THIS request, never crash the batch
-                parsed = (i, [float(x) for x in vectors], int(k))
+                vec, _ = self._parse_vectors(vectors, coll)
+                parsed = (i, vec, int(k))
             except ApiError as exc:
                 results[i] = {"code": exc.status, "error": str(exc)}
                 continue
@@ -335,10 +394,22 @@ class VectorDatabaseApi:
                     results[i] = {"code": 0, "labels": [], "distances": []}
                 continue
             self._ensure_index(coll)
-            qdf = self.spark.createDataFrame(
-                [(i, v) for i, v, _ in items],
-                "query_id long, query_vec array<float>",
-            )
+            if coll.info.index_type in _MULTI_TYPES:
+                # long-format multi-token query frame (maxsim_search_batch
+                # shape): one row per (request, token)
+                qdf = self.spark.createDataFrame(
+                    [
+                        (i, t, tok)
+                        for i, toks, _ in items
+                        for t, tok in enumerate(toks)
+                    ],
+                    "query_id long, token_id int, token_vec array<float>",
+                )
+            else:
+                qdf = self.spark.createDataFrame(
+                    [(i, v) for i, v, _ in items],
+                    "query_id long, query_vec array<float>",
+                )
             kmax = max(kk for _, _, kk in items)
             out_col = "distance" if coll.info.metric == "l2" else "score"
             try:

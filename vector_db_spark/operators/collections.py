@@ -56,7 +56,18 @@ VALID_METRICS = ("l2", "ip", "cosine")
 # 'ivfopq' are the compressed-cell layouts (operators/ivfpq.py, ivfsq.py,
 # opq.py — the last adds the learned OPQ rotation in front) the
 # faiss factory would spell IVFx,PQy / IVFx,SQ8.
-VALID_INDEX_TYPES = ("exact", "lsh", "ivf", "graph", "ivfpq", "ivfsq", "ivfopq")
+VALID_INDEX_TYPES = (
+    "exact", "lsh", "ivf", "graph", "ivfpq", "ivfsq", "ivfopq",
+    "maxsim", "maxsim_pq",
+)
+# Multi-vector (late-interaction) collections: a row is a DOCUMENT whose
+# vector column is array<array<float>> — one token vector per inner
+# element. The reference's one-factory contract (every backend through
+# index_factory.rs:75-163) extends to the PLAID families: 'maxsim' is the
+# raw token store (late_interaction.MaxSimIvfIndex), 'maxsim_pq' the
+# ColBERTv2 residual-compressed store (MaxSimPqIndex). MaxSim IS an
+# inner-product score, so these types require metric='ip'.
+MULTI_VECTOR_INDEX_TYPES = ("maxsim", "maxsim_pq")
 
 
 def merge_upsert(
@@ -176,6 +187,11 @@ class CollectionCatalog:
         if index_type not in VALID_INDEX_TYPES:
             raise ValueError(
                 f"unknown index_type {index_type!r}; expected {VALID_INDEX_TYPES}"
+            )
+        if index_type in MULTI_VECTOR_INDEX_TYPES and metric != "ip":
+            raise ValueError(
+                f"index_type {index_type!r} serves late-interaction "
+                "inner-product scores; create with metric='ip'"
             )
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
@@ -544,29 +560,60 @@ class Collection(_BucketedStore):
         self.catalog._bump(self.info.name, version)
         self.info.version = version
 
+    @property
+    def _multi_vector(self) -> bool:
+        return self.info.index_type in MULTI_VECTOR_INDEX_TYPES
+
+    def _exploded(self, df: DataFrame) -> DataFrame:
+        """Doc rows (id, array<array<float>>, …) → the long-format token
+        layout the late-interaction operators take: one row per
+        (doc, token vector), same column names; any metadata columns ride
+        along (doc-level predicates stay filterable on token rows)."""
+        iid, vec = self.info.id_col, self.info.vec_col
+        others = [c for c in df.columns if c not in (iid, vec)]
+        return df.select(
+            F.col(iid), F.explode(F.col(vec)).alias(vec), *others
+        )
+
     def _validated(self, df: DataFrame) -> DataFrame:
         """Schema-on-write enforcement (strict divergence from the
         reference's validate-nothing ingest, SURVEY.md §1.3): ids >= 1
         (src/models/request/insert.rs:12-14) and exact declared dim. The
         guards are plan-level raise_error branches — no extra validation
-        job, the write itself fails on bad rows."""
+        job, the write itself fails on bad rows. Multi-vector collections
+        hold one row per DOCUMENT: >= 1 token vector, every token exactly
+        the declared dim."""
         iid, vec = self.info.id_col, self.info.vec_col
         checked_id = F.when(F.col(iid) >= 1, F.col(iid)).otherwise(
             F.raise_error(F.lit(f"{iid} must be >= 1"))
         )
-        checked_vec = F.when(
-            F.size(F.col(vec)) == self.info.dim, F.col(vec)
-        ).otherwise(
-            F.raise_error(
-                F.lit(f"{vec} must have exactly dim={self.info.dim} components")
+        if self._multi_vector:
+            ok = (F.size(F.col(vec)) >= 1) & F.forall(
+                F.col(vec), lambda t: F.size(t) == self.info.dim
             )
-        )
+            checked_vec = F.when(ok, F.col(vec)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"{vec} must hold >= 1 token vectors, each with "
+                        f"exactly dim={self.info.dim} components"
+                    )
+                )
+            )
+            casted = F.transform(
+                checked_vec,
+                lambda t: F.transform(t, lambda x: x.cast("float")),
+            )
+        else:
+            checked_vec = F.when(
+                F.size(F.col(vec)) == self.info.dim, F.col(vec)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(f"{vec} must have exactly dim={self.info.dim} components")
+                )
+            )
+            casted = F.transform(checked_vec, lambda x: x.cast("float"))
         others = [c for c in df.columns if c not in (iid, vec)]
-        return df.select(
-            checked_id.alias(iid),
-            F.transform(checked_vec, lambda x: x.cast("float")).alias(vec),
-            *others,
-        )
+        return df.select(checked_id.alias(iid), casted.alias(vec), *others)
 
     # -- index lifecycle (≅ create_index + search dispatch,
     #    src/core/index_factory.rs:75-163 +
@@ -640,6 +687,27 @@ class Collection(_BucketedStore):
             IvfOpqIndex.build(
                 cur,
                 id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                **params,
+            ).save(path)
+        elif self.info.index_type in MULTI_VECTOR_INDEX_TYPES:
+            # PLAID token-IVF over the exploded (doc, token) rows — the
+            # one-factory parity item (index_factory.rs:75-163): the
+            # multi-vector families dispatch through the same catalog
+            # build as every single-vector backend.
+            from vector_db_spark.operators.late_interaction import (
+                MaxSimIvfIndex,
+                MaxSimPqIndex,
+            )
+
+            cls = (
+                MaxSimIvfIndex
+                if self.info.index_type == "maxsim"
+                else MaxSimPqIndex
+            )
+            cls.build(
+                self._exploded(cur),
+                doc_col=self.info.id_col,
                 vec_col=self.info.vec_col,
                 **params,
             ).save(path)
@@ -724,6 +792,9 @@ class Collection(_BucketedStore):
             if removed_ids.head(1):
                 idx.delete(removed_ids, path=path)
             new_rows = self.scan().join(added_ids, self.info.id_col, "left_semi")
+            if self._multi_vector:
+                # the index lifecycle runs on long-format token rows
+                new_rows = self._exploded(new_rows)
             if new_rows.head(1):
                 idx.append(new_rows, path=path)
             with open(os.path.join(path, "indexed_version.json"), "w") as f:
@@ -756,6 +827,14 @@ class Collection(_BucketedStore):
             from vector_db_spark.operators.opq import IvfOpqIndex
 
             return IvfOpqIndex.load(self.catalog.spark, path)
+        if t == "maxsim":
+            from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+            return MaxSimIvfIndex.load(self.catalog.spark, path)
+        if t == "maxsim_pq":
+            from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+            return MaxSimPqIndex.load(self.catalog.spark, path)
         from vector_db_spark.operators.ann import CosineLshIndex
 
         return CosineLshIndex.load(self.catalog.spark, path)
@@ -794,6 +873,14 @@ class Collection(_BucketedStore):
             raise ValueError(
                 f"index built at v{iv} but collection is at "
                 f"v{self.info.version}; call build_index() to rebuild"
+            )
+        if self._multi_vector:
+            # `query` is the request's own token SET (list of vectors) —
+            # the late-interaction query shape. Results share the ip
+            # families' (id, score) column convention.
+            params.setdefault("score_col", "score")
+            return self._load_index().search(
+                query, k, predicate=predicate, **params
             )
         if self.info.index_type == "ivf":
             from vector_db_spark.operators.ann import IvfIndex
@@ -866,6 +953,13 @@ class Collection(_BucketedStore):
                 f"v{self.info.version}; call build_index() to rebuild"
             )
         path = self._index_dir()
+        if self._multi_vector:
+            # `queries` is the long-format multi-token frame
+            # (query_id, token_id, token_vec) — maxsim_search_batch shape.
+            params.setdefault("score_col", "score")
+            return self._load_index().search_batch(
+                queries, k, predicate=predicate, **params
+            )
         if self.info.index_type == "ivf":
             from vector_db_spark.operators.ann import IvfIndex
 

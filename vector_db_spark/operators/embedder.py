@@ -147,20 +147,36 @@ def text_hash_embed(
 def _bounded_fit_input(
     df: DataFrame, text_col: str, max_fit_rows: int, seed: int
 ) -> DataFrame:
-    """The Word2Vec fit frame, capped at ``max_fit_rows`` documents —
-    the same bounded-fit policy as every quantizer training sample
-    (`pq.sample_training_points`): a seeded Bernoulli sample with 20%
-    headroom, then a hard ``limit``. Separated out so the cap is
-    directly property-testable (tests/test_embedder.py)."""
+    """The Word2Vec fit frame, capped at ``max_fit_rows`` documents — the
+    bounded-fit policy every quantizer training sample follows
+    (`pq.sample_training_points`), made STABLE UNDER TASK RETRY: the
+    selection is a pure function of the data, never of partition RNG
+    state or row arrival order (``sample().limit()`` is neither —
+    VERDICT r8). Each document keys by ``xxhash64(tokens, seed)``; a
+    threshold filter prunes to ~1.2× the cap (+1000 absolute headroom, so
+    undershooting the cap when the corpus exceeds it has negligible
+    probability at any cap size), then the ``max_fit_rows`` SMALLEST
+    hashes win via orderBy+limit — a per-partition TakeOrdered heap over
+    the pruned survivors, ties broken by the token string so the boundary
+    is deterministic too. Separated out so the cap and the determinism
+    are directly property-testable (tests/test_embedder.py)."""
     if max_fit_rows < 1:
         raise ValueError("max_fit_rows must be >= 1")
     toks = df.select(_tokens(F.col(text_col)).alias("__toks"))
     n = toks.count()
-    if n > max_fit_rows:
-        toks = toks.sample(
-            fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed
-        ).limit(max_fit_rows)
-    return toks
+    if n <= max_fit_rows:
+        return toks
+    key = F.concat_ws("\x1f", F.col("__toks"))
+    h = F.xxhash64(key, F.lit(int(seed)))
+    denom = 1 << 20
+    thresh = int(min(1.0, (1.2 * max_fit_rows + 1000) / n) * denom)
+    return (
+        toks.withColumn("__h", h)
+        .filter(F.pmod(F.col("__h"), F.lit(denom)) < thresh)
+        .orderBy(F.col("__h"), key)
+        .limit(max_fit_rows)
+        .drop("__h")
+    )
 
 
 def fit_word2vec(

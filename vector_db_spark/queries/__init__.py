@@ -21,73 +21,72 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Cumulative state after round 5: every oracle-backed
-# query has a green driver hash row in SOME round (VERDICT r5 registry
-# audit), but the r5 backlog is zero, so round-6 spends the window on
-# (1) the NEW round-6 gates (PLAID residual-PQ, HTTP transport,
-#     streaming OPQ/IVF-OPQ append, the learned-embedding rung);
-# (2) ``sketch_stats_orders`` — the one red r5 row, now returning scalar
-#     quantile columns; its re-attestation is the round's first goal;
-# (3) attestation FRESHNESS (VERDICT r5 item 5): the oldest gates — the
-#     33 whose only green row is round 1 plus ``collection_index_lifecycle``
-#     — so every §2 gate has a green row on post-refactor code;
-# (4) the remaining slots on a cross-family sample of r2-only gates.
+# ``queries()``.  Round-9 window (VERDICT r8 agenda #2 — the r6/r7/r8
+# windows were identical, leaving 130 gates with no green row on
+# post-round-4 code):
+# (1) the NEW round-9 gates — the MaxSim families through the catalog
+#     (incremental refresh asserted) and the wire, plus the compressed
+#     family's vacuum gate (the last cell of its maintenance matrix);
+# (2) every gate whose newest green row is ROUND 2 (39 gates, recomputed
+#     from CORRECTNESS_r1–r8 this round): the TPC-H declarations,
+#     rollup/pivot/cube, set ops, windows, events, streaming state,
+#     roundtrips — three rounds of refactors since last attested;
+# (3) the oldest round-3-only gates, filling to exactly 50.
 # Everything else keeps its earlier green rows.
 _VERIFY_FIRST = [
-    # --- (1) new round-6 gates ---
-    "maxsim_pq_exhaustive",
-    "maxsim_pq_batch_exhaustive",
-    "maxsim_pq_filtered_exhaustive",
-    "maxsim_pq_probe",
-    "http_search_roundtrip",
-    "stream_ivfopq_append_exhaustive",
-    "stream_opq_append_rerank_full",
-    "text_w2v_embed_ann",
-    "maxsim_pq_delete_exhaustive",
-    "stream_maxsim_pq_append_exhaustive",
-    # --- (2) the r5 red row, fixed (scalar quantile columns) ---
-    "sketch_stats_orders",
-    # --- (3) oldest gates: only green row is round 1 ---
-    "knn_filtered_eq",
-    "knn_quantized_l2",
-    "delete_then_search",
-    "ann_ivf_full_probe",
-    "ann_ivf_cosine_full_probe",
-    "ann_ivf_ip_full_probe",
-    "ann_ivf_batch_full_probe",
-    "ivfpq_exhaustive",
-    "pq_rerank_full_shortlist",
-    "collection_index_lifecycle",
-    "dedup_clusters",
-    "embedding_neardup",
-    "embedding_neardup_blocked",
-    "neardup_jaccard",
-    "neardup_char_jaccard",
-    "doc_fingerprint",
-    "decontamination",
-    "stratified_sample_docs",
-    "pack_sequences_docs",
-    "pipeline_prepare_corpus",
-    "bm25_topk_docs",
-    "hybrid_search_rrf",
-    "bpe_token_stats",
-    "token_stats",
-    "heavy_hitter_tokens",
-    "lang_id_predict",
-    "text_quality",
-    "repetition_quality",
-    "pii_redaction",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "tpch_q3_shipping",
-    # --- (4) cross-family sample of r2-only gates (fills to 50 exactly) ---
-    "ann_graph_exhaustive",
-    "ann_lsh_filtered_exhaustive",
-    "asof_click_purchase",
-    "collection_time_travel",
-    "docstore_extract",
+    # --- (1) new round-9 gates ---
+    "collection_maxsim_lifecycle",
+    "http_maxsim_roundtrip",
+    "maxsim_pq_vacuum_exhaustive",
+    # --- (2) newest green row is round 2 ---
+    "ann_ivf_append_full_probe",
+    "ann_ivf_range_search",
+    "brand_part_agg",
+    "csv_roundtrip_events",
+    "cube_lineitem",
+    "events_daily_funnel",
+    "events_props_struct",
+    "events_sliding",
+    "events_tumbling",
+    "json_roundtrip_events",
+    "median_order_price",
+    "ntile_customer_quartiles",
+    "pipeline_prepare_corpus_v2",
+    "pivot_order_status",
+    "range_join_pairs",
+    "rollup_lineitem",
+    "salted_agg_lineitem",
+    "scalar_functions",
+    "set_ops_nations",
+    "stream_dedup_events",
+    "stream_quota_sample",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_upsert_readback",
+    "tpch_q2_min_cost",
+    "tpch_q4_semijoin",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_volume_suppliers",
+    "tpch_q22_no_urgent",
+    "window_event_gaps",
+    "window_running_total",
+    # --- (3) oldest round-3-only gates (fills to 50 exactly) ---
+    "ann_graph_batch_exhaustive",
+    "ann_ivf_batch_filtered_exhaustive",
+    "ann_ivf_range_after_append",
+    "bigram_lm_score",
+    "bucketed_join_revenue",
+    "chunk_dedup_docs",
+    "cohort_retention_events",
+    "collection_version_diff",
 ]
 
 

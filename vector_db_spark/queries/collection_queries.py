@@ -410,3 +410,163 @@ def http_search_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "label long, distance double",
     ).select("label", F.round("distance", 6).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the multi-vector MaxSim families through the catalog and the
+# wire — the one-factory parity item (every backend dispatches through
+# the same registry, /root/reference/src/core/index_factory.rs:75-163;
+# the PLAID families were library-only until now).
+# ---------------------------------------------------------------------------
+
+_MS_NDOC = 97   # docs = vec_id % 97 + 1 (ids >= 1, store contract)
+_MS_NTOK = 3
+_MS_K = 5
+
+_MS_LIFECYCLE_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_MS_NTOK}
+),
+live AS (
+  SELECT (e.vec_id % {_MS_NDOC}) + 1 AS id, e.embedding FROM embeddings e
+  WHERE ((e.vec_id % {_MS_NDOC}) + 1) % 7 <> 0
+),
+per AS (
+  SELECT l.id, tok.t, max({dot_sql("l.embedding", "tok.qv")}) AS m
+  FROM live l, tok
+  GROUP BY l.id, tok.t
+),
+scored AS (
+  SELECT id, sum(m ORDER BY t) AS score FROM per GROUP BY id
+),
+top AS (
+  SELECT id, score FROM scored ORDER BY score DESC, id LIMIT {_MS_K}
+)
+SELECT id, round(score, 6) AS score FROM top
+"""
+
+
+@query("collection_maxsim_lifecycle", oracle=_MS_LIFECYCLE_ORACLE)
+def collection_maxsim_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-vector family end-to-end through the catalog: create
+    (index_type='maxsim', a DOCUMENT row holds array<array<float>> token
+    vectors) → insert half the docs → build → insert the rest → delete
+    the id % 7 == 0 docs → refresh_index (ASSERTED incremental: the token
+    rows of added docs append against the frozen quantizer, removed docs
+    tombstone at doc granularity — never a rebuild) → dispatch search at
+    lossless settings (full probe, unbounded rerank), which must equal
+    exact MaxSim over the live docs. Docs are vec_id % 97 + 1 groups of
+    the embeddings fixture."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.groupBy(
+        ((F.col("vec_id") % _MS_NDOC) + 1).alias("id")
+    ).agg(F.collect_list("embedding").alias("embedding"))
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _MS_NTOK)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_ms_"))
+    coll = cat.create("ms", dim=64, metric="ip", index_type="maxsim")
+    coll.insert(docs.filter(F.col("id") % 2 == 1))
+    coll.build_index(nlist=8, max_iter=5)
+    coll.insert(docs.filter(F.col("id") % 2 == 0))
+    coll.delete(F.col("id") % 7 == 0)
+    mode = coll.refresh_index(nlist=8, max_iter=5)
+    assert mode == "incremental", f"expected incremental refresh, got {mode}"
+    res = coll.search(toks, _MS_K, nprobe=8)
+    return res.select("id", F.round("score", 6).alias("score"))
+
+
+_HTTP_MS_NDOC = 6
+_HTTP_MS_K = 3
+
+_HTTP_MS_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+corp AS (
+  SELECT (vec_id // 3) + 1 AS label, embedding FROM embeddings
+  WHERE vec_id < {_HTTP_MS_NDOC * 3}
+),
+per AS (
+  SELECT c.label, tok.t, max({dot_sql("c.embedding", "tok.qv")}) AS m
+  FROM corp c, tok
+  GROUP BY c.label, tok.t
+),
+scored AS (
+  SELECT label, sum(m ORDER BY t) AS score FROM per GROUP BY label
+),
+top AS (
+  SELECT label, score FROM scored
+  ORDER BY score DESC, label LIMIT {_HTTP_MS_K}
+)
+SELECT label, round(score, 6) AS score FROM top
+"""
+
+
+@query("http_maxsim_roundtrip", oracle=_HTTP_MS_ORACLE)
+def http_maxsim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-PLAID collection over a live socket: POST /create with
+    the MAXSIM_PQ engine-extension wire type → insert 6 documents of 3
+    token vectors each → POST /search with a 3-token query set. The wire
+    response (labels/scores in the reference's field names) must equal
+    the DuckDB exact-MaxSim oracle — the API's default serving params are
+    full probe + unbounded rerank, so the residual-PQ codes prune nothing
+    and served scores are exact."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from vector_db_spark.api import VectorDatabaseApi
+    from vector_db_spark.server import VectorDbHttpServer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _HTTP_MS_NDOC * 3)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    srv = VectorDbHttpServer(
+        VectorDatabaseApi(spark, tempfile.mkdtemp(prefix="http_ms_gate_"))
+    ).start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                return _json.loads(resp.read())
+
+        key = {"index_type": "MAXSIM_PQ", "dim": 64,
+               "metric_type": "InnerProduct"}
+        assert post("/create", key)["code"] == 0
+        for d in range(_HTTP_MS_NDOC):
+            assert post(
+                "/insert",
+                {"id": d + 1, "vectors": vecs[d * 3:(d + 1) * 3],
+                 "index_key": key},
+            )["code"] == 0
+        out = post(
+            "/search",
+            {"vectors": vecs[0:3], "k": _HTTP_MS_K, "index_key": key},
+        )
+        assert out["code"] == 0
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [
+            (int(l), float(s))
+            for l, s in zip(out["labels"], out["distances"])
+        ],
+        "label long, score double",
+    ).select("label", F.round("score", 6).alias("score"))

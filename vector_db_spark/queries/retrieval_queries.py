@@ -616,3 +616,26 @@ def maxsim_pq_delete_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_pq_vacuum_exhaustive", oracle=_MSIVF_DELETE_ORACLE)
+def maxsim_pq_vacuum_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum gate for the compressed multi-vector family — the last
+    cell of its maintenance matrix (delete and append carry their own
+    gates): tombstone the doc % 7 == 3 docs, COMPACT the layout into a
+    fresh directory (late_interaction.MaxSimPqIndex.vacuum — codes ride
+    along, codebooks re-persist, manifest empties), then a
+    lossless-settings search over the compacted index must equal exact
+    MaxSim over the survivors — same oracle as the delete gate, proving
+    compaction loses nothing and resurrects nothing (engine twin:
+    tests/test_late_interaction.py test_maxsim_pq_lifecycle)."""
+    import tempfile
+
+    idx = _mspq_index(spark, sf_dir)
+    idx.delete([d for d in range(_MSIVF_NDOC) if d % 7 == 3])
+    compacted = idx.vacuum(tempfile.mkdtemp(prefix="mspq_vac_"))
+    assert compacted.tombstones is None, "vacuum must clear the manifest"
+    res = compacted.search(
+        _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
