@@ -217,7 +217,8 @@ def test_tune_maxsim_compressed_family(emb, spark):
     ).collect()
     # 4 held-out queries x 5 docs on a 97-doc fixture: one swapped doc
     # moves recall by 0.05, so the generalization bound is loose here
-    # (the statistically meaningful sf0.1/sf1 lines live in RECALL_r08)
+    # (the statistically meaningful sf0.1/sf1 lines come from
+    # tools/maxsim_recall.py, recorded as RECALL_r09.json)
     assert _recall(exact, _topk_sets(rows, "query_id", "doc")) >= TARGET - 0.25
     # escalation path terminates at the exact-rerank bound
     hard = tune_maxsim(idx, sample, k=5, recall_target=1.0)

@@ -201,11 +201,12 @@ def fit_word2vec(
     the tokenized fit input is repartitioned to ONE partition before the
     fit — with a fixed seed the model is then bit-reproducible (the
     rows-only gate + recall pins depend on it). That single partition is
-    why the fit input MUST be bounded: ``max_fit_rows`` caps it with the
-    same seeded-sample policy as every quantizer fit
-    (`pq.sample_training_points`), so at 100 TB the one fit task sees a
-    fixed-size sample, never the corpus, and `word2vec_embed` applies
-    the frozen model distributed over the full corpus.
+    why the fit input MUST be bounded: ``max_fit_rows`` caps it via a
+    deterministic seeded-hash selection (`_bounded_fit_input`; stable
+    under task retry, unlike RNG sampling), so at 100 TB the one fit
+    task sees a fixed-size sample, never the corpus, and
+    `word2vec_embed` applies the frozen model distributed over the full
+    corpus.
 
     Returns the fitted `Word2VecModel`.
     """
