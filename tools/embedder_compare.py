@@ -216,6 +216,18 @@ def main() -> None:
         },
         "sf": sf,
     }
+    if weak:
+        ranked = sorted(out["weak"].items(), key=lambda kv: -kv[1])
+        (best, best_r), (_, second_r) = ranked[0], ranked[1]
+        out["conclusion"] = (
+            f"weak-band (0.25<=J<0.6) partner-recall@{K}: {best} wins at "
+            f"{best_r:.3f} (runner-up {second_r:.3f}, w2v "
+            f"{out['weak']['w2v']:.3f}). Near-dup retrieval is a LEXICAL "
+            "task: signed hash embeddings encode token overlap directly, "
+            "while mean-pooled skip-gram vectors blur partial overlap into "
+            "topic space - keep hash embeddings on the dedup path and "
+            "reserve the w2v rung for semantic (topic/lang) grouping."
+        )
     print(json.dumps(out))
 
 
