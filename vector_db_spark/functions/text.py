@@ -261,9 +261,14 @@ def with_repetition_signals(
     Catalyst's CollapseProject declines to inline expensive
     multiply-referenced expressions, so the single-projection form
     re-evaluates split()/slice()/array_join() per reference (measured
-    6.8 s → 2.2 s over 5k docs at sf0.1). Still row-local — zero shuffle."""
+    6.8 s → 2.2 s over 5k docs at sf0.1). Row-local, so a scan that
+    arrives in fewer partitions than the cluster has slots (one-row-group
+    parquet) would run the sort/fold work single-threaded — fan_out
+    spreads it first (26 s → 1.5 s at the 10× fixture; no-op at scale)."""
+    from vector_db_spark.operators.util import fan_out
+
     toks = tokens(F.col(text_col))
-    staged = df.withColumns(
+    staged = fan_out(df).withColumns(
         {
             "__st": F.array_sort(toks),
             "__sg": F.array_sort(word_ngrams(F.col(text_col), n)),

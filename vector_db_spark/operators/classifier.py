@@ -56,8 +56,10 @@ def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
     All row-local expression work; nulls (empty docs) impute to 0."""
     from pyspark.ml.functions import array_to_vector
 
+    from vector_db_spark.operators.util import fan_out
+
     t = F.col(text_col)
-    out = df
+    out = fan_out(df)
     for name, fn in _FEATURES:
         out = out.withColumn(name, F.coalesce(fn(t).cast("double"), F.lit(0.0)))
     arr = F.array(*[F.col(name) for name, _ in _FEATURES])

@@ -544,7 +544,7 @@ def chunk_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
@@ -739,7 +739,7 @@ def substring_dedup(
 
     if window < 2:
         raise ValueError("window must be >= 2")
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         *keep_cols,
         tokens(F.col(text_col)).alias("toks"),

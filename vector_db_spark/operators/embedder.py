@@ -92,7 +92,10 @@ def text_hash_embed(
     # alone would silently collapse duplicate input rows into one output
     # row with summed counts — the operator's contract is append-a-column,
     # one output row per input row, whatever the payload.
-    src = df.withColumn("__rid", F.monotonically_increasing_id())
+    from vector_db_spark.operators.util import fan_out
+
+    # hash+explode is the dense map stage — spread a narrow scan first
+    src = fan_out(df).withColumn("__rid", F.monotonically_increasing_id())
     tok = src.select("__rid", *other, F.explode_outer(feats).alias("__tok"))
     h = F.md5(F.concat(F.col("__tok"), F.lit(salt)))
     bucket = (

@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_spark.operators.util import fan_out
+
 # Pixel/sample law constants — mirrored in the SQL oracles (queries/
 # multimodal_queries.py). Changing one without the other breaks parity.
 K = 2654435761  # Knuth multiplicative hash constant
@@ -225,7 +227,7 @@ def attach_noise_images(
             )
 
     cols = [id_col] if seed_col is None else [id_col, seed_col]
-    return df.select(*cols).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
+    return fan_out(df.select(*cols)).mapInPandas(gen, schema=IMAGE_TABLE_SCHEMA)
 
 
 def attach_videos(
@@ -532,7 +534,7 @@ def attach_noise_audio(
             )
 
     cols = [id_col] if seed_col is None else [id_col, seed_col]
-    return df.select(*cols).mapInPandas(gen, schema=AUDIO_TABLE_SCHEMA)
+    return fan_out(df.select(*cols)).mapInPandas(gen, schema=AUDIO_TABLE_SCHEMA)
 
 
 def afp64(pcm: np.ndarray, bins: int = 64) -> int:
@@ -707,4 +709,4 @@ def attach_noise_videos(
             )
 
     cols = [id_col] if seed_col is None else [id_col, seed_col]
-    return df.select(*cols).mapInPandas(gen, schema=VIDEO_TABLE_SCHEMA)
+    return fan_out(df.select(*cols)).mapInPandas(gen, schema=VIDEO_TABLE_SCHEMA)

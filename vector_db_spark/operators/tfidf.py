@@ -56,6 +56,10 @@ def tfidf_scores(
     window) — kept out of the core so the common top-k path pays three
     shuffles, not four.
     """
+    # No fan_out here: the tokenize is a cheap split and the explode
+    # feeds straight into the term-count exchange, which already spreads
+    # the work — a pre-shuffle of the full text measured net-slower
+    # (0.70 s → 0.90 s at sf0.1).
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("term"),

@@ -927,13 +927,15 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns are pinned to the Java∩RE2 regex subset; emails redact before
     phones so digit runs inside addresses can't be half-redacted."""
     from vector_db_spark.functions.text import email_count, phone_count, redact_pii
+    from vector_db_spark.operators.util import fan_out
 
     s = F.concat(
         F.lit("contact "), F.col("source"), F.lit(".team@example.org or +1-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" :: "), F.col("text"),
     )
-    return _docs(spark, sf_dir).select(
+    # three regex passes per row are the dense stage — spread a narrow scan
+    return fan_out(_docs(spark, sf_dir)).select(
         "doc_id",
         email_count(s).alias("n_emails"),
         phone_count(s).alias("n_phones"),
