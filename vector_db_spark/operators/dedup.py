@@ -92,7 +92,21 @@ def jaccard_pairs(
     by shingle, then by pair. The pair multiset is identical to the
     classic a⋈b formulation — pathologically common shingles are the
     same quadratic skew risk either way; pre-filter them upstream if
-    needed."""
+    needed (stop-shingle-heavy corpora should take the minhash_lsh scale
+    path, which never enumerates a hot bucket).
+
+    MEASURED, don't re-litigate: an AllPairs/PPJoin prefix-filtered
+    variant (candidates from rare-shingle prefixes + array_intersect
+    verification, Bayardo WWW'07) was built and benchmarked here at the
+    sf1 fixture. It bounds per-bucket fanout (worst bucket 213 → 54
+    members) but DECOUPLES candidate generation from counting: 13.3M
+    distinct candidates survived the prefix+length bounds for 2,560 true
+    pairs, and hauling each candidate's shingle arrays through two joins
+    for verification cost 2× this fused formulation end-to-end (30s vs
+    15s), whose in-bucket pair emission collapses into the partial
+    aggregation without ever shuffling the fanout. Prefix filtering wins
+    only when bucket skew is extreme AND candidates are scarce — that
+    regime belongs to the LSH path above."""
     # Stage the shingle array as a column FIRST: putting size(arr) and
     # explode(arr) in one select would inline the (expensive) shingling
     # expression twice at analysis; through the staged attribute both
