@@ -189,6 +189,76 @@ def test_search_batch_mixed_validity_and_empty_collection(api):
     assert got[5]["code"] == 400
 
 
+def test_search_params_validation_and_override(api):
+    """Per-request serving knobs (engine extension; the reference wire
+    has no knobs — search.rs:6-17): family-whitelisted, validated BEFORE
+    the empty-collection early return, defaults untouched when absent."""
+    key = {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"}
+    api.create_index(key)
+    base = {"vectors": [1.0, 0.0, 0.0], "k": 1, "index_key": key}
+    # a bad request is a 400 even while the collection is EMPTY
+    assert _status(api.search, {**base, "params": {"bogus": 1}}) == 400
+    # a knob that exists for ANOTHER family is still unknown here
+    assert _status(api.search, {**base, "params": {"ef_search": 10}}) == 400
+    assert _status(api.search, {**base, "params": {"nprobe": 0}}) == 400
+    assert _status(api.search, {**base, "params": {"nprobe": "four"}}) == 400
+    assert _status(api.search, {**base, "params": [1, 2]}) == 400
+    # FLAT takes no serving knobs at all
+    api.create_index(KEY_FLAT)
+    assert _status(
+        api.search,
+        {"vectors": [1.0, 0.0, 0.0], "k": 1, "index_key": KEY_FLAT,
+         "params": {"nprobe": 2}},
+    ) == 400
+    # happy path: an explicit all-cells override serves exact results
+    for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+                 (3, [0.9, 0.1, 0.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": key})
+    res = api.search({**base, "k": 2, "params": {"nprobe": 64}})
+    assert res["code"] == 0 and res["labels"] == [1, 3]
+    # omitting params still serves (family defaults)
+    assert api.search({**base, "k": 2})["labels"] == [1, 3]
+
+
+def test_search_batch_groups_by_serving_params(api):
+    """Knob-overriding requests land in their own batch group (one job
+    per (collection, params) signature); a bad knob errors in place."""
+    from vector_db_spark.operators import collections as colls
+
+    key = {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"}
+    api.create_index(key)
+    for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+                 (3, [0.9, 0.1, 0.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": key})
+    reqs = [
+        {"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": key},
+        {"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": key,
+         "params": {"nprobe": 64}},
+        {"vectors": [0.0, 1.0, 0.0], "k": 1, "index_key": key,
+         "params": {"nprobe": 64}},
+        {"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": key,
+         "params": {"nprobe": "x"}},
+    ]
+    calls = {"n": 0}
+    orig = colls.Collection.search_batch
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    colls.Collection.search_batch = counting
+    try:
+        got = api.search_batch(reqs)
+    finally:
+        colls.Collection.search_batch = orig
+    # default group + nprobe-64 group; the bad knob never reaches a job
+    assert calls["n"] == 2
+    assert got[0]["code"] == 0 and got[0]["labels"] == [1, 3]
+    assert got[1] == got[0]
+    assert got[2]["code"] == 0 and got[2]["labels"] == [2]
+    assert got[3]["code"] == 400 and "nprobe" in got[3]["error"]
+
+
 # ---------------------------------------------------------------------------
 # Multi-vector (MaxSim) engine-extension wire types (MAXSIM=4,
 # MAXSIM_PQ=5): `vectors` is a LIST of token vectors, scores are exact

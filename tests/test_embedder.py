@@ -255,3 +255,29 @@ def test_w2v_fit_input_cap_binds(docs, spark):
 
     with _pytest.raises(ValueError, match="max_fit_rows"):
         fit_word2vec(docs, dim=8, max_fit_rows=0)
+
+
+def test_fit_threshold_never_zero_and_never_undershoots():
+    """Regression (round-9 review): int() truncation of the hash
+    threshold hit 0 once n exceeded (1.2·cap+1000)·2²⁰ — an EMPTY fit
+    sample in exactly the huge-corpus regime the bound exists for — and
+    a thresh of 1-2 truncated from 2−ε halved expected survivors below
+    the cap. Pin the ceiling form: thresh >= 1 always, and expected
+    survivors n·thresh/2²⁰ >= min(n, cap) across the full range, huge-n
+    corners included."""
+    from vector_db_spark.operators.embedder import _FIT_HASH_DENOM, _fit_threshold
+
+    for cap in (1, 100, 10_000, 100_000):
+        for n in (
+            cap + 1,
+            10 * cap,
+            int((1.2 * cap + 1000) * _FIT_HASH_DENOM) - 1,
+            int((1.2 * cap + 1000) * _FIT_HASH_DENOM) + 1,
+            6_800_000_000,
+            10**12,
+            10**15,
+        ):
+            t = _fit_threshold(n, cap)
+            assert 1 <= t <= _FIT_HASH_DENOM, (n, cap, t)
+            expected = n * t / _FIT_HASH_DENOM
+            assert expected >= min(n, cap), (n, cap, t, expected)

@@ -218,15 +218,23 @@ def main() -> None:
     }
     if weak:
         ranked = sorted(out["weak"].items(), key=lambda kv: -kv[1])
-        (best, best_r), (_, second_r) = ranked[0], ranked[1]
+        (best, best_r), (second, second_r) = ranked[0], ranked[1]
+        # the verdict must follow the MEASUREMENT (round-9 review): only
+        # claim the lexical-task conclusion when a hash tier actually won
+        verdict = (
+            "Near-dup retrieval is a LEXICAL task here: signed hash "
+            "embeddings encode token overlap directly, while mean-pooled "
+            "skip-gram vectors blur partial overlap into topic space - "
+            "keep hash embeddings on the dedup path and reserve the w2v "
+            "rung for semantic (topic/lang) grouping."
+            if best != "w2v"
+            else "The learned rung beat lexical hashing on this corpus - "
+            "re-examine before keeping hash embeddings on the dedup path."
+        )
         out["conclusion"] = (
             f"weak-band (0.25<=J<0.6) partner-recall@{K}: {best} wins at "
-            f"{best_r:.3f} (runner-up {second_r:.3f}, w2v "
-            f"{out['weak']['w2v']:.3f}). Near-dup retrieval is a LEXICAL "
-            "task: signed hash embeddings encode token overlap directly, "
-            "while mean-pooled skip-gram vectors blur partial overlap into "
-            "topic space - keep hash embeddings on the dedup path and "
-            "reserve the w2v rung for semantic (topic/lang) grouping."
+            f"{best_r:.3f} (runner-up {second} {second_r:.3f}, w2v "
+            f"{out['weak']['w2v']:.3f}). " + verdict
         )
     print(json.dumps(out))
 

@@ -60,7 +60,11 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from vector_db_spark.operators.collections import CollectionCatalog, DocumentStore
+from vector_db_spark.operators.collections import (
+    MULTI_VECTOR_INDEX_TYPES as _MULTI_TYPES,
+    CollectionCatalog,
+    DocumentStore,
+)
 
 _INDEX_TYPES = {0: "exact", "FLAT": "exact", 1: "graph", "HNSW": "graph",
                 3: "ivf", "USEARCH": "ivf",
@@ -74,7 +78,8 @@ _METRICS = {0: "ip", "InnerProduct": "ip", 1: "l2", "L2": "l2"}
 # wire names back out for response index_key echoes
 _TYPE_NAMES = {"exact": "FLAT", "graph": "HNSW", "ivf": "USEARCH",
                "maxsim": "MAXSIM", "maxsim_pq": "MAXSIM_PQ"}
-_MULTI_TYPES = ("maxsim", "maxsim_pq")
+# _MULTI_TYPES is the collections-module registry (imported above): one
+# authoritative list of multi-vector families for catalog and wire alike.
 
 DEFAULT_MAX_ELEMENTS = 1000  # create_index_handle.rs:25
 
@@ -91,6 +96,49 @@ _BUILD_PARAMS = {"ivf": {"nlist": 4, "max_iter": 5},
                                "pq_iters": 4}}
 _SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200},
                   "maxsim": {"nprobe": 4}, "maxsim_pq": {"nprobe": 4}}
+# per-request serving knobs a caller may override via the optional
+# "params" object — whitelisted per family so a typo'd or cross-family
+# knob errors 400 instead of silently passing into the engine
+_REQUEST_KNOBS = {
+    "ivf": ("nprobe",),
+    "graph": ("nprobe", "ef_search"),
+    "ivfpq": ("nprobe", "shortlist"),
+    "ivfsq": ("nprobe", "shortlist"),
+    "ivfopq": ("nprobe", "shortlist"),
+    "lsh": ("probe_radius",),
+    "maxsim": ("nprobe", "shortlist"),
+    "maxsim_pq": ("nprobe", "shortlist"),
+    "exact": (),
+}
+
+
+def _serving_params(req: dict, itype: str) -> dict:
+    """Defaults for the family merged with the request's optional
+    ``params`` overrides (engine extension; the reference wire has no
+    serving knobs — search.rs:6-17). Unknown keys and non-positive or
+    non-integer values are THIS request's 400, never a silent drop."""
+    base = dict(_SEARCH_PARAMS.get(itype, {}))
+    knobs = req.get("params")
+    if knobs is None:
+        return base
+    if not isinstance(knobs, dict):
+        raise ApiError(400, "params must be an object")
+    allowed = _REQUEST_KNOBS.get(itype, ())
+    for key, val in knobs.items():
+        if key not in allowed:
+            raise ApiError(
+                400,
+                f"unknown search param {key!r} for "
+                f"{_TYPE_NAMES.get(itype, itype)}",
+            )
+        try:
+            ival = int(val)
+        except (TypeError, ValueError):
+            raise ApiError(400, f"search param {key!r} must be an integer") from None
+        if ival < 1:
+            raise ApiError(400, f"search param {key!r} must be >= 1")
+        base[key] = ival
+    return base
 
 
 class ApiError(Exception):
@@ -323,20 +371,19 @@ class VectorDatabaseApi:
         _require(int(k) >= 1, "k must be at least 1")
         coll = self._collection(req.get("index_key"))
         vec, _ = self._parse_vectors(vectors, coll)
+        itype = coll.info.index_type
+        # knob validation BEFORE the empty-collection early return: a bad
+        # request is a 400 regardless of collection state
+        sp = _serving_params(req, itype)
         # Empty collection: the reference's backends return an empty
         # result set for a search over zero vectors; without this guard
         # the lazy-build path below would count()/build_index() on a
         # None scan and escape the ApiError contract (ADVICE r4).
         if coll.scan() is None:
             return {"code": 0, "labels": [], "distances": []}
-        itype = coll.info.index_type
         self._ensure_index(coll)
         try:
-            rows = coll.search(
-                vec,
-                int(k),
-                **(_SEARCH_PARAMS.get(itype, {})),
-            ).collect()
+            rows = coll.search(vec, int(k), **sp).collect()
         except ValueError as exc:
             raise ApiError(500, str(exc)) from exc
         out_col = "distance" if coll.info.metric == "l2" else "score"
@@ -356,13 +403,17 @@ class VectorDatabaseApi:
         `collect()` per request.
 
         Per-request results are identical to calling `search()`
-        sequentially: requests group by collection, run at max(k) of the
-        group, and each response truncates its rank-ordered rows to its
-        own k. Invalid requests get their error response in place
-        ({"code": status, "error": msg}) without failing the batch."""
+        sequentially: requests group by (collection, serving params), run
+        at max(k) of the group, and each response truncates its
+        rank-ordered rows to its own k. Requests that override knobs via
+        "params" simply land in their own group — same-knob requests
+        still share one job. Invalid requests get their error response in
+        place ({"code": status, "error": msg}) without failing the
+        batch."""
         _require(isinstance(reqs, list), "requests must be a list")
         results: list = [None] * len(reqs)
-        groups: dict = {}  # collection name -> (coll, [(idx, vec, k)])
+        # (collection name, knob signature) -> (coll, params, [(idx, vec, k)])
+        groups: dict = {}
         for i, req in enumerate(reqs):
             try:
                 # non-dict entries error in place (the transport's
@@ -378,6 +429,7 @@ class VectorDatabaseApi:
                 # conversions inside the try: a non-numeric component or
                 # k must error THIS request, never crash the batch
                 vec, _ = self._parse_vectors(vectors, coll)
+                sp = _serving_params(req, coll.info.index_type)
                 parsed = (i, vec, int(k))
             except ApiError as exc:
                 results[i] = {"code": exc.status, "error": str(exc)}
@@ -385,10 +437,11 @@ class VectorDatabaseApi:
             except (ValueError, TypeError) as exc:
                 results[i] = {"code": 400, "error": str(exc)}
                 continue
-            ent = groups.setdefault(coll.info.name, (coll, []))
-            ent[1].append(parsed)
+            gkey = (coll.info.name, tuple(sorted(sp.items())))
+            ent = groups.setdefault(gkey, (coll, sp, []))
+            ent[2].append(parsed)
 
-        for _, (coll, items) in groups.items():
+        for _, (coll, sp, items) in groups.items():
             if coll.scan() is None:
                 for i, _, _ in items:
                     results[i] = {"code": 0, "labels": [], "distances": []}
@@ -413,9 +466,7 @@ class VectorDatabaseApi:
             kmax = max(kk for _, _, kk in items)
             out_col = "distance" if coll.info.metric == "l2" else "score"
             try:
-                rows = coll.search_batch(
-                    qdf, kmax, **(_SEARCH_PARAMS.get(coll.info.index_type, {}))
-                ).collect()
+                rows = coll.search_batch(qdf, kmax, **sp).collect()
             except ValueError as exc:
                 for i, _, _ in items:
                     results[i] = {"code": 500, "error": str(exc)}

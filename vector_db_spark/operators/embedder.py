@@ -29,6 +29,8 @@ is native Catalyst expressions inside whole-stage codegen.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,6 +149,21 @@ def text_hash_embed(
     )
 
 
+_FIT_HASH_DENOM = 1 << 20
+
+
+def _fit_threshold(n: int, max_fit_rows: int) -> int:
+    """Hash-bucket threshold for the bounded-fit prune: keep a document
+    when ``pmod(xxhash64, 2²⁰) < thresh``. Ceil, never floor: int()
+    truncation could zero the threshold (empty fit sample) once n exceeds
+    (1.2·cap+1000)·2²⁰ — the 100 TB regime — and even a thresh of 1-2
+    truncated from 2−ε halves the expected survivors below the cap.
+    Ceiling keeps expected survivors ≥ the 1.2×cap+1000 target at every
+    n (overshoot only feeds the TakeOrdered heap a few extra rows)."""
+    frac = min(1.0, (1.2 * max_fit_rows + 1000) / n)
+    return max(1, math.ceil(frac * _FIT_HASH_DENOM))
+
+
 def _bounded_fit_input(
     df: DataFrame, text_col: str, max_fit_rows: int, seed: int
 ) -> DataFrame:
@@ -171,8 +188,7 @@ def _bounded_fit_input(
         return toks
     key = F.concat_ws("\x1f", F.col("__toks"))
     h = F.xxhash64(key, F.lit(int(seed)))
-    denom = 1 << 20
-    thresh = int(min(1.0, (1.2 * max_fit_rows + 1000) / n) * denom)
+    denom, thresh = _FIT_HASH_DENOM, _fit_threshold(n, max_fit_rows)
     return (
         toks.withColumn("__h", h)
         .filter(F.pmod(F.col("__h"), F.lit(denom)) < thresh)

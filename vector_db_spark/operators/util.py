@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical-plan nodes that already repartitioned the data: anything below
+# one of these runs at exchange width (spark.sql.shuffle.partitions),
+# not scan-file width, so spreading again is a pure extra shuffle.
+# Analyzed-plan node names are CamelCase; expression text (array_sort,
+# aggregate(...)) is lowercase, so the case-sensitive word match only
+# hits operators.
+_WIDTH_SETTING_NODES = re.compile(
+    r"\b(Repartition|RepartitionByExpression|Aggregate|Join|Window|Sort"
+    r"|Deduplicate)\b"
+)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -21,12 +34,22 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     RDD conversion of the whole plan per call (VERDICT r1 wart). File count
     under-counts actual scan partitions when maxPartitionBytes splits big
     files — erring toward a repartition that only ever triggers on small
-    inputs. Non-file plans (already-shuffled/in-memory inputs) pass through
-    untouched: their partitioning was chosen by an upstream exchange.
+    inputs. Two pass-through cases (round-9 review: ``inputFiles`` alone
+    traverses THROUGH exchanges to the leaf scans, so the file count lies
+    about width once anything reshuffled):
+
+    - non-file plans (in-memory relations): no scan to spread;
+    - file-backed plans whose ANALYZED tree already contains a
+      width-setting node (repartition/aggregate/join/window/sort/
+      distinct) — those run at exchange width downstream of the scan, and
+      chaining two fan_out-wrapped operators must not stack a redundant
+      shuffle per operator.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) < target:
-        return df.repartition(target)
-    return df
+    if not files or len(files) >= target:
+        return df
+    if _WIDTH_SETTING_NODES.search(df._jdf.queryExecution().analyzed().toString()):
+        return df
+    return df.repartition(target)
