@@ -773,3 +773,95 @@ def test_collection_maxsim_validation(spark, tmp_path):
     )
     with pytest.raises(Exception, match="token"):
         coll.insert(empty)
+
+
+def test_serving_params_persist_validate_and_apply(spark, tmp_path):
+    """Tuning write-back loop: set_serving_params persists knobs in the
+    catalog JSON (no version bump — serving config is not data), a fresh
+    catalog instance reads them back, stored knobs reach the index
+    search as defaults, and explicit caller kwargs still win."""
+    from vector_db_spark.operators import ann
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("tuned", dim=8, metric="l2", index_type="ivf")
+
+    # whitelist + value validation (family-scoped, positive ints only)
+    with pytest.raises(ValueError, match="unknown serving param"):
+        coll.set_serving_params(ef_search=10)  # graph-only knob
+    with pytest.raises(ValueError, match=">= 1"):
+        coll.set_serving_params(nprobe=0)
+    with pytest.raises(ValueError, match="integer"):
+        coll.set_serving_params(nprobe="four")
+    with pytest.raises(ValueError, match="integer"):
+        coll.set_serving_params(nprobe=True)
+    # exact collections take no knobs at all
+    exact = cat.create("plain", dim=8, metric="l2", index_type="exact")
+    with pytest.raises(ValueError, match="unknown serving param"):
+        exact.set_serving_params(nprobe=2)
+
+    coll.insert(_vec_df(spark))
+    coll.build_index(nlist=4, max_iter=5)
+    v_before = coll.info.version
+    coll.set_serving_params(nprobe=2)
+    assert coll.info.version == v_before  # no snapshot churn
+    # search must NOT demand a rebuild after a knob change
+    assert len(coll.search([0.0] * 8, 3).collect()) == 3
+
+    # durable: a brand-new catalog instance reads the stored knobs
+    again = CollectionCatalog(spark, str(tmp_path)).get("tuned")
+    assert again.info.serving_params == {"nprobe": 2}
+
+    # stored knob reaches the engine; explicit kwarg overrides it
+    seen: dict = {}
+    orig = ann.IvfIndex.search
+
+    def spy(self, query, k, **kw):
+        seen.update(kw)
+        return orig(self, query, k, **kw)
+
+    ann.IvfIndex.search = spy
+    try:
+        again.search([0.0] * 8, 3).collect()
+        assert seen["nprobe"] == 2
+        seen.clear()
+        again.search([0.0] * 8, 3, nprobe=4).collect()
+        assert seen["nprobe"] == 4
+    finally:
+        ann.IvfIndex.search = orig
+
+
+def test_serving_params_feed_api_defaults(spark, tmp_path):
+    """The request facade serves at the collection's persisted operating
+    point: stored knobs override the wire's family defaults, and a
+    request-level "params" object still overrides both."""
+    from vector_db_spark.api import VectorDatabaseApi
+
+    api = VectorDatabaseApi(spark, str(tmp_path))
+    key = {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"}
+    api.create_index(key)
+    for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+                 (3, [0.9, 0.1, 0.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": key})
+
+    coll = api._collection(key)
+    coll.set_serving_params(nprobe=3)
+
+    from vector_db_spark.operators import ann
+    seen: dict = {}
+    orig = ann.IvfIndex.search
+
+    def spy(self, query, k, **kw):
+        seen.update(kw)
+        return orig(self, query, k, **kw)
+
+    ann.IvfIndex.search = spy
+    try:
+        res = api.search({"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": key})
+        assert res["code"] == 0 and seen["nprobe"] == 3
+        seen.clear()
+        res = api.search({"vectors": [1.0, 0.0, 0.0], "k": 2, "index_key": key,
+                          "params": {"nprobe": 1}})
+        assert res["code"] == 0 and seen["nprobe"] == 1
+    finally:
+        ann.IvfIndex.search = orig

@@ -62,6 +62,7 @@ from pyspark.sql import SparkSession
 
 from vector_db_spark.operators.collections import (
     MULTI_VECTOR_INDEX_TYPES as _MULTI_TYPES,
+    SERVING_KNOBS as _REQUEST_KNOBS,
     CollectionCatalog,
     DocumentStore,
 )
@@ -97,27 +98,23 @@ _BUILD_PARAMS = {"ivf": {"nlist": 4, "max_iter": 5},
 _SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200},
                   "maxsim": {"nprobe": 4}, "maxsim_pq": {"nprobe": 4}}
 # per-request serving knobs a caller may override via the optional
-# "params" object — whitelisted per family so a typo'd or cross-family
-# knob errors 400 instead of silently passing into the engine
-_REQUEST_KNOBS = {
-    "ivf": ("nprobe",),
-    "graph": ("nprobe", "ef_search"),
-    "ivfpq": ("nprobe", "shortlist"),
-    "ivfsq": ("nprobe", "shortlist"),
-    "ivfopq": ("nprobe", "shortlist"),
-    "lsh": ("probe_radius",),
-    "maxsim": ("nprobe", "shortlist"),
-    "maxsim_pq": ("nprobe", "shortlist"),
-    "exact": (),
-}
+# "params" object: _REQUEST_KNOBS is the catalog's SERVING_KNOBS registry
+# (imported above) — one authoritative per-family whitelist, so a typo'd
+# or cross-family knob errors 400 instead of silently passing into the
+# engine.
 
 
-def _serving_params(req: dict, itype: str) -> dict:
-    """Defaults for the family merged with the request's optional
-    ``params`` overrides (engine extension; the reference wire has no
-    serving knobs — search.rs:6-17). Unknown keys and non-positive or
-    non-integer values are THIS request's 400, never a silent drop."""
+def _serving_params(req: dict, coll) -> dict:
+    """Serving knobs for one request, precedence low→high: the wire's
+    exhaustive-quality family defaults (_SEARCH_PARAMS) < the
+    collection's persisted tuned knobs (Collection.set_serving_params) <
+    this request's optional ``params`` overrides (engine extension; the
+    reference wire has no serving knobs — search.rs:6-17). Unknown keys
+    and non-positive or non-integer values are THIS request's 400, never
+    a silent drop."""
+    itype = coll.info.index_type
     base = dict(_SEARCH_PARAMS.get(itype, {}))
+    base.update(coll.info.serving_params)
     knobs = req.get("params")
     if knobs is None:
         return base
@@ -374,7 +371,7 @@ class VectorDatabaseApi:
         itype = coll.info.index_type
         # knob validation BEFORE the empty-collection early return: a bad
         # request is a 400 regardless of collection state
-        sp = _serving_params(req, itype)
+        sp = _serving_params(req, coll)
         # Empty collection: the reference's backends return an empty
         # result set for a search over zero vectors; without this guard
         # the lazy-build path below would count()/build_index() on a
@@ -429,7 +426,7 @@ class VectorDatabaseApi:
                 # conversions inside the try: a non-numeric component or
                 # k must error THIS request, never crash the batch
                 vec, _ = self._parse_vectors(vectors, coll)
-                sp = _serving_params(req, coll.info.index_type)
+                sp = _serving_params(req, coll)
                 parsed = (i, vec, int(k))
             except ApiError as exc:
                 results[i] = {"code": exc.status, "error": str(exc)}

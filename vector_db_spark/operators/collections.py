@@ -44,7 +44,7 @@ import os
 import shutil
 from collections.abc import Sequence
 from contextlib import contextmanager
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -68,6 +68,24 @@ VALID_INDEX_TYPES = (
 # ColBERTv2 residual-compressed store (MaxSimPqIndex). MaxSim IS an
 # inner-product score, so these types require metric='ip'.
 MULTI_VECTOR_INDEX_TYPES = ("maxsim", "maxsim_pq")
+
+# Serving-time knobs each family's search()/search_batch() accepts — the
+# single authoritative whitelist shared by the catalog
+# (Collection.set_serving_params) and the request facade (api.py's
+# per-request "params" object). Engine extension: the reference wire has
+# no serving knobs (search.rs:6-17); its backends hardcode ef/nprobe at
+# build time. A knob must be a positive integer.
+SERVING_KNOBS: dict[str, tuple[str, ...]] = {
+    "exact": (),
+    "lsh": ("probe_radius",),
+    "ivf": ("nprobe",),
+    "graph": ("nprobe", "ef_search"),
+    "ivfpq": ("nprobe", "shortlist"),
+    "ivfsq": ("nprobe", "shortlist"),
+    "ivfopq": ("nprobe", "shortlist"),
+    "maxsim": ("nprobe", "shortlist"),
+    "maxsim_pq": ("nprobe", "shortlist"),
+}
 
 
 def merge_upsert(
@@ -129,6 +147,10 @@ class CollectionInfo:
     id_col: str = "id"
     vec_col: str = "embedding"
     n_buckets: int = 16
+    # Persisted serving defaults (tuner output written back via
+    # Collection.set_serving_params); {} on catalogs written before the
+    # field existed — CollectionInfo(**old_json) still loads.
+    serving_params: dict = field(default_factory=dict)
 
 
 class CollectionCatalog:
@@ -560,6 +582,51 @@ class Collection(_BucketedStore):
         self.catalog._bump(self.info.name, version)
         self.info.version = version
 
+    def set_serving_params(self, **knobs: int) -> None:
+        """Persist serving-time defaults for this collection — the
+        write-back half of the tuning loop: run ``tuning.tune_*`` on a
+        query sample, then store the chosen knobs so every subsequent
+        ``search``/``search_batch`` (library or HTTP) serves at the tuned
+        operating point without each caller re-specifying it, e.g.
+        ``coll.set_serving_params(nprobe=t["nprobe"])``.
+
+        Keys are validated against the family's ``SERVING_KNOBS``
+        whitelist, values must be positive integers. Explicit kwargs on a
+        search call always win over stored values; stored values win over
+        the engine's hardcoded fallbacks. Stored in the catalog JSON
+        (serving config, not data — the snapshot version chain does NOT
+        advance, and a stale-index check never fires off a knob change).
+        Engine extension — the reference bakes ef/nprobe into the build
+        (index_factory.rs:108-156) with no re-tune path."""
+        allowed = SERVING_KNOBS.get(self.info.index_type, ())
+        clean: dict[str, int] = {}
+        for key, val in knobs.items():
+            if key not in allowed:
+                raise ValueError(
+                    f"unknown serving param {key!r} for index_type "
+                    f"{self.info.index_type!r}; expected one of {allowed}"
+                )
+            if isinstance(val, bool) or not isinstance(val, int):
+                raise ValueError(f"serving param {key!r} must be an integer")
+            if val < 1:
+                raise ValueError(f"serving param {key!r} must be >= 1")
+            clean[key] = val
+        with self.catalog._locked():
+            data = self.catalog._load()
+            if self.info.name not in data:
+                raise KeyError(f"collection {self.info.name!r} not found")
+            merged = {**data[self.info.name].get("serving_params", {}), **clean}
+            data[self.info.name]["serving_params"] = merged
+            self.catalog._save(data)
+        self.info.serving_params = merged
+
+    def _apply_serving_defaults(self, params: dict) -> dict:
+        """Fill stored serving knobs beneath the caller's explicit
+        kwargs (caller > stored > code fallbacks)."""
+        for key, val in self.info.serving_params.items():
+            params.setdefault(key, val)
+        return params
+
     @property
     def _multi_vector(self) -> bool:
         return self.info.index_type in MULTI_VECTOR_INDEX_TYPES
@@ -856,6 +923,7 @@ class Collection(_BucketedStore):
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
+        params = self._apply_serving_defaults(params)
         if self.info.index_type == "exact":
             return knn(
                 cur,
@@ -934,6 +1002,7 @@ class Collection(_BucketedStore):
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
+        params = self._apply_serving_defaults(params)
         if self.info.index_type == "exact":
             return batch_knn(
                 cur,

@@ -38,6 +38,7 @@ _VERIFY_FIRST = [
     "collection_maxsim_lifecycle",
     "http_maxsim_roundtrip",
     "maxsim_pq_vacuum_exhaustive",
+    "collection_tuned_serving",
     # --- (2) newest green row is round 2 ---
     "ann_ivf_append_full_probe",
     "ann_ivf_range_search",

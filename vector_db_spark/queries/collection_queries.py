@@ -149,6 +149,33 @@ def collection_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("distance", 6).alias("distance"))
 
 
+@query("collection_tuned_serving", oracle=_LIFECYCLE_ORACLE)
+def collection_tuned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning write-back loop end-to-end: build an IVF collection, persist
+    a full-probe operating point via ``set_serving_params(nprobe=nlist)``,
+    re-open the catalog from disk (a fresh instance — attests the knobs
+    survive a restart, unlike the reference's in-memory registry), then
+    search with NO explicit knobs. The stored full probe makes the served
+    answer exact, so the oracle is plain kNN — any failure to persist or
+    apply the knobs drops back to the engine's nprobe=4 fallback and
+    hash-mismatches."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="cat_")
+    cat = CollectionCatalog(spark, root)
+    coll = cat.create("tuned", dim=64, metric="l2", index_type="ivf")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, max_iter=5)
+    coll.set_serving_params(nprobe=8)
+    reopened = CollectionCatalog(spark, root).get("tuned")
+    qv = _qvec(spark, sf_dir)
+    res = reopened.search(qv, 10)  # no knobs: serves at the stored point
+    return res.select("id", F.round("distance", 6).alias("distance"))
+
+
 # --------------------------------------------------------------------------
 # Schemaless document store: put JSON docs, impose structure at read time
 # (≅ reference scalar storage, src/db/scalar_storage.rs:10-14)
