@@ -223,3 +223,96 @@ def test_tune_maxsim_compressed_family(emb, spark):
     # escalation path terminates at the exact-rerank bound
     hard = tune_maxsim(idx, sample, k=5, recall_target=1.0)
     assert hard["recall"] == 1.0
+
+
+def test_tune_collection_dispatch_persist_and_serve(spark, emb, tmp_path):
+    """The full loop in one call: tune_collection dispatches the family
+    tuner, persist=True writes ONLY whitelisted knobs back, and a fresh
+    catalog instance serves at the tuned operating point by default."""
+    from vector_db_spark.operators import ann
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("t_ivf", dim=64, metric="l2", index_type="ivf")
+    coll.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+
+    # staleness contract mirrors search(): unbuilt refuses
+    qs = _queries(emb, 0, 10)
+    with pytest.raises(ValueError, match="build_index"):
+        tune_collection(coll, qs, k=K, recall_target=TARGET)
+    coll.build_index(nlist=8, max_iter=5)
+
+    out = tune_collection(coll, qs, k=K, recall_target=TARGET, persist=True)
+    assert out["recall"] >= TARGET
+    # only the knob was persisted — recall/evals stripped
+    assert coll.info.serving_params == {"nprobe": out["nprobe"]}
+
+    # a fresh catalog serves at the tuned point with no explicit knobs
+    again = CollectionCatalog(spark, str(tmp_path)).get("t_ivf")
+    seen: dict = {}
+    orig = ann.IvfIndex.search_batch
+
+    def spy(self, queries, k, **kw):
+        seen.update(kw)
+        return orig(self, queries, k, **kw)
+
+    ann.IvfIndex.search_batch = spy
+    try:
+        again.search_batch(qs, K).collect()
+    finally:
+        ann.IvfIndex.search_batch = orig
+    assert seen["nprobe"] == out["nprobe"]
+
+
+def test_tune_collection_served_shortlist_family(spark, emb, tmp_path):
+    """IVF-SQ tunes through Collection.search_batch (its codes layout
+    drops raw vectors; the served rerank against the live scan is part
+    of the tuned path) and the result meets the target on the sample."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("t_sq", dim=64, metric="l2", index_type="ivfsq")
+    coll.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+    coll.build_index(nlist=8, max_iter=5)
+    qs = _queries(emb, 0, 10)
+    out = tune_collection(coll, qs, k=K, recall_target=TARGET, persist=True)
+    assert out["recall"] >= TARGET
+    assert set(coll.info.serving_params) == {"nprobe", "shortlist"}
+    # the persisted point reproduces the tuned recall through serving
+    got = {
+        r.query_id: set()
+        for r in qs.select("query_id").collect()
+    }
+    for r in coll.search_batch(qs, K).collect():
+        got[r.query_id].add(r.id)
+    from vector_db_spark.operators.knn import batch_knn
+
+    exact = {}
+    for r in batch_knn(coll.scan(), qs, K, metric="l2", id_col="id").collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    rec = sum(
+        len(exact[q] & got[q]) / len(exact[q]) for q in exact
+    ) / len(exact)
+    assert rec >= TARGET
+
+
+def test_tune_collection_exact_and_lsh_edges(spark, emb, tmp_path):
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    exact = cat.create("t_exact", dim=64, metric="l2", index_type="exact")
+    assert tune_collection(exact, None) == {"recall": 1.0, "evals": 0}
+    lsh = cat.create("t_lsh", dim=64, metric="cosine", index_type="lsh")
+    with pytest.raises(ValueError, match="build time"):
+        tune_collection(lsh, None)

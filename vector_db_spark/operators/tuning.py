@@ -218,6 +218,53 @@ def tune_graph(
     return last
 
 
+def _walk_shortlist_ladder(
+    measure,
+    nlist: int,
+    n_rows,
+    k: int,
+    recall_target: float,
+    shortlist_ladder: tuple[int, ...] | None,
+) -> dict:
+    """Shared (nprobe, shortlist) walk for every shortlist-rerank family
+    (IVF-PQ/SQ/OPQ, both PLAID variants): cost-ordered ladder
+    (cost ≈ nprobe · shortlist), first pass wins; on exhaustion the
+    shortlist escalates geometrically at full probe, bounded by the
+    population ``n_rows`` (a callable, paid only on escalation) — where
+    full probe + full shortlist degenerates to exact rerank (recall 1.0),
+    so it terminates. ``measure(nprobe, shortlist) -> recall``."""
+    if shortlist_ladder is None:
+        shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
+    probes = []
+    n = 1
+    while n < nlist:
+        probes.append(n)
+        n *= 2
+    probes.append(nlist)
+    ladder = sorted(
+        ((p, sl) for p in probes for sl in shortlist_ladder),
+        key=lambda t: (t[0] * t[1], t[0]),
+    )
+    evals = 0
+    last = None
+    for nprobe, sl in ladder:
+        evals += 1
+        r = measure(nprobe, sl)
+        last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    cap = n_rows()
+    sl = shortlist_ladder[-1]
+    while sl < cap:
+        sl = min(2 * sl, cap)
+        evals += 1
+        r = measure(nlist, sl)
+        last = {"nprobe": nlist, "shortlist": sl, "recall": r, "evals": evals}
+        if r >= recall_target:
+            return last
+    return last
+
+
 def tune_ivfpq(
     index,
     sample_queries: DataFrame,
@@ -253,22 +300,10 @@ def tune_ivfpq(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     )
-    if shortlist_ladder is None:
-        shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
-    probes = []
-    n = 1
-    while n < nlist:
-        probes.append(n)
-        n *= 2
-    probes.append(nlist)
-    ladder = sorted(
-        ((p, sl) for p in probes for sl in shortlist_ladder),
-        key=lambda t: (t[0] * t[1], t[0]),
-    )
-    evals = 0
-    last = None
-    for nprobe, sl in ladder:
-        evals += 1
+    # Quantization error can crowd true neighbors out of a k-proportional
+    # shortlist (observed at the 10× sf1 fixture: (32, 160) → 0.936) —
+    # the shared walk's full-probe escalation covers that regime.
+    def measure(nprobe: int, sl: int) -> float:
         rows = index.search_batch(
             sample,
             k,
@@ -277,34 +312,16 @@ def tune_ivfpq(
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
         ).collect()
-        r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
-        last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
-        if r >= recall_target:
-            return last
-    # Ladder exhausted below target — the density regime where the codes'
-    # quantization error crowds true neighbors out of a k-proportional
-    # shortlist (observed at the 10× sf1 fixture: (32, 160) → 0.936).
-    # Escalate the shortlist geometrically at full probe until the target
-    # is met; bounded by the corpus size, where full probe + full
-    # shortlist IS exact rerank (recall 1.0), so this terminates.
-    n_rows = index._live().count()
-    sl = shortlist_ladder[-1]
-    while sl < n_rows:
-        sl = min(2 * sl, n_rows)
-        evals += 1
-        rows = index.search_batch(
-            sample,
-            k,
-            nprobe=nlist,
-            shortlist=sl,
-            query_id_col=query_id_col,
-            query_vec_col=query_vec_col,
-        ).collect()
-        r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
-        last = {"nprobe": nlist, "shortlist": sl, "recall": r, "evals": evals}
-        if r >= recall_target:
-            return last
-    return last
+        return _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+
+    return _walk_shortlist_ladder(
+        measure,
+        nlist,
+        lambda: index._live().count(),
+        k,
+        recall_target,
+        shortlist_ladder,
+    )
 
 
 def tune_maxsim(
@@ -347,22 +364,10 @@ def tune_maxsim(
     ).collect()
     exact = _topk_sets(exact_rows, query_id_col, index.doc_col)
 
-    if shortlist_ladder is None:
-        shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
-    probes = []
-    n = 1
-    while n < nlist:
-        probes.append(n)
-        n *= 2
-    probes.append(nlist)
-    ladder = sorted(
-        ((p, sl) for p in probes for sl in shortlist_ladder),
-        key=lambda t: (t[0] * t[1], t[0]),
-    )
-    evals = 0
-    last = None
-    for nprobe, sl in ladder:
-        evals += 1
+    # Escalation ceiling is the DOC population (the shortlist bounds
+    # docs): full probe + all-docs shortlist degenerates to the exact
+    # operator, so the shared walk terminates at doc granularity too.
+    def measure(nprobe: int, sl: int) -> float:
         rows = index.search_batch(
             sample,
             k,
@@ -372,30 +377,126 @@ def tune_maxsim(
             token_vec_col=token_vec_col,
             token_id_col=token_id_col,
         ).collect()
-        r = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
-        last = {"nprobe": nprobe, "shortlist": sl, "recall": r, "evals": evals}
-        if r >= recall_target:
-            return last
-    # Ladder exhausted below target — escalate the shortlist geometrically
-    # at full probe (the tune_ivfpq escalation, at doc granularity: the
-    # shortlist bounds DOCS, so the ceiling is the doc population, where
-    # full probe + all-docs shortlist degenerates to the exact operator).
-    n_docs = index.ivf._live().select(index.doc_col).distinct().count()
-    sl = shortlist_ladder[-1]
-    while sl < n_docs:
-        sl = min(2 * sl, n_docs)
-        evals += 1
-        rows = index.search_batch(
+        return _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
+
+    return _walk_shortlist_ladder(
+        measure,
+        nlist,
+        lambda: index.ivf._live().select(index.doc_col).distinct().count(),
+        k,
+        recall_target,
+        shortlist_ladder,
+    )
+
+
+def tune_collection(
+    coll,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    persist: bool = False,
+    **tuner_kwargs,
+) -> dict:
+    """One-call tuning for a catalog collection: dispatch the family's
+    tuner against the index the collection serves from, and (with
+    ``persist=True``) write the chosen knobs back via
+    ``set_serving_params`` so every subsequent library/HTTP search serves
+    at the tuned operating point — the full tune → persist → serve loop
+    the reference's baked-in ``ef_search = 200`` hardcode
+    (search_index_handle.rs:80) has no answer to.
+
+    ``sample_queries`` is ``(query_id, query_vec)`` for single-vector
+    families and the long-format ``(query_id, token_id, token_vec)``
+    frame for the MaxSim families. The IVF-SQ/OPQ families are measured
+    through ``Collection.search_batch`` itself — their codes layouts
+    drop raw vectors, so the served path's exact rerank against the
+    collection's live scan is part of what is being tuned. Requires a
+    current index (same staleness contract as ``search``). Returns the
+    family tuner's dict; non-knob fields (recall, evals) are stripped
+    before persisting."""
+    itype = coll.info.index_type
+    if itype == "exact":
+        return {"recall": 1.0, "evals": 0}  # exact search: nothing to tune
+    if itype == "lsh":
+        raise ValueError(
+            "lsh has no serving-time recall ladder (probe_radius is "
+            "binary multiprobe); tune n_bits/n_tables at build time"
+        )
+    iv = coll._indexed_version()
+    if iv is None:
+        raise ValueError("no index built; call build_index() first")
+    if iv != coll.info.version:
+        raise ValueError(
+            f"index built at v{iv} but collection is at "
+            f"v{coll.info.version}; call build_index() to rebuild"
+        )
+    idx = coll._load_index()
+    if itype == "ivf":
+        out = tune_ivf(idx, sample_queries, k, recall_target, **tuner_kwargs)
+    elif itype == "graph":
+        out = tune_graph(idx, sample_queries, k, recall_target, **tuner_kwargs)
+    elif itype == "ivfpq":
+        out = tune_ivfpq(idx, sample_queries, k, recall_target, **tuner_kwargs)
+    elif itype in ("maxsim", "maxsim_pq"):
+        out = tune_maxsim(idx, sample_queries, k, recall_target, **tuner_kwargs)
+    else:  # ivfsq / ivfopq: measure the served path (rerank included)
+        out = _tune_served_shortlist(
+            coll, idx, sample_queries, k, recall_target, **tuner_kwargs
+        )
+    if persist:
+        from vector_db_spark.operators.collections import SERVING_KNOBS
+
+        knobs = {
+            key: val
+            for key, val in out.items()
+            if key in SERVING_KNOBS.get(itype, ())
+        }
+        coll.set_serving_params(**knobs)
+    return out
+
+
+def _tune_served_shortlist(
+    coll,
+    idx,
+    sample_queries: DataFrame,
+    k: int,
+    recall_target: float,
+    shortlist_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """(nprobe, shortlist) walk for the families whose codes layout drops
+    raw vectors (IVF-SQ, IVF-OPQ): exact sets come from the collection's
+    live scan and each rung is measured through ``Collection.search_batch``
+    — the path that reranks against that scan — so the tuned knobs match
+    serving exactly."""
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    nlist = len(idx.ivf.centroids)
+    sample = sample_queries.localCheckpoint()
+    cur = coll.scan()
+    exact = _exact_sets(
+        cur,
+        sample,
+        k,
+        metric=coll.info.metric,
+        id_col=coll.info.id_col,
+        vec_col=coll.info.vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+    def measure(nprobe: int, sl: int) -> float:
+        rows = coll.search_batch(
             sample,
             k,
-            nprobe=nlist,
+            nprobe=nprobe,
             shortlist=sl,
             query_id_col=query_id_col,
-            token_vec_col=token_vec_col,
-            token_id_col=token_id_col,
+            query_vec_col=query_vec_col,
         ).collect()
-        r = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
-        last = {"nprobe": nlist, "shortlist": sl, "recall": r, "evals": evals}
-        if r >= recall_target:
-            return last
-    return last
+        return _recall(exact, _topk_sets(rows, query_id_col, coll.info.id_col))
+
+    return _walk_shortlist_ladder(
+        measure, nlist, cur.count, k, recall_target, shortlist_ladder
+    )
