@@ -661,3 +661,59 @@ def test_lsh_batch_shuffle_join_matches_broadcast(emb, qvecs):
         for r in idx.search_batch(queries, 5, broadcast_queries=False).collect()
     )
     assert a == b
+
+
+def test_probe_masks_popcount_order_and_cap():
+    from vector_db_spark.operators.ann import _probe_masks
+
+    assert _probe_masks(4, 0) == []
+    m1 = _probe_masks(4, 1)
+    assert m1 == [1, 2, 4, 8]
+    m2 = _probe_masks(4, 2)
+    # all 1-flip masks first, then every 2-flip mask; 4 + C(4,2) total
+    assert m2[:4] == m1 and len(m2) == 10
+    assert all(bin(m).count("1") == 2 for m in m2[4:])
+    # radius past n_bits clamps (full code space minus self)
+    assert len(_probe_masks(4, 99)) == 15
+    with pytest.raises(ValueError, match="2048"):
+        _probe_masks(30, 3)  # C(30,3)=4060 buckets per table
+
+
+def test_lsh_radius_widens_monotonically_to_exact(emb, qvecs):
+    """probe_radius is a true Hamming-ball radius: recall is monotone in
+    it, and radius = n_bits probes every bucket so single AND batch paths
+    equal exact cosine kNN (value-exact)."""
+    lsh = CosineLshIndex.build(emb, dim=64, n_bits=4, n_tables=2, seed=42)
+    lsh.buckets.cache().count()
+    qv = qvecs[7]
+    exact = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn(emb, qv, 10, metric="cosine").collect()
+    ]
+    prev = 0.0
+    for radius in (1, 2, 4):
+        got = [r.vec_id for r in lsh.search(qv, 10, probe_radius=radius).collect()]
+        rec = _recall([v for v, _ in exact], got)
+        assert rec >= prev - 1e-9  # wider ball never loses candidates
+        prev = rec
+    full = [
+        (r.vec_id, round(r.score, 6))
+        for r in lsh.search(qv, 10, probe_radius=4).collect()
+    ]
+    assert full == exact
+
+    queries = emb.sparkSession.createDataFrame(
+        [(qid, qv) for qid, qv in qvecs.items()],
+        "query_id long, query_vec array<float>",
+    )
+    batch = lsh.search_batch(queries, 10, probe_radius=4).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, round(r.score, 6)))
+    for qid, qv in qvecs.items():
+        want = [
+            (r.vec_id, round(r.score, 6))
+            for r in knn(emb, qv, 10, metric="cosine").collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(want)
+    lsh.buckets.unpersist()

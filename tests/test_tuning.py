@@ -306,13 +306,27 @@ def test_tune_collection_served_shortlist_family(spark, emb, tmp_path):
     assert rec >= TARGET
 
 
-def test_tune_collection_exact_and_lsh_edges(spark, emb, tmp_path):
+def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
+    """exact has nothing to tune; lsh tunes probe_radius — the minimal
+    radius meeting the target persists, and radius = n_bits (every
+    bucket) is exact by construction so the ladder always has a 1.0
+    ceiling on a (2-bit) toy code."""
     from vector_db_spark.operators.collections import CollectionCatalog
     from vector_db_spark.operators.tuning import tune_collection
 
     cat = CollectionCatalog(spark, str(tmp_path))
     exact = cat.create("t_exact", dim=64, metric="l2", index_type="exact")
     assert tune_collection(exact, None) == {"recall": 1.0, "evals": 0}
+
     lsh = cat.create("t_lsh", dim=64, metric="cosine", index_type="lsh")
-    with pytest.raises(ValueError, match="build time"):
-        tune_collection(lsh, None)
+    lsh.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+    lsh.build_index(n_bits=2, n_tables=2)
+    qs = _queries(emb, 0, 10)
+    out = tune_collection(lsh, qs, k=K, recall_target=1.0, persist=True)
+    # radius 2 over 2 bits probes every bucket -> exact -> recall 1.0
+    assert out["recall"] == 1.0 and out["probe_radius"] <= 2
+    assert lsh.info.serving_params == {"probe_radius": out["probe_radius"]}

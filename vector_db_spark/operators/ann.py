@@ -28,8 +28,10 @@ north star's "batch-build ANN indexes via Spark" scope.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Sequence
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -853,6 +855,30 @@ class IvfIndex:
         )
 
 
+def _probe_masks(n_bits: int, probe_radius: int) -> list[int]:
+    """Nonzero XOR masks with popcount ≤ ``probe_radius`` (popcount-major
+    order: all 1-flip buckets before any 2-flip bucket) — the multiprobe
+    neighborhood of a query's own code. Bounded at 2048 masks: past that
+    the plan-side explode/isin stops being a literal expression Catalyst
+    folds cheaply, and probing a quarter of the code space means the
+    index wants fewer bits, not a wider probe."""
+    r = min(probe_radius, n_bits)
+    if r < 1:
+        return []
+    total = sum(math.comb(n_bits, i) for i in range(1, r + 1))
+    if total > 2048:
+        raise ValueError(
+            f"probe_radius={probe_radius} over n_bits={n_bits} probes "
+            f"{total + 1} buckets per table; cap is 2048 — rebuild with "
+            "fewer bits instead"
+        )
+    return [
+        sum(1 << p for p in pos)
+        for i in range(1, r + 1)
+        for pos in combinations(range(n_bits), i)
+    ]
+
+
 class CosineLshIndex:
     def __init__(
         self,
@@ -1015,10 +1041,12 @@ class CosineLshIndex:
     def query_buckets(
         self, query: Sequence[float], probe_radius: int = 0
     ) -> list[tuple[int, int]]:
-        """Buckets to probe per table; ``probe_radius=1`` is classic
-        multiprobe — also visit every bucket one sign-flip away (the
-        near-boundary hyperplanes are where true neighbors get separated),
-        multiplying candidates by (1 + n_bits) without touching the index."""
+        """Buckets to probe per table: the query's own code plus every
+        bucket within Hamming distance ``probe_radius`` of it — classic
+        multiprobe (near-boundary hyperplanes are where true neighbors
+        get separated), generalized past one flip: recall is monotone in
+        the radius, and ``probe_radius=n_bits`` probes every bucket
+        (exact). Candidates multiply by ``sum_{i<=r} C(n_bits, i)``."""
         q = np.asarray(list(query), dtype=np.float64)
         if q.shape[0] != self.planes.shape[2]:
             raise ValueError(
@@ -1026,13 +1054,13 @@ class CosineLshIndex:
                 f"index dim is {self.planes.shape[2]}"
             )
         n_bits = self.planes.shape[1]
+        masks = _probe_masks(n_bits, probe_radius)
         out = []
         for t in range(self.planes.shape[0]):
             bits = (self.planes[t] @ q >= 0).astype(np.int64)
             b = int((bits << np.arange(n_bits)).sum())
             out.append((t, b))
-            if probe_radius >= 1:
-                out.extend((t, b ^ (1 << j)) for j in range(n_bits))
+            out.extend((t, b ^ m) for m in masks)
         return out
 
     def search_batch(
@@ -1049,7 +1077,9 @@ class CosineLshIndex:
         LSH tables — no driver-side loop: (1) one Arrow matmul buckets
         every query against all tables (the same kernel as the build
         side); (2) multiprobe expansion is a literal XOR explode (each
-        bucket plus its n_bits one-flip neighbors); (3) an equi-join on
+        bucket plus every bucket within Hamming distance
+        ``probe_radius`` of it — recall is monotone in the radius, and
+        radius = n_bits probes everything); (3) an equi-join on
         (table, bucket) lands candidates — after save() that key is the
         partition layout, so the corpus side prunes; (4) dedup per
         (query, id) across tables, optional predicate, one window ranks
@@ -1090,14 +1120,14 @@ class CosineLshIndex:
             F.posexplode(_qbuckets(F.col(query_vec_col))).alias("table", "_b0"),
         )
         flips = [F.col("_b0")] + [
-            F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
+            F.col("_b0").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(n_bits, probe_radius)
         ]
-        n_probe_buckets = 1 + (n_bits if probe_radius >= 1 else 0)
         probed = probed.select(
             query_id_col,
             query_vec_col,
             "table",
-            F.explode(F.array(*flips[:n_probe_buckets])).alias("bucket"),
+            F.explode(F.array(*flips)).alias("bucket"),
         )
 
         extras = [
@@ -1147,9 +1177,15 @@ class CosineLshIndex:
         filtered kNN; ≅ usearch filtered_search,
         reference: src/core/index/usearch_index.rs:68-85)."""
         pairs = self.query_buckets(query, probe_radius)
-        cond = None
+        by_table: dict[int, list[int]] = {}
         for t, b in pairs:
-            c = (F.col("table") == t) & (F.col("bucket") == b)
+            by_table.setdefault(t, []).append(b)
+        # one In-list per table (not an OR-chain per pair): stays a flat
+        # literal predicate Catalyst folds into partition pruning even at
+        # multi-flip radii
+        cond = None
+        for t, bs in by_table.items():
+            c = (F.col("table") == t) & F.col("bucket").isin(bs)
             cond = c if cond is None else (cond | c)
         extras = [
             c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")

@@ -32,6 +32,7 @@ knobs then serve until the next `retrain`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vector_db_spark.operators.knn import batch_knn
 
@@ -214,6 +215,79 @@ def tune_graph(
         r = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
         last = {"nprobe": nprobe, "ef_search": ef, "recall": r, "evals": evals}
         if r >= recall_target:
+            return last
+    return last
+
+
+def tune_lsh(
+    index,
+    sample_queries: DataFrame,
+    k: int = 10,
+    recall_target: float = 0.95,
+    radius_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Minimal ``probe_radius`` with recall@k ≥ ``recall_target`` —
+    recall is monotone in the radius (a wider Hamming ball can only add
+    candidate buckets; radius = n_bits probes everything), so the first
+    passing rung of an ascending ladder is minimal. ``radius_ladder``
+    defaults to (1, 2, 3) capped at n_bits; rungs whose probe set would
+    blow the 2048-mask ceiling are skipped (that regime wants fewer bits
+    at build time, not a wider probe). Exact sets are batch cosine kNN
+    over the index's live rows. Returns
+    ``{"probe_radius": r, "recall": x, "evals": m}``; the widest
+    feasible rung (with its recall) when nothing passes."""
+    import math as _math
+
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError("recall_target must be in (0, 1]")
+    n_bits = index.planes.shape[1]
+    if radius_ladder is None:
+        radius_ladder = tuple(r for r in (1, 2, 3) if r <= n_bits) or (n_bits,)
+    feasible = [
+        r
+        for r in radius_ladder
+        if sum(_math.comb(n_bits, i) for i in range(1, min(r, n_bits) + 1))
+        <= 2048
+    ]
+    if not feasible:
+        raise ValueError(
+            f"every rung of {radius_ladder} over n_bits={n_bits} exceeds "
+            "the 2048-mask probe ceiling; rebuild with fewer bits"
+        )
+    sample = sample_queries.localCheckpoint()
+    corpus = (
+        index._live()
+        .select(
+            F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
+        )
+        .dropDuplicates([index.id_col])
+    )
+    exact = _exact_sets(
+        corpus,
+        sample,
+        k,
+        metric="cosine",
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    evals = 0
+    last = None
+    for r in feasible:
+        evals += 1
+        rows = index.search_batch(
+            sample,
+            k,
+            probe_radius=r,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).collect()
+        rec = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"probe_radius": r, "recall": rec, "evals": evals}
+        if rec >= recall_target:
             return last
     return last
 
@@ -417,11 +491,6 @@ def tune_collection(
     itype = coll.info.index_type
     if itype == "exact":
         return {"recall": 1.0, "evals": 0}  # exact search: nothing to tune
-    if itype == "lsh":
-        raise ValueError(
-            "lsh has no serving-time recall ladder (probe_radius is "
-            "binary multiprobe); tune n_bits/n_tables at build time"
-        )
     iv = coll._indexed_version()
     if iv is None:
         raise ValueError("no index built; call build_index() first")
@@ -439,6 +508,8 @@ def tune_collection(
         out = tune_ivfpq(idx, sample_queries, k, recall_target, **tuner_kwargs)
     elif itype in ("maxsim", "maxsim_pq"):
         out = tune_maxsim(idx, sample_queries, k, recall_target, **tuner_kwargs)
+    elif itype == "lsh":
+        out = tune_lsh(idx, sample_queries, k, recall_target, **tuner_kwargs)
     else:  # ivfsq / ivfopq: measure the served path (rerank included)
         out = _tune_served_shortlist(
             coll, idx, sample_queries, k, recall_target, **tuner_kwargs

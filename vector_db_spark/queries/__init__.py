@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     "http_maxsim_roundtrip",
     "maxsim_pq_vacuum_exhaustive",
     "collection_tuned_serving",
+    "ann_lsh_radius_exhaustive",
     # --- (2) newest green row is round 2 ---
     "ann_ivf_append_full_probe",
     "ann_ivf_range_search",

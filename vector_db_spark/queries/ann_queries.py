@@ -111,6 +111,20 @@ def ann_lsh_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@query("ann_lsh_radius_exhaustive", oracle=_knn_oracle(_COS, "score", "DESC"))
+def ann_lsh_radius_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized-multiprobe correctness gate: probe_radius is a true
+    Hamming-ball radius (round 9; previously any radius ≥ 1 silently
+    behaved as 1), so with n_bits=2 and probe_radius=2 the ball covers
+    every bucket of every table and the search must reproduce exact
+    cosine kNN bit-for-bit — the radius analogue of the nprobe=nlist
+    exhaustive gates every IVF family carries."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=2, n_tables=2, seed=42)
+    res = idx.search(_qvec(spark, sf_dir), K, probe_radius=2)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 @query("ann_lsh_filtered")
 def ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production filtered-LSH path: realistic bucket count, multiprobe,
