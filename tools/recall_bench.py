@@ -26,7 +26,7 @@ K = 10
 N_QUERIES = 50
 NLIST = 32
 IVF_PROBES = (4, 8, 16, 24)
-LSH_RADII = (0, 1)
+LSH_RADII = (0, 1, 2)  # true Hamming-ball radii (radius 2 = two flips)
 
 
 def _topk_sets(rows) -> dict[int, set[int]]:
@@ -179,12 +179,16 @@ def main() -> None:
 
     # recall-TARGETED tuning (operators/tuning.py): the answer to "which
     # knob do I deploy" — cheapest setting meeting 0.95 on the sample
-    from vector_db_spark.operators.tuning import tune_graph, tune_ivf
-
-    from vector_db_spark.operators.tuning import tune_ivfpq
+    from vector_db_spark.operators.tuning import (
+        tune_graph,
+        tune_ivf,
+        tune_ivfpq,
+        tune_lsh,
+    )
 
     ivf_tuned = tune_ivf(ivf, queries, k=K, recall_target=0.95)
     graph_tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
+    lsh_tuned = tune_lsh(lsh, queries, k=K, recall_target=0.95)
     from vector_db_spark.operators.ivfpq import IvfPqIndex
 
     ivfpq = IvfPqIndex.build(emb, nlist=NLIST, m=16, ksub=64, seed=42, ivf=ivf)
@@ -213,6 +217,10 @@ def main() -> None:
                 "pq_adc": pq_recall,
                 "opq_adc": opq_recall,
                 "lsh": lsh_recalls,
+                "lsh_tuned": {
+                    k_: (round(v, 4) if isinstance(v, float) else v)
+                    for k_, v in lsh_tuned.items()
+                },
                 "graph": graph_recalls,
                 "hamming_rerank": hamming_recall,
                 "pca_rerank": pca_recall,
