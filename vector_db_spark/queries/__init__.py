@@ -80,15 +80,14 @@ _VERIFY_FIRST = [
     "tpch_q22_no_urgent",
     "window_event_gaps",
     "window_running_total",
-    # --- (3) oldest round-3-only gates (fills to 50 exactly) ---
+    # --- (3) oldest round-3-only gates (fills to 50 exactly; two were
+    # ceded to the round-9 additions above — they rotate back next) ---
     "ann_graph_batch_exhaustive",
     "ann_ivf_batch_filtered_exhaustive",
     "ann_ivf_range_after_append",
     "bigram_lm_score",
     "bucketed_join_revenue",
     "chunk_dedup_docs",
-    "cohort_retention_events",
-    "collection_version_diff",
 ]
 
 
