@@ -202,6 +202,11 @@ def test_search_params_validation_and_override(api):
     assert _status(api.search, {**base, "params": {"ef_search": 10}}) == 400
     assert _status(api.search, {**base, "params": {"nprobe": 0}}) == 400
     assert _status(api.search, {**base, "params": {"nprobe": "four"}}) == 400
+    # strict integers: floats, bools, and numeric strings are 400s, not
+    # coerced (nprobe=7.9 must not silently serve at nprobe=7)
+    assert _status(api.search, {**base, "params": {"nprobe": 7.9}}) == 400
+    assert _status(api.search, {**base, "params": {"nprobe": True}}) == 400
+    assert _status(api.search, {**base, "params": {"nprobe": "4"}}) == 400
     assert _status(api.search, {**base, "params": [1, 2]}) == 400
     # FLAT takes no serving knobs at all
     api.create_index(KEY_FLAT)

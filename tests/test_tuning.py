@@ -269,21 +269,32 @@ def test_tune_collection_dispatch_persist_and_serve(spark, emb, tmp_path):
     assert seen["nprobe"] == out["nprobe"]
 
 
-def test_tune_collection_served_shortlist_family(spark, emb, tmp_path):
-    """IVF-SQ tunes through Collection.search_batch (its codes layout
-    drops raw vectors; the served rerank against the live scan is part
-    of the tuned path) and the result meets the target on the sample."""
+@pytest.mark.parametrize(
+    "itype,build",
+    [
+        ("ivfsq", dict(nlist=8, max_iter=5)),
+        # ivfopq exercises the uniform .ivf handle on the wrapped index
+        # (round-9 review: the served-shortlist tuner read idx.ivf, which
+        # IvfOpqIndex lacked — this pins the whole dispatch path)
+        ("ivfopq", dict(nlist=8, max_iter=5, m=4, ksub=16, pq_iters=3,
+                        opq_iters=2)),
+    ],
+)
+def test_tune_collection_served_shortlist_family(spark, emb, tmp_path, itype, build):
+    """IVF-SQ/OPQ tune through Collection.search_batch (their codes
+    layouts drop raw vectors; the served rerank against the live scan is
+    part of the tuned path) and the result meets the target."""
     from vector_db_spark.operators.collections import CollectionCatalog
     from vector_db_spark.operators.tuning import tune_collection
 
     cat = CollectionCatalog(spark, str(tmp_path))
-    coll = cat.create("t_sq", dim=64, metric="l2", index_type="ivfsq")
+    coll = cat.create("t_sq", dim=64, metric="l2", index_type=itype)
     coll.insert(
         emb.filter(F.col("vec_id") >= 50).select(
             F.col("vec_id").alias("id"), "embedding"
         )
     )
-    coll.build_index(nlist=8, max_iter=5)
+    coll.build_index(**build)
     qs = _queries(emb, 0, 10)
     out = tune_collection(coll, qs, k=K, recall_target=TARGET, persist=True)
     assert out["recall"] >= TARGET
@@ -330,3 +341,17 @@ def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
     # radius 2 over 2 bits probes every bucket -> exact -> recall 1.0
     assert out["recall"] == 1.0 and out["probe_radius"] <= 2
     assert lsh.info.serving_params == {"probe_radius": out["probe_radius"]}
+
+    # a knob that would make knob-less serving raise is refused at SET
+    # time (n_bits=64: radius 2 needs 64 + C(64,2) = 2080 > 2048 masks)
+    wide = cat.create("t_lsh_wide", dim=64, metric="cosine", index_type="lsh")
+    wide.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+    wide.build_index(n_bits=64, n_tables=1)
+    with pytest.raises(ValueError, match="mask"):
+        wide.set_serving_params(probe_radius=2)
+    wide.set_serving_params(probe_radius=1)  # 64 masks: fine
+    assert wide.info.serving_params == {"probe_radius": 1}

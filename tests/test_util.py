@@ -9,11 +9,14 @@ operator tests:
     to the slot count (rows preserved, order-insensitive);
   * a scan that already has >= target files passes through untouched;
   * non-file inputs (in-memory frames) pass through untouched;
-  * file-backed plans that ALREADY reshuffled (repartition, aggregate,
-    join, window, distinct) pass through untouched — inputFiles()
-    traverses through exchanges to the leaf scan, so the file count alone
-    lies about width there (round-9 review), and chaining two
-    fan_out-wrapped operators must not stack a shuffle per operator.
+  * file-backed plans whose PHYSICAL plan already shuffles (repartition,
+    aggregate, sort-merge join, window, orderBy, distinct) pass through
+    untouched — inputFiles() traverses through exchanges to the leaf
+    scan, so the file count alone lies about width there (round-9
+    review), and chaining two fan_out-wrapped operators must not stack a
+    shuffle per operator;
+  * plans with a Join/Sort LOGICAL node but no shuffle (broadcast join,
+    sortWithinPartitions) still run at scan width and still spread.
 """
 from __future__ import annotations
 
@@ -55,26 +58,55 @@ def test_fan_out_noop_on_in_memory_frame(spark):
 
 
 def test_fan_out_noop_on_already_shuffled_file_plan(spark, tmp_path):
-    path = str(tmp_path / "one_file_shuffled")
-    spark.range(0, 100).coalesce(1).write.parquet(path)
-    scan = spark.read.parquet(path)
-    assert len(scan.inputFiles()) == 1
+    # Over a single-PARTITION scan Spark ELIDES the exchange entirely
+    # (1 partition satisfies any clustering requirement) and spreading
+    # is correct; the pass-through protects >1-partition children whose
+    # aggregation genuinely shuffled. Tiny files bin-pack into one scan
+    # partition, so pin openCostInBytes high for this test to give the
+    # 2-file scan 2 partitions and force the real exchange.
+    path = str(tmp_path / "two_file_shuffled")
+    spark.range(0, 100).repartition(2).write.parquet(path)
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 20))
+    try:
+        _fan_out_shuffle_cases(spark, path)
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
-    # each width-setting shape must pass through: the data already runs
-    # at exchange width even though the leaf scan has one file
+
+def _fan_out_shuffle_cases(spark, path):
+    scan = spark.read.parquet(path)
+    assert len(scan.inputFiles()) == 2
+
+    # each SHUFFLING shape must pass through: the data already runs at
+    # exchange width even though the leaf scan has one file
+    other = scan.withColumnRenamed("id", "id2")
     reshuffled = [
         scan.repartition(4),
         scan.groupBy("id").count(),
-        scan.join(scan.withColumnRenamed("id", "id2"), scan.id == F.col("id2")),
+        scan.join(other.hint("merge"), scan.id == F.col("id2")),
         scan.distinct(),
         scan.orderBy("id"),
     ]
     for df in reshuffled:
         assert fan_out(df) is df
 
-    # but a narrow select/filter over the raw scan still spreads
+    # but plans with NO shuffle exchange still run at scan width and
+    # still spread (round-9 review: the physical plan is the truth —
+    # a logical Join/Sort node alone proves nothing):
+    # - narrow select/filter
     narrow = scan.select((F.col("id") * 2).alias("x")).filter(F.col("x") >= 0)
     assert fan_out(narrow) is not narrow
+    # - broadcast join: the streamed side keeps the scan's partitioning
+    bjoin = scan.join(F.broadcast(other), scan.id == F.col("id2"))
+    assert "BroadcastHashJoin" in bjoin._jdf.queryExecution().sparkPlan().toString()
+    assert fan_out(bjoin) is not bjoin
+    # - sortWithinPartitions: a Sort node, global=false, no exchange
+    swp = scan.sortWithinPartitions("id")
+    assert fan_out(swp) is not swp
+    # - a column ALIASED to an operator name must not suppress the spread
+    tricky = scan.select(F.col("id").alias("Join"), F.lit("Window").alias("Sort"))
+    assert fan_out(tricky) is not tricky
 
 
 def test_fan_out_respects_min_partitions(spark, tmp_path):

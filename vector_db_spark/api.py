@@ -128,13 +128,15 @@ def _serving_params(req: dict, coll) -> dict:
                 f"unknown search param {key!r} for "
                 f"{_TYPE_NAMES.get(itype, itype)}",
             )
-        try:
-            ival = int(val)
-        except (TypeError, ValueError):
-            raise ApiError(400, f"search param {key!r} must be an integer") from None
-        if ival < 1:
+        # strict: bools, floats, and numeric strings are rejected, not
+        # coerced — the same rule as Collection.set_serving_params, so a
+        # client sending nprobe=7.9 gets its 400 instead of silently
+        # different recall at nprobe=7
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise ApiError(400, f"search param {key!r} must be an integer")
+        if val < 1:
             raise ApiError(400, f"search param {key!r} must be >= 1")
-        base[key] = ival
+        base[key] = val
     return base
 
 

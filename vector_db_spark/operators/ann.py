@@ -855,22 +855,33 @@ class IvfIndex:
         )
 
 
+# One authoritative probe-size bound: past it the plan-side explode/isin
+# stops being a literal expression Catalyst folds cheaply, and probing a
+# quarter of the code space means the index wants fewer bits, not a
+# wider probe. tune_lsh filters its ladder with the same pair.
+_PROBE_MASK_CAP = 2048
+
+
+def _probe_mask_count(n_bits: int, probe_radius: int) -> int:
+    """Masks a radius-``probe_radius`` Hamming ball needs (excluding the
+    query's own code): ``sum_{1<=i<=r} C(n_bits, i)``."""
+    r = min(probe_radius, n_bits)
+    return sum(math.comb(n_bits, i) for i in range(1, r + 1))
+
+
 def _probe_masks(n_bits: int, probe_radius: int) -> list[int]:
     """Nonzero XOR masks with popcount ≤ ``probe_radius`` (popcount-major
     order: all 1-flip buckets before any 2-flip bucket) — the multiprobe
-    neighborhood of a query's own code. Bounded at 2048 masks: past that
-    the plan-side explode/isin stops being a literal expression Catalyst
-    folds cheaply, and probing a quarter of the code space means the
-    index wants fewer bits, not a wider probe."""
+    neighborhood of a query's own code. Raises past ``_PROBE_MASK_CAP``."""
     r = min(probe_radius, n_bits)
     if r < 1:
         return []
-    total = sum(math.comb(n_bits, i) for i in range(1, r + 1))
-    if total > 2048:
+    total = _probe_mask_count(n_bits, r)
+    if total > _PROBE_MASK_CAP:
         raise ValueError(
             f"probe_radius={probe_radius} over n_bits={n_bits} probes "
-            f"{total + 1} buckets per table; cap is 2048 — rebuild with "
-            "fewer bits instead"
+            f"{total + 1} buckets per table; cap is {_PROBE_MASK_CAP} — "
+            "rebuild with fewer bits instead"
         )
     return [
         sum(1 << p for p in pos)

@@ -611,6 +611,28 @@ class Collection(_BucketedStore):
             if val < 1:
                 raise ValueError(f"serving param {key!r} must be >= 1")
             clean[key] = val
+        # A persisted knob must leave the collection serveable: an lsh
+        # probe_radius past the mask ceiling would make every knob-less
+        # search raise until someone overrides it (round-9 review) —
+        # cross-check against the built index's code width up front.
+        if (
+            "probe_radius" in clean
+            and self.info.index_type == "lsh"
+            and self._indexed_version() is not None
+        ):
+            from vector_db_spark.operators.ann import (
+                _PROBE_MASK_CAP,
+                _probe_mask_count,
+            )
+
+            n_bits = int(self._load_index().planes.shape[1])
+            if _probe_mask_count(n_bits, clean["probe_radius"]) > _PROBE_MASK_CAP:
+                raise ValueError(
+                    f"probe_radius={clean['probe_radius']} over "
+                    f"n_bits={n_bits} exceeds the {_PROBE_MASK_CAP}-mask "
+                    "probe ceiling; the collection could not serve at the "
+                    "stored operating point"
+                )
         with self.catalog._locked():
             data = self.catalog._load()
             if self.info.name not in data:

@@ -261,6 +261,13 @@ class IvfOpqIndex:
         self.id_col = ivfpq.id_col
         self.vec_col = ivfpq.vec_col
 
+    @property
+    def ivf(self):
+        """Uniform coarse-quantizer handle (the late_interaction ``.ivf``
+        convention): tuners and catalog maintenance reach the IVF layer
+        the same way on every shortlist-rerank family, wrapped or not."""
+        return self.ivfpq.ivf
+
     @staticmethod
     def build(
         corpus: DataFrame,

@@ -238,7 +238,7 @@ def tune_lsh(
     over the index's live rows. Returns
     ``{"probe_radius": r, "recall": x, "evals": m}``; the widest
     feasible rung (with its recall) when nothing passes."""
-    import math as _math
+    from vector_db_spark.operators.ann import _PROBE_MASK_CAP, _probe_mask_count
 
     if not 0.0 < recall_target <= 1.0:
         raise ValueError("recall_target must be in (0, 1]")
@@ -246,15 +246,12 @@ def tune_lsh(
     if radius_ladder is None:
         radius_ladder = tuple(r for r in (1, 2, 3) if r <= n_bits) or (n_bits,)
     feasible = [
-        r
-        for r in radius_ladder
-        if sum(_math.comb(n_bits, i) for i in range(1, min(r, n_bits) + 1))
-        <= 2048
+        r for r in radius_ladder if _probe_mask_count(n_bits, r) <= _PROBE_MASK_CAP
     ]
     if not feasible:
         raise ValueError(
             f"every rung of {radius_ladder} over n_bits={n_bits} exceeds "
-            "the 2048-mask probe ceiling; rebuild with fewer bits"
+            f"the {_PROBE_MASK_CAP}-mask probe ceiling; rebuild with fewer bits"
         )
     sample = sample_queries.localCheckpoint()
     corpus = (
