@@ -355,3 +355,27 @@ def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
         wide.set_serving_params(probe_radius=2)
     wide.set_serving_params(probe_radius=1)  # 64 masks: fine
     assert wide.info.serving_params == {"probe_radius": 1}
+
+
+def test_tune_collection_maxsim_dispatch(spark, tmp_path):
+    """Multi-vector dispatch: tune_collection routes a maxsim collection
+    to tune_maxsim with the long-format (query_id, token_id, token_vec)
+    sample, and persists (nprobe, shortlist) only."""
+    from tests.test_collections import _doc_df
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("t_ms", dim=8, metric="ip", index_type="maxsim")
+    coll.insert(_doc_df(spark, n_docs=10))
+    coll.build_index(nlist=4, max_iter=5)
+    toks = [[float(i == j) for i in range(8)] for j in range(2)]
+    sample = spark.createDataFrame(
+        [(q, t, toks[t]) for q in range(2) for t in range(2)],
+        "query_id long, token_id int, token_vec array<float>",
+    )
+    out = tune_collection(coll, sample, k=3, recall_target=0.9, persist=True)
+    assert out["recall"] >= 0.9
+    assert set(coll.info.serving_params) == {"nprobe", "shortlist"}
+    # the persisted point serves through the catalog with no knobs
+    assert len(coll.search(toks, 3).collect()) == 3
