@@ -475,3 +475,56 @@ def test_substring_dedup_validation(spark):
 
     with _pt.raises(ValueError, match="window"):
         substring_dedup(df, window=1)
+
+
+def test_semantic_contamination(spark):
+    """Embedding-space decontam: flagged set matches brute-force max
+    cosine >= threshold, best match ties break by smallest bench id,
+    and the edges (empty benchmark, zero vector, bad threshold) raise."""
+    import math
+
+    import pytest
+
+    from vector_db_spark.operators.decontam import semantic_contamination
+
+    bench_rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),  # duplicate direction: tie -> bench_id 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    corpus_rows = [
+        (10, [2.0, 0.0, 0.0]),      # cos 1.0 with bench 1 AND 2
+        (11, [0.0, 0.5, 0.0]),      # cos 1.0 with bench 3
+        (12, [1.0, 1.0, 0.0]),      # cos ~0.707 with all
+        (13, [0.0, 0.0, 4.0]),      # orthogonal to every bench vector
+    ]
+    schema = "doc_id long, embedding array<float>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    bench = spark.createDataFrame(bench_rows, schema)
+
+    got = {
+        r.doc_id: (r.bench_id, round(r.cosine, 6))
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert got == {10: (1, 1.0), 11: (3, 1.0)}  # tie broke to bench 1
+
+    # lower threshold admits the diagonal doc at cos(45 deg)
+    got2 = {
+        r.doc_id: r.bench_id
+        for r in semantic_contamination(corpus, bench, threshold=0.7).collect()
+    }
+    assert got2 == {10: 1, 11: 3, 12: 1}
+    c = [
+        r.cosine
+        for r in semantic_contamination(corpus, bench, threshold=0.7).collect()
+        if r.doc_id == 12
+    ]
+    assert c[0] == pytest.approx(math.sqrt(0.5), abs=1e-9)
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_contamination(corpus, bench, threshold=1.5)
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination(corpus, bench.filter("doc_id > 99"))
+    zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], schema)
+    with pytest.raises(ValueError, match="zero"):
+        semantic_contamination(corpus, zero)

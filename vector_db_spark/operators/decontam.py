@@ -17,6 +17,8 @@ is the final groupBy(doc_id), pre-reduced map-side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module scope: pandas_udf resolves PEP 563 hints lazily
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,4 +68,63 @@ def ngram_contamination(
                 "contaminated_frac"
             ),
         )
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space contamination: flag corpus documents whose vector
+    is cosine-``threshold``-close to ANY benchmark vector — the semantic
+    complement of ``ngram_contamination`` (catches paraphrased or
+    reformatted eval leakage n-grams miss; SemDeDup-style, Abbas et al.
+    2023, applied cross-corpus).
+
+    Returns ``(id_col, bench_id BIGINT, cosine DOUBLE)`` — each flagged
+    document with its best-matching benchmark item (ties broken by the
+    smallest benchmark id). Clean documents are omitted, same contract
+    and same scale shape as the n-gram variant: the benchmark side is
+    eval-suite-bounded and collected into one L2-normalized matrix
+    closed over by an Arrow-batched pandas_udf, so the corpus is scanned
+    exactly once with a per-batch GEMM and NO shuffle anywhere — the
+    output filter is narrow.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    rows = benchmark.select(bid, bvec).orderBy(bid).collect()
+    if not rows:
+        raise ValueError("benchmark is empty")
+    bench_ids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    bnorm = np.linalg.norm(bmat, axis=1)
+    if (bnorm == 0).any():
+        raise ValueError("benchmark contains a zero vector")
+    bmat = (bmat / bnorm[:, None]).T.copy()  # (dim, n_bench)
+
+    @F.pandas_udf("struct<bench_id: bigint, cosine: double>")
+    def _best(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        sims = (v / np.linalg.norm(v, axis=1)[:, None]) @ bmat
+        # argmax returns the FIRST max -> smallest bench id (pre-sorted)
+        j = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "bench_id": bench_ids[j],
+                "cosine": sims[np.arange(len(v)), j],
+            }
+        )
+
+    return (
+        corpus.select(F.col(id_col), _best(F.col(vec_col)).alias("m"))
+        .select(id_col, F.col("m.bench_id"), F.col("m.cosine"))
+        .filter(F.col("cosine") >= float(threshold))
     )

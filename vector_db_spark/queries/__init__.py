@@ -40,6 +40,7 @@ _VERIFY_FIRST = [
     "maxsim_pq_vacuum_exhaustive",
     "collection_tuned_serving",
     "ann_lsh_radius_exhaustive",
+    "semantic_decontamination",
     # --- (2) newest green row is round 2 ---
     "ann_ivf_append_full_probe",
     "ann_ivf_range_search",
@@ -87,7 +88,6 @@ _VERIFY_FIRST = [
     "ann_ivf_range_after_append",
     "bigram_lm_score",
     "bucketed_join_revenue",
-    "chunk_dedup_docs",
 ]
 
 

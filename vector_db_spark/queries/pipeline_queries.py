@@ -350,6 +350,54 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic decontamination — embedding cosine vs a benchmark vector set
+# --------------------------------------------------------------------------
+
+_SEM_DECONTAM_ORACLE = f"""
+WITH scored AS (
+  SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+         {cosine_sim_sql('c.embedding', 'b.embedding')} AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {cosine_sim_sql('c.embedding', 'b.embedding')} DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings c JOIN embeddings b
+    ON b.vec_id < 20 AND c.vec_id >= 20
+)
+SELECT doc_id, bench_id, round(cos, 6) AS cosine
+FROM scored WHERE rn = 1 AND cos >= 0.30
+"""
+
+
+@query("semantic_decontamination", oracle=_SEM_DECONTAM_ORACLE)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram sweep's semantic complement: flag corpus vectors
+    cosine-0.30-close to any benchmark vector (the first 20 embeddings
+    play the eval suite), reporting each flagged doc's best benchmark
+    match. The benchmark side collapses to one broadcast L2-normalized
+    matrix; the corpus is scanned once with a per-Arrow-batch GEMM and
+    no shuffle — the formulation that survives 100 TB. Engine GEMM vs
+    the oracle's float64 fold agree to ~1e-12, inside the 6-decimal
+    rounding (the embedding_neardup precedent)."""
+    from vector_db_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = semantic_contamination(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.30,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return res.select(
+        F.col("vec_id").alias("doc_id"),
+        "bench_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact pairwise over the vector corpus)
 # --------------------------------------------------------------------------
 
