@@ -865,3 +865,44 @@ def test_serving_params_feed_api_defaults(spark, tmp_path):
         assert res["code"] == 0 and seen["nprobe"] == 1
     finally:
         ann.IvfIndex.search = orig
+
+
+def test_build_params_remembered_for_refresh(spark, tmp_path):
+    """build_index records its knobs in the catalog (the reference's
+    IndexKey carries its config — index_factory.rs:24-36): a no-arg
+    refresh_index() rebuild reuses them, a fresh catalog handle sees
+    them, and explicit kwargs win and become the new record."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("bp", dim=8, metric="l2", index_type="ivf")
+    coll.insert(_vec_df(spark))
+    coll.build_index(nlist=8, max_iter=5)
+    assert coll.info.build_params == {"nlist": 8, "max_iter": 5}
+
+    # durable across handles
+    again = CollectionCatalog(spark, str(tmp_path)).get("bp")
+    assert again.info.build_params == {"nlist": 8, "max_iter": 5}
+
+    # a CHANGED row forces a rebuild inside a no-arg refresh — the
+    # rebuild must reuse the recorded nlist, not the build() default
+    again.upsert(
+        spark.createDataFrame(
+            [(1, [9.0] * 8)], "id long, embedding array<float>"
+        )
+    )
+    assert again.refresh_index() == "rebuilt"
+    idx = IvfIndex.load(spark, again._index_dir())
+    assert len(idx.centroids) == 8
+    assert len(again.search([0.0] * 8, 3, nprobe=8).collect()) == 3
+
+    # explicit kwargs override and become the new record
+    again.upsert(
+        spark.createDataFrame(
+            [(2, [7.0] * 8)], "id long, embedding array<float>"
+        )
+    )
+    assert again.refresh_index(nlist=4, max_iter=5) == "rebuilt"
+    assert again.info.build_params == {"nlist": 4, "max_iter": 5}
+    assert len(IvfIndex.load(spark, again._index_dir()).centroids) == 4

@@ -151,6 +151,10 @@ class CollectionInfo:
     # Collection.set_serving_params); {} on catalogs written before the
     # field existed — CollectionInfo(**old_json) still loads.
     serving_params: dict = field(default_factory=dict)
+    # Build knobs that produced the current index artifact (recorded by
+    # build_index): refresh_index() rebuilds with them when called with
+    # no arguments. Same backward-compat contract as serving_params.
+    build_params: dict = field(default_factory=dict)
 
 
 class CollectionCatalog:
@@ -815,6 +819,28 @@ class Collection(_BucketedStore):
             idx.save(path)
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)
+        self._remember_build_params(params)
+
+    def _remember_build_params(self, params: dict) -> None:
+        """Persist the build knobs that produced the current artifact (≅
+        the reference's IndexKey carrying its config,
+        index_factory.rs:24-36) so ``refresh_index()`` can rebuild with
+        no arguments. Entries that don't round-trip JSON (e.g. a shared
+        quantizer object) are skipped — they can't outlive the process
+        anyway."""
+        clean = {}
+        for key, val in params.items():
+            try:
+                json.dumps(val)
+            except (TypeError, ValueError):
+                continue
+            clean[key] = val
+        with self.catalog._locked():
+            data = self.catalog._load()
+            if self.info.name in data:
+                data[self.info.name]["build_params"] = clean
+                self.catalog._save(data)
+        self.info.build_params = clean
 
     def refresh_index(self, **params) -> str:
         """INCREMENTAL index maintenance: apply the collection's snapshot
@@ -834,9 +860,17 @@ class Collection(_BucketedStore):
         The snapshot CDC (``diff``) is co-partitioned by construction;
         the appended rows come from one semi-join against the live
         snapshot. After the delta applies, the artifact records the new
-        version — search() serves it immediately."""
+        version — search() serves it immediately.
+
+        Called with NO arguments, any rebuild reuses the build knobs
+        recorded by the last ``build_index`` (≅ the reference's IndexKey
+        carrying its config) — a maintenance cron never needs to know
+        how the index was configured. Explicit kwargs win and become the
+        new recorded knobs."""
         if self.info.index_type == "exact":
             return "fresh"
+        if not params:
+            params = dict(self.info.build_params)
         iv = self._indexed_version()
         if iv is None:
             self.build_index(**params)
