@@ -339,3 +339,26 @@ def test_maxsim_insert_search_exact(api):
     assert res[0]["code"] == 0 and res[0]["labels"] == order[:2]
     assert res[1]["code"] == 400
     assert res[2]["code"] == 400
+
+
+def test_ensure_index_respects_recorded_build_params(spark, tmp_path):
+    """An API-triggered lazy rebuild reuses the knobs recorded with the
+    last build instead of resetting to the wire defaults: a collection
+    configured through the library keeps its configuration."""
+    from vector_db_spark.operators.ann import IvfIndex
+
+    api = VectorDatabaseApi(spark, str(tmp_path))
+    key = {"index_type": "USEARCH", "dim": 4, "metric_type": "L2"}
+    api.create_index(key)
+    for i in range(1, 33):
+        api.insert({"vectors": [float(i), float(i % 7), 1.0, 0.0],
+                    "id": i, "index_key": key})
+    coll = api._collection(key)
+    coll.build_index(nlist=8, max_iter=4)  # library-side config
+    # a mutation staleness-invalidates; the next API search lazily
+    # rebuilds — with the RECORDED nlist=8, not the wire default 4
+    api.insert({"vectors": [99.0, 0.0, 1.0, 0.0], "id": 99, "index_key": key})
+    res = api.search({"vectors": [1.0, 1.0, 1.0, 0.0], "k": 2, "index_key": key})
+    assert res["code"] == 0
+    idx = IvfIndex.load(spark, api._collection(key)._index_dir())
+    assert len(idx.centroids) == 8

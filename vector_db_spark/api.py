@@ -199,7 +199,11 @@ class VectorDatabaseApi:
         try:
             coll.search(probe_q, 1, **_SEARCH_PARAMS[itype])
         except ValueError:
+            # knobs recorded with the last successful build win over the
+            # wire defaults: a collection configured through the library
+            # keeps its configuration across API-triggered rebuilds
             params = dict(_BUILD_PARAMS[itype])
+            params.update(coll.info.build_params)
             # tiny collections: a cell count above the corpus size is
             # untrainable; clamp (the reference's graphs trivially
             # hold any n)
