@@ -612,3 +612,49 @@ def test_pagerank_auto_mass_bound(sc, nums):
         m = auto_init_mass(max(1, n))
         assert 1 <= m <= INIT_MASS
         assert 100 * max(1, n) * m <= 2**63 - 1 or m == 1
+
+
+@given(
+    n_bits=st.integers(min_value=1, max_value=16),
+    radius=st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_probe_masks_invariants(n_bits, radius):
+    """Driver-side pure function: the Hamming-ball mask set is unique,
+    popcount-bounded, popcount-major ordered, and exactly the size the
+    closed form promises; past the cap it refuses instead of building a
+    plan-killing literal set."""
+    from vector_db_spark.operators.ann import (
+        _PROBE_MASK_CAP,
+        _probe_mask_count,
+        _probe_masks,
+    )
+
+    r = min(radius, n_bits)
+    if _probe_mask_count(n_bits, r) > _PROBE_MASK_CAP:
+        with pytest.raises(ValueError, match="cap"):
+            _probe_masks(n_bits, radius)
+        return
+    masks = _probe_masks(n_bits, radius)
+    assert len(masks) == len(set(masks)) == _probe_mask_count(n_bits, r)
+    assert len(masks) == sum(math.comb(n_bits, i) for i in range(1, r + 1))
+    pops = [bin(m).count("1") for m in masks]
+    assert all(1 <= p <= r for p in pops)
+    assert pops == sorted(pops)  # popcount-major: 1-flip before 2-flip
+    assert all(m < (1 << n_bits) for m in masks)
+
+
+@given(
+    cap=st.integers(min_value=1, max_value=10**6),
+    n=st.integers(min_value=1, max_value=10**18),
+)
+@settings(max_examples=300, deadline=None)
+def test_fit_threshold_expected_survivors_bound(cap, n):
+    """The bounded-fit hash threshold never zeroes out and its expected
+    survivor count n·thresh/2²⁰ always covers min(n, cap) — the property
+    the round-9 ceiling fix pinned, over the full (cap, n) plane."""
+    from vector_db_spark.operators.embedder import _FIT_HASH_DENOM, _fit_threshold
+
+    t = _fit_threshold(n, cap)
+    assert 1 <= t <= _FIT_HASH_DENOM
+    assert n * t / _FIT_HASH_DENOM >= min(n, cap)
