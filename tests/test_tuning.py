@@ -379,3 +379,24 @@ def test_tune_collection_maxsim_dispatch(spark, tmp_path):
     assert set(coll.info.serving_params) == {"nprobe", "shortlist"}
     # the persisted point serves through the catalog with no knobs
     assert len(coll.search(toks, 3).collect()) == 3
+
+
+def test_tune_collection_graph_dispatch(spark, emb, tmp_path):
+    """Graph-family dispatch: tune_collection routes to tune_graph and
+    persists both knobs (nprobe, ef_search) the family whitelists."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("t_graph", dim=64, metric="l2", index_type="graph")
+    coll.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+    coll.build_index(nlist=2, m=8, ef_construction=100, max_iter=5)
+    qs = _queries(emb, 0, 10)
+    out = tune_collection(coll, qs, k=K, recall_target=TARGET, persist=True)
+    assert out["recall"] >= TARGET
+    assert set(coll.info.serving_params) == {"nprobe", "ef_search"}
+    assert len(coll.search([0.0] * 64, 3).collect()) == 3
