@@ -182,6 +182,131 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == n
 
 
+def test_star_contraction_matches_minlabel_on_random_graphs(spark):
+    """The O(log n)-round large-star/small-star CC must agree with the
+    independent min-label reference on arbitrary graphs (VERDICT r9 #4)."""
+    import random
+
+    from vector_db_spark.operators.dedup import (
+        connected_components,
+        connected_components_minlabel,
+    )
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 50
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(35)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+        want = {
+            r.id: r.cluster_id
+            for r in connected_components_minlabel(df, max_iter=200).collect()
+        }
+        assert got == want
+
+
+def test_star_contraction_chain_round_count(spark):
+    """A 1000-node chain (worst case for propagation: diameter 1000) must
+    converge in <= ceil(log2 n) + 3 alternating rounds."""
+    import math
+
+    from vector_db_spark.operators.dedup import _star_contract_rounds
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n)], "src long, dst long"
+    )
+    stars, rounds = _star_contract_rounds(edges, max_iter=40)
+    assert rounds <= math.ceil(math.log2(n + 1)) + 3, rounds
+    # fixpoint is a star forest rooted at the component minimum (0)
+    rows = stars.collect()
+    assert {r.dst for r in rows} == {0}
+    assert {r.src for r in rows} == set(range(1, n + 1))
+
+
+def test_lsh_star_edges_span_buckets(spark):
+    """Star edges connect exactly what the all-pairs candidates connect:
+    same connected components, O(b) vs O(b^2) rows per bucket."""
+    from vector_db_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d e f g h"),
+            (4, "q r s t u v w x"),
+            (5, "q r s t u v w x"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=16)
+    star = lsh_star_edges(sigs, num_hashes=16, bands=4)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    comp_star = {
+        r.id: r.cluster_id for r in connected_components(star).collect()
+    }
+    comp_pairs = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert comp_star == comp_pairs
+    assert comp_star[2] == comp_star[1] and comp_star[5] == comp_star[4]
+    # star emits strictly fewer rows for the 3-member bucket family
+    assert star.count() <= pairs.count()
+
+
+def test_lsh_candidate_pairs_max_bucket_cap(spark):
+    """Beyond the cap a bucket emits its spanning star instead of all
+    pairs: fewer rows, same components, capped output linear in bucket
+    size."""
+    from vector_db_spark.operators.dedup import connected_components
+
+    docs = [(i, "same boilerplate text repeated verbatim here") for i in range(8)]
+    docs.append((100, "completely different content words entirely"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=16)
+    full = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    capped = lsh_candidate_pairs(sigs, num_hashes=16, bands=4, max_bucket=3)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 8 * 7 // 2  # identical docs: one 8-member bucket
+    assert n_capped == 7  # star over the same bucket
+    comp_f = {r.id: r.cluster_id for r in connected_components(full).collect()}
+    comp_c = {r.id: r.cluster_id for r in connected_components(capped).collect()}
+    assert comp_f == comp_c
+    with pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(sigs, num_hashes=16, bands=4, max_bucket=1)
+
+
+def test_dedup_clusters_lsh_contains_exact_clusters(spark):
+    """Every exact-Jaccard cluster on the fixture must land inside ONE
+    LSH cluster (the dedup_clusters_lsh containment contract)."""
+    from vector_db_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_star_edges,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    exact = connected_components(jaccard_pairs(docs, threshold=0.6))
+    exact_comp = {r.id: r.cluster_id for r in exact.collect()}
+    lsh = connected_components(lsh_star_edges(minhash_signatures(docs)))
+    lsh_comp = {r.id: r.cluster_id for r in lsh.collect()}
+    # group exact members by exact cluster; each group maps into a single
+    # LSH cluster (LSH may merge more — that is the coarser-or-equal side)
+    by_cluster: dict = {}
+    for doc, c in exact_comp.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        lsh_ids = {lsh_comp.get(m) for m in members}
+        assert len(lsh_ids) == 1 and None not in lsh_ids, (c, members, lsh_ids)
+
+
 def test_sampling_is_repartition_proof_and_disjoint(spark):
     from vector_db_spark.operators.sampling import (
         deterministic_sample,

@@ -214,25 +214,15 @@ def minhash_signatures(
     return hashed.select("id", _mins(F.col("_h")).alias("signature"))
 
 
-def lsh_candidate_pairs(
+def _lsh_buckets(
     signatures: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """Band the signatures (bands × rows = num_hashes) and emit candidate
-    pairs that collide in ≥1 band. Collision probability for true Jaccard j
-    is 1-(1-j^r)^b — with 16×4 the s-curve crosses ~0.5 at j≈0.5.
-
-    Buckets are formed by a groupBy on (band, key) with in-bucket pair
-    enumeration as a native array expression — NOT a banded self-join: a
-    self-join evaluates the signature pipeline (the expensive Arrow
-    grid-min) once per side, because Spark shares no common subplan
-    between the two branches. One signature pass + one shuffle here vs
-    two passes + a two-sided join shuffle (measured 4.9 s → 2.9 s for the
-    full near-dup at sf0.1). Pair count within a bucket is quadratic in
-    bucket size either way — that is the LSH contract (band keys are
-    64-bit hashes, so pathological buckets mean pathological duplicates,
-    which the verify stage must see regardless)."""
+    """Band the signatures and group into LSH buckets: one row per
+    (band, key) with the sorted member-id array. Shared candidate stage of
+    lsh_candidate_pairs / lsh_star_edges — one signature pass, one
+    shuffle."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -258,9 +248,69 @@ def lsh_candidate_pairs(
         ),
     )
     banded = signatures.select("id", F.explode(band_arr).alias("bk"))
-    buckets = banded.groupBy("bk.band", "bk.key").agg(
+    return banded.groupBy("bk.band", "bk.key").agg(
         F.array_sort(F.collect_set("id")).alias("ids")
     )
+
+
+def lsh_star_edges(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Star edges per LSH bucket: (a_id = bucket-min, b_id = member) for
+    every other member — O(b) rows per bucket where lsh_candidate_pairs
+    emits O(b²). A bucket's star is connected, so connected components
+    over star edges EQUAL components over the all-pairs bucket edges —
+    the right candidate shape when the consumer is CLUSTERING
+    (dedup_clusters_lsh), where the pathological boilerplate bucket that
+    blows up the pairwise contract costs only its member count here
+    (VERDICT r9 #3). Consumers that verify per-pair similarity still want
+    lsh_candidate_pairs: star edges are bucket artifacts, not claimed
+    similar pairs."""
+    buckets = _lsh_buckets(signatures, num_hashes, bands)
+    star = F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+        lambda y: F.struct(
+            F.element_at(F.col("ids"), 1).alias("a_id"), y.alias("b_id")
+        ),
+    )
+    return (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(star).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures (bands × rows = num_hashes) and emit candidate
+    pairs that collide in ≥1 band. Collision probability for true Jaccard j
+    is 1-(1-j^r)^b — with 16×4 the s-curve crosses ~0.5 at j≈0.5.
+
+    Buckets are formed by a groupBy on (band, key) with in-bucket pair
+    enumeration as a native array expression — NOT a banded self-join: a
+    self-join evaluates the signature pipeline (the expensive Arrow
+    grid-min) once per side, because Spark shares no common subplan
+    between the two branches. One signature pass + one shuffle here vs
+    two passes + a two-sided join shuffle (measured 4.9 s → 2.9 s for the
+    full near-dup at sf0.1). Pair count within a bucket is quadratic in
+    bucket size either way — that is the LSH contract (band keys are
+    64-bit hashes, so pathological buckets mean pathological duplicates,
+    which the verify stage must see regardless).
+
+    ``max_bucket`` (VERDICT r9 #8) caps that quadratic residue: a bucket
+    larger than the cap emits STAR edges (bucket-min ↔ member, O(b)) in
+    place of its O(b²) all-pairs — clustering consumers lose nothing
+    (a star spans the same component), pair-verifying consumers trade a
+    boilerplate bucket's exhaustive pair list for its spanning set.
+    Default None = exhaustive, the historical contract."""
+    buckets = _lsh_buckets(signatures, num_hashes, bands)
     # all ordered pairs (a < b) from the sorted id array, JVM-side:
     # for each position i, pair ids[i] with everything after it.
     pairs = F.flatten(
@@ -272,6 +322,16 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2")
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+            lambda y: F.struct(
+                F.element_at(F.col("ids"), 1).alias("a_id"), y.alias("b_id")
+            ),
+        )
+        pairs = F.when(F.size("ids") <= max_bucket, pairs).otherwise(star)
     return (
         buckets.filter(F.size("ids") > 1)
         .select(F.explode(pairs).alias("p"))
@@ -438,6 +498,81 @@ def simhash_candidates(
     )
 
 
+def _star_contract_rounds(
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) over a
+    deduped, (big, small)-oriented edge list. Returns the fixpoint star
+    forest — one (child, component_min) edge per non-root vertex — and
+    the number of rounds taken.
+
+    Each round halves long paths (vs ONE hop for min-label propagation),
+    so convergence is O(log n) rounds instead of O(component diameter) —
+    a chain-shaped component of length d costs ~log₂ d rounds here and d
+    rounds under propagation (VERDICT r9 #4). Neighborhood minima are a
+    groupBy-min joined back, never a collect_set: a hub vertex with
+    millions of neighbors is one aggregation key, not one driver array.
+
+    Convergence: a star forest is the unique fixpoint of both stars, so
+    the loop stops when a round leaves the edge set unchanged — detected
+    with a (count, Σsrc, Σdst) fingerprint (one agg job on checkpointed
+    edges) confirmed by an exceptAll emptiness probe (equal counts +
+    one-sided inclusion ⇒ set equality; the join-cost probe runs only on
+    fingerprint match, i.e. once)."""
+    edges = edges.localCheckpoint()
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+        ).head()
+        return (r[0], r[1], r[2])
+
+    prev_fp = _fingerprint(edges)
+    prev_edges = edges
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: over SYMMETRIC neighborhoods, every neighbor v > u
+        # links to m(u) = min(Γ(u) ∪ {u}).
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("src", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: over (big, small)-oriented edges — large's output is
+        # already oriented (it emits (v, m) with m ≤ u < v) — every small
+        # neighbor AND u itself link to m(u) = min of the small side.
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        edges = (
+            large.join(smins, "src")
+            .select(F.col("dst").alias("src"), "m")
+            .unionByName(smins)
+            .filter(F.col("src") != F.col("m"))
+            .withColumnRenamed("m", "dst")
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = _fingerprint(edges)
+        if fp == prev_fp and not edges.exceptAll(prev_edges).take(1):
+            # both sides are distinct sets: equal count + new ⊆ old ⇒ equal
+            break
+        prev_fp = fp
+        prev_edges = edges
+    return edges, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
@@ -447,23 +582,53 @@ def connected_components(
 
     Near-dup detection emits PAIRS; dedup policy needs COMPONENTS (keep one
     canonical doc per transitive group — A~B, B~C must collapse A,B,C
-    together even when A~C was never emitted). Algorithm: min-label
-    propagation — each round every vertex takes the min of its own label
-    and its neighbors' labels; converges in <= component-diameter rounds
-    (near-dup components are shallow in practice). Each round is one
-    equi-join + groupBy-min; labels are localCheckpoint'ed to cut lineage,
-    and the loop exits early on a converged round (one count per round,
-    metadata-cheap next to the join).
+    together even when A~C was never emitted). Algorithm: alternating
+    large-star/small-star contraction (see _star_contract_rounds) — the
+    MapReduce CC standard, O(log n) rounds. The previous min-label
+    propagation (O(diameter) rounds, kept below as
+    connected_components_minlabel, the property-test oracle) degraded
+    linearly on chain-shaped components.
 
     Input: (a_id, b_id) columns. Output: (id, cluster_id) for every vertex
-    that appears in some pair.
+    that appears in some pair (component minima map to themselves).
+    """
+    verts = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("src"), F.least("u", "v").alias("dst")
+        )
+        .distinct()
+    )
+    stars, _ = _star_contract_rounds(edges, max_iter)
+    parents = stars.select(
+        F.col("src").alias("id"), F.col("dst").alias("cluster_id")
+    )
+    return verts.join(parents, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )
+
+
+def connected_components_minlabel(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation CC — each round every vertex takes the min of
+    its own and its neighbors' labels; converges in <= component-diameter
+    rounds. Superseded as the default by the O(log n)-round star
+    contraction above; retained as the independent reference
+    implementation the property tests cross-check against.
 
     Convergence detection is one aggregate per round, not a join: labels
     are monotonically non-increasing under min-propagation, so the global
     label sum strictly decreases iff ANY label changed — sum unchanged ⟺
-    fixed point. The sum runs over the freshly checkpointed labels
-    (metadata-cheap) where the old new-vs-old anti-join cost a full join
-    job per round.
+    fixed point.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -473,9 +638,7 @@ def connected_components(
     )
     # Fused round 0: propagating identity labels one round yields exactly
     # label(v) = min(v, min incoming src) — computable as ONE aggregation
-    # over the edge list, no join. The loop below starts from that state,
-    # saving a full join+checkpoint round every call (every component
-    # needs >= 1 round, so this is never wasted work).
+    # over the edge list, no join.
     labels = (
         edges.groupBy(F.col("dst").alias("id"))
         .agg(F.min("src").alias("_min_src"))

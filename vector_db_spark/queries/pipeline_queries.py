@@ -487,6 +487,30 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+@query("dedup_clusters_lsh")
+def dedup_clusters_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe duplicate clustering (VERDICT r9 #3): MinHash-LSH bucket
+    candidates as in-bucket STAR edges (member → bucket-min, O(b) per
+    bucket — dedup.lsh_star_edges) → large-star/small-star connected
+    components. Same components as all-pairs bucket edges (a star spans
+    the bucket), without the O(b²) residue that made the exact-pair
+    variant (dedup_clusters, kept as the oracle twin) the slowest sf1
+    query. Rows-only gate: the xxhash64 MinHash family has no DuckDB
+    equivalent; tests/test_text_dedup.py pins exact-cluster containment
+    (every exact-Jaccard cluster lands inside one LSH cluster) and the
+    recall tests govern the band s-curve."""
+    from vector_db_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    comp = connected_components(lsh_star_edges(sigs))
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling (md5 hash-bucket — the one hash both
 # engines share, so sampling itself is oracle-verified)
