@@ -515,23 +515,41 @@ def _star_contract_rounds(
     groupBy-min joined back, never a collect_set: a hub vertex with
     millions of neighbors is one aggregation key, not one driver array.
 
+    Round cost is engineered to THREE shuffles (this was first built as
+    groupBy-min + join-back per star — ~6 shuffles + an exceptAll
+    convergence probe per round — and measured ~2x SLOWER end-to-end at
+    sf1 than the min-label loop it replaced, erasing the round-count
+    win): each star's neighborhood minimum is a window-min (ONE exchange,
+    no join-back), duplicates ride through the round (a repeated edge
+    cannot change a min) and are dropped by the single distinct that
+    builds the next round's edge set. A hub vertex is one window
+    partition — the same key-skew a groupBy would have, inherent to star
+    contraction's root-centric shape.
+
     Convergence: a star forest is the unique fixpoint of both stars, so
     the loop stops when a round leaves the edge set unchanged — detected
-    with a (count, Σsrc, Σdst) fingerprint (one agg job on checkpointed
-    edges) confirmed by an exceptAll emptiness probe (equal counts +
-    one-sided inclusion ⇒ set equality; the join-cost probe runs only on
-    fingerprint match, i.e. once)."""
+    by a (count, Σsrc, Σdst, Σxxhash64(src,dst)) fingerprint in one agg
+    job over the freshly checkpointed (exactly-deduped) edge set; equal
+    multiset fingerprints with a 64-bit content hash make a false stop
+    astronomically unlikely and a late stop merely one extra no-op
+    round."""
     edges = edges.localCheckpoint()
 
     def _fingerprint(e: DataFrame) -> tuple:
+        # DECIMAL(38,0) sums: ANSI mode raises on int64 overflow, and a
+        # billion xxhash64 terms (or large ids) overflow a long sum
+        dec = "decimal(38,0)"
         r = e.agg(
-            F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+            F.count(F.lit(1)),
+            F.sum(F.col("src").cast(dec)),
+            F.sum(F.col("dst").cast(dec)),
+            F.sum(F.xxhash64("src", "dst").cast(dec)),
         ).head()
-        return (r[0], r[1], r[2])
+        return tuple(r)
 
     prev_fp = _fingerprint(edges)
-    prev_edges = edges
     rounds = 0
+    w = Window.partitionBy("src")
     for _ in range(max_iter):
         rounds += 1
         # large-star: over SYMMETRIC neighborhoods, every neighbor v > u
@@ -539,37 +557,27 @@ def _star_contract_rounds(
         sym = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        mins = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("_mn"))
-            .select("src", F.least("src", "_mn").alias("m"))
-        )
         large = (
-            sym.join(mins, "src")
+            sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
-        # small-star: over (big, small)-oriented edges — large's output is
-        # already oriented (it emits (v, m) with m ≤ u < v) — every small
-        # neighbor AND u itself link to m(u) = min of the small side.
-        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        # small-star: large's output is already (big, small)-oriented (it
+        # emits (v, m) with m ≤ u < v) — every small neighbor AND u itself
+        # link to m(u) = min of u's small side.
+        sm = large.withColumn("m", F.min("dst").over(w))
         edges = (
-            large.join(smins, "src")
-            .select(F.col("dst").alias("src"), "m")
-            .unionByName(smins)
-            .filter(F.col("src") != F.col("m"))
-            .withColumnRenamed("m", "dst")
+            sm.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(sm.select("src", F.col("m").alias("dst")))
             .distinct()
             .localCheckpoint()
         )
         fp = _fingerprint(edges)
-        if fp == prev_fp and not edges.exceptAll(prev_edges).take(1):
-            # both sides are distinct sets: equal count + new ⊆ old ⇒ equal
+        if fp == prev_fp:
             break
         prev_fp = fp
-        prev_edges = edges
     return edges, rounds
 
 
@@ -591,16 +599,22 @@ def connected_components(
 
     Input: (a_id, b_id) columns. Output: (id, cluster_id) for every vertex
     that appears in some pair (component minima map to themselves).
+
+    The pair lineage is checkpointed ONCE before vertices and edges
+    derive from it: both sides of the output need it, and candidate
+    generation (exact Jaccard, LSH banding) dwarfs the clustering — a
+    second lazy evaluation doubled the whole query at sf1.
     """
+    base = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).localCheckpoint()
     verts = (
-        pairs.select(F.col("a_id").alias("id"))
-        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        base.select(F.col("u").alias("id"))
+        .unionByName(base.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     edges = (
-        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        base.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("src"), F.least("u", "v").alias("dst")
         )
