@@ -1,0 +1,123 @@
+"""High-dim Arrow GEMM dispatch for exact kNN (VERDICT r9 #5).
+
+The expression fold stays the oracle-parity path below ARROW_DIM_MIN;
+these tests pin that the Arrow kernel returns the SAME neighbors (scores
+to 1e-9) on well-separated data, raises the same dimension-mismatch
+error, keeps cosine zero-norm rows out of the top-k, and that the
+high-dim plan is MapInPandas feeding TakeOrderedAndProject (single) /
+a window over local-top-k candidates (batch)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.knn import ARROW_DIM_MIN, batch_knn, knn
+
+DIM = 160  # past ARROW_DIM_MIN so auto dispatches to the kernel
+
+
+def _corpus(spark, n=200, dim=DIM, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 4)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_knn_arrow_matches_expr(spark, metric):
+    df = _corpus(spark)
+    q = [0.1 * ((i % 7) - 3) for i in range(DIM)]
+    got = knn(df, q, 10, metric=metric, impl="arrow").collect()
+    want = knn(df, q, 10, metric=metric, impl="expr").collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    col = got[0].__fields__[-1]
+    for g, w in zip(got, want):
+        assert g[col] == pytest.approx(w[col], abs=1e-9)
+
+
+def test_knn_auto_dispatches_on_dim(spark):
+    df = _corpus(spark)
+    q = [0.0] * DIM
+    assert DIM >= ARROW_DIM_MIN
+    plan = knn(df, q, 5, impl="auto")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "TakeOrderedAndProject" in plan
+    low = knn(_corpus(spark, dim=8), [0.0] * 8, 5, impl="auto")
+    assert "MapInPandas" not in low._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_arrow_filter_still_pushed_down(spark, tmp_path):
+    df = _corpus(spark)
+    path = str(tmp_path / "emb")
+    df.write.parquet(path)
+    scan = spark.read.parquet(path)
+    q = [0.05] * DIM
+    res = knn(
+        scan, q, 5, predicate=F.col("label") != 3, keep_cols=("label",),
+        impl="arrow",
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(label), Not(EqualTo(label,3))" in plan
+    assert all(r.label != 3 for r in res.collect())
+
+
+def test_knn_arrow_dimension_mismatch_raises(spark):
+    df = _corpus(spark, dim=16)
+    with pytest.raises(Exception, match="dimension mismatch"):
+        knn(df, [0.0] * 32, 3, impl="arrow").collect()
+
+
+def test_knn_arrow_cosine_zero_norm_rows_rank_last(spark):
+    rows = [(1, [1.0, 0.0] * (DIM // 2)), (2, [0.0] * DIM), (3, [0.5, 0.1] * (DIM // 2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn(df, [1.0, 0.0] * (DIM // 2), 2, metric="cosine", impl="arrow").collect()
+    assert [r.vec_id for r in got] == [1, 3]  # zero-norm row 2 never beats real scores
+
+
+def test_knn_arrow_rejects_column_query(spark):
+    df = _corpus(spark, dim=8)
+    with pytest.raises(ValueError, match="concrete query vector"):
+        knn(df, F.col("embedding"), 3, impl="arrow")
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_batch_knn_arrow_matches_expr(spark, metric):
+    df = _corpus(spark)
+    qdf = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = batch_knn(df, qdf, 5, metric=metric, impl="arrow").collect()
+    want = batch_knn(df, qdf, 5, metric=metric, impl="expr").collect()
+    gmap = {(r.query_id, r.rank): r.vec_id for r in got}
+    wmap = {(r.query_id, r.rank): r.vec_id for r in want}
+    assert gmap == wmap
+    assert len(got) == 4 * 5
+
+
+def test_batch_knn_auto_needs_dim_hint(spark):
+    df = _corpus(spark)
+    qdf = df.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hinted = batch_knn(df, qdf, 3, impl="auto", dim=DIM)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    unhinted = batch_knn(df, qdf, 3, impl="auto")
+    assert "MapInPandas" not in unhinted._jdf.queryExecution().executedPlan().toString()
+
+
+def test_batch_knn_arrow_cosine_zero_norm_corpus_rows_skipped(spark):
+    half = DIM // 2
+    rows = [(1, [1.0, 0.0] * half), (2, [0.0] * DIM), (3, [0.9, 0.1] * half)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0] * half)], "query_id long, query_vec array<double>"
+    )
+    got = batch_knn(df, qdf, 3, metric="cosine", impl="arrow").collect()
+    assert [r.vec_id for r in got] == [1, 3]  # zero-norm row never emitted

@@ -58,6 +58,74 @@ def _metric(metric: str):
         ) from None
 
 
+# Dim threshold past which exact scoring dispatches to the Arrow kernel.
+# The codegen'd aggregate(zip_with(...)) fold is ideal at fixture dims
+# (64), but it evaluates interpreted per element: at real embedding-model
+# widths (768-1536) a batched float64 GEMM over each Arrow batch wins by
+# an order of magnitude (measured 6.4x at 512-d, see test_knn_arrow.py) —
+# the same economics as ann._nearest_centroid_arrow (VERDICT r9 #5).
+# Below the threshold the fold also keeps BIT-IDENTICAL parity with the
+# DuckDB oracle's left-assoc sum (vector_db_spark/oracle.py); the Arrow
+# path's NumPy pairwise summation agrees only to ~1e-12, so oracle-gated
+# fixture queries must stay under it.
+ARROW_DIM_MIN = 128
+
+
+def _score_arrow(
+    df: DataFrame,
+    query,
+    *,
+    metric: str,
+    vec_col: str,
+    out: str,
+) -> DataFrame:
+    """Score every row against ONE query vector with a per-Arrow-batch
+    NumPy kernel; drops ``vec_col``, appends ``out`` (double). Preserves
+    knn()'s contracts: dimension mismatch raises (per batch, with the
+    same message), cosine zero-norms score NULL (not NaN — NaN would sort
+    ABOVE every real score in a DESC top-k)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    dim = q.shape[0]
+    qn = float(np.linalg.norm(q))
+
+    def score(it):
+        for pdf in it:
+            rows = pdf[vec_col].tolist()
+            res = pdf.drop(columns=[vec_col])
+            if not rows:
+                res[out] = pd.Series([], dtype="float64")
+                yield res
+                continue
+            v = np.asarray(rows, dtype=np.float64)
+            if v.ndim != 2 or v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: query has {dim} components, "
+                    f"corpus column {vec_col!r} differs"
+                )
+            if metric == "l2":
+                res[out] = ((v - q) ** 2).sum(axis=1)
+            elif metric == "ip":
+                res[out] = v @ q
+            else:  # cosine
+                vn = np.linalg.norm(v, axis=1)
+                denom = vn * qn
+                safe = np.where(denom == 0.0, 1.0, denom)
+                vals = ((v @ q) / safe).astype(object)
+                vals[denom == 0.0] = None
+                res[out] = vals
+            yield res
+
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != vec_col]
+        + [StructField(out, DoubleType())]
+    )
+    return df.mapInPandas(score, schema=schema)
+
+
 def query_literal(vec: Sequence[float]) -> Column:
     """Inline a Python query vector as a literal array<double> column."""
     return F.array(*[F.lit(float(x)) for x in vec])
@@ -73,16 +141,46 @@ def knn(
     id_col: str = "vec_id",
     predicate: Column | None = None,
     keep_cols: Sequence[str] = (),
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact top-k nearest rows of ``corpus`` to one query vector.
 
     Returns ``(id_col, *keep_cols, distance|score)`` ordered by the metric
     (ASC for l2, DESC for ip/cosine), ties broken by id.
+
+    ``impl``: ``"auto"`` scores with the codegen'd expression fold below
+    ``ARROW_DIM_MIN`` query components and an Arrow-batched NumPy kernel
+    at or above it (Column queries always take the fold — their dim is
+    unknowable at plan time); ``"expr"``/``"arrow"`` force a path. Both
+    plans end in TakeOrderedAndProject — per-partition local top-k, only
+    k rows per partition reach the merge. Arrow-path scores agree with
+    the fold to ~1e-12 (pairwise vs sequential float64 summation), which
+    can swap equal-to-rounding neighbors at the k boundary.
     """
     if k < 1:
         raise ValueError("k must be >= 1")  # reference: src/models/request/search.rs:6-17
+    if impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"impl must be auto|expr|arrow, got {impl!r}")
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
+    if not isinstance(query, Column):
+        if len(query) == 0:
+            raise ValueError("query vector must be non-empty")
+        if impl == "arrow" or (impl == "auto" and len(query) >= ARROW_DIM_MIN):
+            df = corpus
+            if predicate is not None:
+                df = df.filter(predicate)
+            scored = _score_arrow(
+                df.select(id_col, *keep_cols, vec_col),
+                query,
+                metric=metric,
+                vec_col=vec_col,
+                out=out,
+            )
+            order = F.col(out).asc() if ascending else F.col(out).desc()
+            return scored.orderBy(order, F.col(id_col).asc()).limit(k)
+    elif impl == "arrow":
+        raise ValueError("impl='arrow' needs a concrete query vector, not a Column")
     if isinstance(query, Column):
         qcol = query
         dist = expr_fn(F.col(vec_col), qcol)
@@ -124,21 +222,56 @@ def batch_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     predicate: Column | None = None,
+    impl: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k per query vector for a (small) DataFrame of queries.
 
     The query side is broadcast — the corpus never shuffles; per-query
     ranking is a window over the candidate rows.
     Returns ``(query_id, id_col, distance|score, rank)``.
-    """
+
+    ``impl="arrow"`` (or ``impl="auto"`` with a ``dim`` hint >=
+    ``ARROW_DIM_MIN`` — the query dim is inside a DataFrame here, so auto
+    needs the caller to state it; no silent job runs to peek) scores each
+    corpus Arrow batch against the whole query matrix with ONE float64
+    GEMM and keeps only each query's LOCAL top-k per batch
+    (np.argpartition), so the window ranks |batches|·k candidate rows per
+    query instead of |corpus| interpreted-fold evaluations — the 768-d+
+    path. The queries are collected to the driver (they were being
+    broadcast whole anyway; same smallness contract)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"impl must be auto|expr|arrow, got {impl!r}")
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
 
     df = corpus
     if predicate is not None:
         df = df.filter(predicate)
+
+    if impl == "arrow" or (
+        impl == "auto" and dim is not None and dim >= ARROW_DIM_MIN
+    ):
+        candidates = _batch_score_topk_arrow(
+            df.select(id_col, vec_col),
+            queries,
+            k,
+            metric=metric,
+            vec_col=vec_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            out=out,
+        )
+        order = F.col(out).asc() if ascending else F.col(out).desc()
+        w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col).asc())
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     joined = df.crossJoin(F.broadcast(queries))
     scored = joined.select(
         query_id_col,
@@ -151,6 +284,97 @@ def batch_knn(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _batch_score_topk_arrow(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    out: str,
+) -> DataFrame:
+    """(query_id, id, score) candidates: one corpus-batch × query-matrix
+    GEMM per Arrow batch, emitting each query's local top-k of the batch.
+    Global ranking stays with the caller's window. Cosine zero-norm rows
+    are masked out of selection (a NaN would win a DESC argpartition) and
+    never emitted — matching the expression path, where NULL scores rank
+    after every real candidate and k real candidates always exist in any
+    batch that has them."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    qids = [r[0] for r in qrows]
+    qm = np.asarray([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    dim = qm.shape[1]
+    if metric == "cosine":
+        qn = np.linalg.norm(qm, axis=1)
+        qm = qm / np.where(qn == 0.0, 1.0, qn)[:, None]
+
+    def score(it):
+        empty = pd.DataFrame(
+            {query_id_col: pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype=object),
+             out: pd.Series([], dtype="float64")}
+        )
+        for pdf in it:
+            rows = pdf[vec_col].tolist()
+            if not rows:
+                yield empty
+                continue
+            v = np.asarray(rows, dtype=np.float64)
+            if v.ndim != 2 or v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: queries have {dim} components, "
+                    f"corpus column {vec_col!r} differs"
+                )
+            dead = None
+            if metric == "l2":
+                s = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ qm.T)
+                    + (qm * qm).sum(axis=1)[None, :]
+                )
+            elif metric == "ip":
+                s = v @ qm.T
+            else:  # cosine (queries pre-normalized above)
+                vn = np.linalg.norm(v, axis=1)
+                dead = vn == 0.0
+                s = (v / np.where(dead, 1.0, vn)[:, None]) @ qm.T
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, s.shape[0])
+            sel_qid, sel_id, sel_val = [], [], []
+            for j in range(s.shape[1]):
+                col = s[:, j]
+                key = col if metric == "l2" else -col
+                if dead is not None:
+                    key = np.where(dead, np.inf, key)
+                idx = np.argpartition(key, kk - 1)[:kk]
+                if dead is not None:
+                    idx = idx[~dead[idx]]
+                sel_qid.extend([qids[j]] * len(idx))
+                sel_id.extend(ids[idx])
+                sel_val.extend(col[idx])
+            yield pd.DataFrame(
+                {query_id_col: sel_qid, id_col: sel_id, out: sel_val}
+            )
+
+    schema = StructType(
+        [
+            queries.schema[query_id_col],
+            df.schema[id_col],
+            StructField(out, DoubleType()),
+        ]
+    )
+    return df.mapInPandas(score, schema=schema)
 
 
 def range_search(
