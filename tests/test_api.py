@@ -341,6 +341,40 @@ def test_maxsim_insert_search_exact(api):
     assert res[2]["code"] == 400
 
 
+def test_maxsim_api_default_nprobe_follows_built_nlist(spark, tmp_path):
+    """'API-served MaxSim scores are exact' must survive a library-side
+    build with nlist above the wire default: the knob-less serving
+    default derives full probe from the RECORDED build nlist instead of
+    the static constant (ADVICE r9)."""
+    from vector_db_spark.api import VectorDatabaseApi, _serving_params
+
+    api = VectorDatabaseApi(spark, str(tmp_path))
+    key = {"index_type": "MAXSIM", "dim": 4, "metric_type": "InnerProduct"}
+    api.create_index(key)
+    docs = {
+        i: [[float(i == j) for j in range(4)], [0.1 * i, 0.2, 0.0, 0.3]]
+        for i in range(1, 13)
+    }
+    for rid, toks in docs.items():
+        api.insert({"id": rid, "vectors": toks, "index_key": key})
+    coll = api._collection(key)
+    coll.build_index(nlist=8, max_iter=3)  # library config > wire default 4
+    assert _serving_params({}, coll)["nprobe"] == 8  # full probe derived
+    q = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    out = api.search({"vectors": q, "k": 12, "index_key": key})
+    assert out["code"] == 0
+    want = {
+        d: sum(max(sum(a * b for a, b in zip(t, tok)) for tok in toks)
+               for t in q)
+        for d, toks in docs.items()
+    }
+    for lab, score in zip(out["labels"], out["distances"]):
+        assert score == pytest.approx(want[lab], abs=1e-5)
+    # an explicitly persisted operating point still wins over the default
+    coll.set_serving_params(nprobe=2)
+    assert _serving_params({}, coll)["nprobe"] == 2
+
+
 def test_ensure_index_respects_recorded_build_params(spark, tmp_path):
     """An API-triggered lazy rebuild reuses the knobs recorded with the
     last build instead of resetting to the wire defaults: a collection

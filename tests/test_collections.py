@@ -906,3 +906,33 @@ def test_build_params_remembered_for_refresh(spark, tmp_path):
     assert again.refresh_index(nlist=4, max_iter=5) == "rebuilt"
     assert again.info.build_params == {"nlist": 4, "max_iter": 5}
     assert len(IvfIndex.load(spark, again._index_dir()).centroids) == 4
+
+
+def test_build_params_dropped_marker_and_refresh_warning(spark, tmp_path):
+    """Non-JSON build knobs (a shared quantizer object) can't be
+    recorded: build_index warns and records WHICH keys were dropped, and
+    a later no-arg refresh_index() warns that its replay is partial
+    instead of silently retraining the shared fit (ADVICE r9)."""
+    import pytest as _pt
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("bpd", dim=8, metric="l2", index_type="ivfpq")
+    coll.insert(_vec_df(spark))
+    shared = IvfIndex.build(
+        coll.scan(), nlist=2, max_iter=3, id_col="id", vec_col="embedding"
+    )
+    with _pt.warns(UserWarning, match="not JSON-serializable"):
+        coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2, ivf=shared)
+    assert coll.info.build_params_dropped == ["ivf"]
+    assert "ivf" not in coll.info.build_params
+    # durable across handles
+    again = CollectionCatalog(spark, str(tmp_path)).get("bpd")
+    assert again.info.build_params_dropped == ["ivf"]
+    with _pt.warns(UserWarning, match="NOT replayed"):
+        again.refresh_index()
+    # a fully-serializable rebuild clears the marker
+    coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
+    assert coll.info.build_params_dropped == []

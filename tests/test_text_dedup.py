@@ -653,3 +653,19 @@ def test_semantic_contamination(spark):
     zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], schema)
     with pytest.raises(ValueError, match="zero"):
         semantic_contamination(corpus, zero)
+    # a zero CORPUS vector scores explicit cosine 0.0 (similar to
+    # nothing), not a silently-dropped NaN (ADVICE r9): invisible at a
+    # positive threshold, reported as 0.0 when the threshold admits it
+    mixed = spark.createDataFrame(
+        corpus_rows + [(14, [0.0, 0.0, 0.0])], schema
+    )
+    pos = {
+        r.doc_id for r in
+        semantic_contamination(mixed, bench, threshold=0.5).collect()
+    }
+    assert 14 not in pos
+    full = {
+        r.doc_id: r.cosine for r in
+        semantic_contamination(mixed, bench, threshold=-1.0).collect()
+    }
+    assert full[14] == 0.0 and full[14] is not None

@@ -357,6 +357,39 @@ def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
     assert wide.info.serving_params == {"probe_radius": 1}
 
 
+def test_rebuild_drops_stranded_probe_radius(spark, emb, tmp_path):
+    """A rebuild with more code bits can put a persisted probe_radius
+    past the probe-mask ceiling; build_index must drop the stale knob
+    with a warning instead of leaving every knob-less search a 500
+    (ADVICE r9)."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    lsh = cat.create("t_lsh_rebuild", dim=64, metric="cosine", index_type="lsh")
+    lsh.insert(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+    )
+    lsh.build_index(n_bits=4, n_tables=1)
+    lsh.set_serving_params(probe_radius=3)  # 15 masks over 4 bits: fine
+    with pytest.warns(UserWarning, match="probe_radius"):
+        lsh.build_index(n_bits=24, n_tables=1)  # radius 3 -> 2325 masks
+    assert "probe_radius" not in lsh.info.serving_params
+    # persisted state agrees, and a knob-less search serves again
+    reopened = cat.get("t_lsh_rebuild")
+    assert "probe_radius" not in reopened.info.serving_params
+    # knob-less serving works again (default radius probes the query's
+    # own bucket — a corpus member's vector guarantees >= 1 occupant;
+    # with the stale radius this call raised)
+    member = [float(x) for x in emb.filter(F.col("vec_id") == 50).head()[1]]
+    assert len(reopened.search(member, 3).collect()) >= 1
+    # a rebuild that keeps the knob serveable does NOT touch it
+    lsh.set_serving_params(probe_radius=1)
+    lsh.build_index(n_bits=8, n_tables=1)
+    assert lsh.info.serving_params == {"probe_radius": 1}
+
+
 def test_tune_collection_maxsim_dispatch(spark, tmp_path):
     """Multi-vector dispatch: tune_collection routes a maxsim collection
     to tune_maxsim with the long-format (query_id, token_id, token_vec)

@@ -109,6 +109,46 @@ def _fan_out_shuffle_cases(spark, path):
     assert fan_out(tricky) is not tricky
 
 
+def test_fan_out_exchange_match_under_aqe(spark, tmp_path):
+    """The Exchange regex must keep matching the AQE initial plan
+    (AdaptiveSparkPlan wraps the tree; exchanges are still present as
+    'Exchange' nodes pre-execution) — pinned explicitly so an AQE plan-
+    string format change fails here, not as a silent double shuffle
+    (ADVICE r9)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    path = str(tmp_path / "aqe_src")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    agg = scan.groupBy((F.col("id") % 5).alias("g")).count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan and "Exchange" in plan
+    assert fan_out(agg) is agg  # post-shuffle plan passes through
+    assert fan_out(scan) is not scan  # plain narrow scan still spreads
+
+
+def test_fan_out_memoizes_probe_per_frame(spark, tmp_path):
+    path = str(tmp_path / "memo_src")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert not hasattr(scan, "_fan_out_shuffled")
+    out1 = fan_out(scan)
+    assert scan._fan_out_shuffled is False  # probed once, cached on the frame
+    out2 = fan_out(scan)  # second wrap: no re-probe, same decision
+    assert out1 is not scan and out2 is not scan
+    # hint-content collision that ruled OUT a semanticHash key: a merge
+    # hint (shuffles) and a broadcast hint (doesn't) canonicalize to the
+    # same semanticHash — object-identity memoization cannot cross them
+    other = scan.withColumnRenamed("id", "id2")
+    merge = scan.join(other.hint("merge"), scan.id == F.col("id2"))
+    bcast = scan.join(F.broadcast(other), scan.id == F.col("id2"))
+    assert (
+        merge._jdf.queryExecution().analyzed().semanticHash()
+        == bcast._jdf.queryExecution().analyzed().semanticHash()
+    )
+    assert fan_out(merge) is merge  # shuffle join passes through
+    assert fan_out(bcast) is not bcast  # broadcast join still spreads
+
+
 def test_fan_out_respects_min_partitions(spark, tmp_path):
     path = str(tmp_path / "single")
     spark.range(0, 50).coalesce(1).write.parquet(path)

@@ -114,6 +114,15 @@ def _serving_params(req: dict, coll) -> dict:
     a silent drop."""
     itype = coll.info.index_type
     base = dict(_SEARCH_PARAMS.get(itype, {}))
+    if itype in _MULTI_TYPES:
+        # The 'API-served MaxSim scores are exact' contract means FULL
+        # probe: derive the default nprobe from the nlist the artifact was
+        # actually built with, not the wire-default constant — a
+        # library-built collection with nlist > 4 would otherwise silently
+        # serve approximate scores at nprobe=4 (ADVICE r9).
+        built_nlist = coll.info.build_params.get("nlist")
+        if isinstance(built_nlist, int) and built_nlist > 0:
+            base["nprobe"] = built_nlist
     base.update(coll.info.serving_params)
     knobs = req.get("params")
     if knobs is None:

@@ -155,6 +155,10 @@ class CollectionInfo:
     # build_index): refresh_index() rebuilds with them when called with
     # no arguments. Same backward-compat contract as serving_params.
     build_params: dict = field(default_factory=dict)
+    # Keys of build knobs that could NOT be recorded (non-JSON values,
+    # e.g. a shared quantizer object): a no-arg refresh_index() on such
+    # a collection warns that the replay is partial.
+    build_params_dropped: list = field(default_factory=list)
 
 
 class CollectionCatalog:
@@ -820,6 +824,45 @@ class Collection(_BucketedStore):
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)
         self._remember_build_params(params)
+        self._revalidate_serving_params()
+
+    def _revalidate_serving_params(self) -> None:
+        """A rebuild can change index geometry under persisted serving
+        knobs: an lsh rebuild with more code bits can strand a stored
+        probe_radius past the probe-mask ceiling, turning every knob-less
+        search into an error until someone overrides it (ADVICE r9).
+        Drop the now-unserveable knob with a warning — the collection
+        keeps serving at the family default, and the tuning loop can
+        re-tune against the new geometry."""
+        if self.info.index_type != "lsh":
+            return
+        radius = self.info.serving_params.get("probe_radius")
+        if radius is None:
+            return
+        from vector_db_spark.operators.ann import (
+            _PROBE_MASK_CAP,
+            _probe_mask_count,
+        )
+
+        n_bits = int(self._load_index().planes.shape[1])
+        if _probe_mask_count(n_bits, radius) <= _PROBE_MASK_CAP:
+            return
+        import warnings
+
+        warnings.warn(
+            f"dropping persisted probe_radius={radius}: the rebuilt index's "
+            f"n_bits={n_bits} puts it past the {_PROBE_MASK_CAP}-mask probe "
+            "ceiling; re-tune serving params for the new geometry",
+            stacklevel=2,
+        )
+        with self.catalog._locked():
+            data = self.catalog._load()
+            if self.info.name in data:
+                sp = dict(data[self.info.name].get("serving_params", {}))
+                sp.pop("probe_radius", None)
+                data[self.info.name]["serving_params"] = sp
+                self.catalog._save(data)
+        self.info.serving_params.pop("probe_radius", None)
 
     def _remember_build_params(self, params: dict) -> None:
         """Persist the build knobs that produced the current artifact (≅
@@ -827,20 +870,36 @@ class Collection(_BucketedStore):
         index_factory.rs:24-36) so ``refresh_index()`` can rebuild with
         no arguments. Entries that don't round-trip JSON (e.g. a shared
         quantizer object) are skipped — they can't outlive the process
-        anyway."""
-        clean = {}
+        anyway — but their KEYS are recorded (``build_params_dropped``)
+        and warned about, so a later no-arg ``refresh_index()`` is
+        visibly not a faithful replay (it would retrain what the
+        original build shared) rather than silently rebuilding with
+        different cell assignments (ADVICE r9)."""
+        clean, dropped = {}, []
         for key, val in params.items():
             try:
                 json.dumps(val)
             except (TypeError, ValueError):
+                dropped.append(key)
                 continue
             clean[key] = val
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"build params {dropped} are not JSON-serializable and were "
+                "not recorded; a no-arg refresh_index() will rebuild "
+                "WITHOUT them (e.g. a shared quantizer is retrained)",
+                stacklevel=3,
+            )
         with self.catalog._locked():
             data = self.catalog._load()
             if self.info.name in data:
                 data[self.info.name]["build_params"] = clean
+                data[self.info.name]["build_params_dropped"] = dropped
                 self.catalog._save(data)
         self.info.build_params = clean
+        self.info.build_params_dropped = dropped
 
     def refresh_index(self, **params) -> str:
         """INCREMENTAL index maintenance: apply the collection's snapshot
@@ -871,6 +930,16 @@ class Collection(_BucketedStore):
             return "fresh"
         if not params:
             params = dict(self.info.build_params)
+            if self.info.build_params_dropped:
+                import warnings
+
+                warnings.warn(
+                    "refresh_index() replays only the recorded build "
+                    f"params; {self.info.build_params_dropped} were not "
+                    "JSON-serializable at build time and are NOT replayed "
+                    "(a rebuild retrains them from scratch)",
+                    stacklevel=2,
+                )
         iv = self._indexed_version()
         if iv is None:
             self.build_index(**params)

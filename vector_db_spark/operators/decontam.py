@@ -113,7 +113,13 @@ def semantic_contamination(
     @F.pandas_udf("struct<bench_id: bigint, cosine: double>")
     def _best(vecs: pd.Series) -> pd.DataFrame:
         v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        sims = (v / np.linalg.norm(v, axis=1)[:, None]) @ bmat
+        # Zero CORPUS vectors score cosine 0.0 explicitly (a zero vector
+        # is similar to nothing) instead of dividing by the zero norm —
+        # which produced NaNs (plus numpy warnings) that the >= threshold
+        # filter dropped silently (ADVICE r9). Benchmark zeros stay a
+        # hard error above: a contaminated-AGAINST set must be sound.
+        vnorm = np.linalg.norm(v, axis=1)
+        sims = (v / np.where(vnorm == 0.0, 1.0, vnorm)[:, None]) @ bmat
         # argmax returns the FIRST max -> smallest bench id (pre-sorted)
         j = sims.argmax(axis=1)
         return pd.DataFrame(

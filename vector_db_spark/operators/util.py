@@ -55,6 +55,23 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     files = df.inputFiles()
     if not files or len(files) >= target:
         return df
-    if _SHUFFLE_EXCHANGE.search(df._jdf.queryExecution().executedPlan().toString()):
+    # Memoize the physical-plan probe on the DataFrame OBJECT: the repeat
+    # pattern is the same frame probed by successive operator calls (LM
+    # training runs fan_out three times on one corpus frame), and object
+    # identity is collision-free where a plan-hash key is not —
+    # semanticHash canonicalizes hint CONTENT away, so a merge-hint join
+    # and a broadcast join (shuffling vs not) collide (ADVICE r9; pinned
+    # in test_fan_out_memoizes_probe_per_frame). The probe only runs on
+    # the small-input branch above; a fresh equal plan merely re-pays the
+    # ~10 ms probe.
+    shuffled = getattr(df, "_fan_out_shuffled", None)
+    if shuffled is None:
+        shuffled = bool(
+            _SHUFFLE_EXCHANGE.search(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        )
+        df._fan_out_shuffled = shuffled
+    if shuffled:
         return df
     return df.repartition(target)
