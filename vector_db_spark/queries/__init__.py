@@ -21,73 +21,73 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Round-9 window (VERDICT r8 agenda #2 — the r6/r7/r8
-# windows were identical, leaving 130 gates with no green row on
-# post-round-4 code):
-# (1) the NEW round-9 gates — the MaxSim families through the catalog
-#     (incremental refresh asserted) and the wire, plus the compressed
-#     family's vacuum gate (the last cell of its maintenance matrix);
-# (2) every gate whose newest green row is ROUND 2 (39 gates, recomputed
-#     from CORRECTNESS_r1–r8 this round): the TPC-H declarations,
-#     rollup/pivot/cube, set ops, windows, events, streaming state,
-#     roundtrips — three rounds of refactors since last attested;
-# (3) the oldest round-3-only gates, filling to exactly 50.
-# Everything else keeps its earlier green rows.
+# ``queries()``.  Round-10 window (VERDICT r9 agenda #6: oldest-first
+# rotation over the registry):
+# (1) the NEW round-10 gate (dedup_clusters_lsh) plus every gate whose
+#     implementation changed this round — the star-contraction connected
+#     components rewrote the clustering path under dedup_clusters /
+#     fuzzy_entity_canonical / semantic_dedup_* / image_phash_neardup,
+#     the _lsh_buckets refactor sits under minhash_lsh_neardup, the
+#     Arrow-dispatch edit touched knn()/batch_knn(), and the zero-norm
+#     guard touched semantic_decontamination;
+# (2) oldest-first fill to exactly 50 from the per-gate newest driver
+#     round (recomputed from CORRECTNESS_r01-r09): the single round-2
+#     straggler, then the round-3 cohort.
+# Everything else keeps its earlier green rows (ORACLE_FULL_r09 re-swept
+# the whole registry at sf0.01 with 0 failures).
 _VERIFY_FIRST = [
-    # --- (1) new round-9 gates ---
-    "collection_maxsim_lifecycle",
-    "http_maxsim_roundtrip",
-    "maxsim_pq_vacuum_exhaustive",
-    "collection_tuned_serving",
-    "ann_lsh_radius_exhaustive",
+    # --- (1) new + changed-this-round ---
+    "dedup_clusters_lsh",
+    "dedup_clusters",
+    "minhash_lsh_neardup",
+    "image_phash_neardup",
+    "fuzzy_entity_canonical",
+    "semantic_dedup_exhaustive",
+    "semantic_dedup_clustered",
+    "knn_l2",
+    "knn_batch",
+    "knn_filtered_neq",
     "semantic_decontamination",
-    # --- (2) newest green row is round 2 ---
-    "ann_ivf_append_full_probe",
-    "ann_ivf_range_search",
-    "brand_part_agg",
-    "csv_roundtrip_events",
-    "cube_lineitem",
-    "events_daily_funnel",
-    "events_props_struct",
-    "events_sliding",
-    "events_tumbling",
-    "json_roundtrip_events",
-    "median_order_price",
-    "ntile_customer_quartiles",
-    "pipeline_prepare_corpus_v2",
-    "pivot_order_status",
-    "range_join_pairs",
-    "rollup_lineitem",
-    "salted_agg_lineitem",
-    "scalar_functions",
-    "set_ops_nations",
-    "stream_dedup_events",
-    "stream_quota_sample",
-    "stream_session_agg",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    "stream_upsert_readback",
-    "tpch_q2_min_cost",
-    "tpch_q4_semijoin",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_volume_suppliers",
-    "tpch_q22_no_urgent",
-    "window_event_gaps",
-    "window_running_total",
-    # --- (3) oldest round-3-only gates (fills to 50 exactly; two were
-    # ceded to the round-9 additions above — they rotate back next) ---
-    "ann_graph_batch_exhaustive",
-    "ann_ivf_batch_filtered_exhaustive",
-    "ann_ivf_range_after_append",
-    "bigram_lm_score",
-    "bucketed_join_revenue",
+    # --- (2) oldest-first: r2, then the r3 cohort ---
+    "ann_graph_filtered_exhaustive",
+    "ann_lsh_batch_filtered_exhaustive",
+    "bigram_pmi_collocations",
+    "c4_filter_summary",
+    "chunk_dedup_docs",
+    "cohort_retention_events",
+    "collection_version_diff",
+    "column_stats_lineitem",
+    "correlation_matrix_lineitem",
+    "embedding_norm_extremes",
+    "events_moving_avg",
+    "grouping_sets_lineitem",
+    "hamming_batch_filtered_exhaustive",
+    "importance_sample_docs",
+    "ivfpq_batch_exhaustive",
+    "ivfpq_filtered_exhaustive",
+    "knn_hamming",
+    "knn_hamming_batch",
+    "knn_hamming_rerank",
+    "knn_page_two",
+    "label_centroids",
+    "orc_roundtrip_events",
+    "order_price_percentiles",
+    "pca_rerank_full_rank",
+    "pq_filtered_rerank_exhaustive",
+    "rag_chunk_docs",
+    "salted_join_priority_revenue",
+    "skipgram_pairs_docs",
+    "source_cap_docs",
+    "source_profile",
+    "stream_ann_search",
+    "stream_chunk_dedup",
+    "stream_doc_dedup",
+    "stream_stream_join",
+    "tpch_q12_priority_class",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q21_sole_blame",
+    "tpch_q6_forecast",
 ]
 
 
