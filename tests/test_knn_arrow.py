@@ -112,6 +112,20 @@ def test_batch_knn_auto_needs_dim_hint(spark):
     assert "MapInPandas" not in unhinted._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_range_search_arrow_matches_expr(spark, metric):
+    from vector_db_spark.operators.knn import range_search
+
+    df = _corpus(spark)
+    q = [0.1] * DIM
+    thr = 10.0 if metric == "l2" else 0.2
+    got = range_search(df, q, thr, metric=metric, impl="arrow").collect()
+    want = range_search(df, q, thr, metric=metric, impl="expr").collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    plan = range_search(df, q, thr, metric=metric, impl="auto")
+    assert "MapInPandas" in plan._jdf.queryExecution().executedPlan().toString()
+
+
 def test_batch_knn_arrow_cosine_zero_norm_corpus_rows_skipped(spark):
     half = DIM // 2
     rows = [(1, [1.0, 0.0] * half), (2, [0.0] * DIM), (3, [0.9, 0.1] * half)]

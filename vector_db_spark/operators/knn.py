@@ -387,20 +387,45 @@ def range_search(
     id_col: str = "vec_id",
     predicate: Column | None = None,
     keep_cols: Sequence[str] = (),
+    impl: str = "auto",
 ) -> DataFrame:
     """All rows within a metric threshold of the query (faiss
     ``range_search`` semantics): l2 keeps squared-L2 <= threshold, ip and
     cosine keep score >= threshold. Unlike top-k there is no LIMIT — the
     result size is data-dependent — so the plan is a pushed-down filter
     over the scan plus a sort of only the matching rows; the corpus never
-    shuffles. Ordered by (metric, id) for determinism."""
+    shuffles. Ordered by (metric, id) for determinism.
+
+    ``impl`` follows knn(): past ARROW_DIM_MIN query components the score
+    comes from the per-Arrow-batch kernel (threshold filter and sort stay
+    JVM-side); Column queries and fixture dims keep the oracle-parity
+    expression fold."""
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
-    qcol = query if isinstance(query, Column) else query_literal(query)
+    if impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"impl must be auto|expr|arrow, got {impl!r}")
     df = corpus
     if predicate is not None:
         df = df.filter(predicate)
-    scored = df.select(id_col, *keep_cols, expr_fn(F.col(vec_col), qcol).alias(out))
+    if not isinstance(query, Column) and (
+        impl == "arrow" or (impl == "auto" and len(query) >= ARROW_DIM_MIN)
+    ):
+        scored = _score_arrow(
+            df.select(id_col, *keep_cols, vec_col),
+            query,
+            metric=metric,
+            vec_col=vec_col,
+            out=out,
+        )
+    else:
+        if impl == "arrow":
+            raise ValueError(
+                "impl='arrow' needs a concrete query vector, not a Column"
+            )
+        qcol = query if isinstance(query, Column) else query_literal(query)
+        scored = df.select(
+            id_col, *keep_cols, expr_fn(F.col(vec_col), qcol).alias(out)
+        )
     keep = scored.filter(
         F.col(out) <= float(threshold) if ascending else F.col(out) >= float(threshold)
     )
