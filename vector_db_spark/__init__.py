@@ -36,6 +36,7 @@ from vector_db_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
     exact_dedup,
     jaccard_pairs,
+    lsh_star_edges,
     minhash_neardup,
     simhash64,
     simhash_candidates,
@@ -88,6 +89,7 @@ __all__ = [
     "hybrid_search",
     "jaccard_pairs",
     "knn",
+    "lsh_star_edges",
     "merge_upsert",
     "minhash_neardup",
     "ngram_contamination",
