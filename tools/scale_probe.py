@@ -41,6 +41,7 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_scale/sf1")
 DEFAULT = [
     "dedup_exact",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "chunk_dedup_docs",
     "minhash_lsh_neardup",
     "simhash_neardup",
