@@ -126,6 +126,30 @@ def test_range_search_arrow_matches_expr(spark, metric):
     assert "MapInPandas" in plan._jdf.queryExecution().executedPlan().toString()
 
 
+def test_knn_page_stays_on_expr_path_at_high_dim(spark):
+    """Pagination's keyset equality arm needs ONE bit-exact scorer on
+    both sides of the cursor; at dims where knn() auto-dispatches to the
+    Arrow kernel, knn_page must pin the expression fold — and walking
+    pages must reproduce the full top-N exactly, ties included."""
+    from vector_db_spark.operators.knn import knn_page
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(DIM)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(6)]  # exact duplicates: ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.3] * DIM
+    first = knn_page(df, q, 8)
+    assert "MapInPandas" not in first._jdf.queryExecution().executedPlan().toString()
+    walked, after = [], None
+    for _ in range(6):
+        page = knn_page(df, q, 8, after=after).collect()
+        if not page:
+            break
+        walked.extend((r.vec_id, r.distance) for r in page)
+        after = (page[-1].distance, page[-1].vec_id)
+    want = [(r.vec_id, r.distance) for r in knn(df, q, 46, impl="expr").collect()]
+    assert walked == want  # no boundary row lost or duplicated
+
+
 def test_batch_knn_arrow_cosine_zero_norm_corpus_rows_skipped(spark):
     half = DIM // 2
     rows = [(1, [1.0, 0.0] * half), (2, [0.0] * DIM), (3, [0.9, 0.1] * half)]

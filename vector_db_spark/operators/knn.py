@@ -604,7 +604,13 @@ def knn_page(
     The equality arm of the keyset test compares distances EXACTLY —
     sound here because every engine path computes the same left-assoc
     float64 fold (vector_db_spark/oracle.py), so a tied distance is
-    bit-identical wherever it appears."""
+    bit-identical wherever it appears. That soundness argument is WHY
+    pagination pins ``impl="expr"`` on the inner knn: the Arrow kernel's
+    pairwise summation agrees with the fold only to ~1e-12, and a page-N
+    cursor scored by one summation order compared against distances
+    recomputed by the other can drop or duplicate a boundary-tied row —
+    the keyset contract needs one bit-exact scorer on both sides of the
+    cursor, not a faster one."""
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
     page_pred = predicate
@@ -623,4 +629,5 @@ def knn_page(
         vec_col=vec_col,
         id_col=id_col,
         predicate=page_pred,
+        impl="expr",
     )
