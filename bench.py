@@ -424,22 +424,24 @@ def main() -> None:
     shared_knn_edges(spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings["knn_graph_build"] = round(time.perf_counter() - t0, 3)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spreads: dict[str, float] = {}
 
     def _timed(name: str, thunk) -> None:
         """One untimed warm-up (first-run codegen/planning — measured up to
         2.7x the warm cost on literal-map-heavy queries like
-        bigram_lm_score), then ``reps`` timed runs; median + spread."""
+        bigram_lm_score), then ``reps`` timed runs; true median (even rep
+        counts average the middle pair) + max-min spread."""
         thunk().write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             thunk().write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spreads[name] = round(samples[-1] - samples[0], 3)
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     for name in HEADLINE:
         fn = QUERIES[name]

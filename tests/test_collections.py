@@ -931,8 +931,23 @@ def test_build_params_dropped_marker_and_refresh_warning(spark, tmp_path):
     # durable across handles
     again = CollectionCatalog(spark, str(tmp_path)).get("bpd")
     assert again.info.build_params_dropped == ["ivf"]
+    # a no-op refresh stays SILENT (nothing rebuilds, nothing retrains) —
+    # only an actual rebuild warns, so a nightly cron isn't trained to
+    # ignore the one warning that matters
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert again.refresh_index() == "fresh"
+    assert not [c for c in caught if "NOT replayed" in str(c.message)]
+    # a CHANGED row forces a rebuild inside the no-arg refresh -> warns
+    again.upsert(
+        spark.createDataFrame(
+            [(1, [5.0] * 8)], "id long, embedding array<float>"
+        )
+    )
     with _pt.warns(UserWarning, match="NOT replayed"):
-        again.refresh_index()
+        assert again.refresh_index() == "rebuilt"
     # a fully-serializable rebuild clears the marker
     coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
     assert coll.info.build_params_dropped == []

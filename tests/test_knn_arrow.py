@@ -150,7 +150,11 @@ def test_knn_page_stays_on_expr_path_at_high_dim(spark):
     assert walked == want  # no boundary row lost or duplicated
 
 
-def test_batch_knn_arrow_cosine_zero_norm_corpus_rows_skipped(spark):
+def test_batch_knn_arrow_cosine_zero_norm_rows_backfill_like_expr(spark):
+    """Zero-norm rows never beat a real candidate, but when a batch has
+    fewer than k real candidates they BACKFILL with NULL scores — the
+    same row count and order the expression path's nulls-last window
+    produces."""
     half = DIM // 2
     rows = [(1, [1.0, 0.0] * half), (2, [0.0] * DIM), (3, [0.9, 0.1] * half)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -158,4 +162,25 @@ def test_batch_knn_arrow_cosine_zero_norm_corpus_rows_skipped(spark):
         [(0, [1.0, 0.0] * half)], "query_id long, query_vec array<double>"
     )
     got = batch_knn(df, qdf, 3, metric="cosine", impl="arrow").collect()
-    assert [r.vec_id for r in got] == [1, 3]  # zero-norm row never emitted
+    want = batch_knn(df, qdf, 3, metric="cosine", impl="expr").collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want] == [1, 3, 2]
+    assert got[-1].score is None and want[-1].score is None
+    # at k=2 the real candidates fill the page and the zero row vanishes
+    got2 = batch_knn(df, qdf, 2, metric="cosine", impl="arrow").collect()
+    assert [r.vec_id for r in got2] == [1, 3]
+
+
+def test_batch_knn_arrow_boundary_ties_break_by_id(spark):
+    """k+1 exact-duplicate vectors in ONE batch: local selection must
+    keep the lowest ids (lexsort on (score, id)), not an arbitrary
+    argpartition subset — the global contract is ties break by id."""
+    half = DIM // 2
+    dup = [1.0, 0.5] * half
+    rows = [(i, dup) for i in (6, 4, 2, 9, 1, 5)] + [(20, [0.0, 1.0] * half)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    qdf = spark.createDataFrame(
+        [(0, dup)], "query_id long, query_vec array<double>"
+    )
+    for metric in ("l2", "ip", "cosine"):
+        got = batch_knn(df, qdf, 5, metric=metric, impl="arrow").collect()
+        assert [r.vec_id for r in got] == [1, 2, 4, 5, 6], metric

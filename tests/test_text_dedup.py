@@ -219,12 +219,33 @@ def test_star_contraction_chain_round_count(spark):
     edges = spark.createDataFrame(
         [(i + 1, i) for i in range(n)], "src long, dst long"
     )
-    stars, rounds = _star_contract_rounds(edges, max_iter=40)
+    stars, rounds, converged = _star_contract_rounds(edges, max_iter=40)
+    assert converged
     assert rounds <= math.ceil(math.log2(n + 1)) + 3, rounds
     # fixpoint is a star forest rooted at the component minimum (0)
     rows = stars.collect()
     assert {r.dst for r in rows} == {0}
     assert {r.src for r in rows} == set(range(1, n + 1))
+
+
+def test_star_contraction_nonconvergence_warns_one_row_per_vertex(spark):
+    """max_iter exhaustion must degrade SAFELY: a warning plus exactly
+    one (id, cluster_id) row per vertex (min parent), never multiple
+    contradictory labels from a non-forest edge set."""
+    import warnings as _w
+
+    from vector_db_spark.operators.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rows = connected_components(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(c.message) for c in caught)
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)) == n + 1  # one row per vertex
 
 
 def test_lsh_star_edges_span_buckets(spark):

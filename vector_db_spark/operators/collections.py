@@ -802,12 +802,20 @@ class Collection(_BucketedStore):
                 if self.info.index_type == "maxsim"
                 else MaxSimPqIndex
             )
-            cls.build(
+            built = cls.build(
                 self._exploded(cur),
                 doc_col=self.info.id_col,
                 vec_col=self.info.vec_col,
                 **params,
-            ).save(path)
+            )
+            built.save(path)
+            # Record the EFFECTIVE nlist, not just the caller's kwargs: the
+            # API's exact-MaxSim serving contract derives its full-probe
+            # default from the recorded value, and a no-arg build (class
+            # default nlist) would otherwise record nothing and silently
+            # serve at the wire's static nprobe (round-10 review of the
+            # ADVICE fix).
+            params = {**params, "nlist": len(built.ivf.centroids)}
         else:  # lsh
             from vector_db_spark.operators.ann import CosineLshIndex
 
@@ -928,20 +936,30 @@ class Collection(_BucketedStore):
         new recorded knobs."""
         if self.info.index_type == "exact":
             return "fresh"
+        partial_replay = False
         if not params:
             params = dict(self.info.build_params)
-            if self.info.build_params_dropped:
+            partial_replay = bool(self.info.build_params_dropped)
+
+        def _warn_partial() -> None:
+            # warn ONLY when a rebuild actually happens — a nightly cron
+            # whose refreshes come back 'fresh'/'incremental' must not be
+            # trained to ignore the one warning that matters (round-10
+            # review of the ADVICE fix)
+            if partial_replay:
                 import warnings
 
                 warnings.warn(
-                    "refresh_index() replays only the recorded build "
-                    f"params; {self.info.build_params_dropped} were not "
-                    "JSON-serializable at build time and are NOT replayed "
-                    "(a rebuild retrains them from scratch)",
-                    stacklevel=2,
+                    "refresh_index() rebuild replays only the recorded "
+                    f"build params; {self.info.build_params_dropped} were "
+                    "not JSON-serializable at build time and are NOT "
+                    "replayed (the rebuild retrains them from scratch)",
+                    stacklevel=3,
                 )
+
         iv = self._indexed_version()
         if iv is None:
+            _warn_partial()
             self.build_index(**params)
             return "rebuilt"
         # re-read catalog state: another handle may have mutated
@@ -952,6 +970,7 @@ class Collection(_BucketedStore):
         try:
             n_changed = changes.filter(F.col("change") == "changed").count()
             if n_changed > 0:
+                _warn_partial()
                 self.build_index(**params)
                 return "rebuilt"
             added_ids = changes.filter(F.col("change") == "added").select(
@@ -979,6 +998,7 @@ class Collection(_BucketedStore):
                     "left_semi",
                 )
                 if resurrected.head(1):
+                    _warn_partial()
                     self.build_index(**params)
                     return "rebuilt"
             if removed_ids.head(1):

@@ -269,17 +269,24 @@ def lsh_star_edges(
     lsh_candidate_pairs: star edges are bucket artifacts, not claimed
     similar pairs."""
     buckets = _lsh_buckets(signatures, num_hashes, bands)
-    star = F.transform(
+    return (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(_star_expr()).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+
+
+def _star_expr() -> "F.Column":
+    """(bucket-min, member) struct array over a sorted ``ids`` bucket
+    column — the spanning-star shape shared by lsh_star_edges and
+    lsh_candidate_pairs' max_bucket arm (one definition, one tie-break:
+    the root is always ids[0], the sorted minimum)."""
+    return F.transform(
         F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
         lambda y: F.struct(
             F.element_at(F.col("ids"), 1).alias("a_id"), y.alias("b_id")
         ),
-    )
-    return (
-        buckets.filter(F.size("ids") > 1)
-        .select(F.explode(star).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
     )
 
 
@@ -325,13 +332,7 @@ def lsh_candidate_pairs(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError("max_bucket must be >= 2")
-        star = F.transform(
-            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
-            lambda y: F.struct(
-                F.element_at(F.col("ids"), 1).alias("a_id"), y.alias("b_id")
-            ),
-        )
-        pairs = F.when(F.size("ids") <= max_bucket, pairs).otherwise(star)
+        pairs = F.when(F.size("ids") <= max_bucket, pairs).otherwise(_star_expr())
     return (
         buckets.filter(F.size("ids") > 1)
         .select(F.explode(pairs).alias("p"))
@@ -501,12 +502,12 @@ def simhash_candidates(
 def _star_contract_rounds(
     edges: DataFrame,
     max_iter: int = 25,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) over a
-    deduped, (big, small)-oriented edge list. Returns the fixpoint star
-    forest — one (child, component_min) edge per non-root vertex — and
-    the number of rounds taken.
+    deduped, (big, small)-oriented edge list. Returns (edge set, rounds
+    taken, converged): at convergence the edges are the fixpoint star
+    forest — one (child, component_min) edge per non-root vertex.
 
     Each round halves long paths (vs ONE hop for min-label propagation),
     so convergence is O(log n) rounds instead of O(component diameter) —
@@ -576,9 +577,9 @@ def _star_contract_rounds(
         )
         fp = _fingerprint(edges)
         if fp == prev_fp:
-            break
+            return edges, rounds, True
         prev_fp = fp
-    return edges, rounds
+    return edges, rounds, False
 
 
 def connected_components(
@@ -620,10 +621,28 @@ def connected_components(
         )
         .distinct()
     )
-    stars, _ = _star_contract_rounds(edges, max_iter)
+    stars, _, converged = _star_contract_rounds(edges, max_iter)
     parents = stars.select(
         F.col("src").alias("id"), F.col("dst").alias("cluster_id")
     )
+    if not converged:
+        # Non-fixpoint edges are not a star forest: a vertex can carry
+        # SEVERAL parents, and the left join below would emit one row per
+        # parent — the same doc both kept and dropped by a downstream
+        # keep-one-per-cluster policy. Warn and collapse to the min
+        # parent per vertex (the min-label degraded mode: one consistent,
+        # possibly-non-minimal label per vertex).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; labels are an under-merged upper bound — "
+            "raise max_iter",
+            stacklevel=2,
+        )
+        parents = parents.groupBy("id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
     return verts.join(parents, "id", "left").select(
         "id", F.coalesce("cluster_id", "id").alias("cluster_id")
     )

@@ -185,8 +185,7 @@ def knn(
         qcol = query
         dist = expr_fn(F.col(vec_col), qcol)
     else:
-        if len(query) == 0:
-            raise ValueError("query vector must be non-empty")
+        # (emptiness already rejected by the guard ahead of the dispatch)
         qcol = query_literal(query)
         # Strict dim check (deliberate divergence: the reference silently
         # searches with a mismatched dim, src/router/handle/
@@ -300,11 +299,18 @@ def _batch_score_topk_arrow(
 ) -> DataFrame:
     """(query_id, id, score) candidates: one corpus-batch × query-matrix
     GEMM per Arrow batch, emitting each query's local top-k of the batch.
-    Global ranking stays with the caller's window. Cosine zero-norm rows
-    are masked out of selection (a NaN would win a DESC argpartition) and
-    never emitted — matching the expression path, where NULL scores rank
-    after every real candidate and k real candidates always exist in any
-    batch that has them."""
+    Global ranking stays with the caller's window.
+
+    Local selection is a lexsort on (metric order, id) — NOT a bare
+    argpartition, which picks arbitrarily among rows tied at the k
+    boundary and could exclude the very row the global (score, id ASC)
+    window is contractually bound to keep (k+1 exact-duplicate vectors
+    in one batch made that concrete). Cosine zero-norm rows score NULL
+    and are kept OUT of the real ranking but emitted as id-ordered
+    BACKFILL when a batch has fewer than k real candidates — the same
+    rows-ranked-after-every-real-candidate shape the expression path's
+    nulls-last window produces, so both impls return identical row
+    counts."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -351,18 +357,24 @@ def _batch_score_topk_arrow(
                 s = (v / np.where(dead, 1.0, vn)[:, None]) @ qm.T
             ids = pdf[id_col].to_numpy()
             kk = min(k, s.shape[0])
+            dead_ids = np.sort(ids[dead])[:kk] if dead is not None else None
             sel_qid, sel_id, sel_val = [], [], []
             for j in range(s.shape[1]):
                 col = s[:, j]
                 key = col if metric == "l2" else -col
                 if dead is not None:
                     key = np.where(dead, np.inf, key)
-                idx = np.argpartition(key, kk - 1)[:kk]
+                idx = np.lexsort((ids, key))[:kk]
                 if dead is not None:
                     idx = idx[~dead[idx]]
                 sel_qid.extend([qids[j]] * len(idx))
                 sel_id.extend(ids[idx])
-                sel_val.extend(col[idx])
+                sel_val.extend(col[idx].tolist())
+                if dead_ids is not None and len(idx) < kk:
+                    fill = dead_ids[: kk - len(idx)]
+                    sel_qid.extend([qids[j]] * len(fill))
+                    sel_id.extend(fill)
+                    sel_val.extend([None] * len(fill))
             yield pd.DataFrame(
                 {query_id_col: sel_qid, id_col: sel_id, out: sel_val}
             )
