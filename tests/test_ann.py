@@ -717,3 +717,48 @@ def test_lsh_radius_widens_monotonically_to_exact(emb, qvecs):
         ]
         assert sorted(by_q[qid]) == sorted(want)
     lsh.buckets.unpersist()
+
+
+def test_save_back_to_same_path_survives(emb, tmp_path_factory, spark):
+    """load -> mutate -> save to the SAME path must not clobber the index:
+    the overwrite of a lazily-self-read layout deleted the partition dirs
+    mid-job and then failed the scan (round-10 review, verified live).
+    write_partitioned now materializes self-reading frames first."""
+    p = str(tmp_path_factory.mktemp("selfsave") / "ivf")
+    IvfIndex.build(emb, nlist=4, seed=42, max_iter=3).save(p)
+    idx = IvfIndex.load(spark, p)
+    idx.delete([1])
+    idx.save(p)  # formerly: FAILED_READ_FILE + clobbered directory
+    re = IvfIndex.load(spark, p)
+    got = re.search([0.0] * 64, 5, nprobe=4).collect()
+    assert len(got) == 5 and all(r.vec_id != 1 for r in got)
+
+
+def test_kmeans_empty_cell_reseeds_are_distinct(spark):
+    """Empty cells must re-seed on DISTINCT farthest points: the old
+    single-argmax reseed gave every empty cell the same point, shipping
+    duplicate centroids and never converging early."""
+    from vector_db_spark.operators.ann import _kmeans_centroids
+
+    rows = [(i, [0.0, 0.0]) for i in range(100)] + [
+        (100 + i, [float(i), float(2 * i)]) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _kmeans_centroids(df, F.col("embedding"), nlist=8, seed=42, max_iter=25)
+    assert len({tuple(c) for c in cents}) == 8  # no duplicate centroids
+
+
+def test_ip_append_empty_batch_is_noop(emb, tmp_path_factory, spark):
+    """An empty ip append must be the same no-op an l2 append is — not a
+    float(None) TypeError from the max-norm aggregate."""
+    idx = IvfIndex.build(emb.limit(200), nlist=2, seed=42, max_iter=3, metric="ip")
+    before = idx.max_appended_sq_norm
+    empty = emb.filter(F.col("vec_id") < 0)
+    idx.append(empty)
+    assert idx.max_appended_sq_norm == before
+    assert idx.search([0.1] * 64, 3, nprobe=2).count() == 3
+
+
+def test_ip_build_empty_corpus_clear_error(emb, spark):
+    with pytest.raises(ValueError, match="empty corpus"):
+        IvfIndex.build(emb.filter(F.col("vec_id") < 0), nlist=2, metric="ip")

@@ -272,3 +272,37 @@ def test_ip_batch_matches_exact(emb, qvecs):
         for r in batch_knn(emb, queries, 5, metric="ip").collect()
     )
     assert got == exact
+
+
+def test_cosine_zero_norm_rows_score_null_like_exact(spark):
+    """A zero-norm corpus vector has no direction: the search kernels
+    used to fabricate cos 0.5 for it (unit-sphere distance 1.0 from the
+    unnormalized origin); exact kNN scores it NULL and ranks it last.
+    Graph search now excludes it from beam admission and backfills it
+    with a NULL score only when real candidates run out."""
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0] * 4), (3, [0.8, 0.6, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]), (5, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = GraphAnnIndex.build(df, nlist=1, m=4, ef_construction=50, metric="cosine")
+    q = [1.0, 0.0, 0.0, 0.0]
+    # k < #real rows: the zero row must NOT appear, let alone outrank
+    top = idx.search(q, 3, nprobe=1, ef_search=50).collect()
+    assert [r.vec_id for r in top] == [1, 3, 5]
+    assert all(r.score is not None for r in top)
+    # exhaustive k = n: zero row present, LAST, NULL score — exact shape
+    full = idx.search(q, 5, nprobe=1, ef_search=50).collect()
+    assert [r.vec_id for r in full] == [1, 3, 5, 4, 2]
+    assert full[-1].score is None and full[-2].score is not None
+    want = knn(df, q, 5, metric="cosine").collect()
+    assert [r.vec_id for r in want] == [r.vec_id for r in full]
+    # batch twin: same shape
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query_vec array<double>")
+    got = idx.search_batch(qdf, 5, nprobe=1, ef_search=50).collect()
+    assert [r.vec_id for r in got] == [1, 3, 5, 4, 2]
+    assert got[-1].score is None
+
+
+def test_graph_build_validates_nlist(spark):
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="nlist"):
+        GraphAnnIndex.build(df, nlist=0)

@@ -45,6 +45,7 @@ from vector_db_spark.operators.tombstones import (
     clear_tombstones,
     load_tombstones,
     merge_tombstones,
+    snapshot_tombstones,
     tombstone_df,
     write_tombstones,
 )
@@ -60,7 +61,23 @@ def write_partitioned(df: DataFrame, cols: list[str], path: str, n_dirs: int) ->
     took 5.5 s; the repartitioned write is sub-second and yields exactly
     one file per dir). When the cardinality is small (an 8-cell IVF), the
     commit cost is trivial and the extra shuffle is pure overhead — so
-    only shuffle past a dir-count threshold."""
+    only shuffle past a dir-count threshold.
+
+    SELF-READ GUARD: every index family's save() funnels here, and a
+    load-then-mutate-then-save-to-the-same-path cycle hands this function
+    a frame that lazily READS the destination — the overwrite deletes the
+    files mid-job, the scan then fails, and the index directory is left
+    clobbered (verified live: FAILED_READ_FILE after the partition dirs
+    were already gone). When any input file lives under the destination,
+    materialize the frame first (localCheckpoint spills MEMORY_AND_DISK);
+    saving to a fresh path skips the cost entirely."""
+
+    def _local(f: str) -> str:
+        return "/" + f.removeprefix("file:").lstrip("/")
+
+    dest = os.path.abspath(path)
+    if any(_local(f).startswith(dest + os.sep) for f in df.inputFiles()):
+        df = df.localCheckpoint()
     if n_dirs > 32:
         df = df.repartition(*cols)
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
@@ -108,6 +125,15 @@ def _kmeans_centroids(
         )
         assign = d.argmin(axis=1)
         moved = False
+        # Empty cells re-seed on the farthest points — DISTINCT ones: the
+        # first build gave every empty cell the SAME argmax point, which
+        # made the reseeded centroids identical, routed all rows to the
+        # lower duplicate (argmin first-minimum), left the higher cells
+        # empty forever, and burned max_iter without converging (verified
+        # with nlist=4 over 2 distinct points: 3 identical centroids).
+        # Walking the min-distance ranking from the farthest down hands
+        # each empty cell its own seed.
+        far_order = iter(np.argsort(-d.min(axis=1)))
         for j in range(nlist):
             members = pts[assign == j]
             if len(members):
@@ -116,8 +142,7 @@ def _kmeans_centroids(
                     centroids[j] = new
                     moved = True
             else:
-                # re-seed an empty cell on the farthest point (k-means++)
-                centroids[j] = pts[d.min(axis=1).argmax()]
+                centroids[j] = pts[next(far_order)]
                 moved = True
         if not moved:
             break
@@ -367,7 +392,10 @@ class IvfIndex:
             aug = None
         else:  # ip → MIPS augmentation
             sq_norm = dot(F.col(vec_col), F.col(vec_col))
-            max_sq = float(corpus.agg(F.max(sq_norm)).head()[0])
+            _max = corpus.agg(F.max(sq_norm)).head()[0]
+            if _max is None:  # clear error, not float(None) at MIPS setup
+                raise ValueError("cannot build an index over an empty corpus")
+            max_sq = float(_max)
             aug = max_sq
             vec = F.concat(
                 F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -393,19 +421,9 @@ class IvfIndex:
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         self._write_meta(path)
         # save() snapshots the whole index state incl. the delete
-        # manifest. Materialize the id set BEFORE clearing the directory —
-        # self.tombstones may itself be lazily reading path/tombstones
-        # (load-then-save cycle), and the set is bounded by the compaction
-        # cadence so a driver round-trip is a few KB.
-        tomb_ids = (
-            [r[0] for r in self.tombstones.collect()]
-            if self.tombstones is not None
-            else []
-        )
-        clear_tombstones(path)
-        if tomb_ids:
-            spark = self.assignments.sparkSession
-            write_tombstones(tombstone_df(spark, tomb_ids), path)
+        # manifest (materialize-before-clear invariant lives in the
+        # shared helper).
+        snapshot_tombstones(self.tombstones, self.assignments.sparkSession, path)
 
     def _write_meta(self, path: str) -> None:
         import json
@@ -519,21 +537,30 @@ class IvfIndex:
         """
         if self.metric == "ip":
             v = F.col(self.vec_col)
-            appended_max = float(new_rows.agg(F.max(dot(v, v))).head()[0])
-            self.max_appended_sq_norm = max(
-                self.max_appended_sq_norm or 0.0, appended_max
-            )
+            # None = empty batch: an empty append must be the same no-op
+            # it is for l2/cosine, not a TypeError (daily-ingest contract)
+            appended_max = new_rows.agg(F.max(dot(v, v))).head()[0]
+            if appended_max is not None:
+                self.max_appended_sq_norm = max(
+                    self.max_appended_sq_norm or 0.0, float(appended_max)
+                )
         assigned = _nearest_centroid_arrow(
             new_rows, self.vec_col, self.centroids, self.metric, self.max_sq_norm
         )
         self.cell_radii = None
         if path is not None:
+            # Meta BEFORE data: a crash between the two writes must leave
+            # a safe pair. Meta-first means radii invalidated + watermark
+            # possibly covering rows that never landed — both conservative
+            # (radii recompute lazily; a too-high watermark only widens
+            # range_search pruning). Data-first left persisted radii that
+            # PREDATE live appended rows: range_search would prune a cell
+            # whose new member lies outside the stale covering radius and
+            # silently miss matches.
+            self._write_meta(path)
             assigned.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
                 os.path.join(path, "assignments")
             )
-            # keep the on-disk metadata honest: radii are stale now, and
-            # the ip norm watermark must survive a save/load cycle
-            self._write_meta(path)
         self.assignments = self.assignments.unionByName(assigned)
         # NOTE: appending an id that sits in the tombstone manifest does
         # NOT resurrect it — the old physical row is still in the layout,
@@ -1002,15 +1029,7 @@ class CosineLshIndex:
 
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
-        tomb_ids = (
-            [r[0] for r in self.tombstones.collect()]
-            if self.tombstones is not None
-            else []
-        )
-        clear_tombstones(path)
-        if tomb_ids:
-            spark = self.buckets.sparkSession
-            write_tombstones(tombstone_df(spark, tomb_ids), path)
+        snapshot_tombstones(self.tombstones, self.buckets.sparkSession, path)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "CosineLshIndex":

@@ -55,6 +55,7 @@ from vector_db_spark.operators.tombstones import (
     load_tombstones,
     mark_tombstones,
     merge_tombstones,
+    snapshot_tombstones,
     tombstone_df,
     write_tombstones,
 )
@@ -128,6 +129,46 @@ def _map_metric(
     return vecs
 
 
+def _cell_builder(id_col, vec_col, metric, max_sq, m, ef_construction):
+    """One NSW cell-build kernel for build() AND append()'s affected-cell
+    rebuild: sort by id, metric-map, construct, remap neighbor positions
+    to ids. A single definition keeps freshly built and rebuilt cells
+    structurally identical (two verbatim copies had to be kept in
+    lockstep by hand)."""
+
+    def _build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        vecs = _map_metric(vecs, metric, max_sq)
+        adj = _nsw_build(vecs, m, ef_construction)
+        ids = pdf[id_col].to_numpy()
+        pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
+        return pdf
+
+    return _build_cell
+
+
+def _mask_cosine_dead(
+    raw: np.ndarray, metric: str, allowed: np.ndarray | None
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Cosine zero-norm corpus rows have no direction: _map_metric leaves
+    them at the origin, whose unit-sphere distance to ANY query is 1.0 —
+    the search kernels were emitting that as a fabricated score 0.5 while
+    the exact path scores the same rows NULL and ranks them last. Keep
+    them out of beam ADMISSION (still traversed, like predicate-filtered
+    nodes) and return the dead mask so callers can backfill them, exact-
+    path style: present only when real candidates run out, +inf distance
+    → NULL score at the metric mapping."""
+    if metric != "cosine":
+        return allowed, None
+    dead = np.linalg.norm(raw, axis=1) == 0.0
+    if not dead.any():
+        return allowed, dead
+    adm = np.ones(raw.shape[0], dtype=bool) if allowed is None else allowed.copy()
+    adm &= ~dead
+    return adm, dead
+
+
 def _nsw_build(vecs: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
     """Incremental NSW construction: each node links to its ``m`` beam-found
     nearest existing nodes (undirected); degree capped at 2m by keeping the
@@ -195,6 +236,10 @@ class GraphAnnIndex:
             )
         if m < 1:
             raise ValueError("m must be >= 1")
+        if nlist < 1:
+            # same eager contract as IvfIndex.build — without this the
+            # failure surfaces as a cryptic per-task numpy argmin error
+            raise ValueError("nlist must be >= 1")
         from vector_db_spark.functions.vector import dot, normalize
 
         # metric='ip' (≅ the reference's IP HNSW, usearch backend,
@@ -211,7 +256,10 @@ class GraphAnnIndex:
             vec = normalize(F.col(vec_col))
         else:  # ip
             sq_norm = dot(F.col(vec_col), F.col(vec_col))
-            max_sq = float(corpus.agg(F.max(sq_norm)).head()[0])
+            _max = corpus.agg(F.max(sq_norm)).head()[0]
+            if _max is None:  # clear error, not float(None) at MIPS setup
+                raise ValueError("cannot build an index over an empty corpus")
+            max_sq = float(_max)
             vec = F.concat(
                 F.transform(F.col(vec_col), lambda x: x.cast("double")),
                 F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
@@ -227,17 +275,9 @@ class GraphAnnIndex:
             + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
         )
 
-        def _build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col, ignore_index=True)
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vecs = _map_metric(vecs, metric, max_sq)
-            adj = _nsw_build(vecs, m, ef_construction)
-            ids = pdf[id_col].to_numpy()
-            pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
-            return pdf
-
         graph = assignments.groupBy(_CLUSTER_COL).applyInPandas(
-            _build_cell, out_schema
+            _cell_builder(id_col, vec_col, metric, max_sq, m, ef_construction),
+            out_schema,
         )
         idx = GraphAnnIndex(centroids, graph, id_col, vec_col, metric)
         idx.max_sq_norm = max_sq
@@ -269,16 +309,7 @@ class GraphAnnIndex:
                 },
                 f,
             )
-        tomb_ids = (
-            [r[0] for r in self.tombstones.collect()]
-            if self.tombstones is not None
-            else []
-        )
-        clear_tombstones(path)
-        if tomb_ids:
-            write_tombstones(
-                tombstone_df(self.graph.sparkSession, tomb_ids), path
-            )
+        snapshot_tombstones(self.tombstones, self.graph.sparkSession, path)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "GraphAnnIndex":
@@ -331,17 +362,8 @@ class GraphAnnIndex:
             + [StructField(NEIGHBOR_COL, ArrayType(LongType()))]
         )
 
-        def _rebuild_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col, ignore_index=True)
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vecs = _map_metric(vecs, metric, max_sq)
-            adj = _nsw_build(vecs, m, efc)
-            ids = pdf[id_col].to_numpy()
-            pdf[NEIGHBOR_COL] = [[int(ids[j]) for j in nbrs] for nbrs in adj]
-            return pdf
-
         rebuilt = union.groupBy(_CLUSTER_COL).applyInPandas(
-            _rebuild_cell, out_schema
+            _cell_builder(id_col, vec_col, metric, max_sq, m, efc), out_schema
         )
         if path is not None:
             # Materialize BEFORE the dynamic-partition overwrite: the
@@ -450,8 +472,8 @@ class GraphAnnIndex:
         def _search_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col, ignore_index=True)
             ids = pdf[id_col].to_numpy()
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vecs = _map_metric(vecs, metric, max_sq)
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vecs = _map_metric(raw, metric, max_sq)
             # neighbor ids -> positions (ids are sorted: vectorized searchsorted)
             adj = [
                 list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
@@ -462,6 +484,7 @@ class GraphAnnIndex:
             allowed = (
                 pdf["__pass"].fillna(False).to_numpy(dtype=bool) if filtered else None
             )
+            allowed, dead = _mask_cosine_dead(raw, metric, allowed)
             pos, dists, _ = _beam(vecs, adj, q, ef, allowed=allowed)
             top = pos[:k]
             if metric == "ip":
@@ -471,7 +494,12 @@ class GraphAnnIndex:
                 d_out = -(vecs[top] @ q)
             else:
                 d_out = dists[: len(top)]
-            return pd.DataFrame({id_col: ids[top], "distance": d_out})
+            out_ids, out_d = ids[top], np.asarray(d_out, dtype=np.float64)
+            if dead is not None and len(top) < k and dead.any():
+                fill = np.sort(ids[dead])[: k - len(top)]
+                out_ids = np.concatenate([out_ids, fill])
+                out_d = np.concatenate([out_d, np.full(len(fill), np.inf)])
+            return pd.DataFrame({id_col: out_ids, "distance": out_d})
 
         per_cell = cells.groupBy(_CLUSTER_COL).applyInPandas(
             _search_cell, out_schema
@@ -480,10 +508,15 @@ class GraphAnnIndex:
             F.col("distance").asc(), F.col(id_col).asc()
         ).limit(k)
         if metric == "cosine":
-            # unit sphere: cos = 1 − ‖a−b‖²/2, exact
+            # unit sphere: cos = 1 − ‖a−b‖²/2, exact; +inf marks a
+            # zero-norm backfill row → NULL score, like the exact path
             return merged.select(
-                id_col, (F.lit(1.0) - F.col("distance") / 2).alias("score")
-            ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+                id_col,
+                F.when(
+                    F.col("distance") != float("inf"),
+                    F.lit(1.0) - F.col("distance") / 2,
+                ).alias("score"),
+            ).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
         if metric == "ip":
             return merged.select(
                 id_col, (-F.col("distance")).alias("score")
@@ -538,13 +571,16 @@ class GraphAnnIndex:
             F.col(query_id_col).alias("__qid"),
             F.col(query_vec_col).alias("__qv"),
             _CLUSTER_COL,
-        )
+        ).localCheckpoint()  # the probe GEMM runs ONCE: both the
+        # distinct-cell collect below and the cogroup read this
+        # materialization — uncached, the cogroup re-evaluated the whole
+        # query-side Arrow probe (a second full pass over the query set)
 
         # Static partition pruning for the big side: the cogroup has no
         # dynamic pruning (unlike a broadcast join), so without this the
         # whole graph shuffles and unprobed cells meet an empty query
         # side. The distinct probed-cell set is <= nlist ints — one tiny
-        # job against the query side only.
+        # job against the (materialized) query side only.
         probe_cells = [
             r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
         ]
@@ -563,10 +599,10 @@ class GraphAnnIndex:
                 ).astype({"query_id": "int64", id_col: "int64", "distance": "float64"})
             cell_pdf = cell_pdf.sort_values(id_col, ignore_index=True)
             ids = cell_pdf[id_col].to_numpy()
-            vecs = np.stack(
+            raw = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in cell_pdf[vec_col]]
             )
-            vecs = _map_metric(vecs, metric, max_sq)
+            vecs = _map_metric(raw, metric, max_sq)
             adj = [
                 list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
                 if len(nbrs)
@@ -577,6 +613,10 @@ class GraphAnnIndex:
                 cell_pdf["__pass"].fillna(False).to_numpy(dtype=bool)
                 if filtered
                 else None
+            )
+            allowed, dead = _mask_cosine_dead(raw, metric, allowed)
+            dead_ids = (
+                np.sort(ids[dead]) if dead is not None and dead.any() else None
             )
             out_q, out_i, out_d = [], [], []
             for qid, qv in zip(q_pdf["__qid"], q_pdf["__qv"]):
@@ -595,6 +635,11 @@ class GraphAnnIndex:
                     out_d.extend(-(vecs[top] @ q))
                 else:
                     out_d.extend(dists[: len(top)])
+                if dead_ids is not None and len(top) < k:
+                    fill = dead_ids[: k - len(top)]
+                    out_q.extend([qid] * len(fill))
+                    out_i.extend(fill)
+                    out_d.extend([np.inf] * len(fill))
             return pd.DataFrame({"query_id": out_q, id_col: out_i, "distance": out_d})
 
         per_cell = (
@@ -612,10 +657,15 @@ class GraphAnnIndex:
             F.col("rank") <= k
         )
         if metric == "cosine":
+            # +inf marks a zero-norm backfill row → NULL score (exact-path
+            # shape; the ranking window already placed inf last)
             return ranked.select(
                 F.col("query_id").alias(query_id_col),
                 id_col,
-                (F.lit(1.0) - F.col("distance") / 2).alias("score"),
+                F.when(
+                    F.col("distance") != float("inf"),
+                    F.lit(1.0) - F.col("distance") / 2,
+                ).alias("score"),
                 "rank",
             )
         if metric == "ip":

@@ -72,6 +72,21 @@ def clear_tombstones(path: str) -> None:
         shutil.rmtree(p)
 
 
+def snapshot_tombstones(
+    tomb: DataFrame | None, spark: SparkSession, path: str
+) -> None:
+    """save()-time manifest snapshot shared by every index family.
+    ORDERING INVARIANT: the id set is materialized to the driver BEFORE
+    the directory is cleared — ``tomb`` may itself be lazily reading
+    ``path``/tombstones (load-then-save cycle), and clearing first would
+    delete the files out from under the collect. The set is bounded by
+    the compaction cadence, so the round-trip is a few KB."""
+    tomb_ids = [r[0] for r in tomb.collect()] if tomb is not None else []
+    clear_tombstones(path)
+    if tomb_ids:
+        write_tombstones(tombstone_df(spark, tomb_ids), path)
+
+
 def merge_tombstones(cur: DataFrame | None, new: DataFrame) -> DataFrame:
     return new if cur is None else cur.unionByName(new).distinct()
 
