@@ -520,3 +520,70 @@ def test_maxsim_pq_validation(mspq, toks):
         mspq.search([], 1)
     with _pt.raises(ValueError, match="dimension mismatch"):
         mspq.search([[1.0, 2.0]], 1)
+
+
+def test_delete_with_string_doc_ids_actually_deletes(spark):
+    """String doc keys are legal everywhere in this module; delete() used
+    to cast them to long -> NULL tombstones -> the anti-join matched
+    nothing and 'deleted' docs kept being served (round-10 review)."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    rows = [
+        (d, [float(d == "a"), float(d == "b"), float(d == "c"), 0.1])
+        for d in ("a", "b", "c")
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    idx = MaxSimIvfIndex.build(df, nlist=1, doc_col="doc", max_iter=3)
+    q = [[1.0, 0.0, 0.0, 0.0]]
+    before = [r.doc for r in idx.search(q, 3, nprobe=1).collect()]
+    assert before[0] == "a"
+    idx.delete(spark.createDataFrame([("a",)], "doc string"))
+    after = [r.doc for r in idx.search(q, 3, nprobe=1).collect()]
+    assert "a" not in after and len(after) == 2
+
+
+def test_maxsim_pq_empty_ip_append_is_noop(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.late_interaction import MaxSimPqIndex
+
+    rows = [(i % 3, [float(i), 1.0, 0.0, 0.5]) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc long, embedding array<double>")
+    idx = MaxSimPqIndex.build(df, nlist=2, m=2, ksub=4, doc_col="doc", pq_iters=2)
+    before = idx.ivf.max_appended_sq_norm
+    idx.append(df.filter(F.col("doc") < 0))  # empty batch: no TypeError
+    assert idx.ivf.max_appended_sq_norm == before
+
+
+def test_with_residuals_arrow_matches_literal(spark):
+    """Past the Catalyst term ceiling the residual comes from the Arrow
+    kernel; both paths must agree to float64 exactness."""
+    import numpy as np
+
+    from vector_db_spark.operators.ann import _EXPR_ASSIGN_MAX
+    from vector_db_spark.operators.ivfpq import with_residuals
+
+    rows = [(i, [float(i), 2.0, -1.0, 0.25], i % 3) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster_id int"
+    )
+    cents = [[0.5, 0.5, 0.5, 0.5], [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 2.0, 3.0]]
+    lit = {r.vec_id: r._resid for r in with_residuals(df, cents, "embedding").collect()}
+    assert len(cents) * 4 <= _EXPR_ASSIGN_MAX  # literal path covered above
+    big = [[float((i + j) % 7) for j in range(520)] for i in range(3)]
+    assert 3 * 520 > _EXPR_ASSIGN_MAX
+    rows2 = [(i, [float((i * 3 + j) % 5) for j in range(520)], i % 3) for i in range(9)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>, cluster_id int"
+    )
+    plan = with_residuals(df2, big, "embedding")
+    assert "MapInPandas" in plan._jdf.queryExecution().executedPlan().toString()
+    got = {r.vec_id: np.asarray(r._resid) for r in plan.collect()}
+    for i, vec, c in rows2:
+        want = np.asarray(vec) - np.asarray(big[c])
+        assert np.array_equal(got[i], want)
+    # and the small-dim literal answer is the plain subtraction too
+    for i, vec, c in rows:
+        want = [v - cc for v, cc in zip(vec, cents[c])]
+        assert list(lit[i]) == want

@@ -44,9 +44,9 @@ from vector_db_spark.operators.ann import _CLUSTER_COL, IvfIndex
 from vector_db_spark.operators.pq import ProductQuantizer
 from vector_db_spark.operators.tombstones import (
     apply_tombstones,
-    clear_tombstones,
     load_tombstones,
     merge_tombstones,
+    snapshot_tombstones,
     tombstone_df,
     write_tombstones,
 )
@@ -66,9 +66,59 @@ def _adc_table(codebooks: np.ndarray, resid: np.ndarray, m: int, ksub: int) -> n
 
 
 def _centroid_lookup(centroids: list[list[float]], cluster: F.Column) -> F.Column:
-    """centroids[cluster] as a literal-array lookup (codegen, no join)."""
+    """centroids[cluster] as a literal-array lookup (codegen, no join).
+    Only safe below the Catalyst literal-term ceiling — residual callers
+    go through :func:`with_residuals`, which dispatches."""
     lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     return F.element_at(lit, cluster + 1)
+
+
+def with_residuals(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str = "_resid",
+    cluster_col: str = _CLUSTER_COL,
+) -> DataFrame:
+    """Append ``out_col`` = vec − centroids[cluster] — the residual every
+    IVF-PQ/OPQ/PLAID-PQ encode step needs. Below the measured ~1024-term
+    Catalyst planning cliff (ann._EXPR_ASSIGN_MAX) it stays the literal
+    zip_with expression (codegen; bit-parity with the existing gates);
+    past it, one NumPy take-and-subtract per Arrow batch — the literal
+    form at production nlist·dim (4096×768 ≈ 3.1M F.lit terms) stalled
+    the driver in analysis for minutes, the same cliff every assignment
+    path already routes around."""
+    from vector_db_spark.operators.ann import _EXPR_ASSIGN_MAX
+
+    if len(centroids) * len(centroids[0]) <= _EXPR_ASSIGN_MAX:
+        resid = F.zip_with(
+            F.col(vec_col),
+            _centroid_lookup(centroids, F.col(cluster_col)),
+            lambda x, c: x.cast("double") - c,
+        )
+        return df.withColumn(out_col, resid)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf):
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                c = cents[pdf[cluster_col].to_numpy()]
+                out[out_col] = list(v - c)
+            else:
+                out[out_col] = pd.Series([], dtype=object)
+            yield out
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return df.mapInPandas(kernel, schema=schema)
 
 
 class IvfPqIndex:
@@ -118,14 +168,10 @@ class IvfPqIndex:
             )
         elif ivf.metric != "l2":
             raise ValueError("IVF-PQ residual encoding requires an L2 IVF")
-        # Residual = x − centroid[cell], computed as a literal-array lookup
-        # inside codegen — assignment and residual never leave the JVM.
-        resid = F.zip_with(
-            F.col(vec_col),
-            _centroid_lookup(ivf.centroids, F.col(_CLUSTER_COL)),
-            lambda x, c: x.cast("double") - c,
-        )
-        with_resid = ivf.assignments.withColumn("_resid", resid)
+        # Residual = x − centroid[cell]; with_residuals keeps it a codegen
+        # literal lookup below the Catalyst term ceiling and an Arrow
+        # take-and-subtract past it.
+        with_resid = with_residuals(ivf.assignments, ivf.centroids, vec_col)
         pq = ProductQuantizer.fit(
             with_resid,
             m=m,
@@ -154,16 +200,7 @@ class IvfPqIndex:
         np.save(os.path.join(path, "codebooks.npy"), self.pq.codebooks)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
-        tomb_ids = (
-            [r[0] for r in self.tombstones.collect()]
-            if self.tombstones is not None
-            else []
-        )
-        clear_tombstones(path)
-        if tomb_ids:
-            write_tombstones(
-                tombstone_df(self.encoded.sparkSession, tomb_ids), path
-            )
+        snapshot_tombstones(self.tombstones, self.encoded.sparkSession, path)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IvfPqIndex":
@@ -192,15 +229,14 @@ class IvfPqIndex:
         assigned = _nearest_centroid_arrow(
             new_rows, self.vec_col, self.ivf.centroids, "l2", None
         )
-        resid = F.zip_with(
-            F.col(self.vec_col),
-            _centroid_lookup(self.ivf.centroids, F.col(_CLUSTER_COL)),
-            lambda x, c: x.cast("double") - c,
-        )
         encoded_new = self.pq.encode(
-            assigned.withColumn("_resid", resid), code_col="pq_codes"
+            with_residuals(assigned, self.ivf.centroids, self.vec_col),
+            code_col="pq_codes",
         ).drop("_resid")
         encoded_new = encoded_new.select(*self.encoded.columns)
+        # stale covering radii must never prune a cell whose NEW member
+        # lies outside them (same invalidation IvfIndex.append does)
+        self.ivf.cell_radii = None
         if path is not None:
             encoded_new.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
                 os.path.join(path, "encoded")
@@ -269,17 +305,22 @@ class IvfPqIndex:
         probes = self.ivf.probe_order(query)[:nprobe]
         cents = np.asarray(self.ivf.centroids, dtype=np.float64)
         m, ksub = self.pq.m, self.pq.ksub
-        # One ADC table per probed cell, from the query's cell residual.
-        tables = np.zeros((max(probes) + 1, m, ksub))
-        for c in probes:
-            tables[c] = self.pq.adc_table(q - cents[c])
+        # One ADC table per PROBED cell (query's cell residual), plus a
+        # tiny cell→slot remap — the closure ships nprobe·m·ksub floats,
+        # not a dense (max_cell+1, m, ksub) tensor whose size scales with
+        # nlist (67 MB at nlist=4096, past task-serialization limits at
+        # 65536, ~99% of it zeros at nprobe=4).
+        tables = np.stack([self.pq.adc_table(q - cents[c]) for c in probes])
+        slot_of = np.zeros(max(probes) + 1, dtype=np.int64)
+        for i, c in enumerate(probes):
+            slot_of[c] = i
 
         @F.pandas_udf("double")
         def _adc(codes: pd.Series, cells: pd.Series) -> pd.Series:
             cmat = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(-1, m)
-            cell = cells.to_numpy()
+            slot = slot_of[cells.to_numpy()]
             return pd.Series(
-                tables[cell[:, None], np.arange(m)[None, :], cmat].sum(axis=1)
+                tables[slot[:, None], np.arange(m)[None, :], cmat].sum(axis=1)
             )
 
         cands = self._live().filter(F.col(_CLUSTER_COL).isin(probes))
@@ -293,17 +334,12 @@ class IvfPqIndex:
             return scored.orderBy(
                 F.col("distance").asc(), F.col(self.id_col).asc()
             ).limit(k)
-        from vector_db_spark.operators.knn import knn
+        from vector_db_spark.operators.pq import shortlist_rerank
 
-        ell = shortlist or 4 * k
-        if ell < k:
-            raise ValueError("shortlist must be >= k")
         raw = rerank if rerank is not None else self.encoded
-        cand_ids = scored.orderBy(
-            F.col("distance").asc(), F.col(self.id_col).asc()
-        ).limit(ell).select(self.id_col)
-        short = raw.join(F.broadcast(cand_ids), on=self.id_col, how="inner")
-        return knn(short, query, k, id_col=self.id_col, vec_col=self.vec_col)
+        return shortlist_rerank(
+            scored, raw, query, k, shortlist or 4 * k, self.id_col, self.vec_col
+        )
 
     def search_batch(
         self,

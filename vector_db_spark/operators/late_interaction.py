@@ -78,6 +78,35 @@ def _token_dots_arrow(
     return df.mapInPandas(gemm, schema=schema)
 
 
+def _per_token_maxes(
+    corpus: DataFrame, doc_col: str, vec_col: str, toks: list[list[float]]
+) -> DataFrame:
+    """(doc, _m0.._mT-1): each document's per-query-token MAX dot — the
+    shared scoring core of maxsim_search and maxsim_search_batch (one
+    definition so the literal/Arrow dispatch threshold and the fold
+    shape cannot drift between the single and batch paths). Dispatch:
+    native codegen folds below the Catalyst literal-term ceiling, one
+    Arrow GEMM kernel past it."""
+    dim = len(toks[0])
+    if len(toks) * dim <= _LITERAL_TERM_CEILING:
+        scored = corpus.select(
+            F.col(doc_col).alias("doc"),
+            *[
+                dot(F.col(vec_col), query_literal(t)).alias(f"_d{i}")
+                for i, t in enumerate(toks)
+            ],
+        )
+        return scored.groupBy("doc").agg(
+            *[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(toks))]
+        )
+    scored = _token_dots_arrow(
+        corpus.select(F.col(doc_col).alias("doc"), vec_col), vec_col, toks
+    )
+    return scored.groupBy("doc").agg(
+        *[F.max(F.col("dots")[i]).alias(f"_m{i}") for i in range(len(toks))]
+    )
+
+
 def maxsim_search(
     corpus: DataFrame,
     query_tokens: Sequence[Sequence[float]],
@@ -111,28 +140,7 @@ def maxsim_search(
     if predicate is not None:
         corpus = corpus.filter(predicate)
 
-    n_terms = len(toks) * dim
-    if n_terms <= _LITERAL_TERM_CEILING:
-        scored = corpus.select(
-            F.col(doc_col).alias("doc"),
-            *[
-                dot(F.col(vec_col), query_literal(t)).alias(f"_d{i}")
-                for i, t in enumerate(toks)
-            ],
-        )
-        maxes = scored.groupBy("doc").agg(
-            *[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(toks))]
-        )
-    else:
-        scored = _token_dots_arrow(
-            corpus.select(F.col(doc_col).alias("doc"), vec_col), vec_col, toks
-        )
-        maxes = scored.groupBy("doc").agg(
-            *[
-                F.max(F.col("dots")[i]).alias(f"_m{i}")
-                for i in range(len(toks))
-            ]
-        )
+    maxes = _per_token_maxes(corpus, doc_col, vec_col, toks)
 
     # left-associated sum, same fold order as the oracle SQL emits
     total = F.col("_m0")
@@ -199,27 +207,7 @@ def maxsim_search_batch(
     if predicate is not None:
         corpus = corpus.filter(predicate)
 
-    if len(toks) * dim <= _LITERAL_TERM_CEILING:
-        scored = corpus.select(
-            F.col(doc_col).alias("doc"),
-            *[
-                dot(F.col(vec_col), query_literal(t)).alias(f"_d{i}")
-                for i, t in enumerate(toks)
-            ],
-        )
-        maxes = scored.groupBy("doc").agg(
-            *[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(toks))]
-        )
-    else:
-        scored = _token_dots_arrow(
-            corpus.select(F.col(doc_col).alias("doc"), vec_col), vec_col, toks
-        )
-        maxes = scored.groupBy("doc").agg(
-            *[
-                F.max(F.col("dots")[i]).alias(f"_m{i}")
-                for i in range(len(toks))
-            ]
-        )
+    maxes = _per_token_maxes(corpus, doc_col, vec_col, toks)
 
     # per-query left-associated sums over that query's tokens (token-id
     # order), stacked into (query_id, doc, score) rows
@@ -765,18 +753,15 @@ class MaxSimPqIndex:
     def _encode(self, assigned: DataFrame) -> DataFrame:
         """(…, cluster_id) → (…, pq_codes): residual vs the RAW slice of
         the cell centroid, encoded through the frozen codebooks."""
-        from vector_db_spark.operators.ann import _CLUSTER_COL
-        from vector_db_spark.operators.ivfpq import _centroid_lookup
+        from vector_db_spark.operators.ivfpq import with_residuals
 
         raw_cents = [list(map(float, c)) for c in self._raw_centroids()]
-        resid = F.zip_with(
-            F.col(self.vec_col),
-            _centroid_lookup(raw_cents, F.col(_CLUSTER_COL)),
-            lambda x, c: x.cast("double") - c,
-        )
         return (
             self._quantizer()
-            .encode(assigned.withColumn("_resid", resid), code_col=self._CODE_COL)
+            .encode(
+                with_residuals(assigned, raw_cents, self.vec_col),
+                code_col=self._CODE_COL,
+            )
             .drop("_resid")
         )
 
@@ -801,10 +786,8 @@ class MaxSimPqIndex:
         a pre-built token IVF over the same corpus (the faiss composition
         — a deployment that already serves uncompressed PLAID reuses its
         quantizer fit and cell layout instead of refitting)."""
+        from vector_db_spark.operators.ivfpq import with_residuals
         from vector_db_spark.operators.pq import ProductQuantizer
-
-        from vector_db_spark.operators.ann import _CLUSTER_COL
-        from vector_db_spark.operators.ivfpq import _centroid_lookup
 
         if msivf is None:
             msivf = MaxSimIvfIndex.build(
@@ -818,12 +801,7 @@ class MaxSimPqIndex:
         ivf = msivf.ivf
         dim = len(ivf.centroids[0]) - (1 if ivf.metric == "ip" else 0)
         raw_cents = [list(map(float, c[:dim])) for c in ivf.centroids]
-        resid = F.zip_with(
-            F.col(msivf.vec_col),
-            _centroid_lookup(raw_cents, F.col(_CLUSTER_COL)),
-            lambda x, c: x.cast("double") - c,
-        )
-        with_resid = ivf.assignments.withColumn("_resid", resid)
+        with_resid = with_residuals(ivf.assignments, raw_cents, msivf.vec_col)
         pq = ProductQuantizer.fit(
             with_resid,
             m=m,
@@ -878,20 +856,26 @@ class MaxSimPqIndex:
         ivf = self._ivf
         if ivf.metric == "ip":
             v = F.col(self.vec_col)
-            appended_max = float(new_rows.agg(F.max(_dot(v, v))).head()[0])
-            ivf.max_appended_sq_norm = max(
-                ivf.max_appended_sq_norm or 0.0, appended_max
-            )
+            # None = empty batch: same no-op contract as IvfIndex.append
+            appended_max = new_rows.agg(F.max(_dot(v, v))).head()[0]
+            if appended_max is not None:
+                ivf.max_appended_sq_norm = max(
+                    ivf.max_appended_sq_norm or 0.0, float(appended_max)
+                )
         assigned = _nearest_centroid_arrow(
             new_rows, self.vec_col, ivf.centroids, ivf.metric, ivf.max_sq_norm
         )
         encoded_new = self._encode(assigned).select(*ivf.assignments.columns)
         ivf.cell_radii = None
         if path is not None:
+            # meta BEFORE data — same crash-ordering invariant as
+            # IvfIndex.append: a crash between the writes must leave
+            # conservative meta (radii invalidated, watermark at worst
+            # too wide), never live rows under stale covering radii
+            ivf._write_meta(path)
             encoded_new.write.mode("append").partitionBy(_CLUSTER_COL).parquet(
                 os.path.join(path, "assignments")
             )
-            ivf._write_meta(path)
         ivf.assignments = ivf.assignments.unionByName(encoded_new)
         return self
 

@@ -101,12 +101,17 @@ def _lloyd(pts: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
             + (centroids * centroids).sum(axis=1)[None, :]
         )
         assign = d.argmin(axis=1)
+        # empty clusters re-seed on DISTINCT farthest points (walk the
+        # min-distance ranking) — one shared argmax point made every
+        # reseeded centroid identical, silently shrinking the effective
+        # codebook (same defect, same fix as ann._kmeans_centroids)
+        far_order = iter(np.argsort(-d.min(axis=1)))
         for j in range(k):
             members = pts[assign == j]
             if len(members):
                 centroids[j] = members.mean(axis=0)
             else:
-                centroids[j] = pts[d.min(axis=1).argmax()]
+                centroids[j] = pts[next(far_order)]
     return centroids
 
 

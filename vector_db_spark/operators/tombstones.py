@@ -44,12 +44,26 @@ def tombstone_df(
 ) -> DataFrame:
     """Normalize a delete request (driver-side id list or a distributed
     frame of ids) into a one-column ``__del_id`` frame.  Distinct so the
-    manifest never accumulates duplicate rows for re-deleted ids."""
+    manifest never accumulates duplicate rows for re-deleted ids.
+
+    The id TYPE is preserved for non-numeric keys: the old unconditional
+    cast-to-long turned string doc ids (which the MaxSim operators accept
+    everywhere else) into NULL tombstones the anti-join never matched —
+    delete() silently no-opped and 'deleted' docs kept being served."""
     if isinstance(ids, DataFrame):
         col = id_col or ids.columns[0]
-        return ids.select(F.col(col).cast("long").alias(DEL_COL)).distinct()
+        dt = ids.schema[col].dataType.typeName()
+        c = F.col(col)
+        if dt in ("byte", "short", "integer", "long"):
+            c = c.cast("long")  # one integral manifest type, as before
+        return ids.select(c.alias(DEL_COL)).distinct()
+    vals = list(ids)
+    if vals and all(isinstance(i, str) for i in vals):
+        return spark.createDataFrame(
+            [(i,) for i in vals], f"{DEL_COL} string"
+        ).distinct()
     return spark.createDataFrame(
-        [(int(i),) for i in ids], f"{DEL_COL} long"
+        [(int(i),) for i in vals], f"{DEL_COL} long"
     ).distinct()
 
 
