@@ -396,3 +396,62 @@ def test_ensure_index_respects_recorded_build_params(spark, tmp_path):
     assert res["code"] == 0
     idx = IvfIndex.load(spark, api._collection(key)._index_dir())
     assert len(idx.centroids) == 8
+
+
+def test_wire_type_strictness_400_not_500(api):
+    """Malformed wire values must be THIS request's 400, never a naked
+    ValueError/TypeError escaping as a transport 500: string k, boolean
+    enums (True==1 in Python!), fractional dims, list-valued index_type,
+    non-object data (round-10 review)."""
+    key = {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}
+    api.create_index(key)
+    api.insert({"id": 1, "vectors": [1.0, 2.0, 3.0], "index_key": key})
+    # string k
+    assert _status(api.search, {"vectors": [1.0, 2.0, 3.0], "k": "ten",
+                                "index_key": key}) == 400
+    # boolean dim / enum values would hash-match 1 and 0
+    assert _status(api.create_index, {"index_type": True, "dim": 3,
+                                      "metric_type": "L2",
+                                      "max_elements": 10}) == 400
+    assert _status(api.create_index, {"index_type": "FLAT", "dim": True,
+                                      "metric_type": "L2"}) == 400
+    # fractional dim must not silently truncate
+    assert _status(api.create_index, {"index_type": "FLAT", "dim": 3.9,
+                                      "metric_type": "L2"}) == 400
+    # unhashable index_type must not TypeError out of the dict probe
+    assert _status(api.create_index, {"index_type": [1], "dim": 3,
+                                      "metric_type": "L2"}) == 400
+    # list-valued upsert data must not crash dict()
+    assert _status(api.upsert, {"id": 1, "data": [1, 2],
+                                "index_key": key}) == 400
+    # string id
+    assert _status(api.insert, {"id": "one", "vectors": [1.0, 2.0, 3.0],
+                                "index_key": key}) == 400
+    # integral float k is a JSON-codec artifact and stays accepted
+    out = api.search({"vectors": [1.0, 2.0, 3.0], "k": 1.0, "index_key": key})
+    assert out["code"] == 0 and len(out["labels"]) == 1
+
+
+def test_count_cache_survives_drop_recreate(spark, tmp_path):
+    """The lazy-rebuild row-count cache keys on the collection's creation
+    nonce: a drop()+re-create of the same name must not serve the old
+    incarnation's count (which mis-clamped nlist)."""
+    from vector_db_spark.api import VectorDatabaseApi
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    api = VectorDatabaseApi(spark, str(tmp_path))
+    key = {"index_type": "USEARCH", "dim": 4, "metric_type": "L2"}
+    api.create_index(key)
+    for i in range(1, 11):
+        api.insert({"vectors": [float(i), 0.0, 1.0, 0.0], "id": i,
+                    "index_key": key})
+    assert api.search({"vectors": [1.0, 0.0, 1.0, 0.0], "k": 2,
+                       "index_key": key})["code"] == 0
+    name = api._collection(key).info.name
+    cat = CollectionCatalog(spark, str(tmp_path) + "/collections")
+    cat.drop(name)
+    api.create_index(key)
+    api.insert({"vectors": [9.0, 0.0, 1.0, 0.0], "id": 1, "index_key": key})
+    # one row: nlist must clamp to 1 from the NEW incarnation's count
+    out = api.search({"vectors": [9.0, 0.0, 1.0, 0.0], "k": 1, "index_key": key})
+    assert out["code"] == 0 and out["labels"] == [1]

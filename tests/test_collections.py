@@ -951,3 +951,85 @@ def test_build_params_dropped_marker_and_refresh_warning(spark, tmp_path):
     # a fully-serializable rebuild clears the marker
     coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
     assert coll.info.build_params_dropped == []
+
+
+def test_predicate_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE WHERE semantics: rows where the predicate is NULL are KEPT
+    (a bare ~p turned NULL into NULL and filter dropped the row)."""
+    from vector_db_spark.operators.collections import delete_rows
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, tag string"
+    )
+    left = delete_rows(df, F.col("tag") == "x")
+    assert sorted(r.id for r in left.collect()) == [2, 3]
+
+
+def test_concurrent_upserts_lose_nothing(spark, tmp_path):
+    """Two writers over the same collection must serialize on the
+    mutation lock: both versions commit, no bucket files are clobbered
+    (previously both allocated v(N+1) and the second overwrite silently
+    destroyed the first's rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    cat.create("race", dim=4, metric="l2", index_type="exact")
+
+    def write(i):
+        # a FRESH handle per writer: each starts from its own (stale)
+        # in-memory version, exactly the N-replica shape
+        c = CollectionCatalog(spark, str(tmp_path)).get("race")
+        c.upsert(
+            spark.createDataFrame(
+                [(i, [float(i)] * 4)], "id long, embedding array<float>"
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(write, range(1, 9)))
+    final = CollectionCatalog(spark, str(tmp_path)).get("race")
+    got = sorted(r.id for r in final.scan().collect())
+    assert got == list(range(1, 9))
+    assert final.info.version == 8  # every mutation committed its own version
+
+
+def test_versions_sort_numerically_past_padding(spark, tmp_path):
+    """v1000000 sorts after v999999 numerically; lexicographic ordering
+    would make vacuum retain the wrong snapshots and delete live data."""
+    import json as _json
+    import os as _os
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("vsort", dim=4, metric="l2", index_type="exact")
+    coll.insert(
+        spark.createDataFrame([(1, [0.0] * 4)], "id long, embedding array<float>")
+    )
+    for v in (999999, 1000000):
+        d = _os.path.join(coll._store_dir, f"v{v}")
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "_manifest.json"), "w") as f:
+            _json.dump({}, f)
+    assert coll.versions()[-2:] == [999999, 1000000]
+
+
+def test_refresh_index_explicit_kwargs_reconfigure(spark, tmp_path):
+    """Explicit kwargs that differ from the recorded knobs force a full
+    rebuild with them (and record them) even when the snapshot is fresh —
+    the incremental path cannot apply new geometry."""
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("reconf", dim=8, metric="l2", index_type="ivf")
+    coll.insert(_vec_df(spark))
+    coll.build_index(nlist=8, max_iter=5)
+    # fresh snapshot + same knobs -> nothing to do
+    assert coll.refresh_index(nlist=8, max_iter=5) == "fresh"
+    # fresh snapshot + NEW knobs -> reconfiguration rebuild
+    assert coll.refresh_index(nlist=4, max_iter=5) == "rebuilt"
+    assert len(IvfIndex.load(spark, coll._index_dir()).centroids) == 4
+    assert coll.info.build_params == {"nlist": 4, "max_iter": 5}

@@ -12,8 +12,9 @@ Parity contract (each rule cites the reference):
   FLAT=0 / HNSW=1 / USEARCH=3, unknown -> error (:17-22, :157-161);
   InnerProduct=0 / L2=1 (:41-48).
 - create: dim >= 1 (src/models/request/create.rs:12-15); HNSW REQUIRES
-  max_elements, non-HNSW FORBIDS it (:24-47); default max_elements=1000
-  when a route supplies none (src/router/handle/create_index_handle.rs:25).
+  max_elements, non-HNSW FORBIDS it (:24-47). max_elements is a
+  parity-only VALIDATION field here: storage is elastic (SURVEY §2.2),
+  so the value sizes nothing and is not recorded.
 - insert/upsert/query: id >= 1 (src/models/request/insert.rs:12-14);
   insert/search vectors non-empty (insert.rs:10, search.rs:6-11);
   search k >= 1 (search.rs:13-17).
@@ -81,8 +82,6 @@ _TYPE_NAMES = {"exact": "FLAT", "graph": "HNSW", "ivf": "USEARCH",
                "maxsim": "MAXSIM", "maxsim_pq": "MAXSIM_PQ"}
 # _MULTI_TYPES is the collections-module registry (imported above): one
 # authoritative list of multi-vector families for catalog and wire alike.
-
-DEFAULT_MAX_ELEMENTS = 1000  # create_index_handle.rs:25
 
 # build/search defaults per strategy; tuned for correctness-first serving
 # (exhaustive-quality defaults; callers override per request). The maxsim
@@ -163,6 +162,22 @@ def _require(cond: bool, msg: str) -> None:
         raise ApiError(400, msg)
 
 
+def _wire_int(value: Any, name: str) -> int:
+    """Strict wire integer: JSON integers (and integral floats, which a
+    JSON codec may produce) only — bools, fractional floats, and numeric
+    STRINGS are this request's 400, matching the reference's serde typed
+    deserialization. Bare int() coercion let `true` hash as 1, truncated
+    3.9 to 3, and raised naked ValueError/TypeError that escaped the
+    transport as 500s (round-10 review)."""
+    if isinstance(value, bool):
+        raise ApiError(400, f"{name} must be an integer")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    raise ApiError(400, f"{name} must be an integer")
+
+
 def _parse_key(index_key: Any) -> tuple[str, int, str]:
     _require(index_key is not None, "index_key cannot be empty")
     _require(isinstance(index_key, dict), "index_key must be an object")
@@ -172,12 +187,19 @@ def _parse_key(index_key: Any) -> tuple[str, int, str]:
     _require(itype_raw is not None, "index_type cannot be empty")
     _require(dim is not None, "dim cannot be empty")
     _require(metric_raw is not None, "metric_type cannot be empty")
-    _require(int(dim) >= 1, "dim must be at least 1")
+    dim = _wire_int(dim, "dim")
+    _require(dim >= 1, "dim must be at least 1")
+    # bools hash equal to 0/1 and lists are unhashable — both are 400s,
+    # not silent enum matches / TypeErrors
+    if isinstance(itype_raw, bool) or not isinstance(itype_raw, (int, str)):
+        raise ApiError(400, f"unknown index type {itype_raw!r}")
+    if isinstance(metric_raw, bool) or not isinstance(metric_raw, (int, str)):
+        raise ApiError(400, f"unknown metric type {metric_raw!r}")
     if itype_raw not in _INDEX_TYPES:
         # unknown index type -> error (index_factory.rs:157-161)
         raise ApiError(400, f"unknown index type {itype_raw!r}")
     _require(metric_raw in _METRICS, f"unknown metric type {metric_raw!r}")
-    return _INDEX_TYPES[itype_raw], int(dim), _METRICS[metric_raw]
+    return _INDEX_TYPES[itype_raw], dim, _METRICS[metric_raw]
 
 
 class VectorDatabaseApi:
@@ -189,40 +211,44 @@ class VectorDatabaseApi:
         self.spark = spark
         self.catalog = CollectionCatalog(spark, root + "/collections")
         self.docs = DocumentStore(spark, root + "/docs")
-        # (name, version) -> row count; versions are immutable snapshots,
-        # so a cached count can never go stale (lazy-rebuild path)
-        self._count_cache: dict[tuple[str, int], int] = {}
+        # (name, created-nonce, version) -> row count; versions are
+        # immutable snapshots and the nonce separates drop()+re-create
+        # incarnations of one name, so a cached count can never go stale
+        # (lazy-rebuild path)
+        self._count_cache: dict[tuple, int] = {}
 
     def _ensure_index(self, coll) -> None:
         """Lazy (re)build for approximate collections: never serve a
-        stale index (module docstring). The row count that clamps nlist
-        is cached per (collection, version) — repeat rebuild probes after
-        mutations don't re-pay a count job on an unchanged snapshot."""
+        stale index (module docstring). Staleness is exactly
+        ``indexed_version != collection version`` — two local file reads;
+        the first build of this check issued a throwaway probe SEARCH
+        per request (loading the artifact twice and running real Spark
+        jobs just to see whether search raises) and its bare
+        except-ValueError conflated any search-time ValueError with
+        staleness, triggering spurious full rebuilds (round-10 review).
+        The row count that clamps nlist is cached per (collection,
+        version) — repeat rebuild probes after mutations don't re-pay a
+        count job on an unchanged snapshot."""
         itype = coll.info.index_type
         if itype == "exact":
             return
-        probe_q = (
-            [[0.0] * coll.info.dim] if itype in _MULTI_TYPES
-            else [0.0] * coll.info.dim
-        )
-        try:
-            coll.search(probe_q, 1, **_SEARCH_PARAMS[itype])
-        except ValueError:
-            # knobs recorded with the last successful build win over the
-            # wire defaults: a collection configured through the library
-            # keeps its configuration across API-triggered rebuilds
-            params = dict(_BUILD_PARAMS[itype])
-            params.update(coll.info.build_params)
-            # tiny collections: a cell count above the corpus size is
-            # untrainable; clamp (the reference's graphs trivially
-            # hold any n)
-            key = (coll.info.name, coll.info.version)
-            n = self._count_cache.get(key)
-            if n is None:
-                n = coll.scan().count()
-                self._count_cache[key] = n
-            params["nlist"] = max(1, min(params["nlist"], n))
-            coll.build_index(**params)
+        if coll._indexed_version() == coll.info.version:
+            return
+        # knobs recorded with the last successful build win over the
+        # wire defaults: a collection configured through the library
+        # keeps its configuration across API-triggered rebuilds
+        params = dict(_BUILD_PARAMS[itype])
+        params.update(coll.info.build_params)
+        # tiny collections: a cell count above the corpus size is
+        # untrainable; clamp (the reference's graphs trivially
+        # hold any n)
+        key = (coll.info.name, coll.info.created, coll.info.version)
+        n = self._count_cache.get(key)
+        if n is None:
+            n = coll.scan().count()
+            self._count_cache[key] = n
+        params["nlist"] = max(1, min(params["nlist"], n))
+        coll.build_index(**params)
 
     # -- POST /create (create_index_handle.rs:12-54) ----------------------
     def create_index(self, req: dict) -> dict:
@@ -247,7 +273,10 @@ class VectorDatabaseApi:
                 max_elements is not None,
                 "max_elements is required for HNSW index type",
             )
-            _require(int(max_elements) >= 1, "max_elements must be at least 1")
+            _require(
+                _wire_int(max_elements, "max_elements") >= 1,
+                "max_elements must be at least 1",
+            )
         else:
             # non-HNSW forbids it (create.rs:36-43)
             _require(
@@ -338,7 +367,8 @@ class VectorDatabaseApi:
                  "vectors must contain at least one element")
         rid = req.get("id")
         _require(rid is not None, "id cannot be empty")
-        _require(int(rid) >= 1, "id must be at least 1")
+        rid = _wire_int(rid, "id")
+        _require(rid >= 1, "id must be at least 1")
         coll = self._collection(req.get("index_key"))
         vec, vtype = self._parse_vectors(vectors, coll)
         df = self.spark.createDataFrame(
@@ -352,12 +382,18 @@ class VectorDatabaseApi:
     def upsert(self, req: dict) -> dict:
         rid = req.get("id")
         _require(rid is not None, "id cannot be empty")
-        _require(int(rid) >= 1, "id must be at least 1")
+        rid = _wire_int(rid, "id")
+        _require(rid >= 1, "id must be at least 1")
         vectors = req.get("vectors")
         if vectors is not None:
             _require(len(vectors) > 0, "vectors must contain at least one element")
         coll = self._collection(req.get("index_key"))
-        data = dict(req.get("data") or {})
+        raw_data = req.get("data")
+        _require(
+            raw_data is None or isinstance(raw_data, dict),
+            "data must be an object",
+        )
+        data = dict(raw_data or {})
         if vectors is not None:
             vec, vtype = self._parse_vectors(vectors, coll)
             # fold vectors into the stored document (upsert_handle.rs:23-32)
@@ -380,7 +416,8 @@ class VectorDatabaseApi:
                  "vectors must contain at least one element")
         k = req.get("k")
         _require(k is not None, "k cannot be empty")
-        _require(int(k) >= 1, "k must be at least 1")
+        k = _wire_int(k, "k")
+        _require(k >= 1, "k must be at least 1")
         coll = self._collection(req.get("index_key"))
         vec, _ = self._parse_vectors(vectors, coll)
         itype = coll.info.index_type
@@ -420,8 +457,10 @@ class VectorDatabaseApi:
         rank-ordered rows to its own k. Requests that override knobs via
         "params" simply land in their own group — same-knob requests
         still share one job. Invalid requests get their error response in
-        place ({"code": status, "error": msg}) without failing the
-        batch."""
+        place without failing the batch. Error bodies carry BOTH the
+        reference error-shape key (error_msg, app_error.rs:47-52 — what
+        a reference client parses) and the HTTP-status-valued code +
+        error pair earlier rounds pinned; keeping both is additive."""
         _require(isinstance(reqs, list), "requests must be a list")
         results: list = [None] * len(reqs)
         # (collection name, knob signature) -> (coll, params, [(idx, vec, k)])
@@ -436,18 +475,23 @@ class VectorDatabaseApi:
                          "vectors must contain at least one element")
                 k = req.get("k")
                 _require(k is not None, "k cannot be empty")
-                _require(int(k) >= 1, "k must be at least 1")
+                k = _wire_int(k, "k")
+                _require(k >= 1, "k must be at least 1")
                 coll = self._collection(req.get("index_key"))
                 # conversions inside the try: a non-numeric component or
                 # k must error THIS request, never crash the batch
                 vec, _ = self._parse_vectors(vectors, coll)
                 sp = _serving_params(req, coll)
-                parsed = (i, vec, int(k))
+                parsed = (i, vec, k)
             except ApiError as exc:
-                results[i] = {"code": exc.status, "error": str(exc)}
+                results[i] = {
+                    "code": exc.status, "error": str(exc), "error_msg": str(exc)
+                }
                 continue
             except (ValueError, TypeError) as exc:
-                results[i] = {"code": 400, "error": str(exc)}
+                results[i] = {
+                    "code": 400, "error": str(exc), "error_msg": str(exc)
+                }
                 continue
             gkey = (coll.info.name, tuple(sorted(sp.items())))
             ent = groups.setdefault(gkey, (coll, sp, []))
@@ -481,7 +525,9 @@ class VectorDatabaseApi:
                 rows = coll.search_batch(qdf, kmax, **sp).collect()
             except ValueError as exc:
                 for i, _, _ in items:
-                    results[i] = {"code": 500, "error": str(exc)}
+                    results[i] = {
+                        "code": 500, "error": str(exc), "error_msg": str(exc)
+                    }
                 continue
             by_q: dict = {}
             for r in rows:
@@ -499,8 +545,9 @@ class VectorDatabaseApi:
     def query(self, req: dict) -> dict:
         rid = req.get("id")
         _require(rid is not None, "id cannot be empty")
-        _require(int(rid) >= 1, "id must be at least 1")
-        row = self.docs.get(int(rid))
+        rid = _wire_int(rid, "id")
+        _require(rid >= 1, "id must be at least 1")
+        row = self.docs.get(rid)
         if row is None:
             # scalar miss -> 500 (query_handle.rs:26, scalar_storage get err)
             raise ApiError(500, f"no document for id {rid}")

@@ -129,7 +129,10 @@ def delete_rows(
     broadcast left-anti join — the corpus never shuffles.
     """
     if isinstance(target, Column):
-        return base.filter(~target)
+        # NULL-predicate rows are KEPT (SQL/Delta DELETE WHERE semantics):
+        # a bare ~target turns NULL into NULL and filter() drops the row —
+        # deleting rows the predicate never matched
+        return base.filter(~F.coalesce(target, F.lit(False)))
     keys = list(key_cols)
     return base.join(F.broadcast(target.select(*keys).distinct()), on=keys, how="left_anti")
 
@@ -159,6 +162,11 @@ class CollectionInfo:
     # e.g. a shared quantizer object): a no-arg refresh_index() on such
     # a collection warns that the replay is partial.
     build_params_dropped: list = field(default_factory=list)
+    # Creation nonce: distinguishes a drop()+re-create of the same name
+    # from the original — (name, version) alone collides across
+    # incarnations and poisoned the API's per-snapshot row-count cache.
+    # "" on catalogs written before the field existed.
+    created: str = ""
 
 
 class CollectionCatalog:
@@ -229,12 +237,15 @@ class CollectionCatalog:
             data = self._load()
             if name in data:
                 raise ValueError(f"collection {name!r} already exists")
+            import uuid
+
             info = CollectionInfo(
                 name=name,
                 dim=dim,
                 metric=metric,
                 index_type=index_type,
                 n_buckets=n_buckets,
+                created=uuid.uuid4().hex,
             )
             data[name] = asdict(info)
             self._save(data)
@@ -303,6 +314,33 @@ class _BucketedStore:
     def _validated(self, df: DataFrame) -> DataFrame:
         return df
 
+    def _store_mutation_lock_path(self) -> str:
+        raise NotImplementedError
+
+    def _refresh_store_state(self) -> None:
+        """Re-read the authoritative version after taking the mutation
+        lock (consumers override)."""
+
+    @contextmanager
+    def _mutating(self):
+        """Serialize a keyed mutation's WHOLE read-modify-write across
+        processes: version allocation, bucket write, and publish happen
+        under one exclusive flock, and the store state refreshes after
+        acquisition so the writer builds on the LATEST committed version.
+        Without this, two writers (N driver replicas over one parquet
+        root — the documented scale-out shape, server.py — or a library
+        job beside the server) both computed v(N+1) from a stale in-
+        memory version; the second overwrite clobbered the first's bucket
+        files and manifest with no error. The catalog flock only guarded
+        the version-number JSON, not the allocation."""
+        with open(self._store_mutation_lock_path(), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                self._refresh_store_state()
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     # engine ---------------------------------------------------------------
     def _vdir(self, version: int) -> str:
         return os.path.join(self._store_dir, f"v{version:06d}")
@@ -364,12 +402,15 @@ class _BucketedStore:
         if not os.path.isdir(self._store_dir):
             return []
         out = []
-        for d in sorted(os.listdir(self._store_dir)):
+        for d in os.listdir(self._store_dir):
             if d.startswith("v") and os.path.exists(
                 os.path.join(self._store_dir, d, "_manifest.json")
             ):
                 out.append(int(d[1:]))
-        return out
+        # numeric, not lexicographic: 'v1000000' sorts before 'v999999'
+        # as a string, and a lexicographic tail would make vacuum()
+        # retain the wrong snapshots and delete the NEWEST data
+        return sorted(out)
 
     def scan_at(self, version: int) -> DataFrame:
         """Snapshot-as-of read (Delta/Iceberg time travel): version dirs
@@ -403,6 +444,10 @@ class _BucketedStore:
         retention trade. Returns the deleted version numbers."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
+        with self._mutating():
+            return self._vacuum_locked(retain_last)
+
+    def _vacuum_locked(self, retain_last: int) -> list[int]:
         versions = self.versions()
         if not versions:
             return []
@@ -494,41 +539,46 @@ class _BucketedStore:
         upsert is the keyed path, exactly like the reference. Rewrites only
         the buckets the new rows hash into."""
         df = self._validated(df)
-        base = self._manifest(self._store_version) or {}
-        changed = self._changed_buckets(df)
-        old = self._read_buckets(base, changed)
-        merged = df if old is None else old.unionByName(df)
-        self._write_buckets(merged, changed, base)
+        with self._mutating():
+            base = self._manifest(self._store_version) or {}
+            changed = self._changed_buckets(df)
+            old = self._read_buckets(base, changed)
+            merged = df if old is None else old.unionByName(df)
+            self._write_buckets(merged, changed, base)
 
     def upsert(self, df: DataFrame) -> None:
         """≅ POST /upsert (src/router/handle/upsert_handle.rs:11-44) with
         MERGE semantics everywhere — one live row per id. Reads and
         rewrites only the buckets containing upserted keys."""
         df = self._validated(df)
-        base = self._manifest(self._store_version) or {}
-        changed = self._changed_buckets(df)
-        old = self._read_buckets(base, changed)
-        merged = (
-            df if old is None else merge_upsert(old, df, (self._store_id_col,))
-        )
-        self._write_buckets(merged, changed, base)
+        with self._mutating():
+            base = self._manifest(self._store_version) or {}
+            changed = self._changed_buckets(df)
+            old = self._read_buckets(base, changed)
+            merged = (
+                df if old is None else merge_upsert(old, df, (self._store_id_col,))
+            )
+            self._write_buckets(merged, changed, base)
 
     def delete(self, target: DataFrame | Column) -> None:
         """Keyed deletes (id-set DataFrame) touch only the keys' buckets;
         predicate deletes can hit any row, so every bucket rewrites."""
-        base = self._manifest(self._store_version)
-        if base is None:
-            return
-        if isinstance(target, Column):
-            changed = [int(b) for b in base]
-        else:
-            keyed = target.select(self._store_id_col)
-            changed = [b for b in self._changed_buckets(keyed) if str(b) in base]
-        if not changed:
-            return
-        old = self._read_buckets(base, changed)
-        remaining = delete_rows(old, target, (self._store_id_col,))
-        self._write_buckets(remaining, changed, base)
+        with self._mutating():
+            base = self._manifest(self._store_version)
+            if base is None:
+                return
+            if isinstance(target, Column):
+                changed = [int(b) for b in base]
+            else:
+                keyed = target.select(self._store_id_col)
+                changed = [
+                    b for b in self._changed_buckets(keyed) if str(b) in base
+                ]
+            if not changed:
+                return
+            old = self._read_buckets(base, changed)
+            remaining = delete_rows(old, target, (self._store_id_col,))
+            self._write_buckets(remaining, changed, base)
 
     def get(self, id_value: int):
         """Point lookup (≅ POST /query, src/router/handle/query_handle.rs:
@@ -589,6 +639,14 @@ class Collection(_BucketedStore):
     def _publish_version(self, version: int) -> None:
         self.catalog._bump(self.info.name, version)
         self.info.version = version
+
+    def _store_mutation_lock_path(self) -> str:
+        return os.path.join(self.catalog.root, f"{self.info.name}.mutlock")
+
+    def _refresh_store_state(self) -> None:
+        # the catalog is the cross-process truth: a concurrent writer may
+        # have advanced the version since this handle last read it
+        self.info = self.catalog.get(self.info.name).info
 
     def set_serving_params(self, **knobs: int) -> None:
         """Persist serving-time defaults for this collection — the
@@ -932,11 +990,17 @@ class Collection(_BucketedStore):
         Called with NO arguments, any rebuild reuses the build knobs
         recorded by the last ``build_index`` (≅ the reference's IndexKey
         carrying its config) — a maintenance cron never needs to know
-        how the index was configured. Explicit kwargs win and become the
-        new recorded knobs."""
+        how the index was configured. Explicit kwargs that DIFFER from
+        the recorded knobs are a reconfiguration request and force a
+        full rebuild with them (which records them) — the incremental
+        path appends into the EXISTING geometry and cannot apply new
+        knobs, so quietly returning 'incremental' would leave the caller
+        believing the index was reconfigured when nothing changed
+        (round-10 review)."""
         if self.info.index_type == "exact":
             return "fresh"
         partial_replay = False
+        reconfigure = bool(params) and params != self.info.build_params
         if not params:
             params = dict(self.info.build_params)
             partial_replay = bool(self.info.build_params_dropped)
@@ -958,7 +1022,7 @@ class Collection(_BucketedStore):
                 )
 
         iv = self._indexed_version()
-        if iv is None:
+        if iv is None or reconfigure:
             _warn_partial()
             self.build_index(**params)
             return "rebuilt"
@@ -1292,6 +1356,12 @@ class DocumentStore(_BucketedStore):
             meta["version"] = version
             self._write_meta(meta)
         self._meta = meta
+
+    def _store_mutation_lock_path(self) -> str:
+        return os.path.join(self.root, "_docstore.mutlock")
+
+    def _refresh_store_state(self) -> None:
+        self._meta = self._read_meta()
 
     def _validated(self, df: DataFrame) -> DataFrame:
         """ids >= 1 (shared with Collection, src/models/request/insert.rs:
