@@ -690,3 +690,39 @@ def test_semantic_contamination(spark):
         semantic_contamination(mixed, bench, threshold=-1.0).collect()
     }
     assert full[14] == 0.0 and full[14] is not None
+
+
+def test_lsh_rejects_mismatched_num_hashes(spark):
+    """A signature shorter than num_hashes must ERROR — the tail bands
+    would slice to [] and hash the whole corpus into one bucket (silent
+    O(n^2) blowup)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, num_hashes=16)
+    with pytest.raises(Exception, match="num_hashes"):
+        lsh_candidate_pairs(sigs, num_hashes=64, bands=16).collect()
+
+
+def test_exact_dedup_null_text_rows_are_not_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    res = {r.doc_id: (r.canonical_id, r.n_copies) for r in exact_dedup(df).collect()}
+    assert res[1] == (1, 2) and res[2] == (1, 2)
+    assert res[3] == (3, 1) and res[4] == (4, 1)  # null-text: own group each
+
+
+def test_minlabel_cc_survives_snowflake_ids(spark):
+    """Label sums over snowflake-scale ids must not overflow int64 under
+    ANSI mode (the convergence probe now sums DECIMAL)."""
+    from vector_db_spark.operators.dedup import connected_components_minlabel
+
+    base = 9_100_000_000_000_000_000 // 10  # ~9.1e17 per id
+    pairs = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(12)], "a_id long, b_id long"
+    )
+    comp = connected_components_minlabel(pairs, max_iter=30).collect()
+    assert {r.cluster_id for r in comp} == {base}
+    assert len(comp) == 13

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.text import char_ngrams, word_shingles
+from vector_db_spark.functions.text import char_ngrams, tokens, word_shingles
 from vector_db_spark.operators.util import fan_out
 
 
@@ -48,10 +48,22 @@ def exact_dedup(
 ) -> DataFrame:
     """Assign every row its content-hash group: adds ``content_hash``,
     ``canonical_id`` (min id in group — the survivor) and ``n_copies``.
-    Filter ``id != canonical_id`` to drop duplicates."""
+    Filter ``id != canonical_id`` to drop duplicates.
+
+    NULL-text rows are NOT duplicates of each other (missing data is not
+    equal content): each gets a per-row sentinel group — md5(NULL) is
+    NULL, and one NULL hash partition would have collapsed every
+    failed-extraction row into a single group whose keep-canonical
+    policy then deleted all but one."""
     w = Window.partitionBy("content_hash")
     return (
-        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        df.withColumn(
+            "content_hash",
+            F.coalesce(
+                F.md5(F.col(text_col)),
+                F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+            ),
+        )
         .withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("n_copies", F.count(F.lit(1)).over(w))
     )
@@ -235,16 +247,35 @@ def _lsh_buckets(
     # handling inside the projection leaves exactly one ArrowEvalPython in
     # the plan (hash(slice(NULL)) would otherwise bucket all null-sig docs
     # together on the seed value).
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                # xxhash64, NOT 32-bit F.hash: at ~10M docs per band a
+                # 32-bit key expects thousands of collisions, and the
+                # UNVERIFIED star-edge consumer (dedup_clusters_lsh)
+                # would merge unrelated clusters on a false collision
+                F.xxhash64(
+                    F.slice(F.col("signature"), i * r + 1, r)
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    # A signature shorter than num_hashes would make the tail bands slice
+    # to [] — ONE constant key putting the whole corpus in a single
+    # bucket (silent O(n²) blowup). Mis-wired num_hashes is an execution
+    # error, not a hung job.
     band_arr = F.when(
+        F.col("signature").isNotNull() & (F.size("signature") == num_hashes),
+        bands_expr,
+    ).when(
         F.col("signature").isNotNull(),
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.hash(F.slice(F.col("signature"), i * r + 1, r)).alias("key"),
-                )
-                for i in range(bands)
-            ]
+        F.raise_error(
+            F.lit(
+                f"signature length must equal num_hashes={num_hashes} "
+                "(pass the num_hashes the signatures were built with)"
+            )
         ),
     )
     banded = signatures.select("id", F.explode(band_arr).alias("bk"))
@@ -412,7 +443,7 @@ def simhash64(
             out[i] = (bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
         return pd.Series(out)
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = tokens(F.col(text_col))
     # Zero-token docs are dropped BEFORE the UDF (the groupBy formulation
     # emitted no row for them; parity preserved). The size filter is a
     # cheap JVM expression, safe to let pushdown duplicate — unlike a
@@ -678,7 +709,10 @@ def connected_components_minlabel(
         .select("id", F.least(F.col("id"), F.col("_min_src")).alias("cluster_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).head()[0]
+    # DECIMAL sum: raw int64 label sums overflow (ANSI raises; non-ANSI
+    # wraps, and a wrap collision falsely signals convergence)
+    _lbl_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).head()[0]
 
     for _ in range(max_iter):
         propagated = (
@@ -691,7 +725,7 @@ def connected_components_minlabel(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("cluster_id")).head()[0]
+        new_sum = labels.agg(_lbl_sum).head()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -739,11 +773,12 @@ def chunk_dedup(
     """
     if chunk_words < 1:
         raise ValueError("chunk_words must be >= 1")
-    # house tokenization (empties dropped — split("") yields [""], not []);
-    # an all-whitespace doc therefore has ZERO chunks and vanishes, and the
-    # chunk-count sequence needs the n>0 guard because sequence(0, -1)
-    # helpfully counts DOWN instead of being empty
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # house tokenization (functions.text.tokens — ONE definition of what
+    # a token is, shared with shingles/substring dedup); an all-whitespace
+    # doc therefore has ZERO chunks and vanishes, and the chunk-count
+    # sequence needs the n>0 guard because sequence(0, -1) helpfully
+    # counts DOWN instead of being empty
+    words = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.when(
         F.size(words) > 0,
@@ -957,11 +992,16 @@ def substring_dedup(
     wins = toks.select(
         "id",
         "toks",
-        F.posexplode_outer(
+        # plain posexplode: a doc shorter than the window emits NO rows
+        # (the final output left-joins the token table, so it survives);
+        # posexplode_OUTER emitted one (null, null) row per short doc and
+        # every one of them landed in the single whash=NULL window
+        # partition — a one-task straggler at corpora full of short docs
+        F.posexplode(
             F.when(
                 F.size("toks") >= window,
                 F.sequence(F.lit(0), F.size("toks") - window),
-            ).otherwise(F.array())
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("pos", "_"),
     ).drop("_")
     hashed = wins.withColumn(
