@@ -154,3 +154,27 @@ def test_batch_hamming_filtered_matches_per_query(spark, corpus, vecs):
         ).collect()
         want = [(i + 1, r.vec_id, r.hamming) for i, r in enumerate(single)]
         assert got == want
+
+
+def test_knn_hamming_dim_mismatch_raises(spark):
+    from vector_db_spark.operators.binary import binary_quantize, knn_hamming
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [-1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    codes = binary_quantize(df, dim=64)
+    with pytest.raises(Exception, match="dimension mismatch"):
+        knn_hamming(codes, [1.0] * 31, 1).collect()  # 1 word vs 3
+
+
+def test_binarize_matches_sign_bits_on_subnormal_and_nan(spark):
+    """The JVM packer and the driver-side query packer must agree bit for
+    bit: doubles quantize through float32 (a 2.2e-311 subnormal packs 0)
+    and NaN packs 0 on both sides (Spark orders NaN > 0.0 as true; numpy
+    says false — the explicit isnan guard aligns them)."""
+    from vector_db_spark.operators.binary import _sign_bits, binarize
+
+    vec = [2.2e-311, float("nan"), 1.0, -1.0, 0.0, 5e-40]
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(binarize(F.col("v"), len(vec)).alias("c")).head()[0]
+    assert list(got) == _sign_bits(vec)

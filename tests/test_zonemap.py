@@ -266,3 +266,18 @@ def test_append_prunes_and_preserves_existing_files(spark, tmp_path):
 
     with _pt.raises(ValueError, match="manifest columns"):
         append_zonemapped(df, p, "id")
+
+
+def test_append_onto_unmanifested_table_refuses(spark, tmp_path):
+    """Appending zone manifests onto a table that has data files but NO
+    manifest would leave the pre-existing files invisible to pruning
+    (silent row loss) — it must refuse and demand a full write."""
+    import pytest as _pt
+
+    from vector_db_spark.sources.zonemap import append_zonemapped
+
+    path = str(tmp_path / "plain")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    batch = spark.range(100, 120).selectExpr("id", "id * 2 AS v")
+    with _pt.raises(ValueError, match="no zone manifest"):
+        append_zonemapped(batch, path, "id")

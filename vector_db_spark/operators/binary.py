@@ -72,13 +72,16 @@ def binarize(vec: Column, dim: int) -> Column:
         raise ValueError("dim must be >= 1")
     words = []
     for w in range(0, dim, BITS_PER_WORD):
-        terms = [
-            F.when(
-                F.element_at(vec, w + j + 1).cast("double") > 0.0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(min(BITS_PER_WORD, dim - w))
-        ]
+        terms = []
+        for j in range(min(BITS_PER_WORD, dim - w)):
+            # quantize through float32 FIRST (same rule as _sign_bits: a
+            # double subnormal underflows to 0.0f and must pack bit 0),
+            # and exclude NaN explicitly — Spark orders NaN > 0.0 as TRUE
+            # where numpy says False, and the two packers must agree
+            c = F.element_at(vec, w + j + 1).cast("float")
+            terms.append(
+                F.when((c > 0.0) & ~F.isnan(c), F.lit(1 << j)).otherwise(F.lit(0))
+            )
         words.append(functools.reduce(operator.add, terms).cast("int"))
     return F.array(*words)
 
@@ -124,7 +127,21 @@ def knn_hamming(
     df = codes
     if predicate is not None:
         df = df.filter(predicate)
-    out = df.select(id_col, hamming(F.col(code_col), qcol).alias("hamming"))
+    # Word-count mismatch must RAISE: zip_with pads with null, the sum
+    # goes NULL, and NULLS FIRST under the ascending order would fill the
+    # top-k with arbitrary ids instead of erroring.
+    dist = F.when(
+        F.size(F.col(code_col)) == len(qwords),
+        hamming(F.col(code_col), qcol),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"dimension mismatch: query packs to {len(qwords)} code "
+                f"words, corpus column {code_col!r} differs"
+            )
+        )
+    )
+    out = df.select(id_col, dist.alias("hamming"))
     return out.orderBy(F.col("hamming").asc(), F.col(id_col).asc()).limit(k)
 
 
@@ -139,25 +156,37 @@ def hamming_shortlist_rerank(
     id_col: str = "vec_id",
     dim: int | None = None,
     predicate: Column | None = None,
+    codes: DataFrame | None = None,
+    code_col: str = "codes",
 ) -> DataFrame:
     """Two-stage search: Hamming shortlist on sign codes, exact re-rank.
 
     Stage 1 ranks by (hamming, id) — deterministic cut; stage 2 joins the
     shortlist ids back to the full-precision vectors (a broadcast of
     `shortlist` rows against the corpus — the big side never shuffles)
-    and re-ranks with the exact metric. At scale stage 1 reads the codes
-    column only (~21× fewer bytes); stage 2 touches `shortlist` rows.
+    and re-ranks with the exact metric.
+
+    ``codes`` takes the PERSISTED sign-code frame (binary_quantize output
+    saved once — the artifact this module's byte story is built on): with
+    it, stage 1 reads ~21× fewer bytes than the raw vector scan. Omitted,
+    codes are computed on the fly from ``corpus`` — correct, but stage 1
+    then scans the full-precision column and the IO cut does not happen
+    (fine for one-off searches; serving should pass the artifact).
     """
     if shortlist < k:
         raise ValueError("shortlist must be >= k")
     if dim is None:
         dim = len(query)
-    coded = binary_quantize(corpus, vec_col=vec_col, dim=dim)
+    coded = (
+        codes
+        if codes is not None
+        else binary_quantize(corpus, vec_col=vec_col, dim=dim)
+    )
     cand = knn_hamming(
         coded,
         query,
         shortlist,
-        code_col="codes",
+        code_col=code_col if codes is not None else "codes",
         id_col=id_col,
         predicate=predicate,
     ).select(id_col)
@@ -210,11 +239,18 @@ def batch_knn_hamming(
         query_id_col, binarize(F.col(query_vec_col), dim_row[0]).alias("__qc")
     )
     joined = codes.crossJoin(F.broadcast(qcodes))
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        hamming(F.col(code_col), F.col("__qc")).alias("hamming"),
+    dist = F.when(
+        F.size(F.col(code_col)) == F.size(F.col("__qc")),
+        hamming(F.col(code_col), F.col("__qc")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dimension mismatch: query code words differ from corpus "
+                f"column {code_col!r}"
+            )
+        )
     )
+    scored = joined.select(query_id_col, id_col, dist.alias("hamming"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("hamming").asc(), F.col(id_col).asc()
     )

@@ -149,6 +149,18 @@ def tune_ivf(
     return {"nprobe": hi, "recall": recalls[hi], "evals": evals}
 
 
+def _probe_ladder(nlist: int) -> list[int]:
+    """Geometric probe rungs 1, 2, 4, ... capped at nlist (shared by
+    tune_graph and the shortlist ladder walk — one definition)."""
+    probes = []
+    n = 1
+    while n < nlist:
+        probes.append(n)
+        n *= 2
+    probes.append(nlist)
+    return probes
+
+
 def tune_graph(
     index,
     sample_queries: DataFrame,
@@ -171,7 +183,10 @@ def tune_graph(
     from vector_db_spark.operators.ann import _CLUSTER_COL
     from vector_db_spark.operators.tombstones import apply_tombstones
 
-    nlist = index.graph.select(_CLUSTER_COL).distinct().count()
+    # O(1) driver state — a distinct().count() here was a full scan +
+    # shuffle of the corpus-sized graph table before tuning even started;
+    # cells absent from the graph hold no rows, so probing them is a no-op
+    nlist = len(index.centroids)
     sample = sample_queries.localCheckpoint()
     live_nodes = apply_tombstones(
         index.graph, index.id_col, index.tombstones
@@ -189,12 +204,7 @@ def tune_graph(
 
     if ef_ladder is None:
         ef_ladder = tuple(max(16, k * m) for m in (1, 2, 4, 8, 16))
-    probes = []
-    n = 1
-    while n < nlist:
-        probes.append(n)
-        n *= 2
-    probes.append(nlist)
+    probes = _probe_ladder(nlist)
     ladder = sorted(
         ((p, ef) for p in probes for ef in ef_ladder),
         key=lambda t: (t[0] * t[1], t[0]),
@@ -306,12 +316,7 @@ def _walk_shortlist_ladder(
     so it terminates. ``measure(nprobe, shortlist) -> recall``."""
     if shortlist_ladder is None:
         shortlist_ladder = tuple(k * m for m in (2, 4, 8, 16))
-    probes = []
-    n = 1
-    while n < nlist:
-        probes.append(n)
-        n *= 2
-    probes.append(nlist)
+    probes = _probe_ladder(nlist)
     ladder = sorted(
         ((p, sl) for p in probes for sl in shortlist_ladder),
         key=lambda t: (t[0] * t[1], t[0]),
@@ -325,7 +330,10 @@ def _walk_shortlist_ladder(
         if r >= recall_target:
             return last
     cap = n_rows()
-    sl = shortlist_ladder[-1]
+    # seed from the LARGEST rung, not the last list element — the ladder
+    # walk re-sorts by cost, so a caller-supplied unsorted ladder would
+    # otherwise make the escalation re-measure rungs already evaluated
+    sl = max(shortlist_ladder)
     while sl < cap:
         sl = min(2 * sl, cap)
         evals += 1

@@ -43,9 +43,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #  - µs-naive: Spark infers TIMESTAMP_NTZ; cast re-tags the naive
         #    value as a UTC instant (session TZ is pinned UTC), which is
         #    exactly how DuckDB treats it.
+        # Set-and-RESTORE the legacy flag around this one read: it is a
+        # session-wide conf, and leaking it changed how every later
+        # parquet read in the session decodes TIMESTAMP(NANOS) columns
+        # (silently as bigint). NOTE the schema is resolved eagerly
+        # (df.dtypes) while the flag is on, so the restored conf cannot
+        # retroactively change this scan.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
+        try:
+            df = spark.read.parquet(path)
+            ts_type = dict(df.dtypes).get("ts")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":

@@ -121,15 +121,24 @@ def write_bucketed(
         # The in-memory catalog is per-session but the warehouse dir is
         # not: a managed-table dir left by a dead session would fail the
         # CREATE ("location already exists"). Drop both catalog entry and
-        # stale dir before writing.
-        import shutil
-
+        # stale dir before writing — through the HADOOP FileSystem API:
+        # shutil.rmtree on a local-path guess was a silent no-op for
+        # s3a/abfs/hdfs warehouses (the overwrite then still failed), and
+        # a db-qualified name lives under '<wh>/<db>.db/<tbl>', not
+        # '<wh>/<db>.<tbl>' (round-10 review).
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        shutil.rmtree(
-            os.path.join(warehouse.removeprefix("file:"), table.lower()),
-            ignore_errors=True,
+        parts = table.lower().split(".")
+        rel = (
+            os.path.join(f"{parts[0]}.db", parts[1])
+            if len(parts) == 2
+            else parts[0]
         )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort_cols:
         writer = writer.sortBy(*[str(c) for c in sort_cols])

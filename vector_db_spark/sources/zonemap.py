@@ -55,7 +55,7 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int) -> Column:
     """Morton z-value over quantile-bucketed zone columns.
 
     Each column maps to a ``2^bits``-bucket rank via approxQuantile
-    boundaries (one bounded-driver-state job per column — the Delta
+    boundaries (ONE bounded-driver-state job for all columns — the Delta
     range_partition_id move, robust to skew where linear min/max scaling
     collapses under outliers), then bit i of column c's bucket lands at
     interleaved position ``i·ncols + c``. The bucket probe is a literal
@@ -80,10 +80,16 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int) -> Column:
     proxied = df.select(
         *[proxy(c).alias(f"__zq_{i}") for i, c in enumerate(cols)]
     )
+    # ONE approxQuantile job for every zone column (the API takes a
+    # column list) — the per-column loop ran #cols separate passes over
+    # the proxied frame for identical results
+    all_qs = proxied.stat.approxQuantile(
+        [f"__zq_{i}" for i in range(len(cols))],
+        [i / n for i in range(1, n)],
+        0.001,
+    )
     for ci, c in enumerate(cols):
-        qs = proxied.stat.approxQuantile(
-            f"__zq_{ci}", [i / n for i in range(1, n)], 0.001
-        )
+        qs = all_qs[ci]
         arr = F.array(*[F.lit(float(b)) for b in qs])
         v = proxy(c)
         bucket = F.size(F.filter(arr, lambda b: b <= v))
@@ -132,18 +138,40 @@ def write_zonemapped(
     out.write.mode(mode).parquet(path)
 
     spark = df.sparkSession
+    _write_manifests(spark, path, cols, mode="overwrite")
+
+
+def _write_manifests(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    mode: str,
+    only_files: "set[str] | None" = None,
+) -> None:
+    """Per-file min/max manifests for every zone column from ONE stats
+    scan (grouped once by file; per-column writes select from the shared
+    aggregate — the old per-column loop re-read the freshly written
+    table #cols times). ``only_files`` restricts stats to an appended
+    batch's files."""
     written = spark.read.parquet(path).select(
         F.col("_metadata.file_path").alias("file"), *cols
     )
+    if only_files is not None:
+        written = written.filter(F.col("file").isin(list(only_files)))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        stats = written.groupBy("file").agg(
-            F.min(c).alias("lo"),
-            F.max(c).alias("hi"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    stats = written.groupBy("file").agg(*aggs).localCheckpoint()
+    for c in cols:
         # coalesce(1): one row per FILE (thousands at 100 TB, bytes each)
         # — a single driver-readable object, like a Delta checkpoint.
-        stats.coalesce(1).write.mode("overwrite").parquet(
+        stats.select(
+            "file",
+            F.col(f"__lo_{c}").alias("lo"),
+            F.col(f"__hi_{c}").alias("hi"),
+            "n_rows",
+        ).coalesce(1).write.mode(mode).parquet(
             os.path.join(path, _MANIFEST_DIR, c)
         )
 
@@ -191,6 +219,17 @@ def append_zonemapped(
             f"append zone_cols {sorted(cols)} != existing manifest columns {have}"
         )
     before = _data_files(spark, path)
+    if before and not have:
+        # Appending onto a table that has data files but NO manifest
+        # would write manifests covering only the new batch; zonemap
+        # pruning then silently DROPS every pre-existing row (the
+        # stale-manifest check cannot fire — all column manifests agree
+        # with each other). Demand an explicit full write first.
+        raise ValueError(
+            f"{path} has {len(before)} data files but no zone manifest; "
+            "run write_zonemapped first (append would leave the existing "
+            "files invisible to zonemap pruning)"
+        )
     if len(cols) == 1:
         out = df
         key = [F.col(cols[0])]
@@ -210,18 +249,7 @@ def append_zonemapped(
     new_files = sorted(_data_files(spark, path) - before)
     if not new_files:
         return 0
-    written = spark.read.parquet(*new_files).select(
-        F.col("_metadata.file_path").alias("file"), *cols
-    )
-    for c in cols:
-        stats = written.groupBy("file").agg(
-            F.min(c).alias("lo"),
-            F.max(c).alias("hi"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        stats.coalesce(1).write.mode("append").parquet(
-            os.path.join(path, _MANIFEST_DIR, c)
-        )
+    _write_manifests(spark, path, cols, mode="append", only_files=set(new_files))
     return len(new_files)
 
 
