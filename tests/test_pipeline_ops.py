@@ -913,3 +913,69 @@ def test_triangles_hand_computed(spark):
     assert tri == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
     part = {r.id: r.n_triangles for r in triangle_participation(edges).collect()}
     assert part == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in no triangle
+
+
+def test_c4_null_text_is_dropped_not_kept(spark):
+    """A NULL-text document must fail the filter (too_short), not sail
+    through as 'kept' on NULL rule conditions."""
+    from vector_db_spark.operators.filtering import filter_verdicts, keep_documents
+
+    good = " ".join(f"word{i} and{i % 7} the{i % 3}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, good), (2, None), (3, "")], "doc_id long, text string"
+    )
+    v = {r.doc_id: r.verdict for r in filter_verdicts(df).collect()}
+    assert v[1] == "kept" and v[2] == "too_short" and v[3] == "too_short"
+    assert [r.doc_id for r in keep_documents(df).collect()] == [1]
+
+
+def test_split_keeps_null_keys_and_rounds_cut(spark):
+    """NULL keys land in exactly one side (train ∪ eval == df), and the
+    cut rounds half-up: eval_fraction=0.57 keeps bucket < 5700, not 5699;
+    a sub-resolution fraction rounds to one bucket instead of silently
+    zero."""
+    from vector_db_spark.operators.sampling import (
+        BUCKETS,
+        _cut,
+        train_eval_split,
+    )
+
+    assert _cut(0.57) == 5700 and _cut(0.69) == 6900
+    assert _cut(0.00005) == 1  # not 0: eval never silently empty
+    rows = [(i, f"d{i}") for i in range(1, 50)] + [(None, "dnull")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train, ev = train_eval_split(df, "doc_id", 0.2)
+    assert train.count() + ev.count() == df.count()  # nothing vanishes
+    assert BUCKETS == 10000
+
+
+def test_global_shuffle_duplicate_keys_stable(spark):
+    from vector_db_spark.operators.sampling import global_shuffle
+
+    rows = [(i % 5, f"p{i}") for i in range(40)]  # heavy key duplication
+    df = spark.createDataFrame(rows, "k long, payload string")
+    a = [(r.k, r.payload) for r in global_shuffle(df, "k").collect()]
+    b = [(r.k, r.payload) for r in global_shuffle(df.repartition(7), "k").collect()]
+    assert sorted(a) == sorted(b)
+    # total order on (shuffle_key, k) is partition-layout independent
+    assert [x[0] for x in a] == [x[0] for x in b]
+
+
+def test_tokenize_bpe_keeps_empty_documents(spark):
+    from vector_db_spark.operators.bpe import tokenize_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, ""), (3, "low low")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(df.filter("doc_id != 2"), n_merges=4)
+    out = {r.doc_id: r.n_tokens for r in tokenize_bpe(df, model).collect()}
+    assert set(out) == {1, 2, 3} and out[2] == 0  # empty doc kept, 0 tokens
+
+
+def test_train_unigram_empty_corpus_clear_error(spark):
+    from vector_db_spark.operators.lm import train_unigram
+
+    df = spark.createDataFrame([(1, " "), (2, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        train_unigram(df)

@@ -181,16 +181,14 @@ def top_word_frac(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def dup_ngram_frac(col: Column, n: int = 2) -> Column:
-    """Fraction of word n-gram occurrences that belong to an n-gram seen
-    more than once in the document (Gopher "duplicate n-gram fraction").
-    Row-local like `top_word_frac`: sort the gram array, then one linear
-    aggregate sums the lengths of all runs longer than 1."""
-    grams = word_ngrams(col, n)
-    srt = F.array_sort(grams)
+def _dup_occurrences(sorted_grams: Column) -> Column:
+    """Total members of runs longer than 1 in a SORTED gram array — the
+    Gopher duplicate-n-gram mass, as one linear struct fold. The single
+    definition shared by dup_ngram_frac, with_repetition_signals, and
+    filtering.c4_rules (three verbatim copies had to be kept in sync)."""
     run_next = lambda s, g: F.when(g == s["prev"], s["run"] + 1).otherwise(F.lit(1))
-    dup_occ = F.aggregate(
-        srt,
+    return F.aggregate(
+        sorted_grams,
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")
         ),
@@ -206,6 +204,15 @@ def dup_ngram_frac(col: Column, n: int = 2) -> Column:
         ),
         lambda s: s["dup"] + F.when(s["run"] > 1, s["run"]).otherwise(F.lit(0)),
     )
+
+
+def dup_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that belong to an n-gram seen
+    more than once in the document (Gopher "duplicate n-gram fraction").
+    Row-local like `top_word_frac`: sort the gram array, then one linear
+    aggregate sums the lengths of all runs longer than 1."""
+    grams = word_ngrams(col, n)
+    dup_occ = _dup_occurrences(F.array_sort(grams))
     return F.when(
         F.size(grams) > 0, dup_occ / F.size(grams)
     ).otherwise(F.lit(0.0))
@@ -275,24 +282,7 @@ def with_repetition_signals(
             "__nt": F.size(toks),
         }
     )
-    run_next = lambda s, g: F.when(g == s["prev"], s["run"] + 1).otherwise(F.lit(1))
-    dup_occ = F.aggregate(
-        F.col("__sg"),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")
-        ),
-        lambda s, g: F.struct(
-            g.alias("prev"),
-            run_next(s, g).alias("run"),
-            (
-                s["dup"]
-                + F.when((g != s["prev"]) & (s["run"] > 1), s["run"]).otherwise(
-                    F.lit(0)
-                )
-            ).alias("dup"),
-        ),
-        lambda s: s["dup"] + F.when(s["run"] > 1, s["run"]).otherwise(F.lit(0)),
-    )
+    dup_occ = _dup_occurrences(F.col("__sg"))
     return staged.withColumns(
         {
             top_col: F.when(

@@ -100,18 +100,20 @@ def train_bpe(
     wt = wt.localCheckpoint(eager=True)  # cut lineage before the loop
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = wt.select(
-            F.col("cnt"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("syms") - 1),
-                    lambda i: F.struct(
-                        F.element_at("syms", i).alias("a"),
-                        F.element_at("syms", i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-        )
+        # n >= 2 guard: a word that fully merged into ONE symbol makes
+        # sequence(1, 0) count DOWN to [1, 0] (the chunk_dedup trap) and
+        # element_at(syms, 2) then blows up the whole training round
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pairs = wt.select(F.col("cnt"), F.explode(pair_arr).alias("p"))
         best = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("w"))
@@ -137,9 +139,18 @@ def tokenize_bpe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize with a trained model: encode the distinct-WORD table once
-    (chained merge folds over the word table only), then broadcast-join
-    word → token array back onto the corpus and flatten per document.
-    Returns (id, tokens array<string>, n_tokens)."""
+    (chained merge folds over the word table only), then join word →
+    token array back onto the corpus and flatten per document.
+    Returns (id, tokens array<string>, n_tokens) — one row per input
+    document; zero-token documents keep an EMPTY array (they used to
+    vanish from the output, silently shrinking a corpus zipped back to
+    its tokenization).
+
+    The word-side join is deliberately NOT hint-forced to broadcast: the
+    distinct-word table of a web-scale corpus (billions of entries, each
+    carrying a token array) blows the broadcast cap — AQE broadcasts it
+    when it is actually small and falls back to a shuffle join when it
+    is not, which is the correct plan at both ends."""
     words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
     syms: Column = F.concat(
         F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
@@ -150,8 +161,8 @@ def tokenize_bpe(
     exploded = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
     )
-    joined = exploded.join(F.broadcast(encoded), "word")
-    return (
+    joined = exploded.join(encoded, "word")
+    tokenized = (
         joined.groupBy(id_col)
         .agg(
             F.flatten(
@@ -160,6 +171,16 @@ def tokenize_bpe(
                     lambda s: s["word_toks"],
                 )
             ).alias("tokens")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(tokenized, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens"))
     )

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.text import tokens, word_ngrams, _max_run
+from vector_db_spark.functions.text import (
+    _dup_occurrences,
+    _max_run,
+    tokens,
+    word_ngrams,
+)
 
 
 def first_failure(rules: list[tuple[str, Column]], kept: str = "kept") -> Column:
@@ -44,6 +49,8 @@ def c4_rules(
     max_avg_len: int = 10,
     top_word_pct: int = 30,
     dup_gram_pct: int = 20,
+    toks: Column | None = None,
+    grams: Column | None = None,
 ) -> list[tuple[str, Column]]:
     """The C4/Gopher signal set on a whitespace corpus, all integer
     comparisons (percent thresholds scaled by 100, averages compared as
@@ -53,31 +60,28 @@ def c4_rules(
     - ``word_len`` — mean token length outside [min_avg_len, max_avg_len]
     - ``top_word`` — most frequent token exceeds ``top_word_pct``% of doc
     - ``dup_gram`` — duplicate-2-gram mass exceeds ``dup_gram_pct``%
-    """
-    toks = tokens(F.col(text_col))
+
+    ``toks``/``grams`` accept PRE-STAGED (already sorted, for grams)
+    array columns — filter_verdicts stages them so the CASE's many rule
+    references evaluate the tokenize/sort work once per row instead of
+    once per rule (the repo-wide stage-arrays-once rule). NULL text
+    coalesces to zero tokens, so it fails ``too_short`` — a NULL array
+    made every rule condition NULL and the garbage doc sailed through
+    as 'kept'."""
+    if toks is None:
+        toks = F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        )
     n = F.size(toks)
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
     )
     max_run = _max_run(F.array_sort(toks))
-    grams = F.array_sort(word_ngrams(F.col(text_col), 2))
+    if grams is None:
+        grams = F.array_sort(word_ngrams(F.col(text_col), 2))
     n_grams = F.size(grams)
-    # duplicate-gram occurrences: total members of runs longer than 1,
-    # via the same sorted run-length scan the repetition signals use
-    run_next = lambda s, g: F.when(g == s["prev"], s["run"] + 1).otherwise(F.lit(1))
-    dup_occ = F.aggregate(
-        grams,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")),
-        lambda s, g: F.struct(
-            g.alias("prev"),
-            run_next(s, g).alias("run"),
-            (
-                s["dup"]
-                + F.when((g != s["prev"]) & (s["run"] > 1), s["run"]).otherwise(F.lit(0))
-            ).alias("dup"),
-        ),
-        lambda s: s["dup"] + F.when(s["run"] > 1, s["run"]).otherwise(F.lit(0)),
-    )
+    # duplicate-gram occurrences: the shared sorted run-length fold
+    dup_occ = _dup_occurrences(grams)
     return [
         ("too_short", n < min_tokens),
         ("too_long", n > max_tokens),
@@ -97,10 +101,22 @@ def filter_verdicts(
     text_col: str = "text",
     verdict_col: str = "verdict",
 ) -> DataFrame:
-    """Document frame + verdict column (row-local, zero shuffle)."""
-    return df.withColumn(
-        verdict_col, first_failure(rules if rules is not None else c4_rules(text_col))
+    """Document frame + verdict column (row-local, zero shuffle). The
+    default rule set evaluates over STAGED token/gram arrays — one
+    tokenize + two sorts per row, not one per rule reference."""
+    if rules is not None:
+        return df.withColumn(verdict_col, first_failure(rules))
+    staged = df.select(
+        "*",
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
+        F.array_sort(word_ngrams(F.col(text_col), 2)).alias("__grams"),
     )
+    v = first_failure(
+        c4_rules(text_col, toks=F.col("__toks"), grams=F.col("__grams"))
+    )
+    return staged.withColumn(verdict_col, v).drop("__toks", "__grams")
 
 
 def filter_summary(
@@ -125,5 +141,7 @@ def keep_documents(
     """Only the surviving documents (verdict column dropped): the actual
     corpus-curation output. A pushable filter — at 100 TB this fuses into
     the scan stage of whatever consumes it."""
-    v = first_failure(rules if rules is not None else c4_rules(text_col))
-    return df.filter(v == "kept")
+    if rules is not None:
+        return df.filter(first_failure(rules) == "kept")
+    out = filter_verdicts(df, None, text_col)
+    return out.filter(F.col("verdict") == "kept").drop("verdict")

@@ -79,6 +79,8 @@ def train_unigram(
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
     rows = top.collect()
     total = counts.agg(F.sum("cnt")).head()[0]
+    if total is None:  # empty corpus / all-whitespace texts
+        raise ValueError("cannot train a unigram LM on a corpus with no tokens")
     return UnigramLm({r.token: r.cnt for r in rows}, int(total))
 
 
@@ -110,15 +112,31 @@ def score_documents(
         ]
     )
     oov = F.lit(lm.logq_micro(0))
-    toks = tokens(F.col(text_col))
-    # try_element_at: NULL (not an ANSI error) for out-of-vocab keys
-    logqs = F.transform(toks, lambda t: F.coalesce(F.try_element_at(lit_map, t), oov))
-    n = F.size(toks)
+    # STAGE the token and log-prob arrays once (the repo-wide
+    # stage-arrays-once rule, same as the bigram scorer): n/total/n_oov
+    # all reference the staged attributes, so the split + map-probe chain
+    # evaluates once per row instead of once per consumer —
+    # CollapseProject declines to inline expensive multiply-referenced
+    # expressions
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        "__toks",
+        # try_element_at: NULL (not an ANSI error) for out-of-vocab keys
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.coalesce(F.try_element_at(lit_map, t), oov),
+        ).alias("__lq"),
+    )
+    logqs = F.col("__lq")
+    n = F.size("__toks")
     total = F.aggregate(
         logqs, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
     )
     n_oov = F.size(F.filter(logqs, lambda x: x == oov))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
         n_oov.alias("oov_count"),

@@ -29,9 +29,20 @@ BUCKETS = 10_000
 
 def hash_bucket(key: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
     """Deterministic uniform bucket: first 8 md5 hex digits of
-    (key ‖ salt) as an integer, mod ``buckets``."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    (key ‖ salt) as an integer, mod ``buckets``. NULL keys hash a
+    sentinel string — a NULL bucket made every membership filter drop
+    the row, so NULL-keyed rows landed in NEITHER side of a split and
+    silently vanished from samples."""
+    h = F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("<null>")), F.lit(salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def _cut(fraction: float) -> int:
+    """fraction -> bucket cut, floor(x+0.5) (the repo's portable HALF_UP):
+    bare int() truncated float artifacts — int(0.57*10000) == 5699, so a
+    57% request sampled 56.99% — and sub-resolution fractions silently
+    produced an EMPTY keep set; they now round to the nearest bucket."""
+    return int(fraction * BUCKETS + 0.5)
 
 
 def deterministic_sample(
@@ -43,8 +54,7 @@ def deterministic_sample(
     """Keep ~``fraction`` of rows, decided per key hash (repartition-proof)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    cut = int(fraction * BUCKETS)
-    return df.filter(hash_bucket(F.col(key_col), salt) < cut)
+    return df.filter(hash_bucket(F.col(key_col), salt) < _cut(fraction))
 
 
 def stratified_sample(
@@ -60,10 +70,10 @@ def stratified_sample(
     for v in fractions.values():
         if not 0.0 <= v <= 1.0:
             raise ValueError("fractions must be in [0, 1]")
-    cut = F.lit(int(default_fraction * BUCKETS))
+    cut = F.lit(_cut(default_fraction))
     for stratum, frac in fractions.items():
         cut = F.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * BUCKETS))
+            F.col(strata_col) == stratum, F.lit(_cut(frac))
         ).otherwise(cut)
     return df.filter(hash_bucket(F.col(key_col), salt) < cut)
 
@@ -78,7 +88,7 @@ def train_eval_split(
     of the key, so later ingests can never leak eval keys into train."""
     if not 0.0 < eval_fraction < 1.0:
         raise ValueError("eval_fraction must be in (0, 1)")
-    cut = int(eval_fraction * BUCKETS)
+    cut = _cut(eval_fraction)
     bucket = hash_bucket(F.col(key_col), salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
@@ -101,11 +111,15 @@ def global_shuffle(
     preserves order per file, which is all a training loader consumes."""
     key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     out = df.withColumn("shuffle_key", key)
+    # key_col as the secondary sort: duplicate key_col values share a
+    # shuffle_key, and without a tie-break their relative order (and the
+    # range boundary they straddle) was run-dependent — breaking the
+    # documented reproducible total order
     if n_partitions is not None:
-        out = out.repartitionByRange(n_partitions, "shuffle_key")
+        out = out.repartitionByRange(n_partitions, "shuffle_key", key_col)
     else:
-        out = out.repartitionByRange("shuffle_key")
-    return out.sortWithinPartitions("shuffle_key")
+        out = out.repartitionByRange("shuffle_key", key_col)
+    return out.sortWithinPartitions("shuffle_key", key_col)
 
 
 def importance_sample(
