@@ -118,3 +118,33 @@ def test_range_join_validation(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     with pytest.raises(ValueError, match="window_seconds"):
         range_join_events(ev, key_cols=("user_id",), window_seconds=0)
+
+
+def test_asof_carries_whole_row_not_per_column(spark):
+    """merge_asof semantics carry the entire latest right row, NULL
+    fields included — per-column carry-forward mixed fields from
+    DIFFERENT right rows (round-10 review)."""
+    from vector_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 3_000_000_000)], "key string, us long"
+    ).selectExpr("key", "timestamp_micros(us) AS ts")
+    right = spark.createDataFrame(
+        [("k", 1_000_000_000, 5, 10), ("k", 2_000_000_000, None, 20)],
+        "key string, us long, a int, b int",
+    ).selectExpr("key", "timestamp_micros(us) AS ts", "a", "b")
+    row = asof_join(left, right, ("key",), right_cols=("a", "b")).head()
+    assert row.a_asof is None and row.b_asof == 20  # newest ROW, not a chimera
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    from vector_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5_000_000)], "key string, us long"
+    ).selectExpr("key", "timestamp_micros(us) AS ts")
+    right = spark.createDataFrame(
+        [("k", None, 7)], "key string, us long, price int"
+    ).selectExpr("key", "timestamp_micros(us) AS ts", "price")
+    row = asof_join(left, right, ("key",), right_cols=("price",)).head()
+    assert row.price_asof is None  # a NULL ts can never be 'at or before'

@@ -48,54 +48,64 @@ def asof_join(
     keys = list(key_cols)
     payload = list(right_cols)
 
-    lhs = left.withColumn("__tag", F.lit(0))
-    for c in payload:
-        lhs = lhs.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn("__rts", F.lit(None).cast(right.schema[ts_col].dataType))
-
-    rhs = right.select(
+    # The carried state is ONE struct per right row — carrying each
+    # payload column independently (the first build) mixed fields from
+    # DIFFERENT right rows whenever the newest row held a NULL in some
+    # field (merge_asof semantics carry the whole row, NULLs included),
+    # and judged tolerance staleness against the newest rts while serving
+    # an older column's value as fresh. NULL-ts right rows are dropped up
+    # front: they can never satisfy right.ts <= left.ts, but they sorted
+    # FIRST in the window (asc = nulls first) and leaked payload into
+    # left rows with no genuine prior match.
+    rhs = right.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         F.col(ts_col),
         F.lit(1).alias("__tag"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        F.col(ts_col).alias("__rts"),
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload],
+        ).alias("__row"),
+    )
+    row_type = rhs.schema["__row"].dataType
+    lhs = left.withColumn("__tag", F.lit(0)).withColumn(
+        "__row", F.lit(None).cast(row_type)
     )
     left_cols = [c for c in left.columns]
-    union = lhs.select(
-        *left_cols, "__tag", *[f"__p_{c}" for c in payload], "__rts"
-    ).unionByName(
+    union = lhs.select(*left_cols, "__tag", "__row").unionByName(
         rhs.select(
             *keys,
             F.col(ts_col),
-            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in keys and c != ts_col],
+            *[
+                F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                for c in left_cols
+                if c not in keys and c != ts_col
+            ],
             "__tag",
-            *[f"__p_{c}" for c in payload],
-            "__rts",
+            "__row",
         ),
         allowMissingColumns=False,
     )
 
     # right rows sort BEFORE left rows at equal ts (tag DESC) so an
-    # exactly-simultaneous right row is visible to the left row; the payload
-    # struct is a deterministic final tie-break so which of several equal-ts
-    # right rows is carried does not depend on partition order.
+    # exactly-simultaneous right row is visible to the left row; the row
+    # struct is a deterministic final tie-break so which of several
+    # equal-ts right rows is carried does not depend on partition order.
     w = (
         Window.partitionBy(*keys)
         .orderBy(
-            F.col(ts_col).asc(),
-            F.col("__tag").desc(),
-            F.struct(*[F.col(f"__p_{c}") for c in payload]).asc(),
+            F.col(ts_col).asc(), F.col("__tag").desc(), F.col("__row").asc()
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = union.select(
         *left_cols,
         "__tag",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__c_rts"),
+        F.last("__row", ignorenulls=True).over(w).alias("__c"),
+    ).select(
+        *left_cols,
+        "__tag",
+        *[F.col("__c").getField(f"__p_{c}").alias(f"__c_{c}") for c in payload],
+        F.col("__c").getField("__rts").alias("__c_rts"),
     )
 
     out = carried.filter(F.col("__tag") == 0)
@@ -132,12 +142,16 @@ def range_join_events(
         raise ValueError("window_seconds must be >= 1")
     keys = list(key_cols)
     win_us = window_seconds * 1_000_000
-    # Pure-integer floor division: pmod makes the remainder non-negative, so
-    # (us - rem) is the exact floor multiple even for pre-1970 timestamps,
-    # and the quotient is exact (no double round-trip at bucket boundaries).
-    us = F.unix_micros(F.col(ts_col))
-    rem = F.pmod(us, F.lit(win_us))
-    epoch = ((us - rem) / F.lit(win_us)).cast("long")
+    # Pure-integer floor division: pmod makes the remainder non-negative,
+    # so (us - rem) is the exact floor multiple even for pre-1970
+    # timestamps, and `div` is INTEGRAL division — the first build used
+    # `/` (double division), whose long→double round-trip can truncate
+    # onto the wrong bucket past 2^53 µs and silently drop a
+    # boundary-spanning pair.
+    epoch = F.expr(
+        f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {win_us})) "
+        f"div {win_us}"
+    )
 
     a = df.select(
         *keys,

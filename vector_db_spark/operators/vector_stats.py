@@ -40,10 +40,16 @@ def label_centroids(
 
     ``centroid`` is the per-dimension mean; ``variance`` the population
     variance E[v²] − E[v]² — both exact-deterministic (see module doc)."""
-    e = df.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col)).alias("pos", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
+    e = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .withColumn("v", F.col("v").cast("double"))
+        # NULL elements leave the aggregate entirely: the decimal sums
+        # skip them while count(*) did not, silently skewing the mean
+        .filter(F.col("v").isNotNull())
+    )
     s1 = F.sum((F.col("v") * F.lit(_S1)).cast("decimal(38,0)"))
     s2 = F.sum((F.col("v") * F.col("v") * F.lit(_S2)).cast("decimal(38,0)"))
     n = F.count(F.lit(1))
@@ -103,11 +109,12 @@ def norm_extremes(
     )
     row = e.agg(
         F.sum((F.col("v") * F.col("v") * F.lit(_S2)).cast("decimal(38,0)")).alias("s2"),
-        F.count(F.lit(1)).alias("nv"),
     ).head()
     n_rows = df.count()
     if n_rows == 0:
         raise ValueError("corpus is empty")
+    if row.s2 is None:  # rows exist but every embedding is NULL/empty
+        raise ValueError("corpus has no vector elements")
     mean_norm_sq = float(row.s2) / (n_rows * _S2)
     norm_sq = dot(F.col(vec_col), F.col(vec_col))
     out = df.select(
@@ -180,6 +187,11 @@ def value_histogram(
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).head()
+        if row.lo is None or row.hi is None:
+            raise ValueError(
+                f"cannot infer histogram bounds: {value_col!r} has no "
+                "non-null values"
+            )
         lo = float(row.lo) if lo is None else lo
         hi = float(row.hi) if hi is None else hi
     if hi < lo:
@@ -236,6 +248,15 @@ def correlation_matrix(
     # (Casting operands to (38,·) would push products past 38 digits and
     # Spark silently re-scales — losing the exactness this op is for.)
     op = f"decimal(18,{scale})"
+    # listwise NULL deletion: the decimal sums skip NULLs while count(*)
+    # did not, so any NULL-bearing column silently skewed EVERY pair's
+    # correlation; dropping incomplete rows keeps n consistent with the
+    # sums (pairwise-complete Pearson is a different, documented choice)
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    df = df.filter(cond)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(op)).alias(f"__s_{c}"))
