@@ -306,3 +306,37 @@ def test_graph_build_validates_nlist(spark):
     df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="nlist"):
         GraphAnnIndex.build(df, nlist=0)
+
+
+def test_cosine_zero_norm_backfill_respects_admission(spark):
+    """ADVICE r10 (high): the dead-row backfill pool was built from raw
+    vectors WITHOUT intersecting the admission mask, so filtered (or
+    tombstoned) cosine search returned predicate-excluded zero-norm ids
+    as NULL-score backfill while the exact path omitted them. Backfill
+    must obey the same admission rules as real candidates — single,
+    batch, and delete paths."""
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0] * 4),
+            (3, [0.8, 0.6, 0.0, 0.0]), (4, [0.0] * 4),
+            (5, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    idx = GraphAnnIndex.build(df, nlist=1, m=4, ef_construction=50, metric="cosine")
+    pred = F.col("vec_id") != 4
+    got = idx.search(q, 5, nprobe=1, ef_search=50, predicate=pred).collect()
+    # id 4 is predicate-excluded: it must NOT backfill; only admissible
+    # zero-norm id 2 may, so the result is 4 rows even though k=5
+    assert [r.vec_id for r in got] == [1, 3, 5, 2]
+    assert got[-1].score is None and got[-2].score is not None
+    want = knn(df, q, 5, metric="cosine", predicate=pred).collect()
+    assert [r.vec_id for r in want] == [r.vec_id for r in got]
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query_vec array<double>")
+    gb = sorted(
+        idx.search_batch(qdf, 5, nprobe=1, ef_search=50, predicate=pred).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in gb] == [1, 3, 5, 2]
+    assert gb[-1].score is None
+    # tombstoned zero-norm rows can't backfill either
+    idx.delete([2])
+    after = idx.search(q, 5, nprobe=1, ef_search=50).collect()
+    assert [r.vec_id for r in after] == [1, 3, 5, 4]

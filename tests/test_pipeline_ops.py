@@ -979,3 +979,27 @@ def test_train_unigram_empty_corpus_clear_error(spark):
     df = spark.createDataFrame([(1, " "), (2, "")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         train_unigram(df)
+
+
+def test_hash_bucket_null_key_distinct_from_literal_null_string(spark):
+    """ADVICE r10: NULL keys used to coalesce to the literal '<null>',
+    welding keys whose string value IS '<null>' to NULL rows' bucket fate
+    across every salt and split. The sentinel is now NUL-framed (outside
+    any plausible key domain); non-NULL hash inputs are byte-identical to
+    before, pinned by the concrete md5-derived bucket values."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([("<null>",), (None,)], "k string")
+    got = {
+        r.k: r.b
+        for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+    }
+    assert got["<null>"] == 8043  # unchanged non-NULL hash
+    assert got[None] == 46
+    got2 = {
+        r.k: r.b
+        for r in df.select("k", hash_bucket(F.col("k"), "s1").alias("b")).collect()
+    }
+    assert got2["<null>"] == 8805 and got2[None] == 2438

@@ -281,3 +281,38 @@ def test_append_onto_unmanifested_table_refuses(spark, tmp_path):
     batch = spark.range(100, 120).selectExpr("id", "id * 2 AS v")
     with _pt.raises(ValueError, match="no zone manifest"):
         append_zonemapped(batch, path, "id")
+
+
+def test_append_manifest_covers_new_files_on_special_char_path(spark, tmp_path):
+    """ADVICE r10 (medium): append's manifest stats used to isin-match
+    Hadoop Path.toString() strings against _metadata.file_path; any
+    normalization divergence (spaces, percent signs, object-store URI
+    forms) silently matched ZERO rows, appending an empty manifest batch
+    that left the new files invisible to pruning — undetectable by the
+    cross-column consistency check. Stats now read the appended files
+    directly and assert one manifest row per file; a path with a space
+    and a percent sign must still manifest every appended file."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.sources.zonemap import (
+        append_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+        zonemap_files,
+    )
+
+    p = str(tmp_path / "zone map %2F t")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    write_zonemapped(df.filter("id < 500"), p, "v", n_files=4)
+    n_new = append_zonemapped(df.filter("id >= 500"), p, "v", n_files=4)
+    assert n_new == 4
+    kept, total = zonemap_files(spark, p, {"v": (None, None)})
+    assert total == 8  # every appended file has a manifest row
+    got = sorted(r.id for r in read_zonemapped(spark, p, lo=10.0, hi=20.0).collect())
+    want = sorted(
+        r.id
+        for r in df.filter((F.col("v") >= 10.0) & (F.col("v") <= 20.0)).collect()
+    )
+    assert got == want

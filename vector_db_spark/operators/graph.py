@@ -158,10 +158,18 @@ def _mask_cosine_dead(
     them out of beam ADMISSION (still traversed, like predicate-filtered
     nodes) and return the dead mask so callers can backfill them, exact-
     path style: present only when real candidates run out, +inf distance
-    → NULL score at the metric mapping."""
+    → NULL score at the metric mapping.
+
+    The dead mask is intersected with ``allowed`` BEFORE returning: the
+    backfill pool must obey the same admission rules (predicate filter,
+    tombstones) as real candidates — an unintersected mask let filtered
+    searches return predicate-excluded / deleted zero-norm ids as
+    NULL-score backfill while the exact path omitted them."""
     if metric != "cosine":
         return allowed, None
     dead = np.linalg.norm(raw, axis=1) == 0.0
+    if allowed is not None:
+        dead &= allowed
     if not dead.any():
         return allowed, dead
     adm = np.ones(raw.shape[0], dtype=bool) if allowed is None else allowed.copy()

@@ -32,8 +32,19 @@ def hash_bucket(key: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
     (key ‖ salt) as an integer, mod ``buckets``. NULL keys hash a
     sentinel string — a NULL bucket made every membership filter drop
     the row, so NULL-keyed rows landed in NEITHER side of a split and
-    silently vanished from samples."""
-    h = F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("<null>")), F.lit(salt)))
+    silently vanished from samples. The sentinel is NUL-framed
+    (``"\\x00<null>\\x00"``): the earlier bare ``"<null>"`` collided with a
+    genuine key whose string value IS ``<null>``, welding those rows to
+    NULL-keyed rows' bucket fate across every salt and split; NUL bytes
+    sit outside any plausible key domain. Non-NULL inputs stay byte-
+    identical (``cast(key as string) ‖ salt``) so existing splits, and
+    the DuckDB oracle twins that inline the same expression, are
+    unaffected."""
+    h = F.md5(
+        F.concat(
+            F.coalesce(key.cast("string"), F.lit("\x00<null>\x00")), F.lit(salt)
+        )
+    )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 

@@ -152,17 +152,35 @@ def _write_manifests(
     scan (grouped once by file; per-column writes select from the shared
     aggregate — the old per-column loop re-read the freshly written
     table #cols times). ``only_files`` restricts stats to an appended
-    batch's files."""
-    written = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("file"), *cols
-    )
+    batch's files — read DIRECTLY (``spark.read.parquet(*files)``), not
+    by isin-filtering ``_metadata.file_path`` strings against Hadoop
+    ``Path.toString()``: any normalization divergence (URL-encoding,
+    object-store URI forms) silently matched zero rows, appending an
+    EMPTY manifest batch that left the new files invisible to pruning —
+    undetectable by the count-consistency check since every column
+    manifest agreed. ``_metadata.file_path`` still labels each row, so
+    the stored `file` strings stay in Spark's canonical form either way;
+    a count assertion fails loudly if the two path vocabularies ever
+    disagree on how many files the batch contains."""
     if only_files is not None:
-        written = written.filter(F.col("file").isin(list(only_files)))
+        written = spark.read.parquet(*sorted(only_files)).select(
+            F.col("_metadata.file_path").alias("file"), *cols
+        )
+    else:
+        written = spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("file"), *cols
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
     stats = written.groupBy("file").agg(*aggs).localCheckpoint()
+    if only_files is not None and stats.count() != len(only_files):
+        raise ValueError(
+            f"zone-manifest append covered {stats.count()} files but the "
+            f"batch wrote {len(only_files)} — _metadata.file_path and "
+            "Hadoop listing disagree; refusing a partial manifest"
+        )
     for c in cols:
         # coalesce(1): one row per FILE (thousands at 100 TB, bytes each)
         # — a single driver-readable object, like a Delta checkpoint.
@@ -314,7 +332,25 @@ def zonemap_files(
                 continue
             ok.add(r.file)
         keep = ok if keep is None else keep & ok
-    return sorted(keep or ()), total or 0
+    # Manifest `file` strings come from _metadata.file_path, which is
+    # URL-ENCODED (space → %20, % → %25) — a form spark.read.parquet
+    # rejects when the table path contains such characters, while the
+    # Hadoop listing's Path.toString() reads fine. Resolve survivors by
+    # BASENAME (Spark part-file names are [A-Za-z0-9._-] only, so the
+    # basename is byte-identical in both vocabularies and UUID-unique)
+    # and return the readable listing form.
+    by_name = {f.rsplit("/", 1)[-1]: f for f in _data_files(spark, path)}
+    out = []
+    for f in sorted(keep or ()):
+        name = f.rsplit("/", 1)[-1]
+        if name not in by_name:
+            raise ValueError(
+                f"zone-map manifest references {name!r} which is not in "
+                f"the table directory — stale manifest; re-run "
+                "write_zonemapped"
+            )
+        out.append(by_name[name])
+    return out, total or 0
 
 
 def read_zonemapped(
