@@ -60,7 +60,11 @@ HEADLINE = [
     # measures blocked grams + components — not a KMeans refit the
     # deployment already paid for when it built its serving index.
     "bigram_lm_score",
-    "minhash_lsh_neardup",
+    # round-11: the benched MinHash entry is the CAPPED production twin
+    # (max_bucket=64 spanning-star candidates for hot buckets — VERDICT
+    # r10 #2); the uncapped exhaustive query stays registered as the
+    # recall-gated anchor but is no longer what the bench ships
+    "minhash_lsh_neardup_capped",
     "simhash_neardup",
     "dedup_clusters",
     # round-10: the scale-safe clustering twin — LSH star-edge candidates
@@ -455,8 +459,7 @@ def main() -> None:
         _timed(name, thunk)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    record = json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
@@ -476,8 +479,22 @@ def main() -> None:
                 "maxsim_pq_codes_bytes": sub_timings.get("maxsim_pq_codes_bytes"),
                 "maxsim_pq_raw_bytes": sub_timings.get("maxsim_pq_raw_bytes"),
             }
-        )
     )
+    print(record)
+    # Also persist the line next to the repo (VERDICT r10 #5): the
+    # driver's BENCH_r{N}.json artifact keeps only a 2 KB tail, which
+    # truncated headline_total and half the query dict in r10 — the
+    # committed local record survives intact. Round number from the env
+    # when the driver provides it, else "local".
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(record + "\n")
+    except OSError:
+        pass  # the printed line is the contract; the file is a convenience
 
 
 if __name__ == "__main__":

@@ -126,28 +126,50 @@ def test_range_search_arrow_matches_expr(spark, metric):
     assert "MapInPandas" in plan._jdf.queryExecution().executedPlan().toString()
 
 
-def test_knn_page_stays_on_expr_path_at_high_dim(spark):
-    """Pagination's keyset equality arm needs ONE bit-exact scorer on
-    both sides of the cursor; at dims where knn() auto-dispatches to the
-    Arrow kernel, knn_page must pin the expression fold — and walking
-    pages must reproduce the full top-N exactly, ties included."""
+def test_knn_page_arrow_walk_reproduces_topn_with_ties(spark):
+    """VERDICT r10 #3: knn_page's Arrow arm. At dims past ARROW_DIM_MIN
+    auto dispatches to the kernel, the keyset filter is applied to the
+    kernel's OWN score column (cursor and candidates from one scorer),
+    and walking pages reproduces the one-shot top-N exactly — planted
+    exact-duplicate vectors make boundary ties land on page edges, the
+    case a mixed-scorer cursor would drop or duplicate. Low dims and
+    impl='expr' keep the expression fold (oracle parity)."""
     from vector_db_spark.operators.knn import knn_page
 
     rows = [(i, [float((i * 7 + j) % 5) for j in range(DIM)]) for i in range(40)]
     rows += [(100 + i, rows[i][1]) for i in range(6)]  # exact duplicates: ties
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = [0.3] * DIM
-    first = knn_page(df, q, 8)
-    assert "MapInPandas" not in first._jdf.queryExecution().executedPlan().toString()
-    walked, after = [], None
-    for _ in range(6):
-        page = knn_page(df, q, 8, after=after).collect()
-        if not page:
-            break
-        walked.extend((r.vec_id, r.distance) for r in page)
-        after = (page[-1].distance, page[-1].vec_id)
-    want = [(r.vec_id, r.distance) for r in knn(df, q, 46, impl="expr").collect()]
-    assert walked == want  # no boundary row lost or duplicated
+    # dispatch pins: high-dim auto -> kernel; expr pin / low dim -> fold
+    assert "MapInPandas" in (
+        knn_page(df, q, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in (
+        knn_page(df, q, 8, impl="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    low = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert "MapInPandas" not in (
+        knn_page(low, [0.0, 0.0], 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    for metric in ("l2", "ip"):
+        for impl in ("arrow", "expr"):
+            walked, after = [], None
+            col = "distance" if metric == "l2" else "score"
+            for _ in range(6):
+                page = knn_page(df, q, 8, after=after, metric=metric, impl=impl).collect()
+                if not page:
+                    break
+                walked.extend((r.vec_id, r[col]) for r in page)
+                after = (page[-1][col], page[-1].vec_id)
+            one_shot = knn(df, q, 46, metric=metric, impl=impl).collect()
+            want = [(r.vec_id, r[col]) for r in one_shot]
+            assert walked == want, (metric, impl)  # no boundary row lost/duplicated
 
 
 def test_batch_knn_arrow_cosine_zero_norm_rows_backfill_like_expr(spark):
@@ -184,3 +206,44 @@ def test_batch_knn_arrow_boundary_ties_break_by_id(spark):
     for metric in ("l2", "ip", "cosine"):
         got = batch_knn(df, qdf, 5, metric=metric, impl="arrow").collect()
         assert [r.vec_id for r in got] == [1, 2, 4, 5, 6], metric
+
+
+def test_arrow_kernels_raise_on_nan_corpus(spark):
+    """ADVICE r10: the expression path scores a NaN-component corpus row
+    NaN, which Spark ranks ABOVE every double under desc — but pandas NaN
+    becomes NULL across the Arrow transport, ranking LAST under desc and
+    FIRST under l2's asc window, and indistinguishable from the
+    deliberate cosine zero-norm NULLs. The two impls cannot agree on
+    corrupt data, so the Arrow kernels refuse it loudly (single, batch,
+    and range paths) instead of silently diverging; query-side NaN is
+    rejected at setup."""
+    from vector_db_spark.operators.knn import range_search
+
+    df = _corpus(spark, n=30).union(
+        spark.createDataFrame(
+            [(999, [float("nan")] * DIM, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    q = [0.1] * DIM
+    for metric in ("l2", "ip", "cosine"):
+        with pytest.raises(Exception, match="NaN"):
+            knn(df, q, 5, metric=metric, impl="arrow").collect()
+    qdf = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(Exception, match="NaN"):
+        batch_knn(df, qdf, 5, metric="ip", impl="arrow").collect()
+    with pytest.raises(Exception, match="NaN"):
+        range_search(df, q, 10.0, metric="l2", impl="arrow").collect()
+    # query-side NaN rejected driver-side, before any job runs
+    clean = _corpus(spark, n=30)
+    with pytest.raises(ValueError, match="NaN"):
+        knn(clean, [float("nan")] * DIM, 5, impl="arrow")
+    nan_q = spark.createDataFrame(
+        [(0, [float("nan")] * DIM)], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        batch_knn(clean, nan_q, 5, metric="ip", impl="arrow")
+    # clean corpora are untouched by the guard
+    assert len(knn(clean, q, 5, impl="arrow").collect()) == 5

@@ -170,7 +170,7 @@ def test_headline_neardup_plans_have_no_nested_loop_join(spark):
     from vector_db_spark.queries import QUERIES
 
     for name in [
-        "minhash_lsh_neardup",
+        "minhash_lsh_neardup_capped",  # the benched twin since r11
         "simhash_neardup",
         "embedding_neardup_blocked",
         "dedup_clusters",

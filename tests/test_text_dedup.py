@@ -726,3 +726,47 @@ def test_minlabel_cc_survives_snowflake_ids(spark):
     comp = connected_components_minlabel(pairs, max_iter=30).collect()
     assert {r.cluster_id for r in comp} == {base}
     assert len(comp) == 13
+
+
+def test_minhash_neardup_capped_subset_of_uncapped(spark):
+    """minhash_lsh_neardup_capped contract (VERDICT r10 #2): max_bucket
+    only shrinks the CANDIDATE set, so the verified output is a subset of
+    the uncapped query's pairs, every emitted pair still meets the exact
+    Jaccard threshold, and on the real fixture — where no bucket exceeds
+    the production cap — the two are identical. On an adversarial
+    boilerplate corpus the capped variant emits the spanning star's
+    verified pairs: O(b) rows, same duplicate components."""
+    from vector_db_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, SF, "documents")
+    full = {
+        (r.a_id, r.b_id) for r in minhash_neardup(docs, threshold=0.6).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in minhash_neardup(docs, threshold=0.6, max_bucket=64).collect()
+    }
+    assert capped == full  # fixture buckets all under the cap
+
+    boiler = spark.createDataFrame(
+        [(i, "same boilerplate text repeated verbatim here again") for i in range(9)]
+        + [(100, "completely different content words entirely elsewhere")],
+        "doc_id long, text string",
+    )
+    b_full = minhash_neardup(boiler, threshold=0.9, num_hashes=16, bands=4)
+    b_capped = minhash_neardup(
+        boiler, threshold=0.9, num_hashes=16, bands=4, max_bucket=4
+    )
+    fp = {(r.a_id, r.b_id, r.jaccard) for r in b_full.collect()}
+    cp = {(r.a_id, r.b_id, r.jaccard) for r in b_capped.collect()}
+    assert cp <= fp and len(fp) == 9 * 8 // 2 and len(cp) == 8  # star, O(b)
+    assert all(j >= 0.9 for _, _, j in cp)  # still exact-verified
+    comp_f = {
+        r.id: r.cluster_id
+        for r in connected_components(b_full.select("a_id", "b_id")).collect()
+    }
+    comp_c = {
+        r.id: r.cluster_id
+        for r in connected_components(b_capped.select("a_id", "b_id")).collect()
+    }
+    assert comp_f == comp_c  # the star spans the same duplicate component

@@ -380,6 +380,7 @@ def minhash_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard: output ⊆ jaccard_pairs
     with recall governed by the band s-curve. The full sub-quadratic
@@ -389,9 +390,16 @@ def minhash_neardup(
     two documents' (distinct) shingle arrays and Jaccard is computed with
     ``array_intersect`` — cost scales with |candidates|, never with the
     all-pairs shingle join (doing the latter would make the LSH stage
-    pointless; this was a measured 100× at sf0.1)."""
+    pointless; this was a measured 100× at sf0.1).
+
+    ``max_bucket`` threads to lsh_candidate_pairs (VERDICT r10 #2): past
+    the cap a bucket contributes its spanning star instead of all pairs,
+    so a boilerplate-heavy corpus's hottest bucket costs O(b) candidate
+    rows, never O(b²). Every emitted pair is still exact-Jaccard-verified
+    — the cap shrinks the CANDIDATE set (output ⊆ the uncapped output),
+    it never admits a false pair."""
     sigs = minhash_signatures(df, num_hashes, id_col, text_col, k)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
     sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
