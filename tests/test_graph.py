@@ -340,3 +340,65 @@ def test_cosine_zero_norm_backfill_respects_admission(spark):
     idx.delete([2])
     after = idx.search(q, 5, nprobe=1, ef_search=50).collect()
     assert [r.vec_id for r in after] == [1, 3, 5, 4]
+
+
+def test_range_search_exhaustive_matches_exact_all_metrics(spark):
+    """Graph range search at saturating ef ≡ knn.range_search for every
+    metric (the ann_graph_range_exhaustive contract, VERDICT r10 #8):
+    per-candidate verification is exact, coverage is total when the beam
+    visits every connected node."""
+    from vector_db_spark.operators.knn import range_search as exact_range
+
+    emb = load_table(spark, SF, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    for metric, thr in (("l2", 1.6), ("cosine", 0.15), ("ip", 0.5)):
+        idx = GraphAnnIndex.build(
+            emb, nlist=8, m=16, ef_construction=200, seed=42,
+            max_iter=5, metric=metric,
+        )
+        got = [
+            (r[0], round(r[1], 6))
+            for r in idx.range_search(q, thr, nprobe=8, ef_search=10**6).collect()
+        ]
+        want = [
+            (r[0], round(r[1], 6))
+            for r in exact_range(emb, q, thr, metric=metric).collect()
+        ]
+        assert got == want, metric
+        assert len(want) > 0, (metric, "threshold matched nothing — dead test")
+
+
+def test_range_search_respects_filter_and_tombstones(spark):
+    """Filtered/tombstoned range search: admission mask applies, matching
+    the exact operator over the filtered corpus; zero-norm cosine rows
+    never appear (NULL passes no threshold)."""
+    from vector_db_spark.operators.knn import range_search as exact_range
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0] * 4),
+            (3, [0.8, 0.6, 0.0, 0.0]), (4, [0.9, 0.1, 0.0, 0.0]),
+            (5, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = GraphAnnIndex.build(df, nlist=1, m=4, ef_construction=50, metric="cosine")
+    q = [1.0, 0.0, 0.0, 0.0]
+    pred = F.col("vec_id") != 4
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in idx.range_search(q, 0.5, nprobe=1, ef_search=100,
+                                  predicate=pred).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 6))
+        for r in exact_range(df, q, 0.5, metric="cosine",
+                             predicate=pred).collect()
+    ]
+    assert got == want and 4 not in [g[0] for g in got]
+    assert 2 not in [g[0] for g in got]  # zero-norm: NULL fails thresholds
+    idx.delete([3])
+    after = [r.vec_id for r in
+             idx.range_search(q, 0.5, nprobe=1, ef_search=100).collect()]
+    assert 3 not in after and 1 in after
+    with pytest.raises(ValueError, match="nprobe"):
+        idx.range_search(q, 0.5, nprobe=0)

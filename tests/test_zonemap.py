@@ -316,3 +316,50 @@ def test_append_manifest_covers_new_files_on_special_char_path(spark, tmp_path):
         for r in df.filter((F.col("v") >= 10.0) & (F.col("v") <= 20.0)).collect()
     )
     assert got == want
+
+
+def test_zonemap_point_predicate_reads_o1_manifest_parts(spark, tmp_path):
+    """VERDICT r10 #7: two-level manifests. With 256 manifest parts (one
+    data file each here), a narrow range predicate must open O(1) parts —
+    the `_index/` summary proves the rest irrelevant before any read —
+    while staying lossless, surviving appends, and keeping the
+    unconstrained case complete."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.sources.zonemap import (
+        LAST_PRUNE,
+        append_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+        zonemap_files,
+    )
+
+    p = str(tmp_path / "big")
+    df = spark.range(100_000).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    write_zonemapped(df, p, "v", n_files=256, manifest_bucket_rows=1)
+    kept, total = zonemap_files(spark, p, {"v": (500.0, 600.0)})
+    assert total == 256
+    pr = dict(LAST_PRUNE["v"])
+    assert pr["parts_total"] >= 256
+    assert pr["parts_read"] <= 3, pr  # O(1) of >= 256
+    got = sorted(r.id for r in read_zonemapped(spark, p, lo=500.0, hi=600.0).collect())
+    assert got == list(range(500, 601))  # lossless through the index
+    # unconstrained bounds keep everything
+    kept_all, _ = zonemap_files(spark, p, {"v": (None, None)})
+    assert len(kept_all) == 256
+    # appended batch gets its own parts; a point predicate into the OLD
+    # range still reads O(1) parts, and rows from both batches survive
+    extra = spark.range(100_000, 101_000).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    n_new = append_zonemapped(extra, p, "v", n_files=4, manifest_bucket_rows=1)
+    assert n_new == 4
+    _, total2 = zonemap_files(spark, p, {"v": (500.0, 600.0)})
+    assert total2 == 260
+    assert LAST_PRUNE["v"]["parts_read"] <= 3
+    got2 = sorted(
+        r.id for r in read_zonemapped(spark, p, lo=99_999.0, hi=100_001.0).collect()
+    )
+    assert got2 == [99_999, 100_000, 100_001]  # spans both batches

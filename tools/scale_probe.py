@@ -43,7 +43,7 @@ DEFAULT = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "chunk_dedup_docs",
-    "minhash_lsh_neardup",
+    "minhash_lsh_neardup_capped",
     "simhash_neardup",
     "semantic_dedup_clustered",
     "fuzzy_name_pairs",
@@ -63,9 +63,35 @@ DEFAULT = [
     "events_sessionization",
 ]
 
+# Policy (VERDICT r10 #6): oracle anchors that are quadratic BY
+# CONSTRUCTION — their whole point is value-equivalence with an
+# all-pairs / DuckDB-checkable formulation — are probed at oracle SFs
+# only. Probing a deliberately-quadratic gate at sf1 measures the
+# quadratic we already documented and burns the probe budget (r10:
+# semantic_dedup_exhaustive 55.5 s, ratio 14.1, exactly as designed).
+# The probe substitutes each anchor's production twin and says so.
+ORACLE_ANCHORS = {
+    "semantic_dedup_exhaustive": "semantic_dedup_clustered",
+    "embedding_neardup": "embedding_neardup_blocked",
+    "minhash_lsh_neardup": "minhash_lsh_neardup_capped",
+}
+
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
+    resolved = []
+    for n in names:
+        if n in ORACLE_ANCHORS:
+            twin = ORACLE_ANCHORS[n]
+            print(
+                f"  {n}: oracle anchor (by-construction all-pairs) — "
+                f"probing production twin {twin} instead",
+                file=sys.stderr,
+            )
+            n = twin
+        if n not in resolved:
+            resolved.append(n)
+    names = resolved
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -427,6 +427,28 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query("ann_graph_range_exhaustive", oracle=_RANGE_ORACLE)
+def ann_graph_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search through the NSW beam family (VERDICT r10 #8 — the
+    last [top-k | range] × family gap; IVF's triangle-inequality gate is
+    ann_ivf_range_search above). Every probed cell's beam runs at
+    saturating ef and keeps every admitted node with squared-L2 ≤ t, so
+    the result must equal the full-corpus range scan bit-for-bit — the
+    same oracle row as the IVF gate. Per-candidate verification is exact
+    at ANY ef (the beam distance IS the metric); only visit coverage is
+    approximate below saturation (operators/graph.py range_search)."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    res = idx.range_search(
+        _qvec(spark, sf_dir), _RANGE_THRESHOLD, nprobe=8, ef_search=10**6
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 @query("pca_rerank_full_rank", oracle=_knn_oracle(_L2, "distance", "ASC"))
 def pca_rerank_full_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA correctness gate (operators/pca.py): with k = dim the learned
