@@ -21,73 +21,71 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Round-10 window (VERDICT r9 agenda #6: oldest-first
+# ``queries()``.  Round-11 window (VERDICT r10 agenda #4: oldest-first
 # rotation over the registry):
-# (1) the NEW round-10 gate (dedup_clusters_lsh) plus every gate whose
-#     implementation changed this round — the star-contraction connected
-#     components rewrote the clustering path under dedup_clusters /
-#     fuzzy_entity_canonical / semantic_dedup_* / image_phash_neardup,
-#     the _lsh_buckets refactor sits under minhash_lsh_neardup, the
-#     Arrow-dispatch edit touched knn()/batch_knn(), and the zero-norm
-#     guard touched semantic_decontamination;
-# (2) oldest-first fill to exactly 50 from the per-gate newest driver
-#     round (recomputed from CORRECTNESS_r01-r09): the single round-2
-#     straggler, then the round-3 cohort.
-# Everything else keeps its earlier green rows (ORACLE_FULL_r09 re-swept
-# the whole registry at sf0.01 with 0 failures).
+# (1) the two NEW round-11 gates (graph-family range search; the capped
+#     MinHash production twin);
+# (2) gates whose implementation changed this round — the cosine
+#     zero-norm backfill admission fix rewired graph search/search_batch
+#     (ann_graph_filtered_exhaustive + the cosine companions), and
+#     knn_page grew its Arrow keyset arm (knn_page_two);
+# (3) oldest-first fill: ALL 44 gates whose newest driver attestation is
+#     <= r4 (6 at r3, 38 at r4 — recomputed from CORRECTNESS_r01-r10).
+#     This also covers the zonemap gates (two-level manifest rewrite) and
+#     train_eval_split_docs (NULL-sentinel fix) directly.
+# Everything else keeps its r5+ rows; ORACLE_FULL_r10 re-swept the whole
+# registry at sf0.01 with 0 failures and the r11 sweep repeats that.
 _VERIFY_FIRST = [
-    # --- (1) new + changed-this-round ---
-    "dedup_clusters_lsh",
-    "dedup_clusters",
-    "minhash_lsh_neardup",
-    "image_phash_neardup",
-    "fuzzy_entity_canonical",
-    "semantic_dedup_exhaustive",
-    "semantic_dedup_clustered",
-    "knn_l2",
-    "knn_batch",
-    "knn_filtered_neq",
-    "semantic_decontamination",
-    # --- (2) oldest-first: r2, then the r3 cohort ---
+    "ann_graph_range_exhaustive",
+    "minhash_lsh_neardup_capped",
     "ann_graph_filtered_exhaustive",
-    "ann_lsh_batch_filtered_exhaustive",
-    "bigram_pmi_collocations",
-    "c4_filter_summary",
-    "chunk_dedup_docs",
-    "cohort_retention_events",
-    "collection_version_diff",
-    "column_stats_lineitem",
-    "correlation_matrix_lineitem",
-    "embedding_norm_extremes",
-    "events_moving_avg",
-    "grouping_sets_lineitem",
-    "hamming_batch_filtered_exhaustive",
-    "importance_sample_docs",
-    "ivfpq_batch_exhaustive",
-    "ivfpq_filtered_exhaustive",
-    "knn_hamming",
-    "knn_hamming_batch",
-    "knn_hamming_rerank",
     "knn_page_two",
-    "label_centroids",
-    "orc_roundtrip_events",
-    "order_price_percentiles",
-    "pca_rerank_full_rank",
-    "pq_filtered_rerank_exhaustive",
-    "rag_chunk_docs",
-    "salted_join_priority_revenue",
-    "skipgram_pairs_docs",
-    "source_cap_docs",
-    "source_profile",
-    "stream_ann_search",
-    "stream_chunk_dedup",
-    "stream_doc_dedup",
-    "stream_stream_join",
-    "tpch_q12_priority_class",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q21_sole_blame",
-    "tpch_q6_forecast",
+    "knn_cosine",
+    "ann_lsh_cosine",
+    "tpch_q8_market_share",
+    "train_eval_split_docs",
+    "training_shuffle_docs",
+    "unigram_lm_score",
+    "user_value_anomalies",
+    "value_histogram_events",
+    "ann_graph_append_exhaustive",
+    "ann_graph_batch_filtered_exhaustive",
+    "ann_graph_delete_exhaustive",
+    "ann_graph_ip_exhaustive",
+    "ann_ivf_batch_cosine_full_probe",
+    "ann_ivf_batch_ip_full_probe",
+    "ann_ivf_delete_full_probe",
+    "ann_ivf_knn_join_exhaustive",
+    "ann_ivf_range_filtered",
+    "ann_ivf_retrain_ip_full_probe",
+    "ann_lsh_append_exhaustive",
+    "ann_lsh_delete_exhaustive",
+    "audio_fp_neardup",
+    "fusion_weighted_search",
+    "fuzzy_name_pairs",
+    "heavy_hitters_mg",
+    "ivfpq_append_exhaustive",
+    "ivfpq_batch_filtered_exhaustive",
+    "ivfpq_delete_exhaustive",
+    "ivfsq_append_rerank_exhaustive",
+    "ivfsq_batch_rerank_exhaustive",
+    "ivfsq_decoded_full_probe",
+    "ivfsq_delete_exhaustive",
+    "ivfsq_rerank_exhaustive",
+    "knn_classify",
+    "maxsim_batch_search",
+    "maxsim_filtered_search",
+    "maxsim_label_search",
+    "mixture_sample_docs",
+    "pipeline_prepare_corpus_v3",
+    "stream_ivf_append_full_probe",
+    "stream_ivf_delete_full_probe",
+    "substring_dedup_docs",
+    "tfidf_top_terms",
+    "tpch_q11_value_share",
+    "zonemap_append_scan",
+    "zonemap_pruned_scan",
+    "zorder_box_scan",
 ]
 
 
