@@ -762,3 +762,48 @@ def test_ip_append_empty_batch_is_noop(emb, tmp_path_factory, spark):
 def test_ip_build_empty_corpus_clear_error(emb, spark):
     with pytest.raises(ValueError, match="empty corpus"):
         IvfIndex.build(emb.filter(F.col("vec_id") < 0), nlist=2, metric="ip")
+
+
+def test_lsh_range_search_full_probe_matches_exact(spark):
+    """LSH range search (the last family × range cell): at full probe the
+    candidate union is the whole corpus, so the result must equal
+    knn.range_search; at tuned radius every emitted row still passes the
+    exact threshold (subset semantics), and predicate + tombstones
+    restrict the output like filtered search."""
+    from vector_db_spark.operators.ann import CosineLshIndex
+    from vector_db_spark.operators.knn import range_search as exact_range
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=4, n_tables=3, seed=42)
+    for metric, thr in (("l2", 1.6), ("cosine", 0.15)):
+        col = "distance" if metric == "l2" else "score"
+        got = [
+            (r[0], round(r[1], 6))
+            for r in idx.range_search(q, thr, metric=metric, probe_radius=4).collect()
+        ]
+        want = [
+            (r[0], round(r[1], 6))
+            for r in exact_range(emb, q, thr, metric=metric).collect()
+        ]
+        assert got == want, metric
+        assert len(want) > 0
+        # tuned radius: verified subset
+        part = {
+            r[0] for r in idx.range_search(q, thr, metric=metric, probe_radius=1).collect()
+        }
+        assert part <= {w[0] for w in want}
+    # predicate + delete
+    pred = F.col("label") == 3
+    gotf = {r[0] for r in idx.range_search(q, 1.6, metric="l2", probe_radius=4,
+                                           predicate=pred).collect()}
+    wantf = {r[0] for r in exact_range(emb, q, 1.6, metric="l2",
+                                       predicate=pred).collect()}
+    assert gotf == wantf
+    victim = sorted(wantf)[0] if wantf else None
+    if victim is not None:
+        idx.delete([victim])
+        after = {r[0] for r in idx.range_search(q, 1.6, metric="l2", probe_radius=4,
+                                                predicate=pred).collect()}
+        assert after == wantf - {victim}

@@ -1206,6 +1206,22 @@ class CosineLshIndex:
         the result is min(k, matching candidates) — same contract as exact
         filtered kNN; ≅ usearch filtered_search,
         reference: src/core/index/usearch_index.rs:68-85)."""
+        cands = self._probe_candidates(query, probe_radius)
+        return knn(
+            cands,
+            query,
+            k,
+            metric=metric,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            predicate=predicate,
+        )
+
+    def _probe_candidates(
+        self, query: Sequence[float], probe_radius: int
+    ) -> DataFrame:
+        """Deduplicated candidate rows from the multiprobe bucket set —
+        the shared generation stage of search() and range_search()."""
         pairs = self.query_buckets(query, probe_radius)
         by_table: dict[int, list[int]] = {}
         for t, b in pairs:
@@ -1220,15 +1236,39 @@ class CosineLshIndex:
         extras = [
             c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
         ]
-        cands = self._live().filter(cond).select(
+        return self._live().filter(cond).select(
             F.col("id").alias(self.id_col),
             F.col("vec").alias(self.vec_col),
             *extras,
         ).dropDuplicates([self.id_col])
-        return knn(
+
+    def range_search(
+        self,
+        query: Sequence[float],
+        threshold: float,
+        metric: str = "cosine",
+        probe_radius: int = 1,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """All probed-bucket candidates within a metric threshold (faiss
+        ``range_search`` semantics) — the LSH cell of the
+        [top-k | range] × family matrix (the graph cell landed the same
+        round; IVF has had lossless triangle-inequality range search
+        since r5). Candidate generation is search()'s multiprobe bucket
+        union (partition-pruned at rest, deduplicated); verification is
+        knn.range_search's exact threshold filter + (metric, id) sort,
+        so every emitted row truly passes the threshold at ANY radius.
+        Coverage follows the multiprobe s-curve: ``probe_radius=n_bits``
+        probes every bucket and the result equals the full-corpus range
+        scan (the ann_lsh_range_exhaustive gate); tuned radii trade
+        recall for candidate volume exactly as in top-k search."""
+        from vector_db_spark.operators.knn import range_search as exact_range
+
+        cands = self._probe_candidates(query, probe_radius)
+        return exact_range(
             cands,
             query,
-            k,
+            threshold,
             metric=metric,
             vec_col=self.vec_col,
             id_col=self.id_col,

@@ -427,6 +427,24 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query("ann_lsh_range_exhaustive", oracle=_RANGE_ORACLE)
+def ann_lsh_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search through the LSH backend at full probe
+    (probe_radius = n_bits probes every bucket of every table, so the
+    candidate union is the whole corpus and the result must equal the
+    full-corpus range scan bit-for-bit — same oracle row as the IVF and
+    graph range gates). Verification is exact at ANY radius (every
+    emitted row passes the true threshold); only coverage is
+    approximate below full probe (operators/ann.py
+    CosineLshIndex.range_search)."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    res = idx.range_search(
+        _qvec(spark, sf_dir), _RANGE_THRESHOLD, metric="l2", probe_radius=6
+    )
+    return res.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 @query("ann_graph_range_exhaustive", oracle=_RANGE_ORACLE)
 def ann_graph_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range search through the NSW beam family (VERDICT r10 #8 — the
