@@ -363,3 +363,38 @@ def test_zonemap_point_predicate_reads_o1_manifest_parts(spark, tmp_path):
         r.id for r in read_zonemapped(spark, p, lo=99_999.0, hi=100_001.0).collect()
     )
     assert got2 == [99_999, 100_000, 100_001]  # spans both batches
+
+
+def test_append_onto_pre_index_manifest_backfills_summary(spark, tmp_path):
+    """A table whose manifests predate the two-level layout (no _index/)
+    must get its summary BACKFILLED when appended onto — a summary
+    covering only the new batch would make pruning read just the new
+    parts and silently drop every pre-existing file."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.sources.zonemap import (
+        append_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+        zonemap_files,
+    )
+
+    p = str(tmp_path / "legacy")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    write_zonemapped(df.filter("id < 500"), p, "v", n_files=4)
+    # simulate the pre-r11 layout: flat manifest, no _index/
+    shutil.rmtree(p + "/_zonemap/v/_index")
+    n_new = append_zonemapped(df.filter("id >= 500"), p, "v", n_files=4)
+    assert n_new == 4
+    kept, total = zonemap_files(spark, p, {"v": (None, None)})
+    assert total == 8 and len(kept) == 8  # old files still visible
+    got = sorted(r.id for r in read_zonemapped(spark, p, lo=10.0, hi=20.0).collect())
+    want = sorted(
+        r.id
+        for r in df.filter((F.col("v") >= 10.0) & (F.col("v") <= 20.0)).collect()
+    )
+    assert got == want  # rows from BOTH batches survive pruning

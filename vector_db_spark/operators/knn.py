@@ -669,6 +669,9 @@ def knn_page(
     deterministic in the query dim, so a consistent caller stays on one
     scorer without thinking about it. Column queries always use expr
     (their dim is unknowable at plan time)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")  # both arms; the Arrow arm
+        # otherwise silently returned an empty page for k=0
     expr_fn, ascending = _metric(metric)
     out = SCORE_COL[metric]
     if impl not in ("auto", "expr", "arrow"):

@@ -209,6 +209,22 @@ def _write_manifests(
     for c in cols:
         man_dir = os.path.join(path, _MANIFEST_DIR, c)
         before_parts = _data_files(spark, man_dir) if mode == "append" else set()
+        if before_parts:
+            # Appending onto a PRE-INDEX manifest (written before the
+            # two-level layout) must backfill `_index/` for the existing
+            # parts FIRST: creating a summary that covers only the new
+            # batch would make the prune read just the new parts and
+            # silently drop every pre-existing file — the same
+            # invisibility failure the append-on-unmanifested guard
+            # exists for, one level up, and the cross-column consistency
+            # check cannot see it (all columns would agree).
+            jvm = spark._jvm
+            idx_path = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(man_dir, _INDEX_DIR)
+            )
+            fs = idx_path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(idx_path):
+                _write_index(spark, man_dir, sorted(before_parts), "overwrite")
         # Two-level manifest (VERDICT r10 #7): stats range-bucket on `lo`
         # into parts of <= bucket_rows rows, so each part covers a narrow
         # slice of the column's value space; the `_index/` summary (one
@@ -230,25 +246,37 @@ def _write_manifests(
             .parquet(man_dir)
         )
         new_parts = sorted(_data_files(spark, man_dir) - before_parts)
-        summary = (
-            spark.read.parquet(*new_parts)
-            .select(
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("mfile"),
-                "lo",
-                "hi",
-            )
-            .groupBy("mfile")
-            .agg(
-                F.min("lo").alias("lo_min"),
-                F.max("hi").alias("hi_max"),
-                F.count(F.lit(1)).alias("n_files"),
-            )
+        _write_index(spark, man_dir, new_parts, mode)
+
+
+def _write_index(
+    spark: SparkSession, man_dir: str, part_files: list[str], mode: str
+) -> None:
+    """`_index/` summary rows for the given manifest part files: one row
+    per part with its (lo_min, hi_max, n_files) envelope, keyed by part
+    BASENAME (encoding-invariant — see _manifest_rows). Shared by the
+    fresh write/append path and the pre-index backfill."""
+    if not part_files:
+        return
+    summary = (
+        spark.read.parquet(*part_files)
+        .select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("mfile"),
+            "lo",
+            "hi",
         )
-        summary.coalesce(1).write.mode(mode).parquet(
-            os.path.join(man_dir, _INDEX_DIR)
+        .groupBy("mfile")
+        .agg(
+            F.min("lo").alias("lo_min"),
+            F.max("hi").alias("hi_max"),
+            F.count(F.lit(1)).alias("n_files"),
         )
+    )
+    summary.coalesce(1).write.mode(mode).parquet(
+        os.path.join(man_dir, _INDEX_DIR)
+    )
 
 
 def _data_files(spark: SparkSession, path: str) -> set[str]:
