@@ -247,3 +247,56 @@ def test_arrow_kernels_raise_on_nan_corpus(spark):
         batch_knn(clean, nan_q, 5, metric="ip", impl="arrow")
     # clean corpora are untouched by the guard
     assert len(knn(clean, q, 5, impl="arrow").collect()) == 5
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_batch_range_search_arrow_matches_expr(spark, metric):
+    """Batched range search: the Arrow kernel (GEMM + nonzero threshold
+    mask) must emit exactly the expression path's (query, row) match
+    set, cosine zero-norm rows never appear (NULL passes no threshold),
+    and NaN corpora raise like the other kernels."""
+    from vector_db_spark.operators.knn import batch_range_search
+
+    half = DIM // 2
+    df = _corpus(spark, n=60).union(
+        spark.createDataFrame(
+            [(999, [0.0] * DIM, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    qdf = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    thr = {"l2": 55.0, "ip": 2.0, "cosine": 0.1}[metric]
+    col = "distance" if metric == "l2" else "score"
+    got = [
+        (r.query_id, r.vec_id, round(r[col], 9))
+        for r in batch_range_search(df, qdf, thr, metric=metric, impl="arrow").collect()
+    ]
+    want = [
+        (r.query_id, r.vec_id, round(r[col], 9))
+        for r in batch_range_search(df, qdf, thr, metric=metric, impl="expr").collect()
+    ]
+    assert [g[:2] for g in got] == [w[:2] for w in want], metric
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+    assert len(want) > 0
+    if metric == "cosine":
+        assert 999 not in [g[1] for g in got]  # zero-norm: no threshold pass
+    # predicate composes; auto + dim hint dispatches to the kernel
+    pred = F.col("label") == 1
+    gp = {(r.query_id, r.vec_id) for r in batch_range_search(
+        df, qdf, thr, metric=metric, impl="arrow", predicate=pred).collect()}
+    wp = {(r.query_id, r.vec_id) for r in batch_range_search(
+        df, qdf, thr, metric=metric, impl="expr", predicate=pred).collect()}
+    assert gp == wp
+    plan = batch_range_search(df, qdf, thr, metric=metric, dim=DIM)
+    assert "MapInPandas" in plan._jdf.queryExecution().executedPlan().toString()
+    nan_df = df.union(
+        spark.createDataFrame(
+            [(998, [float("nan")] * DIM, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    with pytest.raises(Exception, match="NaN"):
+        batch_range_search(nan_df, qdf, thr, metric=metric, impl="arrow").collect()

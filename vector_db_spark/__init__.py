@@ -45,6 +45,7 @@ from vector_db_spark.operators.bm25 import bm25_scores, bm25_topk  # noqa: E402
 from vector_db_spark.operators.hybrid import hybrid_search  # noqa: E402
 from vector_db_spark.operators.knn import (  # noqa: E402
     batch_knn,
+    batch_range_search,
     knn,
     pairwise_similarity,
     pairwise_similarity_blocked,
@@ -77,6 +78,7 @@ __all__ = [
     "ScalarQuantizer",
     "asof_join",
     "batch_knn",
+    "batch_range_search",
     "bm25_scores",
     "bm25_topk",
     "connected_components",

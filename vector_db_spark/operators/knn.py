@@ -476,6 +476,162 @@ def range_search(
     return keep.orderBy(order, F.col(id_col).asc())
 
 
+def batch_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    predicate: Column | None = None,
+    impl: str = "auto",
+    dim: int | None = None,
+) -> DataFrame:
+    """All (query, corpus-row) pairs within the metric threshold — the
+    BATCHED faiss ``range_search`` (its native signature takes n queries
+    at once; the single-query operator is the n = 1 case). l2 keeps
+    squared-L2 <= t, ip/cosine keep score >= t. The query side broadcasts
+    (expr) or collects to the driver (Arrow — the same smallness contract
+    as batch_knn); the corpus never shuffles, and there is no LIMIT: the
+    threshold filter IS the cardinality bound, applied before the sort so
+    only matches rank. Returns (query_id, id, distance|score) ordered by
+    (query_id, metric, id).
+
+    Arrow dispatch mirrors batch_knn — ``impl='arrow'`` or ``'auto'``
+    with a ``dim`` hint >= ARROW_DIM_MIN scores each corpus Arrow batch
+    against the whole query matrix with ONE float64 GEMM and emits only
+    the passing cells (np.nonzero on the threshold mask), so the kernel's
+    output is match-bounded, not |corpus|x|queries|-bounded. Cosine
+    zero-norm rows score NULL in the expression path and NULL passes no
+    threshold; the kernel never emits them — identical row sets. NaN
+    corpus/query components raise (same transport argument as
+    _NAN_CORPUS_MSG)."""
+    if impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"impl must be auto|expr|arrow, got {impl!r}")
+    expr_fn, ascending = _metric(metric)
+    out = SCORE_COL[metric]
+    thr = float(threshold)
+
+    df = corpus
+    if predicate is not None:
+        df = df.filter(predicate)
+
+    if impl == "arrow" or (
+        impl == "auto" and dim is not None and dim >= ARROW_DIM_MIN
+    ):
+        matches = _batch_score_range_arrow(
+            df.select(id_col, vec_col),
+            queries,
+            thr,
+            metric=metric,
+            vec_col=vec_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            out=out,
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(queries))
+        scored = joined.select(
+            query_id_col,
+            id_col,
+            expr_fn(F.col(vec_col), F.col(query_vec_col)).alias(out),
+        )
+        matches = scored.filter(
+            F.col(out) <= thr if ascending else F.col(out) >= thr
+        )
+    order = F.col(out).asc() if ascending else F.col(out).desc()
+    return matches.orderBy(
+        F.col(query_id_col).asc(), order, F.col(id_col).asc()
+    )
+
+
+def _batch_score_range_arrow(
+    df: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    out: str,
+) -> DataFrame:
+    """(query_id, id, score) threshold matches: one corpus-batch x
+    query-matrix GEMM per Arrow batch, np.nonzero on the threshold mask —
+    output rows scale with MATCHES, never with the score matrix. Range
+    has no rank boundary, so no tie handling is needed (every passing
+    cell is emitted); ordering stays with the caller."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    qids = np.asarray([r[0] for r in qrows])
+    qm = np.asarray([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    if np.isnan(qm).any():
+        raise ValueError("query vectors contain NaN")
+    dim = qm.shape[1]
+    if metric == "cosine":
+        qn = np.linalg.norm(qm, axis=1)
+        qm = qm / np.where(qn == 0.0, 1.0, qn)[:, None]
+
+    def score(it):
+        empty = pd.DataFrame(
+            {query_id_col: pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype=object),
+             out: pd.Series([], dtype="float64")}
+        )
+        for pdf in it:
+            rows = pdf[vec_col].tolist()
+            if not rows:
+                yield empty
+                continue
+            v = np.asarray(rows, dtype=np.float64)
+            if v.ndim != 2 or v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: queries have {dim} components, "
+                    f"corpus column {vec_col!r} differs"
+                )
+            if np.isnan(v).any():
+                raise ValueError(_NAN_CORPUS_MSG.format(vec_col=vec_col))
+            if metric == "l2":
+                s = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ qm.T)
+                    + (qm * qm).sum(axis=1)[None, :]
+                )
+                mask = s <= threshold
+            elif metric == "ip":
+                s = v @ qm.T
+                mask = s >= threshold
+            else:  # cosine (queries pre-normalized above)
+                vn = np.linalg.norm(v, axis=1)
+                dead = vn == 0.0
+                s = (v / np.where(dead, 1.0, vn)[:, None]) @ qm.T
+                mask = (s >= threshold) & ~dead[:, None]
+            ri, ci = np.nonzero(mask)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {query_id_col: qids[ci], id_col: ids[ri], out: s[ri, ci]}
+            )
+
+    schema = StructType(
+        [
+            queries.schema[query_id_col],
+            df.schema[id_col],
+            StructField(out, DoubleType()),
+        ]
+    )
+    return df.mapInPandas(score, schema=schema)
+
+
 def pairwise_similarity(
     corpus: DataFrame,
     *,

@@ -23,8 +23,8 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
 # ``queries()``.  Round-11 window (VERDICT r10 agenda #4: oldest-first
 # rotation over the registry):
-# (1) the three NEW round-11 gates (graph- and LSH-family range search;
-#     the capped MinHash production twin);
+# (1) the four NEW round-11 gates (graph-/LSH-family range search, the
+#     batched exact range search, the capped MinHash production twin);
 # (2) gates whose implementation changed this round — the cosine
 #     zero-norm backfill admission fix rewired graph search/search_batch
 #     (ann_graph_filtered_exhaustive + the cosine companions), and
@@ -38,10 +38,10 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 _VERIFY_FIRST = [
     "ann_graph_range_exhaustive",
     "ann_lsh_range_exhaustive",
+    "knn_batch_range",
     "minhash_lsh_neardup_capped",
     "ann_graph_filtered_exhaustive",
     "knn_page_two",
-    "ann_lsh_cosine",
     "tpch_q8_market_share",
     "train_eval_split_docs",
     "training_shuffle_docs",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import l2_norm
-from vector_db_spark.operators.knn import batch_knn, knn
+from vector_db_spark.operators.knn import batch_knn, batch_range_search, knn
 from vector_db_spark.oracle import cosine_sim_sql, dot_sql, l2_sq_sql
 from vector_db_spark.queries.registry import query
 from vector_db_spark.sources.fixtures import load_table
@@ -123,6 +123,38 @@ ranked AS (
 SELECT query_id, vec_id, round(dist, 6) AS distance, rank
 FROM ranked WHERE rank <= {_BATCH_K}
 """
+
+
+_BATCH_RANGE_THRESHOLD = 1.6
+
+_BATCH_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+m AS (
+  SELECT q.query_id, e.vec_id, {_BATCH_L2} AS dist FROM embeddings e, q
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance
+FROM m WHERE dist <= {_BATCH_RANGE_THRESHOLD}
+ORDER BY query_id, dist, vec_id
+"""
+
+
+@query("knn_batch_range", oracle=_BATCH_RANGE_ORACLE)
+def knn_batch_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched faiss range_search (operators/knn.batch_range_search):
+    every (query, row) pair with squared-L2 <= t, query side broadcast,
+    no LIMIT — the threshold filter bounds cardinality before the sort.
+    The n-query twin of the single-query range gates (IVF/graph/LSH run
+    the same oracle row at n = 1)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = batch_range_search(emb, queries, _BATCH_RANGE_THRESHOLD, metric="l2")
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
 
 
 @query("knn_batch", oracle=_BATCH_ORACLE)
