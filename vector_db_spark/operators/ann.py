@@ -753,6 +753,65 @@ class IvfIndex:
             predicate=predicate,
         )
 
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Batched lossless range search: per-query triangle-inequality
+        cell pruning exactly as range_search(), then ONE batched exact
+        verify over the UNION of every query's surviving cells
+        (knn.batch_range_search — broadcast queries / Arrow GEMM, no
+        LIMIT). Lossless because query q's true matches live inside q's
+        own surviving cells ⊆ the union; the exact threshold re-check
+        then discards any union row outside q's range, so the result
+        equals running range_search per query (and the full-corpus
+        batched scan — the ann_ivf_batch_range gate shares
+        knn_batch_range's oracle row). The per-query cell math is
+        driver-side (nq × nlist floats); the union keeps the data-side
+        plan ONE partition-pruned scan instead of nq separate jobs —
+        at the usual smallness contract for the query side, the extra
+        union candidates cost a few more GEMM rows, never a shuffle."""
+        from vector_db_spark.operators.knn import batch_range_search
+
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        if not qrows:
+            raise ValueError("queries must be non-empty")
+        c = np.asarray(self.centroids, dtype=np.float64)
+        radii = np.asarray(self.ensure_cell_radii(), dtype=np.float64)
+        cells: set[int] = set()
+        for r in qrows:
+            q = self._query_point(r[1])
+            if self.metric == "l2":
+                radius_sq = float(threshold)
+            elif self.metric == "cosine":
+                radius_sq = max(0.0, 2.0 - 2.0 * float(threshold))
+            else:  # ip (norm-watermark covering bound, as range_search)
+                eff_sq = max(
+                    float(self.max_sq_norm), self.max_appended_sq_norm or 0.0
+                )
+                radius_sq = float(np.dot(q, q)) + eff_sq - 2.0 * float(threshold)
+            if radius_sq < 0.0:
+                continue
+            radius = float(np.sqrt(radius_sq))
+            center_d = np.sqrt(((c - q) ** 2).sum(axis=1))
+            cells.update(np.nonzero(center_d - radii <= radius)[0].tolist())
+        cands = self._live().filter(F.col(_CLUSTER_COL).isin(sorted(cells)))
+        return batch_range_search(
+            cands,
+            queries,
+            threshold,
+            metric=self.metric,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            predicate=predicate,
+        )
+
     def _query_point(self, query: Sequence[float]) -> np.ndarray:
         """Query mapped into centroid space: unit sphere for cosine,
         zero-augmented [q, 0] for ip (queries sit on the augmentation

@@ -23,12 +23,14 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
 # ``queries()``.  Round-11 window (VERDICT r10 agenda #4: oldest-first
 # rotation over the registry):
-# (1) the four NEW round-11 gates (graph-/LSH-family range search, the
-#     batched exact range search, the capped MinHash production twin);
+# (1) the five NEW round-11 gates (graph-/LSH-family range search, the
+#     batched exact + batched IVF range search, the capped MinHash
+#     production twin);
 # (2) gates whose implementation changed this round — the cosine
 #     zero-norm backfill admission fix rewired graph search/search_batch
-#     (ann_graph_filtered_exhaustive + the cosine companions), and
-#     knn_page grew its Arrow keyset arm (knn_page_two);
+#     (ann_graph_filtered_exhaustive). knn_page grew an Arrow keyset arm
+#     but its GATE runs at fixture dims on the byte-identical expr arm,
+#     so its r10 row stands; the Arrow arm is pinned by contract tests;
 # (3) oldest-first fill: ALL 44 gates whose newest driver attestation is
 #     <= r4 (6 at r3, 38 at r4 — recomputed from CORRECTNESS_r01-r10).
 #     This also covers the zonemap gates (two-level manifest rewrite) and
@@ -39,9 +41,9 @@ _VERIFY_FIRST = [
     "ann_graph_range_exhaustive",
     "ann_lsh_range_exhaustive",
     "knn_batch_range",
+    "ann_ivf_batch_range",
     "minhash_lsh_neardup_capped",
     "ann_graph_filtered_exhaustive",
-    "knn_page_two",
     "tpch_q8_market_share",
     "train_eval_split_docs",
     "training_shuffle_docs",

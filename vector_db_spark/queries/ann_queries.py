@@ -427,6 +427,38 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+_BATCH_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+m AS (
+  SELECT q.query_id, e.vec_id, {_L2} AS dist FROM embeddings e, q
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance
+FROM m WHERE dist <= {_RANGE_THRESHOLD}
+ORDER BY query_id, dist, vec_id
+"""
+
+
+@query("ann_ivf_batch_range", oracle=_BATCH_RANGE_ORACLE)
+def ann_ivf_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LOSSLESS range search through the IVF index
+    (operators/ann.IvfIndex.range_search_batch): per-query
+    triangle-inequality cell pruning, one batched exact verify over the
+    union of surviving cells — value-exact against the full-corpus
+    batched range scan at ANY nlist, the n-query twin of
+    ann_ivf_range_search."""
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.range_search_batch(queries, _RANGE_THRESHOLD)
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 @query("ann_lsh_range_exhaustive", oracle=_RANGE_ORACLE)
 def ann_lsh_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range search through the LSH backend at full probe
