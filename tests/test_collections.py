@@ -1033,3 +1033,78 @@ def test_refresh_index_explicit_kwargs_reconfigure(spark, tmp_path):
     assert coll.refresh_index(nlist=4, max_iter=5) == "rebuilt"
     assert len(IvfIndex.load(spark, coll._index_dir()).centroids) == 4
     assert coll.info.build_params == {"nlist": 4, "max_iter": 5}
+
+
+def test_collection_range_search_all_families(spark, tmp_path):
+    """Collection.range_search routes by index_type: exact + IVF are
+    value-exact; graph/lsh at saturating coverage equal the exact scan;
+    compressed families serve range exactly from the raw vectors (no
+    staleness check needed — quantized distances cannot bound true
+    distances losslessly). Staleness and multi-vector contracts hold."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import range_search as exact_range
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    df = _vec_df(spark)
+    thr = 12.0
+    want = None
+
+    cases = [
+        ("exact", {}, {}),
+        ("ivf", {"nlist": 4, "max_iter": 5}, {}),
+        ("graph", {"nlist": 2, "m": 8, "ef_construction": 100},
+         {"nprobe": 2, "ef_search": 10**6}),
+        ("ivfpq", {"nlist": 4, "m": 4, "ksub": 16, "max_iter": 5}, {}),
+    ]
+    for kind, build, knobs in cases:
+        coll = cat.create(f"rs_{kind}", dim=8, metric="l2", index_type=kind)
+        coll.insert(df)
+        if kind != "exact":
+            coll.build_index(**build)
+        got = [
+            (r.id, round(r.distance, 6))
+            for r in coll.range_search([0.0] * 8, thr, **knobs).collect()
+        ]
+        if want is None:
+            want = [
+                (r.id, round(r.distance, 6))
+                for r in exact_range(df, [0.0] * 8, thr, id_col="id").collect()
+            ]
+            assert len(want) > 0
+        assert got == want, kind
+    # lsh is the cosine family: full probe == exact cosine range
+    clsh = cat.create("rs_lsh", dim=8, metric="cosine", index_type="lsh")
+    clsh.insert(df)
+    clsh.build_index(n_bits=3, n_tables=2)
+    qv = [1.0] + [0.0] * 7
+    got_l = [
+        (r.id, round(r.score, 6))
+        for r in clsh.range_search(qv, 0.2, probe_radius=3).collect()
+    ]
+    want_l = [
+        (r.id, round(r.score, 6))
+        for r in exact_range(df, qv, 0.2, metric="cosine", id_col="id").collect()
+    ]
+    assert got_l == want_l and len(want_l) > 0
+    # predicate composes (exact family representative)
+    pred = F.col("id") % 2 == 0
+    c0 = cat.get("rs_exact")
+    gp = {r.id for r in c0.range_search([0.0] * 8, thr, predicate=pred).collect()}
+    assert gp == {i for i, _ in want if i % 2 == 0}
+    # staleness: an index-backed family refuses after mutation
+    civf = cat.get("rs_ivf")
+    civf.upsert(df.limit(1).select("id", "embedding"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rebuild"):
+        civf.range_search([0.0] * 8, thr)
+    # ...but the raw-scan families keep serving (fresh snapshot)
+    cpq = cat.get("rs_ivfpq")
+    cpq.upsert(df.limit(1).select("id", "embedding"))
+    assert len(cpq.range_search([0.0] * 8, thr).collect()) == len(want)
+    # multi-vector collections refuse
+    mv = cat.create("rs_mv", dim=4, metric="ip", index_type="maxsim")
+    with _pt.raises(ValueError, match="single-vector"):
+        mv.range_search([0.0] * 4, 0.5)

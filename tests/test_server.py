@@ -312,3 +312,46 @@ def test_lock_keys_are_sorted_and_deduped():
     ]
     assert _lock_keys(api, "search_batch", batch) == ["a", "b"]
     assert _lock_keys(api, "search", {"index_key": None}) == [_CATALOG_KEY]
+
+
+def test_range_search_over_the_wire(server):
+    """POST /range_search: same wire shape as /search with `threshold`
+    in place of `k`; all ids within squared-L2 <= t, metric-then-id
+    order, unbounded by design. Validation: missing/non-numeric
+    threshold -> 400; missing collection -> 404."""
+    key = {"index_type": "FLAT", "dim": 4, "metric_type": "L2"}
+    _post(server, "/create", key)
+    for rid, vec in [(1, [1.0, 2.0, 3.0, 0.0]), (2, [1.0, 2.0, 4.0, 0.0]),
+                     (3, [10.0, 10.0, 10.0, 0.0])]:
+        _post(server, "/insert", {"id": rid, "vectors": vec, "index_key": key})
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": 1.5, "index_key": key},
+    )
+    assert status == 200 and body["code"] == 0
+    assert body["labels"] == [1, 2]  # id 3 is far outside the radius
+    assert body["distances"][0] == pytest.approx(0.0)
+    assert body["distances"][1] == pytest.approx(1.0)
+    # unbounded: a huge radius returns everything
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": 1e6, "index_key": key},
+    )
+    assert body["labels"] == [1, 2, 3]
+    # validation table
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "index_key": key},
+    )
+    assert status == 400 and "threshold" in body["error_msg"]
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": True, "index_key": key},
+    )
+    assert status == 400
+    missing = {"index_type": "FLAT", "dim": 9, "metric_type": "L2"}
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [0.0] * 9, "threshold": 1.0, "index_key": missing},
+    )
+    assert status == 404 and body["code"] == -1

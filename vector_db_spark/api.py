@@ -442,6 +442,50 @@ class VectorDatabaseApi:
             "distances": [float(r[out_col]) for r in rows],
         }
 
+    # -- POST /range_search (engine extension — round 11: the faiss
+    # range_search contract over the wire; the reference has no range
+    # operation, src/router/mod.rs:1-7, so this route is additive) -------
+    def range_search(self, req: dict) -> dict:
+        """All ids within a metric threshold of the query — same wire
+        shape as /search with ``threshold`` in place of ``k`` (l2 keeps
+        squared-L2 <= t, ip/cosine keep score >= t; result ordered by
+        metric then id, unbounded by design). Dispatch, staleness and
+        lazy-build semantics follow Collection.range_search: exact and
+        compressed families serve from the raw scan (always fresh),
+        index-backed families lazily (re)build like /search."""
+        vectors = req.get("vectors")
+        _require(vectors is not None and len(vectors) > 0,
+                 "vectors must contain at least one element")
+        threshold = req.get("threshold")
+        _require(threshold is not None, "threshold cannot be empty")
+        _require(
+            isinstance(threshold, (int, float))
+            and not isinstance(threshold, bool),
+            "threshold must be a number",
+        )
+        coll = self._collection(req.get("index_key"))
+        _require(
+            not coll._multi_vector,
+            "range_search is single-vector; late-interaction collections "
+            "serve top-k /search only",
+        )
+        vec, _ = self._parse_vectors(vectors, coll)
+        sp = _serving_params(req, coll)
+        if coll.scan() is None:
+            return {"code": 0, "labels": [], "distances": []}
+        if coll.info.index_type in ("ivf", "graph", "lsh"):
+            self._ensure_index(coll)
+        try:
+            rows = coll.range_search(vec, float(threshold), **sp).collect()
+        except ValueError as exc:
+            raise ApiError(500, str(exc)) from exc
+        out_col = "distance" if coll.info.metric == "l2" else "score"
+        return {
+            "code": 0,
+            "labels": [int(r[coll.info.id_col]) for r in rows],
+            "distances": [float(r[out_col]) for r in rows],
+        }
+
     # -- POST /search_batch (engine extension; the reference serves one
     # request per call — VERDICT r4 residual #1: a BATCH of requests must
     # not become N sequential Spark jobs) --------------------------------

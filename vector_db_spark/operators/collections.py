@@ -1194,6 +1194,83 @@ class Collection(_BucketedStore):
         idx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
         return idx.search(query, k, predicate=predicate, **params)
 
+    def range_search(
+        self, query, threshold, predicate: Column | None = None, **params
+    ):
+        """All rows within a metric threshold (faiss ``range_search``
+        semantics: l2 keeps squared-L2 <= t, ip/cosine keep score >= t),
+        routed by index_type — the range twin of search().
+
+        Coverage by family: exact and IVF are value-exact (full scan /
+        lossless triangle-inequality cell pruning); graph and lsh apply
+        their beam/multiprobe coverage with exact per-candidate verify
+        (serving knobs honored as in search()). The compressed-code
+        families (ivfpq/ivfsq/ivfopq) serve range EXACTLY from the
+        collection's raw vectors: quantized distances cannot bound true
+        distances losslessly, so a code-side threshold filter could both
+        emit false rows and drop true matches — for top-k the rerank
+        stage absorbs that, but range has no rank boundary to rerank
+        behind. The raw-scan answer is the honest contract (and needs no
+        staleness check — it reads the current snapshot). Index-backed
+        families keep search()'s staleness contract."""
+        from vector_db_spark.operators.knn import range_search as exact_range
+
+        if self._multi_vector:
+            raise ValueError(
+                "range_search is single-vector; late-interaction "
+                "collections score query token SETS (use search())"
+            )
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("collection is empty")
+        params = self._apply_serving_defaults(params)
+        kind = self.info.index_type
+        allowed = {
+            "graph": ("nprobe", "ef_search"),
+            "lsh": ("probe_radius",),
+        }.get(kind, ())
+        params = {k: v for k, v in params.items() if k in allowed}
+        if kind in ("exact", "ivfpq", "ivfsq", "ivfopq"):
+            return exact_range(
+                cur,
+                query,
+                threshold,
+                metric=self.info.metric,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                predicate=predicate,
+            )
+        iv = self._indexed_version()
+        if iv is None:
+            raise ValueError("no index built; call build_index() first")
+        if iv != self.info.version:
+            raise ValueError(
+                f"index built at v{iv} but collection is at "
+                f"v{self.info.version}; call build_index() to rebuild"
+            )
+        if kind == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            idx = IvfIndex.load(self.catalog.spark, self._index_dir())
+            return idx.range_search(query, threshold, predicate=predicate)
+        if kind == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            gidx = GraphAnnIndex.load(self.catalog.spark, self._index_dir())
+            return gidx.range_search(
+                query, threshold, predicate=predicate, **params
+            )
+        from vector_db_spark.operators.ann import CosineLshIndex
+
+        lidx = CosineLshIndex.load(self.catalog.spark, self._index_dir())
+        return lidx.range_search(
+            query,
+            threshold,
+            metric=self.info.metric,
+            predicate=predicate,
+            **params,
+        )
+
     def search_batch(
         self,
         queries,

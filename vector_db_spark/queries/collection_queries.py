@@ -149,6 +149,35 @@ def collection_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("distance", 6).alias("distance"))
 
 
+_RANGE_LIFECYCLE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+m AS (SELECT e.vec_id + 1 AS id, {_L2_E} AS dist FROM embeddings e, q)
+SELECT id, round(dist, 6) AS distance FROM m WHERE dist <= 1.6
+ORDER BY dist, id
+"""
+
+
+@query("collection_range_lifecycle", oracle=_RANGE_LIFECYCLE_ORACLE)
+def collection_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → insert → build_index(ivf) → range_search through the
+    catalog dispatch (Collection.range_search, round 11): the IVF range
+    path is LOSSLESS at any nlist (triangle-inequality cell pruning +
+    exact verify), so the oracle is the plain full-corpus range scan —
+    no saturating-probe escape hatch needed, unlike the top-k gates."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    coll = cat.create("range_lc", dim=64, metric="l2", index_type="ivf")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, max_iter=5)
+    qv = _qvec(spark, sf_dir)
+    res = coll.range_search(qv, 1.6)
+    return res.select("id", F.round("distance", 6).alias("distance"))
+
+
 @query("collection_tuned_serving", oracle=_LIFECYCLE_ORACLE)
 def collection_tuned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tuning write-back loop end-to-end: build an IVF collection, persist

@@ -9,7 +9,9 @@ this layer only speaks sockets and JSON:
 
 - ``POST /create | /insert | /upsert | /search | /query`` — the
   reference's five handlers; ``POST /search_batch`` — the engine's batch
-  extension (one distributed job per target collection).
+  extension (one distributed job per target collection);
+  ``POST /range_search`` — the faiss range contract (threshold instead
+  of k, unbounded result) over the same wire shape.
 - success → 200 with the handler's dict (``code: 0`` payloads,
   src/models/response/*.rs);
 - ``ApiError`` → its ``.status`` with the reference's error body shape
@@ -48,6 +50,7 @@ _ROUTES = {
     "/search": "search",
     "/query": "query",
     "/search_batch": "search_batch",
+    "/range_search": "range_search",
 }
 
 # reserved lock keys (collection names never collide: catalog names are
