@@ -355,3 +355,34 @@ def test_range_search_over_the_wire(server):
         {"vectors": [0.0] * 9, "threshold": 1.0, "index_key": missing},
     )
     assert status == 404 and body["code"] == -1
+
+
+def test_range_search_lazy_builds_index_backed_family(server):
+    """/range_search on an index-backed family (HNSW -> graph): the lazy
+    (re)build contract mirrors /search — first call builds, results at a
+    generous beam equal the exact L2 range over the inserted rows, and a
+    mutation is served fresh after the automatic rebuild."""
+    key = {"index_type": "HNSW", "dim": 3, "metric_type": "L2",
+           "max_elements": 100}
+    _post(server, "/create", key)
+    rows = {1: [0.0, 0.0, 0.0], 2: [1.0, 0.0, 0.0],
+            3: [0.0, 2.0, 0.0], 4: [5.0, 5.0, 5.0]}
+    for rid, vec in rows.items():
+        _post(server, "/insert", {"id": rid, "vectors": vec, "index_key": key})
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [0.0, 0.0, 0.0], "threshold": 4.5, "index_key": key,
+         "params": {"ef_search": 1000, "nprobe": 2}},
+    )
+    assert status == 200 and body["code"] == 0
+    assert body["labels"] == [1, 2, 3]  # sq-L2: 0, 1, 4 <= 4.5; id 4 = 75
+    assert body["distances"] == pytest.approx([0.0, 1.0, 4.0])
+    # mutation -> lazy rebuild serves the fresh snapshot
+    _post(server, "/upsert",
+          {"id": 2, "vectors": [9.0, 9.0, 9.0], "index_key": key})
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [0.0, 0.0, 0.0], "threshold": 4.5, "index_key": key,
+         "params": {"ef_search": 1000, "nprobe": 2}},
+    )
+    assert status == 200 and body["labels"] == [1, 3]
