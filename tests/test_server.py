@@ -338,6 +338,19 @@ def test_range_search_over_the_wire(server):
         {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": 1e6, "index_key": key},
     )
     assert body["labels"] == [1, 2, 3]
+    # limit caps the wire response at the closest n (metric order)
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": 1e6, "index_key": key,
+         "limit": 2},
+    )
+    assert status == 200 and body["labels"] == [1, 2]
+    status, body = _post(
+        server, "/range_search",
+        {"vectors": [1.0, 2.0, 3.0, 0.0], "threshold": 1e6, "index_key": key,
+         "limit": 0},
+    )
+    assert status == 400 and "limit" in body["error_msg"]
     # validation table
     status, body = _post(
         server, "/range_search",

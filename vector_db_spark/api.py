@@ -470,13 +470,24 @@ class VectorDatabaseApi:
             "serve top-k /search only",
         )
         vec, _ = self._parse_vectors(vectors, coll)
+        # optional cap on the (otherwise unbounded) wire response: the
+        # result is metric-ordered, so LIMIT keeps the closest n — a
+        # driver/transport safety valve for wide radii, not a semantic
+        # change (faiss range_search itself is uncapped)
+        limit = req.get("limit")
+        if limit is not None:
+            limit = _wire_int(limit, "limit")
+            _require(limit >= 1, "limit must be at least 1")
         sp = _serving_params(req, coll)
         if coll.scan() is None:
             return {"code": 0, "labels": [], "distances": []}
         if coll.info.index_type in ("ivf", "graph", "lsh"):
             self._ensure_index(coll)
         try:
-            rows = coll.range_search(vec, float(threshold), **sp).collect()
+            res = coll.range_search(vec, float(threshold), **sp)
+            if limit is not None:
+                res = res.limit(limit)
+            rows = res.collect()
         except ValueError as exc:
             raise ApiError(500, str(exc)) from exc
         out_col = "distance" if coll.info.metric == "l2" else "score"
