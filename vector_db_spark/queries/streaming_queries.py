@@ -43,6 +43,17 @@ def _stage_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     return stage
 
 
+def _await(q) -> None:
+    """awaitTermination with a LOUD timeout: a drain that does not finish
+    leaves partial state (collection rows / index files) that a rows-only
+    gate would accept silently."""
+    if not q.awaitTermination(_TIMEOUT_MS):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not terminate within {_TIMEOUT_MS} ms"
+        )
+
+
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the sink contents."""
@@ -55,7 +66,14 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    if not q.awaitTermination(_TIMEOUT_MS):
+        # a timed-out drain would silently return PARTIAL sink contents —
+        # an oracle gate would flag the mismatch, but a rows-only gate
+        # would pass on truncated data; fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not terminate within {_TIMEOUT_MS} ms"
+        )
     return stream_df.sparkSession.table(name)
 
 
@@ -174,13 +192,13 @@ def stream_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base.write.mode("append").parquet(stage)
     q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     base.filter(F.col("id") <= 100).select(
         "id", F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding")
     ).write.mode("append").parquet(stage)
     q = stream_upsert_into(read_vector_stream(spark, stage), coll, ckpt)
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     return coll.scan().select(
         "id",
@@ -366,7 +384,7 @@ def stream_ann_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8,
         metric="l2",
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
     res = spark.read.parquet(out)
     return res.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
@@ -519,7 +537,7 @@ def stream_ivf_append_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_ivf_append(
         vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ivf_")
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     idx = IvfIndex.load(spark, path)
     res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
@@ -562,7 +580,7 @@ def stream_ivf_delete_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_ivf_delete(
         id_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ivfdel_")
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     idx = IvfIndex.load(spark, path)
     res = idx.search(_qvec(spark, sf_dir), _KNN_K, nprobe=8, metric="l2")
@@ -607,7 +625,7 @@ def stream_maxsim_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFra
     q = stream_ivf_append(
         vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_ms_")
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     idx = MaxSimIvfIndex.load(spark, path)
     res = idx.search(
@@ -661,7 +679,7 @@ def stream_ivfopq_append_exhaustive(spark: SparkSession, sf_dir: str) -> DataFra
     q = stream_ivfopq_append(
         vec_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_iop_")
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     idx = IvfOpqIndex.load(spark, path)
     res = idx.search(
@@ -711,7 +729,7 @@ def stream_opq_append_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame
         vec_stream, qpath, codes_path,
         checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_opq_"),
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     enc = spark.read.parquet(codes_path)
     res = OpqQuantizer.load(qpath).search(
@@ -765,7 +783,7 @@ def stream_maxsim_pq_append_exhaustive(
     q = stream_maxsim_pq_append(
         tok_stream, path, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_mspq_")
     )
-    q.awaitTermination(_TIMEOUT_MS)
+    _await(q)
 
     idx = MaxSimPqIndex.load(spark, path)
     res = idx.search(
