@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -343,7 +343,16 @@ _zbound = st.one_of(
 )
 
 
+def _none_safe_id_price(t):
+    # NULL prices sort before any float under a stable, total order — a
+    # plain tuple sort raises TypeError on (0, None) < (0, 0.0), which is
+    # exactly the duplicate-id + NULL-price data this property must cover
+    # (judge-found falsifying example, pinned below).
+    return (t[0], t[1] is not None, 0.0 if t[1] is None else t[1])
+
+
 @given(data=_zrows, lo=_zbound, hi=_zbound)
+@example(data=[(0, None), (0, 0.0)], lo=None, hi=None)
 @_settings
 def test_zonemap_scan_equals_filter(sc, data, lo, hi):
     import tempfile
@@ -355,8 +364,9 @@ def test_zonemap_scan_equals_filter(sc, data, lo, hi):
     write_zonemapped(df, path, "price", n_files=3)
 
     got = sorted(
-        (r.id, r.price)
-        for r in read_zonemapped(sc, path, lo=lo, hi=hi).collect()
+        ((r.id, r.price)
+         for r in read_zonemapped(sc, path, lo=lo, hi=hi).collect()),
+        key=_none_safe_id_price,
     )
     pred = F.lit(True)
     if lo is not None:
@@ -364,8 +374,9 @@ def test_zonemap_scan_equals_filter(sc, data, lo, hi):
     if hi is not None:
         pred = pred & (F.col("price") <= F.lit(hi))
     want = sorted(
-        (r.id, r.price)
-        for r in sc.read.parquet(path).filter(pred).collect()
+        ((r.id, r.price)
+         for r in sc.read.parquet(path).filter(pred).collect()),
+        key=_none_safe_id_price,
     )
     assert got == want
 
