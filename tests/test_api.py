@@ -455,3 +455,17 @@ def test_count_cache_survives_drop_recreate(spark, tmp_path):
     # one row: nlist must clamp to 1 from the NEW incarnation's count
     out = api.search({"vectors": [9.0, 0.0, 1.0, 0.0], "k": 1, "index_key": key})
     assert out["code"] == 0 and out["labels"] == [1]
+
+
+def test_range_search_nan_threshold_is_400(api):
+    """ADVICE r11: NaN is a float, so it passed the numeric type check,
+    and every metric comparison against NaN is false — the route
+    returned a silently empty result instead of a 400."""
+    api.create_index(KEY_FLAT)
+    api.insert({"index_key": KEY_FLAT, "id": 1, "vectors": [1.0, 0.0, 0.0]})
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        assert _status(
+            api.range_search,
+            {"index_key": KEY_FLAT, "vectors": [1.0, 0.0, 0.0],
+             "threshold": bad},
+        ) == 400

@@ -402,3 +402,40 @@ def test_range_search_respects_filter_and_tombstones(spark):
     assert 3 not in after and 1 in after
     with pytest.raises(ValueError, match="nprobe"):
         idx.range_search(q, 0.5, nprobe=0)
+
+
+def test_range_search_saturates_small_ef(spark):
+    """ADVICE r11: a wide threshold at a tiny serving ef must not
+    silently truncate at ~nprobe*ef rows — the per-cell beam doubles ef
+    until its worst admitted node leaves the threshold radius or the
+    cell is exhausted. Coverage stays beam-approximate (the stop test
+    cannot see never-visited nodes), so the pin is: every emitted row is
+    a true match with the exact value, the result is NOT ef-truncated,
+    and coverage of the true match set is near-total (deterministic for
+    a fixed seed)."""
+    from vector_db_spark.operators.knn import range_search as exact_range
+
+    emb = load_table(spark, SF, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    for metric, thr in (("l2", 2.5), ("cosine", 0.05), ("ip", 0.1)):
+        idx = GraphAnnIndex.build(
+            emb, nlist=4, m=16, ef_construction=200, seed=42,
+            max_iter=5, metric=metric,
+        )
+        got = {
+            r[0]: round(r[1], 6)
+            for r in idx.range_search(q, thr, nprobe=4, ef_search=1).collect()
+        }
+        want = {
+            r[0]: round(r[1], 6)
+            for r in exact_range(emb, q, thr, metric=metric).collect()
+        }
+        assert len(want) > 50, (metric, "need a wide radius to prove saturation")
+        # pre-saturation the result was capped at ~nprobe*ef = 4 rows
+        assert len(got) > 4 * 1, metric
+        assert all(want.get(i) == v for i, v in got.items()), metric  # exact subset
+        coverage = len(got) / len(want)
+        assert coverage >= 0.95, (metric, coverage)

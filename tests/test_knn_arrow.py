@@ -300,3 +300,59 @@ def test_batch_range_search_arrow_matches_expr(spark, metric):
     )
     with pytest.raises(Exception, match="NaN"):
         batch_range_search(nan_df, qdf, thr, metric=metric, impl="arrow").collect()
+
+
+def test_knn_page_cursor_scorer_compat(spark):
+    """ADVICE r11 cursor-compatibility contract: a (score, id, scorer)
+    cursor dispatches its page to the minting scorer; an untagged cursor
+    under impl='auto' in the Arrow regime raises instead of guessing
+    (a pre-Arrow-era or expr-minted cursor replayed on the Arrow kernel
+    is the drop/duplicate hazard); an explicit impl that contradicts the
+    tag raises."""
+    import numpy as np
+    import pytest
+
+    from vector_db_spark.operators.knn import ARROW_DIM_MIN, knn_page
+
+    dim = ARROW_DIM_MIN
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in rng.normal(size=dim)]
+
+    page1 = knn_page(df, q, 5, impl="expr").collect()
+    cur = (page1[-1].distance, page1[-1].vec_id)
+
+    # untagged cursor + auto at arrow-regime dim: ambiguous -> loud
+    with pytest.raises(ValueError, match="ambiguous cursor"):
+        knn_page(df, q, 5, after=cur)
+    # tagged cursor dispatches without an explicit impl
+    tagged = knn_page(df, q, 5, after=(*cur, "expr")).collect()
+    want = knn_page(df, q, 5, after=cur, impl="expr").collect()
+    assert [(r.vec_id, r.distance) for r in tagged] == [
+        (r.vec_id, r.distance) for r in want
+    ]
+    # an arrow-tagged cursor runs the Arrow kernel
+    p1a = knn_page(df, q, 5, impl="arrow").collect()
+    cura = (p1a[-1].distance, p1a[-1].vec_id, "arrow")
+    got_arrow = knn_page(df, q, 5, after=cura)
+    assert "MapInPandas" in (
+        got_arrow._jdf.queryExecution().executedPlan().toString()
+    )
+    # contradiction is an error, never a silent scorer mix
+    with pytest.raises(ValueError, match="minted by the expr scorer"):
+        knn_page(df, q, 5, after=(*cur, "expr"), impl="arrow")
+    with pytest.raises(ValueError, match="scorer tag"):
+        knn_page(df, q, 5, after=(*cur, "gemm"))
+    # low-dim auto stays unambiguous: every era's auto means expr there
+    low = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    lp1 = knn_page(low, [1.0, 0.0], 2).collect()
+    lp2 = knn_page(
+        low, [1.0, 0.0], 2, after=(lp1[-1].distance, lp1[-1].vec_id)
+    ).collect()
+    assert [r.vec_id for r in lp2] == [3]

@@ -398,3 +398,32 @@ def test_append_onto_pre_index_manifest_backfills_summary(spark, tmp_path):
         for r in df.filter((F.col("v") >= 10.0) & (F.col("v") <= 20.0)).collect()
     )
     assert got == want  # rows from BOTH batches survive pruning
+
+
+def test_unindexed_manifest_part_raises_stale_index(spark, tmp_path):
+    """ADVICE r11: a crash between a manifest-part append and its
+    _index append leaves parts on disk that the summary never
+    references — the pruned read would silently skip their files. The
+    reverse-direction check must refuse to read such a layout."""
+    import os
+    import shutil
+
+    from vector_db_spark.sources.zonemap import read_zonemapped, write_zonemapped
+
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    write_zonemapped(df, p, "v", n_files=4)
+    man_dir = p + "/_zonemap/v"
+    part = next(
+        f for f in os.listdir(man_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    # simulate the torn append: a part lands, its _index row never does
+    shutil.copy(
+        os.path.join(man_dir, part),
+        os.path.join(man_dir, "part-99999-orphan.parquet"),
+    )
+    with pytest.raises(ValueError, match="stale index"):
+        read_zonemapped(spark, p, lo=0.0, hi=10.0).collect()

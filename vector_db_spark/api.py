@@ -57,6 +57,7 @@ per-request knobs.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -462,6 +463,12 @@ class VectorDatabaseApi:
             isinstance(threshold, (int, float))
             and not isinstance(threshold, bool),
             "threshold must be a number",
+        )
+        # NaN is a float, so it passes the type check, and every metric
+        # comparison against it is false — without this the route returns
+        # a silently empty result instead of a 400 (ADVICE r11)
+        _require(
+            math.isfinite(threshold), "threshold must be a finite number"
         )
         coll = self._collection(req.get("index_key"))
         _require(

@@ -774,12 +774,20 @@ class IvfIndex:
         driver-side (nq × nlist floats); the union keeps the data-side
         plan ONE partition-pruned scan instead of nq separate jobs —
         at the usual smallness contract for the query side, the extra
-        union candidates cost a few more GEMM rows, never a shuffle."""
+        union candidates cost a few more GEMM rows, never a shuffle.
+
+        The query side runs ONE driver job (VERDICT r11 #7): the rows
+        collected here for the cell math are re-wrapped as a local
+        relation for the verify stage, so batch_range_search's own
+        query-side access (broadcast or Arrow re-collect) reads driver
+        memory instead of re-running the caller's query plan."""
         from vector_db_spark.operators.knn import batch_range_search
 
-        qrows = queries.select(query_id_col, query_vec_col).collect()
+        qproj = queries.select(query_id_col, query_vec_col)
+        qrows = qproj.collect()
         if not qrows:
             raise ValueError("queries must be non-empty")
+        queries = queries.sparkSession.createDataFrame(qrows, qproj.schema)
         c = np.asarray(self.centroids, dtype=np.float64)
         radii = np.asarray(self.ensure_cell_radii(), dtype=np.float64)
         cells: set[int] = set()
@@ -810,6 +818,9 @@ class IvfIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             predicate=predicate,
+            # dim hint from the collected rows: embedding-model dims hit
+            # the GEMM kernel; fixture dims keep the expression fold
+            dim=len(qrows[0][1]),
         )
 
     def _query_point(self, query: Sequence[float]) -> np.ndarray:
@@ -1247,6 +1258,98 @@ class CosineLshIndex:
         w = Window.partitionBy(query_id_col).orderBy(order, F.col(self.id_col).asc())
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
+        )
+
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        metric: str = "cosine",
+        probe_radius: int = 1,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        broadcast_queries: bool = True,
+    ) -> DataFrame:
+        """Batched range search through the LSH tables — the n-query
+        formulation of range_search() (VERDICT r11 #3: faiss
+        ``range_search`` is natively batched). Candidate generation is
+        search_batch()'s fully distributed shape — one Arrow matmul
+        buckets every query, multiprobe XOR explode, equi-join on
+        (table, bucket) (partition pruning after save()) — so EACH query
+        sees exactly its OWN probed buckets (single-query semantics per
+        query, not a union slop-over), with no driver-side loop or
+        collect. Verification replaces the top-k window with the exact
+        threshold filter: every emitted row truly passes the metric test
+        at ANY radius; coverage follows the multiprobe s-curve and
+        radius = n_bits equals exact batch range search (the
+        ann_lsh_batch_range_exhaustive gate shares knn_batch_range's
+        oracle). Returns (query_id, id, distance|score) ordered by
+        (query_id, metric, id) — knn.batch_range_search's shape."""
+        from vector_db_spark.operators.knn import SCORE_COL, _metric
+
+        n_tables, n_bits, dim = self.planes.shape
+        flat = self.planes.reshape(n_tables * n_bits, dim).T.copy()
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+
+        @F.pandas_udf("array<long>")
+        def _qbuckets(vecs: pd.Series) -> pd.Series:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            if v.shape[1] != dim:
+                raise ValueError(
+                    f"dimension mismatch: query has {v.shape[1]} components, "
+                    f"index dim is {dim}"
+                )
+            bits = (v @ flat >= 0).astype(np.int64)
+            b = (bits.reshape(len(v), n_tables, n_bits) * weights).sum(axis=2)
+            return pd.Series(list(b))
+
+        probed = queries.select(
+            query_id_col,
+            query_vec_col,
+            F.posexplode(_qbuckets(F.col(query_vec_col))).alias("table", "_b0"),
+        )
+        flips = [F.col("_b0")] + [
+            F.col("_b0").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(n_bits, probe_radius)
+        ]
+        probed = probed.select(
+            query_id_col,
+            query_vec_col,
+            "table",
+            F.explode(F.array(*flips)).alias("bucket"),
+        )
+        extras = [
+            c for c in self.buckets.columns if c not in ("id", "vec", "table", "bucket")
+        ]
+        probe_side = F.broadcast(probed) if broadcast_queries else probed
+        cands = (
+            self._live().join(probe_side, on=["table", "bucket"])
+            .dropDuplicates([query_id_col, "id"])
+            .select(
+                query_id_col,
+                query_vec_col,
+                F.col("id").alias(self.id_col),
+                F.col("vec").alias(self.vec_col),
+                *extras,
+            )
+        )
+        if predicate is not None:
+            cands = cands.filter(predicate)
+        expr_fn, ascending = _metric(metric)
+        out = SCORE_COL[metric]
+        thr = float(threshold)
+        scored = cands.select(
+            query_id_col,
+            self.id_col,
+            expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(out),
+        )
+        matches = scored.filter(
+            F.col(out) <= thr if ascending else F.col(out) >= thr
+        )
+        order = F.col(out).asc() if ascending else F.col(out).desc()
+        return matches.orderBy(
+            F.col(query_id_col).asc(), order, F.col(self.id_col).asc()
         )
 
     def search(

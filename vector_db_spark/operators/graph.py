@@ -111,6 +111,33 @@ def _beam(
     return [j for _, j in ordered], [d for d, _ in ordered], n_evals
 
 
+def _range_beam_saturated(
+    vecs: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    ef: int,
+    radius_sq: float,
+    allowed: np.ndarray | None = None,
+) -> tuple[list[int], list[float], int]:
+    """Range-search beam with ef auto-saturation (ADVICE r11): run
+    :func:`_beam` at ``ef``, then keep doubling ef while the beam is
+    still FULL of in-radius nodes — a full beam whose worst admitted
+    distance is <= ``radius_sq`` may be truncating in-range matches at
+    the beam width, so widen; a beam that either didn't fill (the
+    reachable admitted set is exhausted) or whose worst node is already
+    outside the radius has nothing left to gain. ef is capped at the
+    cell size, where the beam evaluates every reachable node (the
+    exhaustive regime). Total work is <= 2x the final beam (geometric
+    doubling), and a narrow threshold stops after the first beam."""
+    n = len(adj)
+    ef_cur = max(int(ef), 1)
+    while True:
+        pos, dists, evals = _beam(vecs, adj, q, ef_cur, allowed=allowed)
+        if ef_cur >= n or len(pos) < ef_cur or dists[-1] > radius_sq:
+            return pos, dists, evals
+        ef_cur = min(n, ef_cur * 2)
+
+
 def _map_metric(
     vecs: np.ndarray, metric: str, max_sq: float | None
 ) -> np.ndarray:
@@ -556,11 +583,23 @@ class GraphAnnIndex:
         verification is therefore exact; approximation lives ONLY in
         which nodes the beam visits — at ef ≥ cell size every node of
         every connected cell graph is evaluated and the result equals
-        knn.range_search (the ann_graph_range_exhaustive gate), at
-        serving ef the beam widens past the usual top-k frontier
-        because admitted-but-distant nodes keep raising the ef-th-best
-        bound. ``predicate``/tombstones use the same
+        knn.range_search (the ann_graph_range_exhaustive gate).
+        ``predicate``/tombstones use the same
         traversal-with-admission-mask semantics as search().
+
+        ``ef_search`` is the STARTING beam width: each cell auto-
+        saturates (ADVICE r11) — the beam doubles ef until its worst
+        admitted node already lies outside the threshold's beam-space
+        radius (l2: t; cosine: 2−2t on the unit sphere; ip: the
+        ‖q‖²+M²−2t covering radius over the build-time norm watermark —
+        appended vectors whose norm exceeds M clamp their augmentation
+        and can sit past that radius, so for them saturation is
+        heuristic, like beam reachability itself), the admitted set
+        stops filling the beam, or ef reaches the cell size (the
+        exhaustive regime). A wide threshold therefore no longer
+        silently truncates at ~nprobe·ef rows; ef bounds work only for
+        narrow thresholds, where the radius test stops the doubling
+        after the first beam.
 
         Output matches the exact operator: (id, distance) for l2,
         (id, score) otherwise, ordered by (metric, id). Cells partition
@@ -575,6 +614,15 @@ class GraphAnnIndex:
         metric, max_sq = self.metric, self.max_sq_norm
         thr = float(threshold)
         ef = max(int(ef_search), 1)
+        # Threshold mapped into BEAM space (squared L2 over the metric-
+        # mapped vectors) — the saturation bound. Same algebra as
+        # IvfIndex.range_search's centroid-space radii.
+        if metric == "l2":
+            radius_sq = thr
+        elif metric == "cosine":
+            radius_sq = 2.0 - 2.0 * thr
+        else:  # ip: covering radius over the build-time norm watermark
+            radius_sq = float(np.dot(q, q)) + float(max_sq) - 2.0 * thr
 
         out_schema = f"{id_col} long, __m double"
 
@@ -595,7 +643,9 @@ class GraphAnnIndex:
                 else None
             )
             allowed, _dead = _mask_cosine_dead(raw, metric, allowed)
-            pos, dists, _ = _beam(vecs, adj, q, ef, allowed=allowed)
+            pos, dists, _ = _range_beam_saturated(
+                vecs, adj, q, ef, radius_sq, allowed=allowed
+            )
             pos = np.asarray(pos, dtype=np.int64)
             if pos.size == 0:
                 return pd.DataFrame(
@@ -779,3 +829,138 @@ class GraphAnnIndex:
         return ranked.select(
             F.col("query_id").alias(query_id_col), id_col, "distance", "rank"
         )
+
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        nprobe: int = 2,
+        ef_search: int = 200,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Batched range search through the per-cell NSW graphs — the
+        n-query formulation of range_search() (faiss ``range_search`` is
+        natively batched; VERDICT r11 #3 closed the IVF/exact batch
+        cells, this closes the graph one). Same distributed shape as
+        search_batch(): Arrow probe ranking per query, cogroup each cell
+        with exactly the queries probing it (no driver loop, no query
+        broadcast dict), then ONE saturated beam per (cell, query) with
+        range_search()'s exact per-candidate metric verify — l2 keeps
+        squared-L2 <= t, cosine keeps 1 − d²/2 >= t on the unit sphere,
+        ip keeps the true mapped-space dot >= t. ``ef_search`` is the
+        starting beam width; each (cell, query) beam auto-saturates
+        exactly as range_search() does, so wide thresholds are not
+        ef-truncated. nprobe >= nlist with saturating ef equals exact
+        batch range search over connected cells (the
+        ann_graph_batch_range_exhaustive gate shares knn_batch_range's
+        oracle). Returns (query_id, id, distance|score) ordered by
+        (query_id, metric, id) — knn.batch_range_search's shape; zero-
+        norm cosine rows never emit (range has no backfill notion)."""
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        from vector_db_spark.operators.ann import _probe_cells_arrow
+
+        metric, max_sq = self.metric, self.max_sq_norm
+        thr = float(threshold)
+        probed = _probe_cells_arrow(
+            queries,
+            query_id_col,
+            query_vec_col,
+            self.centroids,
+            self.metric,
+            nprobe,
+            emit_mapped=True,
+        ).select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+            _CLUSTER_COL,
+        ).localCheckpoint()  # probe GEMM runs once (see search_batch)
+        probe_cells = [
+            r[_CLUSTER_COL] for r in probed.select(_CLUSTER_COL).distinct().collect()
+        ]
+        cells = self.graph.filter(F.col(_CLUSTER_COL).isin(probe_cells))
+        cells, filtered = self._masked(cells, predicate)
+        id_col, vec_col = self.id_col, self.vec_col
+        ef = max(int(ef_search), 1)
+        dim = len(self.centroids[0])
+
+        def _range_cell_batch(
+            cell_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if cell_pdf.empty or q_pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], id_col: [], "__m": []}
+                ).astype(
+                    {"query_id": "int64", id_col: "int64", "__m": "float64"}
+                )
+            cell_pdf = cell_pdf.sort_values(id_col, ignore_index=True)
+            ids = cell_pdf[id_col].to_numpy()
+            raw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in cell_pdf[vec_col]]
+            )
+            vecs = _map_metric(raw, metric, max_sq)
+            adj = [
+                list(np.searchsorted(ids, np.asarray(nbrs, dtype=np.int64)))
+                if len(nbrs)
+                else []
+                for nbrs in cell_pdf[NEIGHBOR_COL]
+            ]
+            allowed = (
+                cell_pdf["__pass"].fillna(False).to_numpy(dtype=bool)
+                if filtered
+                else None
+            )
+            allowed, _dead = _mask_cosine_dead(raw, metric, allowed)
+            out_q, out_i, out_m = [], [], []
+            for qid, qv in zip(q_pdf["__qid"], q_pdf["__qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                if q.shape[0] != dim:
+                    raise ValueError(
+                        f"dimension mismatch: query has {q.shape[0]} "
+                        f"components, index dim is {dim}"
+                    )
+                if metric == "l2":
+                    radius_sq = thr
+                elif metric == "cosine":
+                    radius_sq = 2.0 - 2.0 * thr
+                else:  # ip covering radius (norm watermark; see range_search)
+                    radius_sq = float(np.dot(q, q)) + float(max_sq) - 2.0 * thr
+                pos, dists, _ = _range_beam_saturated(
+                    vecs, adj, q, ef, radius_sq, allowed=allowed
+                )
+                pos = np.asarray(pos, dtype=np.int64)
+                if pos.size == 0:
+                    continue
+                d = np.asarray(dists, dtype=np.float64)
+                if metric == "l2":
+                    keep = d <= thr
+                    vals = d[keep]
+                elif metric == "cosine":
+                    sim = 1.0 - d / 2.0
+                    keep = sim >= thr
+                    vals = sim[keep]
+                else:  # ip: true dot (query aug component is 0)
+                    dot = vecs[pos] @ q
+                    keep = dot >= thr
+                    vals = dot[keep]
+                out_q.extend([qid] * int(keep.sum()))
+                out_i.extend(ids[pos[keep]])
+                out_m.extend(vals)
+            return pd.DataFrame({"query_id": out_q, id_col: out_i, "__m": out_m})
+
+        per_cell = (
+            cells.groupby(_CLUSTER_COL)
+            .cogroup(probed.groupby(_CLUSTER_COL))
+            .applyInPandas(
+                _range_cell_batch, f"query_id long, {id_col} long, __m double"
+            )
+        )
+        out = "distance" if metric == "l2" else "score"
+        order = F.col(out).asc() if metric == "l2" else F.col(out).desc()
+        return per_cell.select(
+            F.col("query_id").alias(query_id_col),
+            id_col,
+            F.col("__m").alias(out),
+        ).orderBy(F.col(query_id_col).asc(), order, F.col(id_col).asc())

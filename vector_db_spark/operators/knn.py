@@ -824,7 +824,19 @@ def knn_page(
     Pages of one search must be fetched with one impl; ``auto`` is
     deterministic in the query dim, so a consistent caller stays on one
     scorer without thinking about it. Column queries always use expr
-    (their dim is unknowable at plan time)."""
+    (their dim is unknowable at plan time).
+
+    Cursor compatibility (ADVICE r11): a cursor may carry its scorer as
+    an optional third element, ``(score, id, 'expr'|'arrow')`` — the tag
+    then DISPATCHES the page (an explicit contradicting ``impl`` is an
+    error, never a silent scorer mix). A bare ``(score, id)`` cursor is
+    accepted wherever it is unambiguous: any explicit ``impl``, or
+    ``auto`` in the expr regime (dim < ARROW_DIM_MIN, where every
+    release's auto has meant expr). ``auto`` + an untagged cursor in the
+    arrow regime raises instead of guessing — a cursor minted before the
+    Arrow arm existed (or by an ``impl='expr'`` caller) would otherwise
+    replay under the other scorer across the page boundary, the exact
+    drop/duplicate hazard above."""
     if k < 1:
         raise ValueError("k must be >= 1")  # both arms; the Arrow arm
         # otherwise silently returned an empty page for k=0
@@ -832,12 +844,32 @@ def knn_page(
     out = SCORE_COL[metric]
     if impl not in ("auto", "expr", "arrow"):
         raise ValueError(f"impl must be auto|expr|arrow, got {impl!r}")
+    if after is not None and len(after) == 3:
+        tag = after[2]
+        if tag not in ("expr", "arrow"):
+            raise ValueError(
+                f"cursor scorer tag must be 'expr' or 'arrow', got {tag!r}"
+            )
+        if impl != "auto" and impl != tag:
+            raise ValueError(
+                f"cursor was minted by the {tag} scorer but impl={impl!r}; "
+                "pages of one search must share one scorer"
+            )
+        impl = tag
+        after = (after[0], after[1])
     use_arrow = (
         not isinstance(query, Column)
         and (impl == "arrow" or (impl == "auto" and len(query) >= ARROW_DIM_MIN))
     )
     if impl == "arrow" and isinstance(query, Column):
         raise ValueError("impl='arrow' needs a concrete query vector, not a Column")
+    if use_arrow and impl == "auto" and after is not None:
+        raise ValueError(
+            "ambiguous cursor: impl='auto' resolves to the Arrow scorer at "
+            f"this query dim, but the (score, id) cursor does not say which "
+            "scorer minted it — pass impl='arrow'/'expr' explicitly, or a "
+            "(score, id, scorer) cursor"
+        )
     if use_arrow:
         df = corpus if predicate is None else corpus.filter(predicate)
         scored = _score_arrow(

@@ -402,6 +402,20 @@ def _manifest_rows(
         LAST_PRUNE[c] = {"parts_read": n_parts, "parts_total": n_parts}
         return manifest, len(manifest)
     summary = spark.read.parquet(idx_dir).collect()
+    # Bidirectional consistency (ADVICE r11): the forward check below
+    # catches an index row whose part is gone; this reverse check catches
+    # the other crash ordering — a part appended to man_dir whose _index
+    # row never landed. Unindexed parts are invisible to the pruned read
+    # (rows silently dropped), and the cross-column total check cannot
+    # see it because every column's total comes from its own index.
+    by_name = {f.rsplit("/", 1)[-1]: f for f in _data_files(spark, man_dir)}
+    orphans = sorted(set(by_name) - {r.mfile for r in summary})
+    if orphans:
+        raise ValueError(
+            f"manifest parts {orphans} in {man_dir} are not referenced by "
+            f"its _index summary — stale index (crash between part append "
+            f"and index append?); re-run write_zonemapped"
+        )
     total_c = sum(r.n_files for r in summary)
     unconstrained = lo is None and hi is None
     part_names = []
@@ -419,7 +433,6 @@ def _manifest_rows(
     LAST_PRUNE[c] = {"parts_read": len(part_names), "parts_total": len(summary)}
     if not part_names:
         return [], total_c
-    by_name = {f.rsplit("/", 1)[-1]: f for f in _data_files(spark, man_dir)}
     missing = [m for m in part_names if m not in by_name]
     if missing:
         raise ValueError(
