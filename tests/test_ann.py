@@ -857,3 +857,60 @@ def test_ivf_range_search_batch_lossless_and_pruned(spark):
     plan = tight._jdf.queryExecution().executedPlan().toString()
     assert "cluster_id" in plan  # the isin cell filter reached the plan
     assert tight.count() >= 1  # each query matches at least itself
+
+
+def test_lsh_range_search_batch_exhaustive_and_per_query(spark):
+    """Batched LSH range search (VERDICT r11 #3): at full probe it equals
+    the unindexed batched scan; at any radius it equals a per-query loop
+    of single range_search (each query sees its OWN probed buckets —
+    single-query semantics per query, no union slop); predicate + delete
+    compose."""
+    from vector_db_spark.operators.ann import CosineLshIndex
+    from vector_db_spark.operators.knn import batch_range_search
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=4, n_tables=3, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    thr = 1.6
+    got = [
+        (r.query_id, r.vec_id, round(r.distance, 6))
+        for r in idx.range_search_batch(
+            queries, thr, metric="l2", probe_radius=4
+        ).collect()
+    ]
+    want = [
+        (r.query_id, r.vec_id, round(r.distance, 6))
+        for r in batch_range_search(emb, queries, thr).collect()
+    ]
+    assert got == want and len(want) > 0
+    # tuned radius: per-query equivalence with the single operator
+    part = idx.range_search_batch(queries, thr, metric="l2", probe_radius=1)
+    by_q = {}
+    for r in part.collect():
+        by_q.setdefault(r.query_id, []).append((r.vec_id, round(r.distance, 6)))
+    for qrow in queries.collect():
+        single = [
+            (r.vec_id, round(r.distance, 6))
+            for r in idx.range_search(
+                list(qrow.query_vec), thr, metric="l2", probe_radius=1
+            ).collect()
+        ]
+        assert by_q.get(qrow.query_id, []) == single, qrow.query_id
+    # predicate + delete compose
+    pred = F.col("label") == 3
+    gp = {(r.query_id, r.vec_id)
+          for r in idx.range_search_batch(queries, thr, metric="l2",
+                                          probe_radius=4, predicate=pred).collect()}
+    wp = {(r.query_id, r.vec_id)
+          for r in batch_range_search(emb, queries, thr, predicate=pred).collect()}
+    assert gp == wp
+    victim = sorted({v for _, v in wp})[0] if wp else None
+    if victim is not None:
+        idx.delete([victim])
+        ga = {(r.query_id, r.vec_id)
+              for r in idx.range_search_batch(queries, thr, metric="l2",
+                                              probe_radius=4, predicate=pred).collect()}
+        assert ga == {p for p in wp if p[1] != victim}

@@ -1108,3 +1108,143 @@ def test_collection_range_search_all_families(spark, tmp_path):
     mv = cat.create("rs_mv", dim=4, metric="ip", index_type="maxsim")
     with _pt.raises(ValueError, match="single-vector"):
         mv.range_search([0.0] * 4, 0.5)
+
+
+def test_compressed_range_search_coarse_cell_pruning(spark, tmp_path):
+    """VERDICT r11 #4: fresh ivfpq/ivfsq/ivfopq collections answer range
+    from O(surviving coarse cells), not O(corpus) — a localized query
+    prunes cells (strictly fewer than nlist) while staying value-exact
+    against the raw-scan oracle; the per-cell radii persist keyed by the
+    indexed version and auto-invalidate on rebuild."""
+    import json
+    import os
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import range_search as exact_range
+
+    import numpy as np
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    # well-separated clusters so a localized query provably prunes: 8
+    # blobs at 20*e_k, unit noise — KMeans recovers them, covering radii
+    # stay far below the inter-blob distance
+    rng = np.random.RandomState(3)
+    data = [
+        (i + 1,
+         [float(x + (20.0 if d == i % 8 else 0.0))
+          for d, x in enumerate(rng.normal(size=8))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(data, "id long, embedding array<float>")
+    # a member vector, tight radius: matches live in few cells
+    qrow = df.filter(F.col("id") == 7).head()
+    q = [float(x) for x in qrow.embedding]
+    builds = {
+        "ivfpq": {"nlist": 8, "m": 4, "ksub": 16, "max_iter": 5},
+        "ivfsq": {"nlist": 8, "max_iter": 5},
+        "ivfopq": {"nlist": 8, "m": 4, "ksub": 16, "max_iter": 5},
+    }
+    for kind, build in builds.items():
+        coll = cat.create(f"pr_{kind}", dim=8, metric="l2", index_type=kind)
+        coll.insert(df)
+        coll.build_index(**build)
+        for thr in (4.0, 0.5):  # wide first; the pruning probe below
+            # reads the LAST call (the tight radius)
+            got = [
+                (r.id, round(r.distance, 6))
+                for r in coll.range_search(q, thr).collect()
+            ]
+            want = [
+                (r.id, round(r.distance, 6))
+                for r in exact_range(df, q, thr, id_col="id").collect()
+            ]
+            assert got == want and len(want) >= 1, (kind, thr)
+        scanned, total = coll._last_range_cells
+        assert scanned < total, (kind, "localized query must prune cells")
+        # radii persisted, keyed by indexed version
+        rpath = os.path.join(coll._index_dir(), "range_radii.json")
+        with open(rpath) as f:
+            data = json.load(f)
+        assert data["version"] == coll._indexed_version()
+        assert len(data["radii"]) == build["nlist"]
+        # rebuild writes a new indexed version -> radii recompute lazily
+        coll.upsert(df.limit(1).select("id", "embedding"))
+        coll.build_index(**build)
+        coll.range_search(q, 0.5).collect()
+        with open(rpath) as f:
+            assert json.load(f)["version"] == coll._indexed_version()
+
+
+def test_collection_range_search_batch_all_families(spark, tmp_path):
+    """Collection.range_search_batch routes every family's batched range
+    probe through one catalog call: exact/ivf/compressed are value-exact
+    vs the batched raw scan; graph (saturating) and lsh (full probe)
+    coverage equal it too; staleness and multi-vector contracts match
+    range_search."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import batch_range_search
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    df = _vec_df(spark)
+    queries = df.filter(F.col("id") <= 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    thr = 4.0
+    want = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in batch_range_search(
+            df, queries, thr, id_col="id", vec_col="embedding"
+        ).collect()
+    )
+    assert len(want) > 3  # at least the self-matches
+    cases = [
+        ("exact", {}, {}),
+        ("ivf", {"nlist": 4, "max_iter": 5}, {}),
+        ("graph", {"nlist": 2, "m": 8, "ef_construction": 100},
+         {"nprobe": 2, "ef_search": 64}),
+        ("ivfpq", {"nlist": 4, "m": 4, "ksub": 16, "max_iter": 5}, {}),
+        ("ivfsq", {"nlist": 4, "max_iter": 5}, {}),
+        ("ivfopq", {"nlist": 4, "m": 4, "ksub": 16, "max_iter": 5}, {}),
+    ]
+    for kind, build, knobs in cases:
+        coll = cat.create(f"brs_{kind}", dim=8, metric="l2", index_type=kind)
+        coll.insert(df)
+        if kind != "exact":
+            coll.build_index(**build)
+        got = sorted(
+            (r.query_id, r.id, round(r.distance, 6))
+            for r in coll.range_search_batch(queries, thr, **knobs).collect()
+        )
+        assert got == want, kind
+    # lsh (cosine family) at full probe == exact batched cosine range
+    clsh = cat.create("brs_lsh", dim=8, metric="cosine", index_type="lsh")
+    clsh.insert(df)
+    clsh.build_index(n_bits=3, n_tables=2)
+    got_l = sorted(
+        (r.query_id, r.id, round(r.score, 6))
+        for r in clsh.range_search_batch(queries, 0.2, probe_radius=3).collect()
+    )
+    want_l = sorted(
+        (r.query_id, r.id, round(r.score, 6))
+        for r in batch_range_search(
+            df, queries, 0.2, metric="cosine", id_col="id", vec_col="embedding"
+        ).collect()
+    )
+    assert got_l == want_l and len(want_l) > 0
+    # staleness: index-backed family refuses after mutation
+    civf = cat.get("brs_ivf")
+    civf.upsert(df.limit(1).select("id", "embedding"))
+    with pytest.raises(ValueError, match="rebuild"):
+        civf.range_search_batch(queries, thr).collect()
+    # compressed family keeps serving unpruned on a stale index
+    cpq = cat.get("brs_ivfpq")
+    cpq.upsert(df.limit(1).select("id", "embedding"))
+    got_stale = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in cpq.range_search_batch(queries, thr).collect()
+    )
+    assert got_stale == want
+    # multi-vector refuses
+    mv = cat.create("brs_mv", dim=4, metric="ip", index_type="maxsim")
+    with pytest.raises(ValueError, match="single-vector"):
+        mv.range_search_batch(queries, 0.5)

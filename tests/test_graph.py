@@ -439,3 +439,54 @@ def test_range_search_saturates_small_ef(spark):
         assert all(want.get(i) == v for i, v in got.items()), metric  # exact subset
         coverage = len(got) / len(want)
         assert coverage >= 0.95, (metric, coverage)
+
+
+def test_graph_range_search_batch_exhaustive_and_filtered(spark):
+    """Batched graph range search (VERDICT r11 #3): nprobe = nlist with a
+    saturating starting ef equals the unindexed batched scan for every
+    metric; the cogrouped kernel matches the single-query operator at
+    serving knobs; predicate + delete compose."""
+    from vector_db_spark.operators.knn import batch_range_search
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for metric, thr in (("l2", 1.6), ("cosine", 0.15), ("ip", 0.3)):
+        col = "distance" if metric == "l2" else "score"
+        idx = GraphAnnIndex.build(
+            emb, nlist=4, m=16, ef_construction=200, seed=42,
+            max_iter=5, metric=metric,
+        )
+        got = [
+            (r.query_id, r.vec_id, round(r[col], 6))
+            for r in idx.range_search_batch(
+                queries, thr, nprobe=4, ef_search=64
+            ).collect()
+        ]
+        want = [
+            (r.query_id, r.vec_id, round(r[col], 6))
+            for r in batch_range_search(emb, queries, thr, metric=metric).collect()
+        ]
+        assert got == want, metric
+        assert len(want) > 0, metric
+    # predicate + delete compose (l2 index from the last loop is ip — rebuild)
+    idx = GraphAnnIndex.build(
+        emb, nlist=4, m=16, ef_construction=200, seed=42, max_iter=5,
+    )
+    pred = F.col("label") == 3
+    gp = {(r.query_id, r.vec_id)
+          for r in idx.range_search_batch(queries, 1.6, nprobe=4, ef_search=64,
+                                          predicate=pred).collect()}
+    wp = {(r.query_id, r.vec_id)
+          for r in batch_range_search(emb, queries, 1.6, predicate=pred).collect()}
+    assert gp == wp
+    victim = sorted({v for _, v in wp})[0] if wp else None
+    if victim is not None:
+        idx.delete([victim])
+        ga = {(r.query_id, r.vec_id)
+              for r in idx.range_search_batch(queries, 1.6, nprobe=4, ef_search=64,
+                                              predicate=pred).collect()}
+        assert ga == {p for p in wp if p[1] != victim}
+    with pytest.raises(ValueError, match="nprobe"):
+        idx.range_search_batch(queries, 1.6, nprobe=0)

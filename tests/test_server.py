@@ -399,3 +399,43 @@ def test_range_search_lazy_builds_index_backed_family(server):
          "params": {"ef_search": 1000, "nprobe": 2}},
     )
     assert status == 200 and body["labels"] == [1, 3]
+
+
+def test_batch_range_search_over_the_wire(server):
+    """POST /batch_range_search: the /search_batch wire shape with
+    `threshold` in place of `k` (faiss range_search's native n-query
+    signature). Per-request results equal sequential /range_search
+    calls; invalid requests error in place; per-request limit caps
+    the metric-ordered rows; mixed thresholds land in separate groups
+    but one batch call still answers them all."""
+    key = {"index_type": "FLAT", "dim": 6, "metric_type": "L2"}
+    _post(server, "/create", key)
+    for rid, vec in [(1, [1.0, 2.0, 3.0, 0.0, 0.0, 0.0]), (2, [1.0, 2.0, 4.0, 0.0, 0.0, 0.0]),
+                     (3, [10.0, 10.0, 10.0, 0.0, 0.0, 0.0])]:
+        _post(server, "/insert", {"id": rid, "vectors": vec, "index_key": key})
+    reqs = [
+        {"vectors": [1.0, 2.0, 3.0, 0.0, 0.0, 0.0], "threshold": 1.5, "index_key": key},
+        {"vectors": [10.0, 10.0, 10.0, 0.0, 0.0, 0.0], "threshold": 1.5, "index_key": key},
+        {"vectors": [1.0, 2.0, 3.0, 0.0, 0.0, 0.0], "threshold": 1e6, "index_key": key,
+         "limit": 2},
+        {"vectors": [1.0, 2.0, 3.0, 0.0, 0.0, 0.0], "index_key": key},          # no threshold
+        {"vectors": [1.0, 2.0, 3.0, 0.0, 0.0, 0.0], "threshold": float("nan"),
+         "index_key": key},                                            # non-finite
+    ]
+    status, body = _post(server, "/batch_range_search", reqs)
+    assert status == 200 and isinstance(body, list) and len(body) == 5
+    # each ok entry equals the sequential single route
+    for i in (0, 1, 2):
+        st, single = _post(server, "/range_search", reqs[i])
+        assert st == 200
+        assert body[i]["code"] == 0
+        assert body[i]["labels"] == single["labels"], i
+        assert body[i]["distances"] == pytest.approx(single["distances"]), i
+    assert body[0]["labels"] == [1, 2]
+    assert body[1]["labels"] == [3]
+    assert body[2]["labels"] == [1, 2]  # limit=2 of 3 matches
+    assert body[3]["code"] == 400 and "threshold" in body[3]["error_msg"]
+    assert body[4]["code"] == 400 and "finite" in body[4]["error_msg"]
+    # payload must be a list
+    status, body = _post(server, "/batch_range_search", {"vectors": []})
+    assert status == 400

@@ -603,6 +603,101 @@ class VectorDatabaseApi:
                 }
         return results
 
+    # -- POST /batch_range_search (engine extension — the /search_batch
+    # wire shape with `threshold` in place of `k`: faiss range_search's
+    # native n-query signature over the wire, VERDICT r11 #3) -----------
+    def range_search_batch(self, reqs: list) -> list:
+        """N range requests -> N responses, with ONE distributed batched
+        range job per (collection, serving params, threshold) group
+        (`Collection.range_search_batch` — every family ships a
+        set-oriented range probe) instead of one collect() per request.
+        Per-request results equal calling `range_search()` sequentially;
+        the optional per-request ``limit`` truncates that request's
+        metric-ordered rows (a transport safety valve, as on the single
+        route). Invalid requests error in place without failing the
+        batch (same error body contract as search_batch)."""
+        _require(isinstance(reqs, list), "requests must be a list")
+        results: list = [None] * len(reqs)
+        # (name, knob signature, threshold) -> (coll, sp, [(idx, vec, limit)])
+        groups: dict = {}
+        for i, req in enumerate(reqs):
+            try:
+                _require(isinstance(req, dict), "request must be an object")
+                vectors = req.get("vectors")
+                _require(vectors is not None and len(vectors) > 0,
+                         "vectors must contain at least one element")
+                threshold = req.get("threshold")
+                _require(threshold is not None, "threshold cannot be empty")
+                _require(
+                    isinstance(threshold, (int, float))
+                    and not isinstance(threshold, bool),
+                    "threshold must be a number",
+                )
+                _require(
+                    math.isfinite(threshold),
+                    "threshold must be a finite number",
+                )
+                coll = self._collection(req.get("index_key"))
+                _require(
+                    not coll._multi_vector,
+                    "range_search is single-vector; late-interaction "
+                    "collections serve top-k /search only",
+                )
+                vec, _ = self._parse_vectors(vectors, coll)
+                limit = req.get("limit")
+                if limit is not None:
+                    limit = _wire_int(limit, "limit")
+                    _require(limit >= 1, "limit must be at least 1")
+                sp = _serving_params(req, coll)
+                parsed = (i, vec, limit)
+            except ApiError as exc:
+                results[i] = {
+                    "code": exc.status, "error": str(exc), "error_msg": str(exc)
+                }
+                continue
+            except (ValueError, TypeError) as exc:
+                results[i] = {
+                    "code": 400, "error": str(exc), "error_msg": str(exc)
+                }
+                continue
+            gkey = (coll.info.name, tuple(sorted(sp.items())), float(threshold))
+            ent = groups.setdefault(gkey, (coll, sp, []))
+            ent[2].append(parsed)
+
+        for (_, _, thr), (coll, sp, items) in groups.items():
+            if coll.scan() is None:
+                for i, _, _ in items:
+                    results[i] = {"code": 0, "labels": [], "distances": []}
+                continue
+            if coll.info.index_type in ("ivf", "graph", "lsh"):
+                self._ensure_index(coll)
+            qdf = self.spark.createDataFrame(
+                [(i, v) for i, v, _ in items],
+                "query_id long, query_vec array<float>",
+            )
+            out_col = "distance" if coll.info.metric == "l2" else "score"
+            try:
+                rows = coll.range_search_batch(qdf, thr, **sp).collect()
+            except ValueError as exc:
+                for i, _, _ in items:
+                    results[i] = {
+                        "code": 500, "error": str(exc), "error_msg": str(exc)
+                    }
+                continue
+            by_q: dict = {}
+            for r in rows:  # ordered (query_id, metric, id) — keep it
+                by_q.setdefault(int(r["query_id"]), []).append(r)
+            for i, _, limit in items:
+                got = by_q.get(i, [])
+                if limit is not None:
+                    got = got[:limit]
+                results[i] = {
+                    "code": 0,
+                    "labels": [int(r[coll.info.id_col]) for r in got],
+                    "distances": [float(r[out_col]) for r in got],
+                }
+        return results
+
     # -- POST /query (query_handle.rs:12-33) ------------------------------
     def query(self, req: dict) -> dict:
         rid = req.get("id")

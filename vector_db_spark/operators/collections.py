@@ -1205,14 +1205,17 @@ class Collection(_BucketedStore):
         lossless triangle-inequality cell pruning); graph and lsh apply
         their beam/multiprobe coverage with exact per-candidate verify
         (serving knobs honored as in search()). The compressed-code
-        families (ivfpq/ivfsq/ivfopq) serve range EXACTLY from the
-        collection's raw vectors: quantized distances cannot bound true
-        distances losslessly, so a code-side threshold filter could both
-        emit false rows and drop true matches — for top-k the rerank
-        stage absorbs that, but range has no rank boundary to rerank
-        behind. The raw-scan answer is the honest contract (and needs no
-        staleness check — it reads the current snapshot). Index-backed
-        families keep search()'s staleness contract."""
+        families (ivfpq/ivfsq/ivfopq) are ALSO value-exact: quantized
+        distances cannot bound true distances losslessly, so the codes
+        never filter — but their layouts ARE cell-partitioned by an L2
+        coarse quantizer, and the same triangle-inequality cell pruning
+        IvfIndex.range_search uses applies over the coarse centroids +
+        persisted cell radii, with every survivor verified from RAW
+        vectors (VERDICT r11 #4: O(surviving cells), not O(corpus)).
+        A stale or absent compressed index falls back to the unpruned
+        raw scan — the family keeps its always-fresh range contract
+        instead of search()'s staleness error; index-backed families
+        (ivf/graph/lsh) keep the staleness contract."""
         from vector_db_spark.operators.knn import range_search as exact_range
 
         if self._multi_vector:
@@ -1231,8 +1234,15 @@ class Collection(_BucketedStore):
         }.get(kind, ())
         params = {k: v for k, v in params.items() if k in allowed}
         if kind in ("exact", "ivfpq", "ivfsq", "ivfopq"):
+            cands = cur
+            if kind != "exact":
+                pruned = self._coarse_range_candidates(
+                    kind, cur, [list(query)], threshold
+                )
+                if pruned is not None:
+                    cands = pruned
             return exact_range(
-                cur,
+                cands,
                 query,
                 threshold,
                 metric=self.info.metric,
@@ -1270,6 +1280,212 @@ class Collection(_BucketedStore):
             predicate=predicate,
             **params,
         )
+
+    def range_search_batch(
+        self,
+        queries,
+        threshold,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        **params,
+    ):
+        """Batch range search (a DataFrame of (query_id, query_vec) rows)
+        routed by index_type — every family's set-oriented range probe
+        through one catalog call (VERDICT r11 #3; faiss ``range_search``
+        is natively batched). 'exact' runs the broadcast/GEMM batched
+        scan; ivf/graph/lsh dispatch to their own range_search_batch
+        (staleness contract as search_batch); the compressed families
+        prune the union of every query's surviving coarse cells and
+        verify from raw vectors (stale/absent index → unpruned scan,
+        the always-fresh contract). Returns (query_id, id,
+        distance|score) ordered by (query_id, metric, id)."""
+        from vector_db_spark.operators.knn import batch_range_search
+
+        if self._multi_vector:
+            raise ValueError(
+                "range_search is single-vector; late-interaction "
+                "collections score query token SETS (use search_batch())"
+            )
+        cur = self.scan()
+        if cur is None:
+            raise ValueError("collection is empty")
+        params = self._apply_serving_defaults(params)
+        kind = self.info.index_type
+        allowed = {
+            "graph": ("nprobe", "ef_search"),
+            "lsh": ("probe_radius",),
+        }.get(kind, ())
+        params = {k: v for k, v in params.items() if k in allowed}
+        if kind in ("exact", "ivfpq", "ivfsq", "ivfopq"):
+            cands = cur
+            if kind != "exact":
+                # one query-side job: the rows collected for the cell math
+                # re-wrap as a local relation for the verify stage (the
+                # IvfIndex.range_search_batch contract, VERDICT r11 #7)
+                qproj = queries.select(query_id_col, query_vec_col)
+                qrows = qproj.collect()
+                if not qrows:
+                    raise ValueError("queries must be non-empty")
+                queries = self.catalog.spark.createDataFrame(qrows, qproj.schema)
+                qvecs = [[float(x) for x in r[1]] for r in qrows]
+                pruned = self._coarse_range_candidates(
+                    kind, cur, qvecs, threshold
+                )
+                if pruned is not None:
+                    cands = pruned
+            return batch_range_search(
+                cands,
+                queries,
+                threshold,
+                metric=self.info.metric,
+                id_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                predicate=predicate,
+            )
+        iv = self._indexed_version()
+        if iv is None:
+            raise ValueError("no index built; call build_index() first")
+        if iv != self.info.version:
+            raise ValueError(
+                f"index built at v{iv} but collection is at "
+                f"v{self.info.version}; call build_index() to rebuild"
+            )
+        path = self._index_dir()
+        if kind == "ivf":
+            from vector_db_spark.operators.ann import IvfIndex
+
+            return IvfIndex.load(self.catalog.spark, path).range_search_batch(
+                queries, threshold, predicate=predicate,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            )
+        if kind == "graph":
+            from vector_db_spark.operators.graph import GraphAnnIndex
+
+            return GraphAnnIndex.load(
+                self.catalog.spark, path
+            ).range_search_batch(
+                queries, threshold, predicate=predicate,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                **params,
+            )
+        from vector_db_spark.operators.ann import CosineLshIndex
+
+        return CosineLshIndex.load(self.catalog.spark, path).range_search_batch(
+            queries, threshold, metric=self.info.metric, predicate=predicate,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            **params,
+        )
+
+    def _coarse_range_candidates(
+        self, kind, cur, qvecs, threshold
+    ) -> "DataFrame | None":
+        """Candidate rows for a compressed-family range search: the rows
+        of the coarse cells the triangle inequality cannot rule out for
+        ANY of the given raw queries, in RAW vector space — or ``None``
+        when the index is stale/absent (caller falls back to the
+        unpruned scan; range on these families never REQUIRES an index).
+
+        The compressed layouts are l2-only (build_index enforces it), so
+        the pruning algebra is IvfIndex.range_search's: a match within
+        squared-L2 ``threshold`` of query q lies in a cell whose centroid
+        is within sqrt(threshold) + r_cell of q. For ivfopq the coarse
+        quantizer lives in ROTATED space; the rotation is orthonormal, so
+        pruning runs on the rotated query with identical radii algebra.
+
+        Verification source per family: ivfpq's codes layout retains the
+        raw vector column, so its pruned partitions ARE the candidate
+        frame (scan cost O(surviving cells)); ivfsq drops raw vectors and
+        ivfopq stores rotated copies (exactness demands the original
+        floats' fold), so their pruned partitions contribute only the
+        surviving ID SET, joined back to the collection scan — compute
+        drops to O(survivors) while the raw side stays one scan."""
+        import numpy as np
+
+        iv = self._indexed_version()
+        if iv is None or iv != self.info.version:
+            return None
+        from vector_db_spark.operators.ann import _CLUSTER_COL
+
+        idx = self._load_index()
+        if kind == "ivfopq":
+            inner = idx.ivfpq
+            cents = np.asarray(idx.ivf.centroids, dtype=np.float64)
+            rot = np.asarray(idx.rotation, dtype=np.float64)
+            qmat = np.asarray(qvecs, dtype=np.float64) @ rot.T
+        else:
+            inner = idx
+            cents = np.asarray(idx.ivf.centroids, dtype=np.float64)
+            qmat = np.asarray(qvecs, dtype=np.float64)
+        radii = np.asarray(self._ensure_range_radii(kind, idx), dtype=np.float64)
+        radius = float(np.sqrt(max(float(threshold), 0.0)))
+        cells: set[int] = set()
+        for q in qmat:
+            center_d = np.sqrt(((cents - q) ** 2).sum(axis=1))
+            cells.update(np.nonzero(center_d - radii <= radius)[0].tolist())
+        self._last_range_cells = (len(cells), len(cents))  # pruning probe
+        base = inner._live().filter(F.col(_CLUSTER_COL).isin(sorted(cells)))
+        if kind == "ivfpq":
+            return base.drop(_CLUSTER_COL, "pq_codes")
+        ids = base.select(self.info.id_col)
+        return cur.join(ids, on=self.info.id_col, how="inner")
+
+    def _ensure_range_radii(self, kind, idx) -> list[float]:
+        """Per-coarse-cell covering radius max ‖x − c_cell‖ for the
+        compressed families, persisted as ``range_radii.json`` keyed by
+        the indexed version (staleness auto-invalidates; rebuild_index
+        writes a new indexed_version so stale radii can never prune a
+        fresh layout). One grouped aggregate at first range_search, nlist
+        floats forever after — the same lazy contract as
+        IvfIndex.ensure_cell_radii, which computes the ivfpq/ivfopq case
+        directly from their layouts (both retain a vector column in
+        quantizer space); ivfsq's codes layout drops vectors, so its
+        one-time computation joins (id, cell) back to the collection
+        scan."""
+        path = os.path.join(self._index_dir(), "range_radii.json")
+        iv = self._indexed_version()
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+            if data.get("version") == iv:
+                return data["radii"]
+        if kind == "ivfsq":
+            from vector_db_spark.operators.ann import (
+                _CLUSTER_COL,
+                _dist_to_own_centroid_arrow,
+            )
+
+            assigned = self.scan().join(
+                idx.encoded.select(self.info.id_col, _CLUSTER_COL),
+                on=self.info.id_col,
+            )
+            own_d = _dist_to_own_centroid_arrow(
+                assigned,
+                self.info.vec_col,
+                idx.ivf.centroids,
+                "l2",
+                None,
+            )
+            per_cell = (
+                own_d.groupBy(_CLUSTER_COL)
+                .agg(F.max("__d").alias("__r"))
+                .collect()
+            )
+            radii = [0.0] * len(idx.ivf.centroids)
+            for r in per_cell:
+                radii[r[_CLUSTER_COL]] = float(r["__r"])
+        else:
+            # ivfpq: raw vectors ride in the layout; ivfopq: rotated
+            # vectors vs rotated centroids — consistent quantizer space
+            inner = idx.ivfpq if kind == "ivfopq" else idx
+            radii = inner.ivf.ensure_cell_radii()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": iv, "radii": radii}, f)
+        os.replace(tmp, path)
+        return radii
 
     def search_batch(
         self,

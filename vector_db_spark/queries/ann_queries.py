@@ -499,6 +499,55 @@ def ann_graph_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
+@query("ann_graph_batch_range_exhaustive", oracle=_BATCH_RANGE_ORACLE)
+def ann_graph_batch_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched range search through the NSW beam family (VERDICT r11 #3
+    — faiss ``range_search`` is natively batched; the IVF/exact batch
+    cells landed in r11, this closes the graph one). One cogrouped
+    saturated beam per (cell, query) with exact per-candidate verify —
+    at nprobe = nlist over connected cells the result equals the
+    full-corpus batched range scan bit-for-bit (the same oracle rows as
+    ann_ivf_batch_range; operators/graph.py range_search_batch)."""
+    from vector_db_spark.operators.graph import GraphAnnIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.range_search_batch(
+        queries, _RANGE_THRESHOLD, nprobe=8, ef_search=10**6
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
+@query("ann_lsh_batch_range_exhaustive", oracle=_BATCH_RANGE_ORACLE)
+def ann_lsh_batch_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched range search through the LSH backend at full probe
+    (VERDICT r11 #3): candidate generation is search_batch's distributed
+    (table, bucket) equi-join — each query sees its OWN probed buckets,
+    no driver loop — and radius = n_bits probes every bucket, so the
+    result equals the full-corpus batched range scan bit-for-bit (same
+    oracle rows as ann_ivf_batch_range; operators/ann.py
+    CosineLshIndex.range_search_batch). Verification is exact at ANY
+    radius; only coverage is approximate below full probe."""
+    emb = _emb(spark, sf_dir)
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.range_search_batch(
+        queries, _RANGE_THRESHOLD, metric="l2", probe_radius=6
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 @query("pca_rerank_full_rank", oracle=_knn_oracle(_L2, "distance", "ASC"))
 def pca_rerank_full_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA correctness gate (operators/pca.py): with k = dim the learned

@@ -178,6 +178,71 @@ def collection_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("distance", 6).alias("distance"))
 
 
+@query("ivfpq_range_exhaustive", oracle=_RANGE_LIFECYCLE_ORACLE)
+def ivfpq_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search on a compressed-code collection with coarse-cell
+    pruning (VERDICT r11 #4): quantized distances never filter —
+    the ivfpq layout's L2 coarse quantizer prunes cells by the same
+    lossless triangle inequality the IVF family uses (persisted per-cell
+    radii), and every survivor verifies from the RAW vector column the
+    layout retains. Value-exact against the plain full-corpus range scan
+    at ANY nlist, with an O(surviving cells) scan instead of O(corpus)
+    (Collection.range_search + _coarse_range_candidates,
+    operators/collections.py)."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    coll = cat.create("pq_range", dim=64, metric="l2", index_type="ivfpq")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, m=4, ksub=16, max_iter=5)
+    qv = _qvec(spark, sf_dir)
+    res = coll.range_search(qv, 1.6)
+    return res.select("id", F.round("distance", 6).alias("distance"))
+
+
+_BATCH_RANGE_LIFECYCLE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id + 1 AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+m AS (SELECT q.query_id, e.vec_id + 1 AS id, {_L2_E} AS dist
+      FROM embeddings e, q)
+SELECT query_id, id, round(dist, 6) AS distance
+FROM m WHERE dist <= 1.6
+ORDER BY query_id, dist, id
+"""
+
+
+@query("collection_batch_range_lifecycle", oracle=_BATCH_RANGE_LIFECYCLE_ORACLE)
+def collection_batch_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → insert → build_index(ivf) → range_search_batch through
+    the catalog dispatch (VERDICT r11 #3: the batched range matrix is
+    now routed per family by one catalog call and served over
+    POST /batch_range_search). The IVF batched range path is lossless
+    (per-query cell pruning + one batched exact verify over the union),
+    so the oracle is the plain batched full-corpus range scan."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    coll = cat.create("brange_lc", dim=64, metric="l2", index_type="ivf")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = coll.range_search_batch(queries, 1.6)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance")
+    )
+
+
 @query("collection_tuned_serving", oracle=_LIFECYCLE_ORACLE)
 def collection_tuned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tuning write-back loop end-to-end: build an IVF collection, persist

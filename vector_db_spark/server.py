@@ -11,7 +11,9 @@ this layer only speaks sockets and JSON:
   reference's five handlers; ``POST /search_batch`` — the engine's batch
   extension (one distributed job per target collection);
   ``POST /range_search`` — the faiss range contract (threshold instead
-  of k, unbounded result) over the same wire shape.
+  of k, unbounded result) over the same wire shape;
+  ``POST /batch_range_search`` — the batch shape with ``threshold``
+  (faiss range_search's native n-query signature).
 - success → 200 with the handler's dict (``code: 0`` payloads,
   src/models/response/*.rs);
 - ``ApiError`` → its ``.status`` with the reference's error body shape
@@ -51,7 +53,11 @@ _ROUTES = {
     "/query": "query",
     "/search_batch": "search_batch",
     "/range_search": "range_search",
+    "/batch_range_search": "range_search_batch",
 }
+# routes whose payload is a JSON list of requests (everything else is an
+# object); shared by the payload-shape check and the lock-set derivation
+_BATCH_METHODS = ("search_batch", "range_search_batch")
 
 # reserved lock keys (collection names never collide: catalog names are
 # "{type}_{dim}_{metric}")
@@ -82,7 +88,7 @@ def _lock_keys(api, method: str, payload) -> list[str]:
         return [_CATALOG_KEY]
     if method == "query":
         return [_DOCS_KEY]
-    if method == "search_batch":
+    if method in _BATCH_METHODS:
         keys = {
             api.collection_key(r.get("index_key")) or _CATALOG_KEY
             for r in payload
@@ -132,7 +138,7 @@ def _make_handler(api: VectorDatabaseApi, locks: _LockRegistry):
             except (ValueError, TypeError):
                 self._err(400, "malformed JSON body")
                 return
-            want = list if method == "search_batch" else dict
+            want = list if method in _BATCH_METHODS else dict
             if not isinstance(payload, want):
                 self._err(400, f"payload must be a JSON {want.__name__}")
                 return
