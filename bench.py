@@ -459,6 +459,27 @@ def main() -> None:
         _timed(name, thunk)
 
     total = round(sum(timings.values()), 3)
+
+    # Machine-load canary (VERDICT r11 #6): a fixed-size single-thread
+    # NumPy GEMM timed outside Spark. Its cost is a property of the HOST
+    # at bench time, not of any engine code, so two BENCH records can be
+    # load-normalized in isolation — the r11 driver tail looked like a
+    # uniform ~1.26x regression that took diffing two BENCH_LOCAL files
+    # to attribute to machine load. Median of 3 (same spread policy as
+    # the queries); ~0.1 s per rep, excluded from headline_total.
+    import numpy as _np
+
+    _rng = _np.random.RandomState(0)
+    _a = _rng.standard_normal((1024, 1024))
+    _b = _rng.standard_normal((1024, 1024))
+    _a @ _b  # warm-up (BLAS thread pool spin-up)
+    _canary_samples = []
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        _a @ _b
+        _canary_samples.append(time.perf_counter() - _t0)
+    canary_sec = round(statistics.median(_canary_samples), 4)
+
     record = json.dumps(
             {
                 "metric": "headline_total",
@@ -468,6 +489,11 @@ def main() -> None:
                 "spread": spreads,
                 "reps": reps,
                 "sf": sf,
+                # host-load calibration: median wall time of a pinned
+                # 1024^3 float64 GEMM (see comment above); compare this
+                # field across BENCH records before reading any
+                # round-over-round query delta as a regression
+                "canary_gemm_sec": canary_sec,
                 # standalone wall time of the cosine-IVF (SemDeDup
                 # blocking) build INSIDE the concurrent ann_index_build
                 # pool — disclosed for round-over-round comparability,

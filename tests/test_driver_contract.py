@@ -84,3 +84,76 @@ def test_sketch_stats_orders_error_bounds(spark):
     assert abs(got.approx_custkeys - exact.nd) / exact.nd < 0.05
     for q in ("p50", "p90", "p99"):
         assert abs(got[q] - exact[q]) / exact[q] < 0.02, q
+
+
+def _test_sources():
+    """Concatenated source text of every test module (the hygiene
+    corpus the rows-only pin check greps)."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    chunks = []
+    for fn in sorted(os.listdir(here)):
+        if fn.startswith("test_") and fn.endswith(".py"):
+            with open(os.path.join(here, fn)) as f:
+                chunks.append(f.read())
+    return "\n".join(chunks)
+
+
+def _unpinned(rows_only_names, corpus):
+    """Rows-only gate names that no test references by name."""
+    return [n for n in rows_only_names if n not in corpus]
+
+
+# Rows-only gates whose pin lives under the OPERATOR's name rather than
+# the gate name: gate -> the test function that pins the underlying
+# operator's correctness claim (containment / recall / identity). A new
+# rows-only gate must either be referenced by name in some test or added
+# here pointing at a real pin — the meta-test verifies the target exists.
+_ROWS_ONLY_PINS = {
+    "ann_graph_nsw": "test_recall_at_reference_regime",
+    "ann_ivf_probe": "test_ivf_recall_at_tuned_probe",
+    "ann_ivf_batch_probe": "test_ivf_batch_reduced_probe_recall",
+    "ann_lsh_filtered": "test_lsh_filtered_subset_of_exact_filtered",
+    "bpe_tokenize_docs": "test_bpe_merge_is_leftmost_nonoverlapping",
+    "bpe_vocab_docs": "test_bpe_learns_textbook_merges",
+    "mmr_rerank_diverse": "test_mmr_demotes_duplicate_of_top_hit",
+    "opq_adc_knn": "test_opq_improves_on_pq_at_equal_budget",
+    "pq_adc_knn": "test_adc_equals_distance_to_reconstruction",
+    "pca_shortlist_search": "test_pca_reduced_rank_recall",
+    "quality_classifier_score": "test_quality_classifier_agrees_with_teacher_on_fixture",
+    "rocchio_expanded_search": "test_rocchio_pulls_in_cluster_members",
+    "semantic_dedup_clustered": "test_semantic_dedup_blocking_recall",
+    "text_w2v_embed_ann": "test_w2v_feeds_ann_lifecycle",
+}
+
+
+def test_rows_only_gates_are_pinned_by_some_test():
+    """VERDICT r11 #8 (rows-only hygiene): every registry gate WITHOUT an
+    oracle gets only the driver's weak rows-only check, so each one must
+    be pinned by at least one test — by gate-name reference in tests/
+    source (the capped-MinHash containment pattern, test_text_dedup.py),
+    or through the explicit _ROWS_ONLY_PINS map when the pin speaks the
+    operator's name instead (the mapped test must itself exist). A
+    future rows-only gate cannot land unpinned."""
+    from vector_db_spark.queries import ORACLES, QUERIES
+
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert rows_only, "registry shape changed: no rows-only gates at all?"
+    corpus = _test_sources()
+    missing = []
+    for name in _unpinned(rows_only, corpus):
+        pin = _ROWS_ONLY_PINS.get(name)
+        if pin is None or f"def {pin}(" not in corpus:
+            missing.append(name)
+    assert not missing, (
+        f"rows-only gates with NO test pinning them: {missing} — add a "
+        "containment/recall/property pin (or a _ROWS_ONLY_PINS entry "
+        "naming one) before registering a gate the oracle cannot check"
+    )
+    # the detector itself works: a synthetic unpinned entry is flagged
+    # (name assembled at runtime so this file's own source can't pin it)
+    fake = "__synthetic_" + "unpinned_gate__"
+    assert _unpinned([fake], corpus) == [fake]
+    # ...and a stale map entry (pin test deleted/renamed) would be caught
+    assert ("def __no_such_" + "test__(") not in corpus

@@ -439,3 +439,27 @@ def test_batch_range_search_over_the_wire(server):
     # payload must be a list
     status, body = _post(server, "/batch_range_search", {"vectors": []})
     assert status == 400
+
+
+def test_batch_range_search_lazy_builds_index_backed_family(server):
+    """/batch_range_search on HNSW: the lazy (re)build contract mirrors
+    /search_batch — one group, one distributed range job, results at a
+    generous beam equal the exact L2 range per request."""
+    key = {"index_type": "HNSW", "dim": 5, "metric_type": "L2",
+           "max_elements": 100}
+    _post(server, "/create", key)
+    rows = {1: [0.0, 0.0, 0.0, 0.0, 0.0], 2: [1.0, 0.0, 0.0, 0.0, 0.0],
+            3: [0.0, 2.0, 0.0, 0.0, 0.0], 4: [5.0, 5.0, 5.0, 0.0, 0.0]}
+    for rid, vec in rows.items():
+        _post(server, "/insert", {"id": rid, "vectors": vec, "index_key": key})
+    reqs = [
+        {"vectors": [0.0, 0.0, 0.0, 0.0, 0.0], "threshold": 4.5,
+         "index_key": key, "params": {"ef_search": 1000, "nprobe": 2}},
+        {"vectors": [5.0, 5.0, 5.0, 0.0, 0.0], "threshold": 4.5,
+         "index_key": key, "params": {"ef_search": 1000, "nprobe": 2}},
+    ]
+    status, body = _post(server, "/batch_range_search", reqs)
+    assert status == 200
+    assert body[0]["code"] == 0 and body[0]["labels"] == [1, 2, 3]
+    assert body[0]["distances"] == pytest.approx([0.0, 1.0, 4.0])
+    assert body[1]["code"] == 0 and body[1]["labels"] == [4]

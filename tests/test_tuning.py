@@ -433,3 +433,92 @@ def test_tune_collection_graph_dispatch(spark, emb, tmp_path):
     assert out["recall"] >= TARGET
     assert set(coll.info.serving_params) == {"nprobe", "ef_search"}
     assert len(coll.search([0.0] * 64, 3).collect()) == 3
+
+
+def test_tune_graph_range_meets_coverage_target(emb):
+    """VERDICT r11 #5: the range tuner returns knobs whose range
+    COVERAGE (|returned ∩ true|/|true| vs the exact batched range scan)
+    meets the target on the sample, every returned row being exact by
+    construction."""
+    from vector_db_spark.operators.knn import batch_range_search
+    from vector_db_spark.operators.tuning import (
+        _recall,
+        _topk_sets,
+        tune_graph_range,
+    )
+
+    idx = GraphAnnIndex.build(
+        emb, nlist=8, m=16, ef_construction=200, seed=42, max_iter=5
+    )
+    queries = _queries(emb, 0, 8)
+    thr = 1.6
+    out = tune_graph_range(idx, queries, thr, coverage_target=TARGET)
+    assert out["coverage"] >= TARGET
+    # measured coverage is reproducible at the returned knobs
+    exact = _topk_sets(
+        batch_range_search(emb, queries, thr).collect(), "query_id", "vec_id"
+    )
+    got = _topk_sets(
+        idx.range_search_batch(
+            queries, thr, nprobe=out["nprobe"], ef_search=out["ef_search"]
+        ).collect(),
+        "query_id",
+        "vec_id",
+    )
+    assert _recall(exact, got) == pytest.approx(out["coverage"])
+    with pytest.raises(ValueError, match="coverage_target"):
+        tune_graph_range(idx, queries, thr, coverage_target=0.0)
+
+
+def test_tune_lsh_range_monotone_and_meets_target(emb):
+    from vector_db_spark.operators.ann import CosineLshIndex
+    from vector_db_spark.operators.tuning import tune_lsh_range
+
+    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
+    queries = _queries(emb, 0, 8)
+    out = tune_lsh_range(idx, queries, 0.15, coverage_target=TARGET)
+    assert out["coverage"] >= TARGET
+    assert 1 <= out["probe_radius"] <= 6
+
+
+def test_tune_collection_joint_range_target_persists(spark, emb, tmp_path):
+    """tune_collection(range_threshold=...) on a graph collection: the
+    persisted knobs meet BOTH the top-k recall target and the range
+    coverage target (re-measured at the merged operating point), and the
+    served range path at the stored knobs reaches the reported
+    coverage."""
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.knn import batch_range_search
+    from vector_db_spark.operators.tuning import (
+        _recall,
+        _topk_sets,
+        tune_collection,
+    )
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("jr", dim=64, metric="l2", index_type="graph")
+    coll.insert(emb.select((F.col("vec_id") + 1).alias("id"), "embedding"))
+    coll.build_index(nlist=8, m=16, ef_construction=200, max_iter=5)
+    queries = _queries(emb, 0, 8)
+    thr = 1.6
+    out = tune_collection(
+        coll, queries, k=K, recall_target=TARGET, persist=True,
+        range_threshold=thr,
+    )
+    assert out["recall"] >= TARGET
+    assert out["range_coverage"] >= TARGET
+    stored = coll.info.serving_params
+    assert stored["nprobe"] == out["nprobe"]
+    assert stored["ef_search"] == out["ef_search"]
+    # the SERVED range path (no explicit knobs) reaches the coverage
+    exact = _topk_sets(
+        batch_range_search(
+            coll.scan(), queries, thr, id_col="id", vec_col="embedding"
+        ).collect(),
+        "query_id",
+        "id",
+    )
+    got = _topk_sets(
+        coll.range_search_batch(queries, thr).collect(), "query_id", "id"
+    )
+    assert _recall(exact, got) >= TARGET

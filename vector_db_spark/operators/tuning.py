@@ -468,12 +468,153 @@ def tune_maxsim(
     )
 
 
+def _exact_range_sets(
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    threshold: float,
+    *,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> dict:
+    """query_id -> TRUE in-range id set (the coverage denominator), one
+    batched exact range job. Queries with an empty true set don't appear
+    and never count against coverage (coverage of nothing is vacuous)."""
+    from vector_db_spark.operators.knn import batch_range_search
+
+    rows = batch_range_search(
+        corpus,
+        sample_queries,
+        threshold,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).collect()
+    return _topk_sets(rows, query_id_col, id_col)
+
+
+def tune_graph_range(
+    index,
+    sample_queries: DataFrame,
+    threshold: float,
+    coverage_target: float = 0.95,
+    ef_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Range twin of :func:`tune_graph` (VERDICT r11 #5): cheapest
+    (nprobe, ef_search) whose range COVERAGE — |returned ∩ true|/|true|
+    against the exact batched range scan — meets ``coverage_target`` at
+    the given threshold. Every emitted row is exact by construction
+    (graph range verifies per candidate), so coverage is the ONLY
+    quality axis. ef is the STARTING beam width (per-cell saturation
+    widens it), so coverage is far less ef-sensitive than top-k recall —
+    nprobe dominates the ladder in practice. Returns ``{"nprobe": n,
+    "ef_search": ef, "coverage": c, "evals": m}``; the most expensive
+    rung when nothing passes."""
+    if not 0.0 < coverage_target <= 1.0:
+        raise ValueError("coverage_target must be in (0, 1]")
+    from vector_db_spark.operators.tombstones import apply_tombstones
+
+    nlist = len(index.centroids)
+    sample = sample_queries.localCheckpoint()
+    live_nodes = apply_tombstones(
+        index.graph, index.id_col, index.tombstones
+    ).select(index.id_col, index.vec_col)
+    exact = _exact_range_sets(
+        live_nodes, sample, threshold,
+        metric=index.metric, id_col=index.id_col, vec_col=index.vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    if ef_ladder is None:
+        ef_ladder = (16, 32, 64, 128, 256)
+    ladder = sorted(
+        ((p, ef) for p in _probe_ladder(nlist) for ef in ef_ladder),
+        key=lambda t: (t[0] * t[1], t[0]),
+    )
+    evals, last = 0, None
+    for nprobe, ef in ladder:
+        evals += 1
+        rows = index.range_search_batch(
+            sample, threshold, nprobe=nprobe, ef_search=ef,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).collect()
+        c = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"nprobe": nprobe, "ef_search": ef, "coverage": c, "evals": evals}
+        if c >= coverage_target:
+            return last
+    return last
+
+
+def tune_lsh_range(
+    index,
+    sample_queries: DataFrame,
+    threshold: float,
+    coverage_target: float = 0.95,
+    metric: str = "cosine",
+    radius_ladder: tuple[int, ...] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> dict:
+    """Range twin of :func:`tune_lsh`: minimal ``probe_radius`` whose
+    range coverage against the exact batched range scan meets
+    ``coverage_target`` — coverage is monotone in the radius (a wider
+    Hamming ball only adds candidate buckets). Same feasibility ceiling
+    as tune_lsh. Returns ``{"probe_radius": r, "coverage": c,
+    "evals": m}``; the widest feasible rung when nothing passes."""
+    from vector_db_spark.operators.ann import _PROBE_MASK_CAP, _probe_mask_count
+
+    if not 0.0 < coverage_target <= 1.0:
+        raise ValueError("coverage_target must be in (0, 1]")
+    n_bits = index.planes.shape[1]
+    if radius_ladder is None:
+        radius_ladder = tuple(r for r in (1, 2, 3) if r <= n_bits) or (n_bits,)
+    feasible = [
+        r for r in radius_ladder if _probe_mask_count(n_bits, r) <= _PROBE_MASK_CAP
+    ]
+    if not feasible:
+        raise ValueError(
+            f"every rung of {radius_ladder} over n_bits={n_bits} exceeds "
+            f"the {_PROBE_MASK_CAP}-mask probe ceiling; rebuild with fewer bits"
+        )
+    sample = sample_queries.localCheckpoint()
+    corpus = (
+        index._live()
+        .select(
+            F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
+        )
+        .dropDuplicates([index.id_col])
+    )
+    exact = _exact_range_sets(
+        corpus, sample, threshold,
+        metric=metric, id_col=index.id_col, vec_col=index.vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    evals, last = 0, None
+    for r in feasible:
+        evals += 1
+        rows = index.range_search_batch(
+            sample, threshold, metric=metric, probe_radius=r,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).collect()
+        c = _recall(exact, _topk_sets(rows, query_id_col, index.id_col))
+        last = {"probe_radius": r, "coverage": c, "evals": evals}
+        if c >= coverage_target:
+            return last
+    return last
+
+
 def tune_collection(
     coll,
     sample_queries: DataFrame,
     k: int = 10,
     recall_target: float = 0.95,
     persist: bool = False,
+    range_threshold: float | None = None,
     **tuner_kwargs,
 ) -> dict:
     """One-call tuning for a catalog collection: dispatch the family's
@@ -519,6 +660,37 @@ def tune_collection(
         out = _tune_served_shortlist(
             coll, idx, sample_queries, k, recall_target, **tuner_kwargs
         )
+    if range_threshold is not None and itype in ("graph", "lsh"):
+        # Joint range target (VERDICT r11 #5): the persisted knobs serve
+        # BOTH Collection.search and Collection.range_search, so when a
+        # range threshold is declared the operating point must also meet
+        # range coverage at it. Tune range independently, take the
+        # per-knob max (coverage/recall are monotone in nprobe and
+        # probe_radius, empirically monotone in ef — tune_graph's own
+        # caveat), then RE-MEASURE both axes at the merged point so the
+        # reported numbers describe the knobs actually persisted.
+        if itype == "graph":
+            rng = tune_graph_range(
+                idx, sample_queries, range_threshold,
+                coverage_target=recall_target,
+            )
+        else:
+            rng = tune_lsh_range(
+                idx, sample_queries, range_threshold,
+                coverage_target=recall_target, metric=coll.info.metric,
+            )
+        merged = {
+            knob: max(out[knob], rng[knob])
+            for knob in ("nprobe", "ef_search", "probe_radius")
+            if knob in out and knob in rng
+        }
+        out.update(merged)
+        out["range_coverage"] = _measure_range_coverage(
+            coll, idx, sample_queries, range_threshold, merged
+        )
+        out["recall"] = _measure_topk_recall(
+            coll, idx, sample_queries, k, merged
+        )
     if persist:
         from vector_db_spark.operators.collections import SERVING_KNOBS
 
@@ -529,6 +701,44 @@ def tune_collection(
         }
         coll.set_serving_params(**knobs)
     return out
+
+
+def _measure_range_coverage(
+    coll, idx, sample_queries: DataFrame, threshold: float, knobs: dict
+) -> float:
+    """Range coverage of the index at the given knobs vs the exact
+    batched range scan over the collection's live rows — one probe job
+    plus one exact job (the final joint-tuning re-measure)."""
+    info = coll.info
+    exact = _exact_range_sets(
+        coll.scan(), sample_queries, threshold,
+        metric=info.metric, id_col=info.id_col, vec_col=info.vec_col,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    if info.index_type == "lsh":
+        rows = idx.range_search_batch(
+            sample_queries, threshold, metric=info.metric, **knobs
+        ).collect()
+    else:
+        rows = idx.range_search_batch(
+            sample_queries, threshold, **knobs
+        ).collect()
+    return _recall(exact, _topk_sets(rows, "query_id", info.id_col))
+
+
+def _measure_topk_recall(
+    coll, idx, sample_queries: DataFrame, k: int, knobs: dict
+) -> float:
+    """Top-k recall of the index at the given knobs vs exact batch kNN
+    over the collection's live rows (the final joint-tuning re-measure)."""
+    info = coll.info
+    exact = _exact_sets(
+        coll.scan(), sample_queries, k,
+        metric=info.metric, id_col=info.id_col, vec_col=info.vec_col,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    rows = idx.search_batch(sample_queries, k, **knobs).collect()
+    return _recall(exact, _topk_sets(rows, "query_id", info.id_col))
 
 
 def _tune_served_shortlist(

@@ -21,73 +21,71 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Round-11 window (VERDICT r10 agenda #4: oldest-first
-# rotation over the registry):
-# (1) the five NEW round-11 gates (graph-/LSH-family range search, the
-#     batched exact + batched IVF range search, the capped MinHash
-#     production twin);
-# (2) gates whose implementation changed this round — the cosine
-#     zero-norm backfill admission fix rewired graph search/search_batch
-#     (ann_graph_filtered_exhaustive). knn_page grew an Arrow keyset arm
-#     but its GATE runs at fixture dims on the byte-identical expr arm,
-#     so its r10 row stands; the Arrow arm is pinned by contract tests;
-# (3) oldest-first fill: ALL 44 gates whose newest driver attestation is
-#     <= r4 (6 at r3, 38 at r4 — recomputed from CORRECTNESS_r01-r10).
-#     This also covers the zonemap gates (two-level manifest rewrite) and
-#     train_eval_split_docs (NULL-sentinel fix) directly.
-# Everything else keeps its r5+ rows; ORACLE_FULL_r10 re-swept the whole
-# registry at sf0.01 with 0 failures and the r11 sweep repeats that.
+# ``queries()``.  Round-12 window (VERDICT r11 agenda #2: rotate in the
+# r5-stale cohort plus the one never-attested gate):
+# (1) the four NEW round-12 gates — graph/LSH BATCH range search, the
+#     coarse-cell-pruned compressed range, the catalog batch-range
+#     lifecycle;
+# (2) collection_range_lifecycle — the single registry gate absent from
+#     every CORRECTNESS_r1-r11 window (VERDICT r11 "What's wrong" #2);
+# (3) ann_ivf_batch_range — its implementation changed this round (one
+#     query-side job via a local relation + a GEMM dim hint);
+# (4) oldest-first fill: ALL 44 gates whose newest driver attestation is
+#     r5 (recomputed from CORRECTNESS_r01-r11; histogram 44@r5, 49@r8,
+#     49@r9, 49@r10, 50@r11).
+# Everything else keeps its r8+ rows; ORACLE_FULL_r11 swept the whole
+# registry at sf0.01 with 0 failures and the r12 sweep repeats that.
 _VERIFY_FIRST = [
-    "ann_graph_range_exhaustive",
-    "ann_lsh_range_exhaustive",
-    "knn_batch_range",
+    "ann_graph_batch_range_exhaustive",
+    "ann_lsh_batch_range_exhaustive",
+    "ivfpq_range_exhaustive",
+    "collection_batch_range_lifecycle",
+    "collection_range_lifecycle",
     "ann_ivf_batch_range",
-    "minhash_lsh_neardup_capped",
-    "ann_graph_filtered_exhaustive",
-    "tpch_q8_market_share",
-    "train_eval_split_docs",
-    "training_shuffle_docs",
-    "unigram_lm_score",
-    "user_value_anomalies",
-    "value_histogram_events",
-    "ann_graph_append_exhaustive",
-    "ann_graph_batch_filtered_exhaustive",
-    "ann_graph_delete_exhaustive",
-    "ann_graph_ip_exhaustive",
-    "ann_ivf_batch_cosine_full_probe",
-    "ann_ivf_batch_ip_full_probe",
-    "ann_ivf_delete_full_probe",
-    "ann_ivf_knn_join_exhaustive",
-    "ann_ivf_range_filtered",
-    "ann_ivf_retrain_ip_full_probe",
-    "ann_lsh_append_exhaustive",
-    "ann_lsh_delete_exhaustive",
-    "audio_fp_neardup",
-    "fusion_weighted_search",
-    "fuzzy_name_pairs",
-    "heavy_hitters_mg",
-    "ivfpq_append_exhaustive",
-    "ivfpq_batch_filtered_exhaustive",
-    "ivfpq_delete_exhaustive",
-    "ivfsq_append_rerank_exhaustive",
-    "ivfsq_batch_rerank_exhaustive",
-    "ivfsq_decoded_full_probe",
-    "ivfsq_delete_exhaustive",
-    "ivfsq_rerank_exhaustive",
-    "knn_classify",
-    "maxsim_batch_search",
-    "maxsim_filtered_search",
-    "maxsim_label_search",
-    "mixture_sample_docs",
-    "pipeline_prepare_corpus_v3",
-    "stream_ivf_append_full_probe",
-    "stream_ivf_delete_full_probe",
-    "substring_dedup_docs",
-    "tfidf_top_terms",
-    "tpch_q11_value_share",
-    "zonemap_append_scan",
-    "zonemap_pruned_scan",
-    "zorder_box_scan",
+    "ann_graph_nsw",
+    "ann_ivf_batch_probe",
+    "ann_ivf_probe",
+    "ann_lsh_cosine",
+    "ann_lsh_filtered",
+    "bpe_tokenize_docs",
+    "bpe_vocab_docs",
+    "collection_incremental_refresh",
+    "collection_ivfopq_lifecycle",
+    "copurchase_lift",
+    "dedup_exact",
+    "events_sessionization",
+    "ivfopq_batch_exhaustive",
+    "ivfopq_exhaustive",
+    "ivfopq_filtered_exhaustive",
+    "ivfpq_probe",
+    "knn_cosine",
+    "knn_ip",
+    "label_propagation_knn",
+    "maxsim_ivf_batch_exhaustive",
+    "maxsim_ivf_exhaustive",
+    "maxsim_ivf_filtered_exhaustive",
+    "maxsim_ivf_probe",
+    "mmr_rerank_diverse",
+    "opq_adc_knn",
+    "opq_filtered_rerank_exhaustive",
+    "opq_rerank_full",
+    "pagerank_knn_graph",
+    "pca_shortlist_search",
+    "point_lookup",
+    "pq_adc_knn",
+    "quality_classifier_score",
+    "rocchio_expanded_search",
+    "simhash_neardup",
+    "stream_maxsim_append_exhaustive",
+    "stream_tumbling_agg",
+    "text_embed_corpus_stats",
+    "text_hash_embed_docs",
+    "tpch_q1_pricing",
+    "tpch_q5_region",
+    "triangle_participation_knn",
+    "upsert_readback",
+    "video_phash_neardup",
+    "window_top_customers",
 ]
 
 
