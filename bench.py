@@ -352,6 +352,18 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         "ann_graph_batch_search": lambda: gr.search_batch(
             batch_queries, 5, nprobe=8, ef_search=200
         ),
+        # range probes from the same saved artifacts (round 12 — the
+        # range matrix is now batched per family): IVF range is the
+        # lossless triangle-inequality prune, its batch twin unions the
+        # per-query surviving cells into ONE verify; graph range runs
+        # the saturated beam at a serving ef
+        "ann_ivf_range_search": lambda: ivf.range_search(qv, 1.6),
+        "ann_ivf_batch_range_search": lambda: ivf.range_search_batch(
+            batch_queries, 1.6
+        ),
+        "ann_graph_range_search": lambda: gr.range_search(
+            qv, 1.6, nprobe=8, ef_search=64
+        ),
         # Hamming over persisted 12-byte sign codes: the scan artifact the
         # binary op exists for (21x fewer bytes than the raw vector scan)
         "hamming_search": lambda: _knn_hamming(sign_codes, qv, K),

@@ -1426,6 +1426,13 @@ class Collection(_BucketedStore):
             center_d = np.sqrt(((cents - q) ** 2).sum(axis=1))
             cells.update(np.nonzero(center_d - radii <= radius)[0].tolist())
         self._last_range_cells = (len(cells), len(cents))  # pruning probe
+        if kind != "ivfpq" and len(cells) >= len(cents):
+            # every cell survived (very wide radius): the id-join would
+            # semi-join the raw scan against ALL ids — pure overhead over
+            # the plain scan the caller falls back to. ivfpq keeps its
+            # branch either way (its pruned frame IS the layout; an
+            # all-cells filter is a no-op partition filter, not a join).
+            return None
         base = inner._live().filter(F.col(_CLUSTER_COL).isin(sorted(cells)))
         if kind == "ivfpq":
             return base.drop(_CLUSTER_COL, "pq_codes")
