@@ -469,3 +469,49 @@ def test_range_search_nan_threshold_is_400(api):
             {"index_key": KEY_FLAT, "vectors": [1.0, 0.0, 0.0],
              "threshold": bad},
         ) == 400
+
+
+def test_maxsim_range_search_over_the_wire(api):
+    """/range_search and /batch_range_search on multi-vector collections
+    (round 12): threshold is a MaxSim score floor; served from the
+    lazily-built probed index at the default full-probe serving params,
+    so returned sets equal the exact operator's."""
+    key = {"index_type": "MAXSIM", "dim": 3, "metric_type": "InnerProduct"}
+    api.create_index(key)
+    docs = {
+        1: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        2: [[0.0, 0.0, 1.0]],
+        3: [[0.5, 0.5, 0.0], [0.0, 0.0, -1.0], [1.0, 1.0, 1.0]],
+    }
+    for rid, toks in docs.items():
+        api.insert({"id": rid, "vectors": toks, "index_key": key})
+    q = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+    want = {
+        d: sum(max(sum(a * b for a, b in zip(t, tok)) for tok in toks)
+               for t in q)
+        for d, toks in docs.items()
+    }  # 1: 1.0, 2: 1.0, 3: 2.0
+    out = api.range_search({"vectors": q, "threshold": 1.5, "index_key": key})
+    assert out["code"] == 0 and out["labels"] == [3]
+    assert out["distances"][0] == pytest.approx(want[3], abs=1e-6)
+    out = api.range_search({"vectors": q, "threshold": 0.5, "index_key": key})
+    assert out["labels"] == [3, 1, 2]  # score desc, id asc on ties
+    # limit caps the score-ordered rows
+    out = api.range_search(
+        {"vectors": q, "threshold": 0.5, "index_key": key, "limit": 2}
+    )
+    assert out["labels"] == [3, 1]
+    # flat payload on a multi-vector collection is still a 400
+    assert _status(
+        api.range_search,
+        {"vectors": [1.0, 0.0, 0.0], "threshold": 0.5, "index_key": key},
+    ) == 400
+    # batch: two thresholds -> two groups, one job each; error in place
+    res = api.range_search_batch([
+        {"vectors": q, "threshold": 1.5, "index_key": key},
+        {"vectors": q, "threshold": 0.5, "index_key": key},
+        {"vectors": q, "threshold": float("nan"), "index_key": key},
+    ])
+    assert res[0]["code"] == 0 and res[0]["labels"] == [3]
+    assert res[1]["code"] == 0 and res[1]["labels"] == [3, 1, 2]
+    assert res[2]["code"] == 400 and "finite" in res[2]["error_msg"]

@@ -1104,10 +1104,11 @@ def test_collection_range_search_all_families(spark, tmp_path):
     cpq = cat.get("rs_ivfpq")
     cpq.upsert(df.limit(1).select("id", "embedding"))
     assert len(cpq.range_search([0.0] * 8, thr).collect()) == len(want)
-    # multi-vector collections refuse
+    # multi-vector collections now serve range too (round 12) — an EMPTY
+    # one still errors loudly like every family
     mv = cat.create("rs_mv", dim=4, metric="ip", index_type="maxsim")
-    with _pt.raises(ValueError, match="single-vector"):
-        mv.range_search([0.0] * 4, 0.5)
+    with _pt.raises(ValueError, match="empty"):
+        mv.range_search([[0.0] * 4], 0.5)
 
 
 def test_compressed_range_search_coarse_cell_pruning(spark, tmp_path):
@@ -1244,7 +1245,95 @@ def test_collection_range_search_batch_all_families(spark, tmp_path):
         for r in cpq.range_search_batch(queries, thr).collect()
     )
     assert got_stale == want
-    # multi-vector refuses
+    # multi-vector batch range is served too (round 12) — an EMPTY
+    # collection still errors loudly like every family
     mv = cat.create("brs_mv", dim=4, metric="ip", index_type="maxsim")
-    with pytest.raises(ValueError, match="single-vector"):
+    with pytest.raises(ValueError, match="empty"):
         mv.range_search_batch(queries, 0.5)
+
+
+def _ms_exact_range(coll, toks, thr):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    rows = maxsim_range_search(
+        coll._exploded(coll.scan()), toks, thr, doc_col="id",
+        vec_col="embedding",
+    ).collect()
+    return [(r.id, round(r.maxsim_score, 9)) for r in rows]
+
+
+@pytest.mark.parametrize("itype", ["maxsim", "maxsim_pq"])
+def test_collection_maxsim_range_lifecycle(spark, tmp_path, itype):
+    """Range on multi-vector collections (round 12): stale or absent
+    index serves the exact scan over the collection's own token rows
+    (always-fresh, the compressed-family precedent); a fresh index
+    serves the probed range, and full probe == exact. Batch matches
+    single per query."""
+    cat = CollectionCatalog(spark, str(tmp_path / itype))
+    coll = cat.create("c", dim=8, metric="ip", index_type=itype)
+    coll.insert(_doc_df(spark, n_docs=10))
+    toks = [[float(i == j) for i in range(8)] for j in range(2)]
+
+    # threshold strictly between the 4th and 5th exact scores
+    ranked = _ms_exact(coll, toks, 5)
+    thr = (ranked[3][1] + ranked[4][1]) / 2.0
+    want = _ms_exact_range(coll, toks, thr)
+    assert [d for d, _ in want] == [d for d, _ in ranked[:4]]
+
+    # absent index -> exact scan arm
+    got = [
+        (r.id, round(r.score, 9))
+        for r in coll.range_search(toks, thr).collect()
+    ]
+    assert got == want
+
+    params = (
+        dict(nlist=4, max_iter=5)
+        if itype == "maxsim"
+        else dict(nlist=4, max_iter=5, m=4, ksub=8, pq_iters=4)
+    )
+    coll.build_index(**params)
+    # fresh index -> probed arm; full probe == exact
+    got = [
+        (r.id, round(r.score, 9))
+        for r in coll.range_search(toks, thr, nprobe=4).collect()
+    ]
+    assert got == want
+    # probed arm at nprobe=1: exact subset
+    sub = [
+        (r.id, round(r.score, 9))
+        for r in coll.range_search(toks, thr, nprobe=1).collect()
+    ]
+    assert set(sub) <= set(want)
+
+    # batch, probed: 2 queries (the two single tokens), per-query == single
+    qdf = spark.createDataFrame(
+        [(q, 0, toks[q]) for q in range(2)],
+        "query_id long, token_id int, token_vec array<float>",
+    )
+    singles = []
+    for q in range(2):
+        singles += [
+            (q, r.id, round(r.score, 9))
+            for r in coll.range_search([toks[q]], thr / 2, nprobe=4).collect()
+        ]
+    rows = coll.range_search_batch(qdf, thr / 2, nprobe=4).collect()
+    assert [(int(r.query_id), r.id, round(r.score, 9)) for r in rows] == singles
+
+    # mutate -> stale index -> range falls back to the exact scan and
+    # sees the NEW snapshot (always-fresh contract)
+    coll.insert(_doc_df(spark, n_docs=14, seed=11).filter(F.col("id") > 10))
+    want2 = _ms_exact_range(coll, toks, thr)
+    got2 = [
+        (r.id, round(r.score, 9))
+        for r in coll.range_search(toks, thr).collect()
+    ]
+    assert got2 == want2
+    rows2 = coll.range_search_batch(qdf, thr / 2).collect()
+    singles2 = []
+    for q in range(2):
+        singles2 += [
+            (q, r.id, round(r.score, 9))
+            for r in coll.range_search([toks[q]], thr / 2).collect()
+        ]
+    assert [(int(r.query_id), r.id, round(r.score, 9)) for r in rows2] == singles2

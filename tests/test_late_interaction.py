@@ -587,3 +587,207 @@ def test_with_residuals_arrow_matches_literal(spark):
     for i, vec, c in rows:
         want = [v - cc for v, cc in zip(vec, cents[c])]
         assert list(lit[i]) == want
+
+
+# ---------------------------------------------------------------------------
+# MaxSim RANGE search (round 12): score-threshold retrieval — the range
+# twin across the late-interaction families. Contract mirrors graph/lsh
+# range: returned rows are exact (full-token-set verify), coverage is set
+# by nprobe, and nprobe >= nlist IS exhaustive (== the exact operator).
+# ---------------------------------------------------------------------------
+
+
+def _range_threshold(emb, toks, n_in=3):
+    """A threshold sitting strictly between the n_in-th and (n_in+1)-th
+    exact scores, so exactly n_in docs match regardless of fixture data."""
+    top = maxsim_search(emb, toks, n_in + 1, doc_col="label").collect()
+    assert len(top) == n_in + 1
+    hi, lo = top[n_in - 1].maxsim_score, top[n_in].maxsim_score
+    assert lo < hi
+    return (hi + lo) / 2.0
+
+
+def test_maxsim_range_matches_brute(emb, toks):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    thr = _range_threshold(emb, toks, 3)
+    got = maxsim_range_search(emb, toks, thr, doc_col="label").collect()
+    want = [(d, s) for d, s in _brute(emb, toks, 10**9) if s >= thr]
+    assert [(int(r.label)) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.maxsim_score == pytest.approx(s, abs=1e-9)
+    # scores bit-equal to the top-k operator's for the same docs
+    topk = {
+        int(r.label): r.maxsim_score
+        for r in maxsim_search(emb, toks, len(got), doc_col="label").collect()
+    }
+    for r in got:
+        assert r.maxsim_score == topk[int(r.label)]
+
+
+def test_maxsim_range_edge_thresholds(emb, toks):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    assert (
+        maxsim_range_search(emb, toks, 1e18, doc_col="label").count() == 0
+    )
+    n_docs = emb.select("label").distinct().count()
+    assert (
+        maxsim_range_search(emb, toks, -1e18, doc_col="label").count()
+        == n_docs
+    )
+    with pytest.raises(ValueError):
+        maxsim_range_search(emb, [], 0.0, doc_col="label")
+    with pytest.raises(ValueError):
+        maxsim_range_search(emb, [[1.0, 2.0], [1.0]], 0.0, doc_col="label")
+
+
+def test_maxsim_range_predicate(emb, toks):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    thr = _range_threshold(emb, toks, 5)
+    got = maxsim_range_search(
+        emb, toks, thr, doc_col="label", predicate=F.col("label") != 3
+    ).collect()
+    assert all(int(r.label) != 3 for r in got)
+    want = [
+        (d, s)
+        for d, s in _brute(emb, toks, 10**9, predicate=F.col("label") != 3)
+        if s >= thr
+    ]
+    assert [int(r.label) for r in got] == [d for d, _ in want]
+
+
+def test_maxsim_range_batch_matches_per_query_single(emb, spark):
+    from vector_db_spark.operators.late_interaction import (
+        maxsim_range_search,
+        maxsim_range_search_batch,
+    )
+
+    queries = _qframe(emb, spark)
+    by_q: dict[int, list] = {}
+    for r in queries.orderBy("query_id", "token_id").collect():
+        by_q.setdefault(int(r.query_id), []).append(
+            [float(x) for x in r.token_vec]
+        )
+    # one threshold wide enough that every query keeps a few docs
+    thr = min(
+        _range_threshold(emb, t, 4) for t in by_q.values()
+    )
+    got = [
+        (int(r.query_id), int(r.label), r.maxsim_score)
+        for r in maxsim_range_search_batch(
+            emb, queries, thr, doc_col="label"
+        ).collect()
+    ]
+    want = []
+    for q in sorted(by_q):
+        want += [
+            (q, int(r.label), r.maxsim_score)
+            for r in maxsim_range_search(
+                emb, by_q[q], thr, doc_col="label"
+            ).collect()
+        ]
+    assert got == want
+
+
+def test_maxsim_ivf_range_exhaustive_equals_exact(emb, toks, msidx):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    thr = _range_threshold(emb, toks, 4)
+    exact = [
+        (int(r.label), r.maxsim_score)
+        for r in maxsim_range_search(emb, toks, thr, doc_col="label").collect()
+    ]
+    got = [
+        (int(r.label), r.maxsim_score)
+        for r in msidx.range_search(toks, thr, nprobe=8).collect()
+    ]
+    assert got == exact
+
+
+def test_maxsim_ivf_range_probe_is_exact_subset(emb, toks, msidx):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    thr = _range_threshold(emb, toks, 5)
+    exact = {
+        int(r.label): r.maxsim_score
+        for r in maxsim_range_search(emb, toks, thr, doc_col="label").collect()
+    }
+    probed = msidx.range_search(toks, thr, nprobe=1).collect()
+    for r in probed:  # every returned row is an exact in-range match
+        assert int(r.label) in exact
+        assert r.maxsim_score == exact[int(r.label)]
+    with pytest.raises(ValueError):
+        msidx.range_search(toks, thr, nprobe=0)
+
+
+def test_maxsim_ivf_range_batch_exhaustive(emb, msidx, spark):
+    from vector_db_spark.operators.late_interaction import (
+        maxsim_range_search_batch,
+    )
+
+    queries = _qframe(emb, spark)
+    thr = _range_threshold(
+        emb,
+        [
+            [float(x) for x in r.token_vec]
+            for r in queries.filter("query_id = 0").orderBy("token_id").collect()
+        ],
+        4,
+    )
+    want = [
+        (int(r.query_id), int(r.label), r.maxsim_score)
+        for r in maxsim_range_search_batch(
+            emb, queries, thr, doc_col="label"
+        ).collect()
+    ]
+    got = [
+        (int(r.query_id), int(r.label), r.maxsim_score)
+        for r in msidx.range_search_batch(queries, thr, nprobe=8).collect()
+    ]
+    assert got == want
+
+
+def test_maxsim_pq_range_exhaustive_and_validation(emb, toks, mspq):
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    thr = _range_threshold(emb, toks, 4)
+    exact = [
+        (int(r.label), r.maxsim_score)
+        for r in maxsim_range_search(emb, toks, thr, doc_col="label").collect()
+    ]
+    got = [
+        (int(r.label), r.maxsim_score)
+        for r in mspq.range_search(toks, thr, nprobe=8).collect()
+    ]
+    assert got == exact
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        mspq.range_search([[1.0, 2.0]], thr)
+
+
+def test_maxsim_pq_range_batch_exhaustive(emb, mspq, spark):
+    from vector_db_spark.operators.late_interaction import (
+        maxsim_range_search_batch,
+    )
+
+    queries = _qframe(emb, spark)
+    thr = _range_threshold(
+        emb,
+        [
+            [float(x) for x in r.token_vec]
+            for r in queries.filter("query_id = 1").orderBy("token_id").collect()
+        ],
+        3,
+    )
+    want = [
+        (int(r.query_id), int(r.label), r.maxsim_score)
+        for r in maxsim_range_search_batch(
+            emb, queries, thr, doc_col="label"
+        ).collect()
+    ]
+    got = [
+        (int(r.query_id), int(r.label), r.maxsim_score)
+        for r in mspq.range_search_batch(queries, thr, nprobe=8).collect()
+    ]
+    assert got == want

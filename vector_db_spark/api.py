@@ -471,11 +471,8 @@ class VectorDatabaseApi:
             math.isfinite(threshold), "threshold must be a finite number"
         )
         coll = self._collection(req.get("index_key"))
-        _require(
-            not coll._multi_vector,
-            "range_search is single-vector; late-interaction collections "
-            "serve top-k /search only",
-        )
+        # multi-vector (maxsim) collections take the /search token-matrix
+        # payload; threshold is a score FLOOR (MaxSim is ip-family)
         vec, _ = self._parse_vectors(vectors, coll)
         # optional cap on the (otherwise unbounded) wire response: the
         # result is metric-ordered, so LIMIT keeps the closest n — a
@@ -488,7 +485,13 @@ class VectorDatabaseApi:
         sp = _serving_params(req, coll)
         if coll.scan() is None:
             return {"code": 0, "labels": [], "distances": []}
-        if coll.info.index_type in ("ivf", "graph", "lsh"):
+        if (
+            coll.info.index_type in ("ivf", "graph", "lsh")
+            or coll._multi_vector
+        ):
+            # maxsim families lazily build like /search so the wire serves
+            # the probed range at serving nprobe (the exact fallback would
+            # silently scan the corpus per request)
             self._ensure_index(coll)
         try:
             res = coll.range_search(vec, float(threshold), **sp)
@@ -638,11 +641,6 @@ class VectorDatabaseApi:
                     "threshold must be a finite number",
                 )
                 coll = self._collection(req.get("index_key"))
-                _require(
-                    not coll._multi_vector,
-                    "range_search is single-vector; late-interaction "
-                    "collections serve top-k /search only",
-                )
                 vec, _ = self._parse_vectors(vectors, coll)
                 limit = req.get("limit")
                 if limit is not None:
@@ -669,12 +667,26 @@ class VectorDatabaseApi:
                 for i, _, _ in items:
                     results[i] = {"code": 0, "labels": [], "distances": []}
                 continue
-            if coll.info.index_type in ("ivf", "graph", "lsh"):
+            if (
+                coll.info.index_type in ("ivf", "graph", "lsh")
+                or coll._multi_vector
+            ):
                 self._ensure_index(coll)
-            qdf = self.spark.createDataFrame(
-                [(i, v) for i, v, _ in items],
-                "query_id long, query_vec array<float>",
-            )
+            if coll.info.index_type in _MULTI_TYPES:
+                # long-format multi-token frame, the search_batch shape
+                qdf = self.spark.createDataFrame(
+                    [
+                        (i, t, tok)
+                        for i, toks, _ in items
+                        for t, tok in enumerate(toks)
+                    ],
+                    "query_id long, token_id int, token_vec array<float>",
+                )
+            else:
+                qdf = self.spark.createDataFrame(
+                    [(i, v) for i, v, _ in items],
+                    "query_id long, query_vec array<float>",
+                )
             out_col = "distance" if coll.info.metric == "l2" else "score"
             try:
                 rows = coll.range_search_batch(qdf, thr, **sp).collect()

@@ -1218,16 +1218,43 @@ class Collection(_BucketedStore):
         (ivf/graph/lsh) keep the staleness contract."""
         from vector_db_spark.operators.knn import range_search as exact_range
 
-        if self._multi_vector:
-            raise ValueError(
-                "range_search is single-vector; late-interaction "
-                "collections score query token SETS (use search())"
-            )
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
         params = self._apply_serving_defaults(params)
         kind = self.info.index_type
+        if self._multi_vector:
+            # `query` is the request's token SET (the late-interaction
+            # query shape); threshold is a score FLOOR (MaxSim is an
+            # ip-family sum of dots). A fresh index serves the probed
+            # range (exact rows, coverage set by nprobe — the graph/lsh
+            # contract); stale or absent index falls back to the exact
+            # scan over the collection's own token rows, keeping the
+            # compressed families' always-fresh range precedent (range
+            # never REQUIRES an index; exact is a superset of any probe).
+            from vector_db_spark.operators.late_interaction import (
+                maxsim_range_search,
+            )
+
+            iv = self._indexed_version()
+            if iv is not None and iv == self.info.version:
+                msp = {k: v for k, v in params.items() if k == "nprobe"}
+                return self._load_index().range_search(
+                    query,
+                    threshold,
+                    predicate=predicate,
+                    score_col="score",
+                    **msp,
+                )
+            return maxsim_range_search(
+                self._exploded(cur),
+                query,
+                threshold,
+                doc_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                predicate=predicate,
+                score_col="score",
+            )
         allowed = {
             "graph": ("nprobe", "ef_search"),
             "lsh": ("probe_radius",),
@@ -1302,16 +1329,41 @@ class Collection(_BucketedStore):
         distance|score) ordered by (query_id, metric, id)."""
         from vector_db_spark.operators.knn import batch_range_search
 
-        if self._multi_vector:
-            raise ValueError(
-                "range_search is single-vector; late-interaction "
-                "collections score query token SETS (use search_batch())"
-            )
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
         params = self._apply_serving_defaults(params)
         kind = self.info.index_type
+        if self._multi_vector:
+            # `queries` is the long-format multi-token frame
+            # (query_id, token_id, token_vec) — the search_batch shape;
+            # same fresh-index-probed / stale-or-absent-exact routing as
+            # the single-query multi-vector range arm.
+            from vector_db_spark.operators.late_interaction import (
+                maxsim_range_search_batch,
+            )
+
+            iv = self._indexed_version()
+            if iv is not None and iv == self.info.version:
+                msp = {k: v for k, v in params.items() if k == "nprobe"}
+                return self._load_index().range_search_batch(
+                    queries,
+                    threshold,
+                    predicate=predicate,
+                    query_id_col=query_id_col,
+                    score_col="score",
+                    **msp,
+                )
+            return maxsim_range_search_batch(
+                self._exploded(cur),
+                queries,
+                threshold,
+                doc_col=self.info.id_col,
+                vec_col=self.info.vec_col,
+                predicate=predicate,
+                query_id_col=query_id_col,
+                score_col="score",
+            )
         allowed = {
             "graph": ("nprobe", "ef_search"),
             "lsh": ("probe_radius",),

@@ -243,6 +243,248 @@ def maxsim_search_batch(
     )
 
 
+def maxsim_range_search(
+    corpus: DataFrame,
+    query_tokens: Sequence[Sequence[float]],
+    threshold: float,
+    *,
+    doc_col: str,
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    score_col: str = "maxsim_score",
+) -> DataFrame:
+    """All documents whose MaxSim score clears `threshold` — the range
+    twin of maxsim_search (faiss ``range_search`` semantics for the ip
+    score family: keep score >= threshold; MaxSim is a sum of dots, so
+    higher is better and a floor is the only sensible radius).
+
+    Unlike top-k there is no LIMIT — the result size is data-dependent —
+    so the plan is the shared per-token-max aggregate plus a filter and a
+    sort of only the matching docs. Same ONE doc-key shuffle as
+    maxsim_search; identical left-associated fold, so kept scores are
+    bit-equal to the top-k operator's. Ordered by (score DESC, doc ASC).
+    """
+    toks = [list(map(float, t)) for t in query_tokens]
+    if not toks:
+        raise ValueError("query_tokens must be non-empty")
+    dims = {len(t) for t in toks}
+    if len(dims) != 1:
+        raise ValueError(f"query tokens must share one dimension, got {dims}")
+
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+
+    maxes = _per_token_maxes(corpus, doc_col, vec_col, toks)
+    total = F.col("_m0")
+    for i in range(1, len(toks)):
+        total = total + F.col(f"_m{i}")
+    return (
+        maxes.select(F.col("doc").alias(doc_col), total.alias(score_col))
+        .filter(F.col(score_col) >= float(threshold))
+        .orderBy(F.col(score_col).desc(), F.col(doc_col).asc())
+    )
+
+
+def maxsim_range_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    doc_col: str,
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    query_id_col: str = "query_id",
+    token_vec_col: str = "token_vec",
+    token_id_col: str = "token_id",
+    score_col: str = "maxsim_score",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query MaxSim range matches for a DataFrame of multi-token
+    queries (long format, the maxsim_search_batch shape): every
+    (query, doc) pair whose exact score clears `threshold`.
+
+    Corpus-side work is IDENTICAL to the batch top-k operator — one
+    map-side-combined max shuffle on the doc key for the whole batch —
+    with the per-query window ranking replaced by the threshold filter
+    (no LIMIT; result size is data-dependent). ``candidates`` masks each
+    query to its own (query, doc) pairs — the hook the IVF probed path
+    uses. Returns (query_id, doc, score) ordered by
+    (query, score DESC, doc ASC)."""
+    rows = (
+        queries.select(query_id_col, token_id_col, token_vec_col)
+        .orderBy(query_id_col, token_id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("queries must be non-empty")
+    toks = [list(map(float, r[token_vec_col])) for r in rows]
+    owner = [r[query_id_col] for r in rows]
+    dims = {len(t) for t in toks}
+    if len(dims) != 1:
+        raise ValueError(f"query tokens must share one dimension, got {dims}")
+
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+
+    maxes = _per_token_maxes(corpus, doc_col, vec_col, toks)
+
+    by_query: dict = {}
+    for i, q in enumerate(owner):
+        by_query.setdefault(q, []).append(i)
+    structs = []
+    for q, idxs in by_query.items():
+        total = F.col(f"_m{idxs[0]}")
+        for i in idxs[1:]:
+            total = total + F.col(f"_m{i}")
+        structs.append(F.struct(F.lit(q).alias("qid"), total.alias("s")))
+    stacked = maxes.select(
+        "doc", F.explode(F.array(*structs)).alias("qs")
+    ).select(
+        F.col("qs.qid").alias(query_id_col),
+        F.col("doc").alias(doc_col),
+        F.col("qs.s").alias(score_col),
+    )
+    if candidates is not None:
+        stacked = stacked.join(
+            candidates.select(query_id_col, doc_col).distinct(),
+            on=[query_id_col, doc_col],
+        )
+    return stacked.filter(F.col(score_col) >= float(threshold)).orderBy(
+        query_id_col, F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+
+
+def _ivf_range_search(
+    ivf,
+    doc_col: str,
+    vec_col: str,
+    query_tokens: Sequence[Sequence[float]],
+    threshold: float,
+    *,
+    nprobe: int,
+    predicate: Column | None,
+    score_col: str,
+) -> DataFrame:
+    """Shared probed-range core for both token-IVF families (raw and PQ —
+    the PQ family retains raw token rows in its inner IVF layout, so both
+    verify candidates exactly): candidate docs are those with >= 1 token
+    row in the per-token probed cells; every candidate's FULL token set
+    is then scored exactly, so returned rows are exact and coverage is
+    the only quality axis (the graph/lsh range contract). MaxSim cells
+    are probed by the ip score, which admits no lossless triangle-
+    inequality bound — nprobe >= nlist IS the exhaustive (== exact)
+    setting, and the exhaustive gates pin it."""
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    toks = [list(map(float, t)) for t in query_tokens]
+    if not toks:
+        raise ValueError("query_tokens must be non-empty")
+    dims = {len(t) for t in toks}
+    if len(dims) != 1:
+        raise ValueError(f"query tokens must share one dimension, got {dims}")
+
+    nlist = len(ivf.centroids)
+    nprobe = min(nprobe, nlist)
+    probed = [ivf.probe_order(t)[:nprobe] for t in toks]
+    union_cells = sorted({c for cells in probed for c in cells})
+
+    live = ivf._live()
+    if predicate is not None:
+        live = live.filter(predicate)
+    cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+    cand_docs = cand_rows.select(doc_col).distinct()
+    rerank_src = live.join(cand_docs, doc_col, "left_semi")
+    return maxsim_range_search(
+        rerank_src,
+        toks,
+        threshold,
+        doc_col=doc_col,
+        vec_col=vec_col,
+        score_col=score_col,
+    )
+
+
+def _ivf_range_search_batch(
+    ivf,
+    doc_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    nprobe: int,
+    predicate: Column | None,
+    query_id_col: str,
+    token_vec_col: str,
+    token_id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Batch probed range, shared by both token-IVF families: per-query
+    candidate (query, doc) pairs from ONE broadcast probe-pair equi-join
+    on the partition column (identical candidate generation to
+    search_batch), then one exact corpus pass masked per query with the
+    threshold filter in place of the top-k window."""
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    rows = (
+        queries.select(query_id_col, token_id_col, token_vec_col)
+        .orderBy(query_id_col, token_id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("queries must be non-empty")
+    toks = [list(map(float, r[token_vec_col])) for r in rows]
+    owner = [r[query_id_col] for r in rows]
+    dims = {len(t) for t in toks}
+    if len(dims) != 1:
+        raise ValueError(f"query tokens must share one dimension, got {dims}")
+
+    nlist = len(ivf.centroids)
+    nprobe = min(nprobe, nlist)
+    probed = [ivf.probe_order(t)[:nprobe] for t in toks]
+    cells_by_query: dict = {}
+    for i, q in enumerate(owner):
+        cells_by_query.setdefault(q, set()).update(probed[i])
+    union_cells = sorted({c for cs in cells_by_query.values() for c in cs})
+
+    live = ivf._live()
+    if predicate is not None:
+        live = live.filter(predicate)
+    cand_rows = live.filter(F.col(_CLUSTER_COL).isin(union_cells))
+
+    spark = live.sparkSession
+    qtype = dict(
+        (f.name, f.dataType.simpleString()) for f in queries.schema.fields
+    )[query_id_col]
+    probe_pairs = spark.createDataFrame(
+        [(q, int(c)) for q, cs in cells_by_query.items() for c in sorted(cs)],
+        f"`{query_id_col}` {qtype}, `{_CLUSTER_COL}` int",
+    )
+    cand_pairs = (
+        cand_rows.join(F.broadcast(probe_pairs), on=_CLUSTER_COL)
+        .select(query_id_col, F.col(doc_col))
+        .distinct()
+    )
+    rerank_src = live.join(
+        cand_pairs.select(doc_col).distinct(), doc_col, "left_semi"
+    )
+    return maxsim_range_search_batch(
+        rerank_src,
+        queries,
+        threshold,
+        doc_col=doc_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        token_vec_col=token_vec_col,
+        token_id_col=token_id_col,
+        score_col=score_col,
+        candidates=cand_pairs,
+    )
+
+
 class MaxSimIvfIndex:
     """Token-level IVF candidate generation for MaxSim — the PLAID
     decomposition (Santhanam et al., CIKM'22) re-expressed as DataFrame
@@ -579,6 +821,57 @@ class MaxSimIvfIndex:
             token_id_col=token_id_col,
             score_col=score_col,
             candidates=cand_pairs,
+        )
+
+    def range_search(
+        self,
+        query_tokens: Sequence[Sequence[float]],
+        threshold: float,
+        *,
+        nprobe: int = 4,
+        predicate: Column | None = None,
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """All docs whose exact MaxSim clears `threshold`, candidates from
+        the per-token probed cells (graph/lsh range contract: returned
+        rows exact, coverage set by nprobe; nprobe >= nlist == exact)."""
+        return _ivf_range_search(
+            self.ivf,
+            self.doc_col,
+            self.vec_col,
+            query_tokens,
+            threshold,
+            nprobe=nprobe,
+            predicate=predicate,
+            score_col=score_col,
+        )
+
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        *,
+        nprobe: int = 4,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        token_vec_col: str = "token_vec",
+        token_id_col: str = "token_id",
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Batch range twin of search_batch: per-query probed candidate
+        pairs, one exact corpus pass, threshold filter per query."""
+        return _ivf_range_search_batch(
+            self.ivf,
+            self.doc_col,
+            self.vec_col,
+            queries,
+            threshold,
+            nprobe=nprobe,
+            predicate=predicate,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+            score_col=score_col,
         )
 
     def _masked_scores(self, toks: list, probed: list, dim: int):
@@ -1158,4 +1451,68 @@ class MaxSimPqIndex:
             token_id_col=token_id_col,
             score_col=score_col,
             candidates=cand_pairs,
+        )
+
+    def range_search(
+        self,
+        query_tokens: Sequence[Sequence[float]],
+        threshold: float,
+        *,
+        nprobe: int = 4,
+        predicate: Column | None = None,
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Probed MaxSim range over the PQ family. The codes never
+        filter a threshold (ADC scores cannot bound exact scores), so
+        range skips the ADC stage entirely: probed-cell candidates are
+        verified from the RAW token rows the inner IVF layout retains —
+        same exact-rows/coverage contract as the raw maxsim family."""
+        toks = [list(map(float, t)) for t in query_tokens]
+        if (
+            toks
+            and len({len(t) for t in toks}) == 1
+            and len(toks[0]) != self._dim()
+        ):
+            raise ValueError(
+                f"dimension mismatch: query tokens have {len(toks[0])} "
+                f"components, index dim is {self._dim()}"
+            )
+        return _ivf_range_search(
+            self._ivf,
+            self.doc_col,
+            self.vec_col,
+            toks,
+            threshold,
+            nprobe=nprobe,
+            predicate=predicate,
+            score_col=score_col,
+        )
+
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        *,
+        nprobe: int = 4,
+        predicate: Column | None = None,
+        query_id_col: str = "query_id",
+        token_vec_col: str = "token_vec",
+        token_id_col: str = "token_id",
+        score_col: str = "maxsim_score",
+    ) -> DataFrame:
+        """Batch probed range over the PQ family (no ADC stage — see
+        range_search); candidates generated and verified exactly as the
+        raw maxsim family's batch range."""
+        return _ivf_range_search_batch(
+            self._ivf,
+            self.doc_col,
+            self.vec_col,
+            queries,
+            threshold,
+            nprobe=nprobe,
+            predicate=predicate,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+            score_col=score_col,
         )

@@ -30,12 +30,25 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 #     every CORRECTNESS_r1-r11 window (VERDICT r11 "What's wrong" #2);
 # (3) ann_ivf_batch_range — its implementation changed this round (one
 #     query-side job via a local relation + a GEMM dim hint);
-# (4) oldest-first fill: ALL 44 gates whose newest driver attestation is
-#     r5 (recomputed from CORRECTNESS_r01-r11; histogram 44@r5, 49@r8,
-#     49@r9, 49@r10, 50@r11).
+# (4) oldest-first fill: the r5-stale cohort (44 gates recomputed from
+#     CORRECTNESS_r01-r11; histogram 44@r5, 49@r8, 49@r9, 49@r10,
+#     50@r11) — minus the five that the LATE-round MaxSim-range gates
+#     (maxsim_range / maxsim_ivf_range_exhaustive /
+#     maxsim_pq_range_exhaustive / maxsim_batch_range /
+#     collection_maxsim_range_lifecycle, all new this round) displace;
+#     a new gate must be driver-attested in its landing round (the
+#     collection_range_lifecycle lesson), so the five displaced stale
+#     gates (tpch_q5_region, triangle_participation_knn,
+#     upsert_readback, video_phash_neardup, window_top_customers)
+#     rotate in r13 instead.
 # Everything else keeps its r8+ rows; ORACLE_FULL_r11 swept the whole
 # registry at sf0.01 with 0 failures and the r12 sweep repeats that.
 _VERIFY_FIRST = [
+    "maxsim_range",
+    "maxsim_ivf_range_exhaustive",
+    "maxsim_pq_range_exhaustive",
+    "maxsim_batch_range",
+    "collection_maxsim_range_lifecycle",
     "ann_graph_batch_range_exhaustive",
     "ann_lsh_batch_range_exhaustive",
     "ivfpq_range_exhaustive",
@@ -81,11 +94,6 @@ _VERIFY_FIRST = [
     "text_embed_corpus_stats",
     "text_hash_embed_docs",
     "tpch_q1_pricing",
-    "tpch_q5_region",
-    "triangle_participation_knn",
-    "upsert_readback",
-    "video_phash_neardup",
-    "window_top_customers",
 ]
 
 

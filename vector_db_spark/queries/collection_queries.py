@@ -691,3 +691,85 @@ def http_maxsim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "label long, score double",
     ).select("label", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Round 12: multi-vector range through the catalog — the last family to
+# gain the faiss range_search contract (threshold = MaxSim score floor).
+# ---------------------------------------------------------------------------
+
+_MS_RANGE_K = 10
+
+_MS_RANGE_LIFECYCLE_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_MS_NTOK}
+),
+live AS (
+  SELECT (e.vec_id % {_MS_NDOC}) + 1 AS id, e.embedding FROM embeddings e
+  WHERE ((e.vec_id % {_MS_NDOC}) + 1) % 7 <> 0
+),
+per AS (
+  SELECT l.id, tok.t, max({dot_sql("l.embedding", "tok.qv")}) AS m
+  FROM live l, tok
+  GROUP BY l.id, tok.t
+),
+scored AS (
+  SELECT id, sum(m ORDER BY t) AS score FROM per GROUP BY id
+),
+thr AS (
+  SELECT min(score) AS t FROM (
+    SELECT score FROM scored ORDER BY score DESC, id LIMIT {_MS_RANGE_K}
+  )
+)
+SELECT id, round(score, 6) AS score
+FROM scored, thr
+WHERE score >= thr.t
+ORDER BY score DESC, id
+"""
+
+
+@query("collection_maxsim_range_lifecycle", oracle=_MS_RANGE_LIFECYCLE_ORACLE)
+def collection_maxsim_range_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-vector range end-to-end through the catalog: create
+    (index_type='maxsim') → insert the vec_id % 97 + 1 doc groups →
+    delete the id % 7 == 0 docs → range_search with NO index (served
+    exactly from the collection's own token rows — the always-fresh
+    fallback, the compressed families' range precedent) → build_index →
+    range_search at full probe (the probed arm), ASSERTED equal to the
+    exact arm's rows. Threshold = the 10th exact score, data-derived so
+    the gate holds at every SF."""
+    import tempfile
+
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.groupBy(
+        ((F.col("vec_id") % _MS_NDOC) + 1).alias("id")
+    ).agg(F.collect_list("embedding").alias("embedding"))
+    toks = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < _MS_NTOK)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="cat_msr_"))
+    coll = cat.create("msr", dim=64, metric="ip", index_type="maxsim")
+    coll.insert(docs)
+    coll.delete(F.col("id") % 7 == 0)
+    top = maxsim_search(
+        coll._exploded(coll.scan()), toks, _MS_RANGE_K, doc_col="id"
+    ).collect()
+    thr = float(top[-1].maxsim_score)
+    exact = [
+        (r.id, round(r.score, 9))
+        for r in coll.range_search(toks, thr).collect()
+    ]
+    assert len(exact) >= _MS_RANGE_K
+    coll.build_index(nlist=8, max_iter=5)
+    res = coll.range_search(toks, thr, nprobe=8)
+    probed = [(r.id, round(r.score, 9)) for r in res.collect()]
+    assert probed == exact, "full-probe range must equal the exact arm"
+    return res.select("id", F.round("score", 6).alias("score"))

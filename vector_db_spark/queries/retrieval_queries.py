@@ -639,3 +639,172 @@ def maxsim_pq_vacuum_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         _msivf_toks(spark, sf_dir), _MSIVF_K, nprobe=16, shortlist=_MSIVF_NDOC
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MaxSim RANGE search — score-threshold retrieval, the range
+# twin across the late-interaction families (operators/late_interaction
+# .maxsim_range_search / MaxSimIvfIndex.range_search / MaxSimPqIndex
+# .range_search). The reference has no range operation at all
+# (/root/reference/src/router/mod.rs:1-7); faiss's range_search contract
+# extends naturally: MaxSim is an ip-family score, so the threshold is a
+# FLOOR. The gates derive the threshold FROM the data (the K-th exact
+# score) so they are scale-factor independent and nontrivial at every SF;
+# Spark and DuckDB derive bit-equal thresholds because served scores are
+# bit-equal (the existing maxsim hash gates prove the fold parity).
+# ---------------------------------------------------------------------------
+
+_MSRANGE_K = 12
+
+_MSRANGE_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+per AS (
+  SELECT e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+thr AS (
+  SELECT min(maxsim_score) AS t FROM (
+    SELECT maxsim_score FROM scored
+    ORDER BY maxsim_score DESC, doc LIMIT {_MSRANGE_K}
+  )
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score
+FROM scored, thr
+WHERE maxsim_score >= thr.t
+ORDER BY maxsim_score DESC, doc
+"""
+
+
+def _msrange_threshold(spark: SparkSession, sf_dir: str) -> float:
+    """The K-th exact MaxSim score over the vec_id % 97 doc population —
+    the driver-side scalar both engines agree on bit-for-bit (it is the
+    min of the top-K scores the hash-green top-k gates already compare)."""
+    from vector_db_spark.operators.late_interaction import maxsim_search
+
+    top = maxsim_search(
+        _msivf_corpus(spark, sf_dir),
+        _msivf_toks(spark, sf_dir),
+        _MSRANGE_K,
+        doc_col="doc",
+    ).collect()
+    return float(top[-1].maxsim_score)
+
+
+@query("maxsim_range", oracle=_MSRANGE_ORACLE)
+def maxsim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MaxSim range: every doc whose score clears the data-derived
+    threshold (>= the 12th exact score, so >= 12 rows — more on ties).
+    Same one-doc-key-shuffle plan as top-k with the TakeOrdered replaced
+    by a filter + sort of only the matching rows."""
+    from vector_db_spark.operators.late_interaction import maxsim_range_search
+
+    res = maxsim_range_search(
+        _msivf_corpus(spark, sf_dir),
+        _msivf_toks(spark, sf_dir),
+        _msrange_threshold(spark, sf_dir),
+        doc_col="doc",
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_ivf_range_exhaustive", oracle=_MSRANGE_ORACLE)
+def maxsim_ivf_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID range at the exhaustive setting: full probe makes the
+    candidate set the whole doc population and the exact verify makes
+    every returned row bit-equal to the exact operator's — the same
+    lossless-configuration standard as every family's range gate."""
+    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+
+    idx = MaxSimIvfIndex.build(
+        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    )
+    res = idx.range_search(
+        _msivf_toks(spark, sf_dir),
+        _msrange_threshold(spark, sf_dir),
+        nprobe=16,
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+@query("maxsim_pq_range_exhaustive", oracle=_MSRANGE_ORACLE)
+def maxsim_pq_range_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-PLAID range at the exhaustive setting. The ADC stage is
+    deliberately ABSENT from range (quantized scores cannot bound exact
+    scores against a threshold); candidates come from the probed cells
+    and are verified from the raw token rows the inner IVF layout
+    retains — full probe must equal the exact operator."""
+    res = _mspq_index(spark, sf_dir).range_search(
+        _msivf_toks(spark, sf_dir),
+        _msrange_threshold(spark, sf_dir),
+        nprobe=16,
+    )
+    return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
+
+
+_MSRANGE_BATCH_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id // 3 AS query_id, vec_id AS t, embedding AS qv
+  FROM embeddings WHERE vec_id < 6
+),
+per AS (
+  SELECT tok.query_id, e.vec_id % {_MSIVF_NDOC} AS doc, tok.t,
+         max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e, tok
+  GROUP BY tok.query_id, doc, tok.t
+),
+scored AS (
+  SELECT query_id, doc, sum(m ORDER BY t) AS maxsim_score
+  FROM per GROUP BY query_id, doc
+),
+thr AS (
+  SELECT min(maxsim_score) AS t FROM (
+    SELECT maxsim_score FROM scored WHERE query_id = 0
+    ORDER BY maxsim_score DESC, doc LIMIT {_MSRANGE_K}
+  )
+)
+SELECT query_id, doc, round(maxsim_score, 6) AS maxsim_score
+FROM scored, thr
+WHERE maxsim_score >= thr.t
+ORDER BY query_id, maxsim_score DESC, doc
+"""
+
+
+@query("maxsim_batch_range", oracle=_MSRANGE_BATCH_ORACLE)
+def maxsim_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MaxSim range (two 3-token queries, one shared threshold
+    derived from query 0's 12th exact score): ONE corpus pass scores the
+    whole batch — per-doc token maxes shuffle once on the doc key — and
+    each query keeps its own in-range rows. Verified against the
+    exhaustive IVF batch formulation in tests; hash-gated here against
+    the per-query exact SQL."""
+    from vector_db_spark.operators.late_interaction import (
+        maxsim_range_search_batch,
+        maxsim_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    )
+    q0 = [t for qid, _, t in qrows if qid == 0]
+    top = maxsim_search(
+        _msivf_corpus(spark, sf_dir), q0, _MSRANGE_K, doc_col="doc"
+    ).collect()
+    thr = float(top[-1].maxsim_score)
+    res = maxsim_range_search_batch(
+        _msivf_corpus(spark, sf_dir), queries, thr, doc_col="doc"
+    )
+    return res.select(
+        "query_id", "doc", F.round("maxsim_score", 6).alias("maxsim_score")
+    )
