@@ -522,3 +522,86 @@ def test_tune_collection_joint_range_target_persists(spark, emb, tmp_path):
         coll.range_search_batch(queries, thr).collect(), "query_id", "id"
     )
     assert _recall(exact, got) >= TARGET
+
+
+def test_tune_maxsim_range_meets_coverage_target(spark, tmp_path):
+    """Round 12: the MaxSim range tuner returns the minimal-nprobe rung
+    whose coverage vs the exact batched MaxSim range meets the target;
+    full probe is exact (coverage 1.0) so the ladder always terminates."""
+    from tests.test_collections import _doc_df
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimIvfIndex,
+        maxsim_range_search_batch,
+    )
+    from vector_db_spark.operators.tuning import (
+        _recall,
+        _topk_sets,
+        tune_maxsim_range,
+    )
+
+    docs = _doc_df(spark, n_docs=12)
+    exploded = docs.select(
+        "id", F.explode("embedding").alias("embedding")
+    )
+    idx = MaxSimIvfIndex.build(exploded, nlist=4, doc_col="id", max_iter=5)
+    toks = [[float(i == j) for i in range(8)] for j in range(2)]
+    sample = spark.createDataFrame(
+        [(q, t, toks[t]) for q in range(2) for t in range(2)],
+        "query_id long, token_id int, token_vec array<float>",
+    )
+    thr = 0.1
+    out = tune_maxsim_range(idx, sample, thr, coverage_target=0.95)
+    assert out["coverage"] >= 0.95
+    # reproducible at the returned knob
+    exact = _topk_sets(
+        maxsim_range_search_batch(
+            exploded, sample, thr, doc_col="id"
+        ).collect(),
+        "query_id",
+        "id",
+    )
+    got = _topk_sets(
+        idx.range_search_batch(sample, thr, nprobe=out["nprobe"]).collect(),
+        "query_id",
+        "id",
+    )
+    assert _recall(exact, got) == pytest.approx(out["coverage"])
+    # full probe IS exact
+    full = _topk_sets(
+        idx.range_search_batch(sample, thr, nprobe=4).collect(),
+        "query_id",
+        "id",
+    )
+    assert _recall(exact, full) == 1.0
+    with pytest.raises(ValueError, match="coverage_target"):
+        tune_maxsim_range(idx, sample, thr, coverage_target=0.0)
+
+
+def test_tune_collection_maxsim_joint_range_target(spark, tmp_path):
+    """tune_collection(range_threshold=...) on a maxsim collection: the
+    merged nprobe meets both axes, both re-measured numbers are
+    reported, and the persisted knobs serve range through the catalog."""
+    from tests.test_collections import _doc_df
+    from vector_db_spark.operators.collections import CollectionCatalog
+    from vector_db_spark.operators.tuning import tune_collection
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("t_msr", dim=8, metric="ip", index_type="maxsim")
+    coll.insert(_doc_df(spark, n_docs=12))
+    coll.build_index(nlist=4, max_iter=5)
+    toks = [[float(i == j) for i in range(8)] for j in range(2)]
+    sample = spark.createDataFrame(
+        [(q, t, toks[t]) for q in range(2) for t in range(2)],
+        "query_id long, token_id int, token_vec array<float>",
+    )
+    out = tune_collection(
+        coll, sample, k=3, recall_target=0.9, persist=True,
+        range_threshold=0.1,
+    )
+    assert out["recall"] >= 0.9
+    assert out["range_coverage"] >= 0.9
+    assert set(coll.info.serving_params) == {"nprobe", "shortlist"}
+    assert coll.info.serving_params["nprobe"] == out["nprobe"]
+    # served range path (knob-less) returns only exact in-range rows
+    got = coll.range_search(toks, 0.1).collect()
+    assert all(r.score >= 0.1 for r in got)

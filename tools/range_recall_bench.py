@@ -51,6 +51,11 @@ LSH_THRESHOLDS = {"cosine": (0.3, 0.15, 0.05)}
 # the "serving" (untuned) rung coverage is reported against
 GRAPH_SERVING = {"nprobe": 4, "ef_search": 64}
 LSH_SERVING = {"probe_radius": 1}
+# MaxSim section: doc population, query count, and the exact-score ranks
+# that derive the three thresholds (narrow / serving / wide floors)
+MS_NDOC = 499
+MS_N_QUERIES = 12
+MS_KS = (5, 20, 60)
 
 
 def _coverage(exact: dict, rows, id_col: str) -> float:
@@ -140,6 +145,69 @@ def main() -> None:
             tuned_covs.append(tuned["coverage"])
         report["lsh"][metric] = per_thr
     lidx.buckets.unpersist()
+
+    # MaxSim (round 12): probed range coverage over the token-IVF
+    # candidate generation — docs are vec_id % 499 multi-vector groups,
+    # queries the first MS_N_QUERIES docs' own 3-token windows, and the
+    # thresholds derive from the data (the k-th exact score of a probe
+    # query for k in MS_KS) so the section holds at every SF. Serving
+    # rung = the wire default nprobe=4.
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimIvfIndex,
+        maxsim_range_search_batch,
+        maxsim_search,
+    )
+    from vector_db_spark.operators.tuning import tune_maxsim_range
+
+    corpus = emb.select(
+        (F.col("vec_id") % MS_NDOC).alias("doc"), "embedding"
+    ).cache()
+    corpus.count()
+    msidx = MaxSimIvfIndex.build(
+        corpus, nlist=NLIST, doc_col="doc", max_iter=5
+    )
+    msidx.ivf._live().cache().count()
+    qrows = [
+        (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 3 * MS_N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    msq = spark.createDataFrame(
+        qrows, "query_id long, token_id long, token_vec array<double>"
+    ).cache()
+    msq.count()
+    probe_toks = [t for qid, _, t in qrows if qid == 0]
+    anchor = maxsim_search(
+        corpus, probe_toks, max(MS_KS), doc_col="doc"
+    ).collect()
+    per_thr = {}
+    for k_anchor in MS_KS:
+        thr = float(anchor[k_anchor - 1].maxsim_score)
+        exact = _topk_sets(
+            maxsim_range_search_batch(
+                corpus, msq, thr, doc_col="doc"
+            ).collect(),
+            "query_id", "doc",
+        )
+        n_true = sum(len(v) for v in exact.values())
+        serving = _coverage(
+            exact,
+            msidx.range_search_batch(msq, thr, nprobe=4).collect(),
+            "doc",
+        )
+        tuned = tune_maxsim_range(msidx, msq, thr, coverage_target=TARGET)
+        per_thr[f"k{k_anchor}"] = {
+            "threshold": round(thr, 4),
+            "true_matches": n_true,
+            "serving": round(serving, 4),
+            "tuned": round(tuned["coverage"], 4),
+            "knobs": {"nprobe": tuned["nprobe"]},
+            "evals": tuned["evals"],
+        }
+        tuned_covs.append(tuned["coverage"])
+    report["maxsim"] = {"ip": per_thr}
+    corpus.unpersist()
 
     print(json.dumps({
         "metric": "range_coverage",

@@ -468,6 +468,81 @@ def tune_maxsim(
     )
 
 
+def _exact_maxsim_range_sets(
+    index,
+    sample: DataFrame,
+    threshold: float,
+    query_id_col: str,
+    token_vec_col: str,
+    token_id_col: str,
+) -> dict:
+    """query_id -> TRUE in-range doc set for the MaxSim families: one
+    exact batched range job over the index's live token rows (the
+    coverage denominator; empty-true-set queries are vacuous, as in
+    _exact_range_sets)."""
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+    from vector_db_spark.operators.late_interaction import (
+        maxsim_range_search_batch,
+    )
+
+    rows = maxsim_range_search_batch(
+        index.ivf._live().drop(_CLUSTER_COL),
+        sample,
+        threshold,
+        doc_col=index.doc_col,
+        vec_col=index.vec_col,
+        query_id_col=query_id_col,
+        token_vec_col=token_vec_col,
+        token_id_col=token_id_col,
+    ).collect()
+    return _topk_sets(rows, query_id_col, index.doc_col)
+
+
+def tune_maxsim_range(
+    index,
+    sample_queries: DataFrame,
+    threshold: float,
+    coverage_target: float = 0.95,
+    query_id_col: str = "query_id",
+    token_vec_col: str = "token_vec",
+    token_id_col: str = "token_id",
+) -> dict:
+    """Range twin of :func:`tune_maxsim` (both MaxSim families — the PQ
+    family's range path verifies from the raw token rows its inner IVF
+    retains, so one tuner serves both): minimal ``nprobe`` whose range
+    COVERAGE against the exact batched MaxSim range meets
+    ``coverage_target`` at the given score-floor threshold. Coverage is
+    monotone in nprobe — probed cell sets grow into supersets, and a
+    doc is a candidate as soon as ONE of its token rows lands in a
+    probed cell — so the geometric ladder terminates at full probe
+    (== exact). Returned rows are exact at every rung (full-token-set
+    verify); coverage is the only quality axis, as with graph/lsh
+    range. Returns ``{"nprobe": n, "coverage": c, "evals": m}``."""
+    if not 0.0 < coverage_target <= 1.0:
+        raise ValueError("coverage_target must be in (0, 1]")
+    nlist = len(index.ivf.centroids)
+    sample = sample_queries.localCheckpoint()
+    exact = _exact_maxsim_range_sets(
+        index, sample, threshold, query_id_col, token_vec_col, token_id_col
+    )
+    evals, last = 0, None
+    for nprobe in _probe_ladder(nlist):
+        evals += 1
+        rows = index.range_search_batch(
+            sample,
+            threshold,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            token_vec_col=token_vec_col,
+            token_id_col=token_id_col,
+        ).collect()
+        c = _recall(exact, _topk_sets(rows, query_id_col, index.doc_col))
+        last = {"nprobe": nprobe, "coverage": c, "evals": evals}
+        if c >= coverage_target:
+            return last
+    return last
+
+
 def _exact_range_sets(
     corpus: DataFrame,
     sample_queries: DataFrame,
@@ -668,6 +743,31 @@ def tune_collection(
         out = _tune_served_shortlist(
             coll, idx, sample_queries, k, recall_target, **tuner_kwargs
         )
+    if range_threshold is not None and itype in ("maxsim", "maxsim_pq"):
+        # Joint range target for the MaxSim families (round 12): the
+        # persisted nprobe serves both search and range_search, so take
+        # the per-knob max (coverage and recall are both monotone in
+        # nprobe) and re-measure both axes at the merged point.
+        rng = tune_maxsim_range(
+            idx, sample_queries, range_threshold,
+            coverage_target=recall_target,
+        )
+        merged_nprobe = max(out.get("nprobe", 1), rng["nprobe"])
+        out["nprobe"] = merged_nprobe
+        exact_rng = _exact_maxsim_range_sets(
+            idx, sample_queries, range_threshold,
+            "query_id", "token_vec", "token_id",
+        )
+        rng_rows = idx.range_search_batch(
+            sample_queries, range_threshold, nprobe=merged_nprobe
+        ).collect()
+        out["range_coverage"] = _recall(
+            exact_rng, _topk_sets(rng_rows, "query_id", idx.doc_col)
+        )
+        out["recall"] = _measure_maxsim_recall(
+            idx, sample_queries, k,
+            nprobe=merged_nprobe, shortlist=out.get("shortlist"),
+        )
     if range_threshold is not None and itype in ("graph", "lsh"):
         # Joint range target (VERDICT r11 #5): the persisted knobs serve
         # BOTH Collection.search and Collection.range_search, so when a
@@ -747,6 +847,29 @@ def _measure_topk_recall(
     )
     rows = idx.search_batch(sample_queries, k, **knobs).collect()
     return _recall(exact, _topk_sets(rows, "query_id", info.id_col))
+
+
+def _measure_maxsim_recall(
+    idx, sample_queries: DataFrame, k: int, *, nprobe: int, shortlist
+) -> float:
+    """Top-k MaxSim recall at the given knobs vs the exact batch operator
+    over the index's live token rows (the joint-tuning re-measure for the
+    multi-vector families)."""
+    from vector_db_spark.operators.ann import _CLUSTER_COL
+    from vector_db_spark.operators.late_interaction import maxsim_search_batch
+
+    exact_rows = maxsim_search_batch(
+        idx.ivf._live().drop(_CLUSTER_COL),
+        sample_queries,
+        k,
+        doc_col=idx.doc_col,
+        vec_col=idx.vec_col,
+    ).collect()
+    exact = _topk_sets(exact_rows, "query_id", idx.doc_col)
+    rows = idx.search_batch(
+        sample_queries, k, nprobe=nprobe, shortlist=shortlist
+    ).collect()
+    return _recall(exact, _topk_sets(rows, "query_id", idx.doc_col))
 
 
 def _tune_served_shortlist(
