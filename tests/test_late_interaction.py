@@ -791,3 +791,35 @@ def test_maxsim_pq_range_batch_exhaustive(emb, mspq, spark):
         for r in mspq.range_search_batch(queries, thr, nprobe=8).collect()
     ]
     assert got == want
+
+
+def test_maxsim_range_honors_tombstones(emb, toks, tmp_path):
+    """Deleted docs never reappear through the probed range path: delete
+    two in-range docs, full-probe range must equal exact range over the
+    surviving corpus (the tombstone anti-join lives in ivf._live(),
+    shared with top-k — this pins that range inherits it)."""
+    from vector_db_spark.operators.late_interaction import (
+        MaxSimIvfIndex,
+        maxsim_range_search,
+    )
+
+    idx = MaxSimIvfIndex.build(emb, nlist=8, doc_col="label", max_iter=5)
+    idx.save(str(tmp_path / "ms"))
+    idx = MaxSimIvfIndex.load(emb.sparkSession, str(tmp_path / "ms"))
+    thr = _range_threshold(emb, toks, 5)
+    before = [int(r.label) for r in idx.range_search(toks, thr, nprobe=8).collect()]
+    victims = before[:2]
+    idx.delete(victims)
+    got = [
+        (int(r.label), r.maxsim_score)
+        for r in idx.range_search(toks, thr, nprobe=8).collect()
+    ]
+    want = [
+        (int(r.label), r.maxsim_score)
+        for r in maxsim_range_search(
+            emb.filter(~F.col("label").isin(victims)), toks, thr,
+            doc_col="label",
+        ).collect()
+    ]
+    assert got == want
+    assert not set(victims) & {d for d, _ in got}
