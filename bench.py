@@ -91,6 +91,12 @@ HEADLINE = [
     # stride-1 exact-substring dedup (one window-hash shuffle), and
     # perceptual-hash image dedup (Arrow DCT + pigeonhole blocking)
     "maxsim_label_search",
+    # round-12: MaxSim range (score-floor retrieval) — the exact operator
+    # and the one-corpus-pass batch formulation; thresholds are
+    # data-derived (the 12th exact score) so the entries are nontrivial
+    # at every SF
+    "maxsim_range",
+    "maxsim_batch_range",
     "mixture_sample_docs",
     "substring_dedup_docs",
     "image_phash_neardup",
@@ -363,6 +369,12 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ),
         "ann_graph_range_search": lambda: gr.range_search(
             qv, 1.6, nprobe=8, ef_search=64
+        ),
+        # MaxSim probed range from the persisted token IVF (round 12):
+        # candidates from the per-token probed cells, full-token-set
+        # exact verify against the 0.5 score floor at a serving nprobe
+        "maxsim_ivf_range_search": lambda: msivf.range_search(
+            [qv, qv[::-1]], 0.5, nprobe=4
         ),
         # Hamming over persisted 12-byte sign codes: the scan artifact the
         # binary op exists for (21x fewer bytes than the raw vector scan)

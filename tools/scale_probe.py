@@ -56,6 +56,8 @@ DEFAULT = [
     "embedding_neardup_blocked",
     "substring_dedup_docs",
     "maxsim_label_search",
+    "maxsim_range",
+    "maxsim_batch_range",
     "image_phash_neardup",
     "tpch_q3_shipping",
     "tpch_q5_region",
