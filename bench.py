@@ -504,6 +504,33 @@ def main() -> None:
         _canary_samples.append(time.perf_counter() - _t0)
     canary_sec = round(statistics.median(_canary_samples), 4)
 
+    # Spark-side canaries (round 12): the GEMM canary catches CPU
+    # contention but NOT per-job latency — the r12 boot ran every
+    # sub-second entry a uniform ~1.7x slower than the r11 record at an
+    # IDENTICAL GEMM canary (healthy 0.008 s), because job/stage
+    # scheduling itself was slower on that host. Two fixed engine-side
+    # probes, timed median-of-3 warm like the queries: a narrow 2M-row
+    # sum (pure job dispatch + codegen scan) and a 32-partition 1M-row
+    # shuffle (stage scheduling + exchange machinery). Excluded from
+    # headline_total.
+    def _spark_canary(thunk) -> float:
+        thunk()  # warm
+        samples = []
+        for _ in range(3):
+            _t0 = time.perf_counter()
+            thunk()
+            samples.append(time.perf_counter() - _t0)
+        return round(statistics.median(samples), 4)
+
+    canary_job_sec = _spark_canary(
+        lambda: spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
+    )
+    canary_shuffle_sec = _spark_canary(
+        lambda: spark.sql(
+            "select id % 97 k, count(*) c from range(1000000) group by k"
+        ).collect()
+    )
+
     record = json.dumps(
             {
                 "metric": "headline_total",
@@ -518,6 +545,8 @@ def main() -> None:
                 # field across BENCH records before reading any
                 # round-over-round query delta as a regression
                 "canary_gemm_sec": canary_sec,
+                "canary_job_sec": canary_job_sec,
+                "canary_shuffle_sec": canary_shuffle_sec,
                 # standalone wall time of the cosine-IVF (SemDeDup
                 # blocking) build INSIDE the concurrent ann_index_build
                 # pool — disclosed for round-over-round comparability,
