@@ -119,6 +119,73 @@ HEADLINE = [
 
 K = 10
 
+# Healthy-host canary bands (VERDICT r12 #1). Derived from the record
+# history: a healthy boot runs the pinned GEMM in ~0.009 s and the 2M-row
+# sum job in well under 0.05 s; the r12 boot (a uniform ~1.5x bench-wide
+# inflation later attributed to per-job scheduling latency) measured
+# job 0.087-0.103 s at an IDENTICAL healthy GEMM. Bands sit between the
+# two populations. A breach does NOT abort the bench — the driver needs a
+# record every round — it re-measures once after a settle and, if still
+# out of band, stamps the record ``host_degraded: true`` so nobody reads
+# the inflated numbers as an engine regression.
+CANARY_BANDS = {
+    "canary_gemm_sec": 0.020,
+    "canary_job_sec": 0.055,
+    "canary_shuffle_sec": 0.450,
+}
+
+
+def measure_canaries(spark) -> dict:
+    """Three fixed host-load probes, each median-of-3 after one warm run
+    (the query-timing policy): a single-thread 1024^3 float64 GEMM
+    (raw-CPU contention, no Spark), a narrow 2M-row sum (pure job
+    dispatch + codegen scan), and a 32-partition 1M-row group-by (stage
+    scheduling + exchange machinery). Costs are properties of the HOST at
+    bench time, not of engine code — compare these fields across BENCH
+    records before reading any round-over-round query delta as a
+    regression (VERDICT r11 #6, r12 #1)."""
+    import statistics
+
+    import numpy as np
+
+    def _median3(thunk) -> float:
+        thunk()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 4)
+
+    rng = np.random.RandomState(0)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    return {
+        "canary_gemm_sec": _median3(lambda: a @ b),
+        "canary_job_sec": _median3(
+            lambda: spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
+        ),
+        "canary_shuffle_sec": _median3(
+            lambda: spark.sql(
+                "select id % 97 k, count(*) c from range(1000000) group by k"
+            ).collect()
+        ),
+    }
+
+
+def gate_canaries(spark) -> tuple[dict, bool]:
+    """Pre-flight host gate: measure, and on a band breach settle 10 s
+    and re-measure once (transient load — another process's startup burst
+    — clears; a genuinely slow boot doesn't). Returns the BEST of the
+    attempts per probe and whether the host is still out of band."""
+    first = measure_canaries(spark)
+    if all(first[k] <= v for k, v in CANARY_BANDS.items()):
+        return first, False
+    time.sleep(10)
+    second = measure_canaries(spark)
+    best = {k: min(first[k], second[k]) for k in first}
+    return best, any(best[k] > v for k, v in CANARY_BANDS.items())
+
 
 def _parquet_col_bytes(path: str, cols: tuple[str, ...]) -> list[int]:
     """Total compressed parquet bytes per named top-level column under
@@ -442,6 +509,18 @@ def main() -> None:
     )
     warm_q.awaitTermination(60_000)
 
+    # Pre-flight host gate (VERDICT r12 #1): canaries BEFORE the timing
+    # loop, so a degraded boot is known before 5+ minutes of inflated
+    # measurements, with one settle-and-retry for transient load. The
+    # bench still runs either way — the record is stamped, not refused.
+    preflight, host_degraded = gate_canaries(spark)
+    if host_degraded:
+        print(
+            f"# WARNING host out of canary bands {CANARY_BANDS}: "
+            f"{preflight} — record will carry host_degraded: true",
+            file=sys.stderr,
+        )
+
     # Materialize the shared 5-NN edge artifact ONCE, billed as its own
     # entry — the three graph-analytics queries then read parquet edges
     # (VERDICT r4 #3: the graph was being rebuilt inside each of them).
@@ -484,52 +563,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Machine-load canary (VERDICT r11 #6): a fixed-size single-thread
-    # NumPy GEMM timed outside Spark. Its cost is a property of the HOST
-    # at bench time, not of any engine code, so two BENCH records can be
-    # load-normalized in isolation — the r11 driver tail looked like a
-    # uniform ~1.26x regression that took diffing two BENCH_LOCAL files
-    # to attribute to machine load. Median of 3 (same spread policy as
-    # the queries); ~0.1 s per rep, excluded from headline_total.
-    import numpy as _np
-
-    _rng = _np.random.RandomState(0)
-    _a = _rng.standard_normal((1024, 1024))
-    _b = _rng.standard_normal((1024, 1024))
-    _a @ _b  # warm-up (BLAS thread pool spin-up)
-    _canary_samples = []
-    for _ in range(3):
-        _t0 = time.perf_counter()
-        _a @ _b
-        _canary_samples.append(time.perf_counter() - _t0)
-    canary_sec = round(statistics.median(_canary_samples), 4)
-
-    # Spark-side canaries (round 12): the GEMM canary catches CPU
-    # contention but NOT per-job latency — the r12 boot ran every
-    # sub-second entry a uniform ~1.7x slower than the r11 record at an
-    # IDENTICAL GEMM canary (healthy 0.008 s), because job/stage
-    # scheduling itself was slower on that host. Two fixed engine-side
-    # probes, timed median-of-3 warm like the queries: a narrow 2M-row
-    # sum (pure job dispatch + codegen scan) and a 32-partition 1M-row
-    # shuffle (stage scheduling + exchange machinery). Excluded from
-    # headline_total.
-    def _spark_canary(thunk) -> float:
-        thunk()  # warm
-        samples = []
-        for _ in range(3):
-            _t0 = time.perf_counter()
-            thunk()
-            samples.append(time.perf_counter() - _t0)
-        return round(statistics.median(samples), 4)
-
-    canary_job_sec = _spark_canary(
-        lambda: spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
-    )
-    canary_shuffle_sec = _spark_canary(
-        lambda: spark.sql(
-            "select id % 97 k, count(*) c from range(1000000) group by k"
-        ).collect()
-    )
+    # End-of-run canaries (VERDICT r11 #6 / r12): same three probes as
+    # the pre-flight, measured after the timing loop so the two readings
+    # bracket the run — load arriving mid-bench shows up as the delta.
+    postflight = measure_canaries(spark)
 
     record = json.dumps(
             {
@@ -540,13 +577,17 @@ def main() -> None:
                 "spread": spreads,
                 "reps": reps,
                 "sf": sf,
-                # host-load calibration: median wall time of a pinned
-                # 1024^3 float64 GEMM (see comment above); compare this
-                # field across BENCH records before reading any
-                # round-over-round query delta as a regression
-                "canary_gemm_sec": canary_sec,
-                "canary_job_sec": canary_job_sec,
-                "canary_shuffle_sec": canary_shuffle_sec,
+                # host-load calibration (see measure_canaries): the
+                # canary_* fields keep their r12 meaning (end-of-run);
+                # canary_preflight brackets the run from the other side,
+                # and host_degraded means the PRE-flight breached
+                # CANARY_BANDS even after a settle-and-retry — treat
+                # every query time in such a record as inflated by host
+                # scheduling latency, not engine code
+                **postflight,
+                "canary_preflight": preflight,
+                "canary_bands": CANARY_BANDS,
+                "host_degraded": host_degraded,
                 # standalone wall time of the cosine-IVF (SemDeDup
                 # blocking) build INSIDE the concurrent ann_index_build
                 # pool — disclosed for round-over-round comparability,

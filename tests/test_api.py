@@ -515,3 +515,25 @@ def test_maxsim_range_search_over_the_wire(api):
     assert res[0]["code"] == 0 and res[0]["labels"] == [3]
     assert res[1]["code"] == 0 and res[1]["labels"] == [3, 1, 2]
     assert res[2]["code"] == 400 and "finite" in res[2]["error_msg"]
+    # 'shortlist' is a top-k rerank knob the knob whitelist accepts for
+    # the maxsim families, but range has no rerank stage: an EXPLICIT
+    # request shortlist is this request's 400, never a silent drop
+    # (ADVICE r12) — on both routes
+    assert _status(
+        api.range_search,
+        {"vectors": q, "threshold": 0.5, "index_key": key,
+         "params": {"shortlist": 8}},
+    ) == 400
+    res = api.range_search_batch([
+        {"vectors": q, "threshold": 0.5, "index_key": key,
+         "params": {"shortlist": 8}},
+        {"vectors": q, "threshold": 0.5, "index_key": key},
+    ])
+    assert res[0]["code"] == 400 and "shortlist" in res[0]["error_msg"]
+    assert res[1]["code"] == 0 and res[1]["labels"] == [3, 1, 2]
+    # ... while a PERSISTED shortlist (a legitimate top-k operating
+    # point) is stripped before dispatch, not an error
+    coll = api._collection(key)
+    coll.set_serving_params(shortlist=4)
+    out = api.range_search({"vectors": q, "threshold": 0.5, "index_key": key})
+    assert out["code"] == 0 and out["labels"] == [3, 1, 2]

@@ -775,6 +775,35 @@ def test_collection_maxsim_validation(spark, tmp_path):
         coll.insert(empty)
 
 
+def test_maxsim_range_rejects_explicit_shortlist(spark, tmp_path):
+    """No-silent-drop on the multi-vector RANGE routes (ADVICE r12): an
+    EXPLICIT shortlist kwarg — a top-k rerank knob with no meaning for
+    range, which scores every probed candidate exactly — raises, while a
+    PERSISTED shortlist operating point is ignored (range still serves),
+    so tuned collections don't break."""
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("ms", dim=2, metric="ip", index_type="maxsim")
+    coll.insert(spark.createDataFrame(
+        [(1, [[1.0, 0.0]]), (2, [[0.0, 1.0], [1.0, 1.0]])],
+        "id long, embedding array<array<float>>",
+    ))
+    q = [[1.0, 0.0]]
+    with pytest.raises(ValueError, match="shortlist"):
+        coll.range_search(q, 0.5, shortlist=8)
+    qdf = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])],
+        "query_id long, token_id int, token_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        coll.range_search_batch(qdf, 0.5, shortlist=8)
+    coll.set_serving_params(shortlist=4)
+    # both docs score max-dot 1.0 >= 0.5 → score desc, id asc ties
+    got = [int(r.id) for r in coll.range_search(q, 0.5).collect()]
+    assert got == [1, 2]
+    got = [int(r.id) for r in coll.range_search_batch(qdf, 0.5).collect()]
+    assert got == [1, 2]
+
+
 def test_serving_params_persist_validate_and_apply(spark, tmp_path):
     """Tuning write-back loop: set_serving_params persists knobs in the
     catalog JSON (no version bump — serving config is not data), a fresh

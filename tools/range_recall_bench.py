@@ -166,7 +166,8 @@ def main() -> None:
     msidx = MaxSimIvfIndex.build(
         corpus, nlist=NLIST, doc_col="doc", max_iter=5
     )
-    msidx.ivf._live().cache().count()
+    ms_live = msidx.ivf._live().cache()
+    ms_live.count()
     qrows = [
         (int(r.vec_id) // 3, int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(F.col("vec_id") < 3 * MS_N_QUERIES)
@@ -208,6 +209,8 @@ def main() -> None:
         tuned_covs.append(tuned["coverage"])
     report["maxsim"] = {"ip": per_thr}
     corpus.unpersist()
+    msq.unpersist()
+    ms_live.unpersist()
 
     print(json.dumps({
         "metric": "range_coverage",

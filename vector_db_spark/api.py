@@ -104,14 +104,22 @@ _SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200}
 # engine.
 
 
-def _serving_params(req: dict, coll) -> dict:
+def _serving_params(req: dict, coll, *, for_range: bool = False) -> dict:
     """Serving knobs for one request, precedence low→high: the wire's
     exhaustive-quality family defaults (_SEARCH_PARAMS) < the
     collection's persisted tuned knobs (Collection.set_serving_params) <
     this request's optional ``params`` overrides (engine extension; the
     reference wire has no serving knobs — search.rs:6-17). Unknown keys
     and non-positive or non-integer values are THIS request's 400, never
-    a silent drop."""
+    a silent drop.
+
+    ``for_range`` marks the /range_search and /batch_range_search routes:
+    for the multi-vector (maxsim) families, 'shortlist' bounds top-k's
+    exact-rerank stage and range has no rerank — an explicit request
+    shortlist is THIS request's 400 (no-silent-drop), while a PERSISTED
+    shortlist (a legitimate top-k operating point) is stripped before
+    dispatch because the engine rejects explicit kwargs it would silently
+    ignore (ADVICE r12)."""
     itype = coll.info.index_type
     base = dict(_SEARCH_PARAMS.get(itype, {}))
     if itype in _MULTI_TYPES:
@@ -124,6 +132,9 @@ def _serving_params(req: dict, coll) -> dict:
         if isinstance(built_nlist, int) and built_nlist > 0:
             base["nprobe"] = built_nlist
     base.update(coll.info.serving_params)
+    range_multi = for_range and itype in _MULTI_TYPES
+    if range_multi:
+        base.pop("shortlist", None)
     knobs = req.get("params")
     if knobs is None:
         return base
@@ -131,6 +142,12 @@ def _serving_params(req: dict, coll) -> dict:
         raise ApiError(400, "params must be an object")
     allowed = _REQUEST_KNOBS.get(itype, ())
     for key, val in knobs.items():
+        if range_multi and key == "shortlist":
+            raise ApiError(
+                400,
+                "'shortlist' is a top-k rerank knob; range routes score "
+                "every probed candidate exactly — pass 'nprobe' only",
+            )
         if key not in allowed:
             raise ApiError(
                 400,
@@ -482,7 +499,7 @@ class VectorDatabaseApi:
         if limit is not None:
             limit = _wire_int(limit, "limit")
             _require(limit >= 1, "limit must be at least 1")
-        sp = _serving_params(req, coll)
+        sp = _serving_params(req, coll, for_range=True)
         if coll.scan() is None:
             return {"code": 0, "labels": [], "distances": []}
         if (
@@ -646,7 +663,7 @@ class VectorDatabaseApi:
                 if limit is not None:
                     limit = _wire_int(limit, "limit")
                     _require(limit >= 1, "limit must be at least 1")
-                sp = _serving_params(req, coll)
+                sp = _serving_params(req, coll, for_range=True)
                 parsed = (i, vec, limit)
             except ApiError as exc:
                 results[i] = {
@@ -672,6 +689,13 @@ class VectorDatabaseApi:
                 or coll._multi_vector
             ):
                 self._ensure_index(coll)
+            # full-double query frames (ADVICE r12): /range_search embeds
+            # the request's tokens as float64 plan literals, so the batch
+            # frame must not truncate to float32 — a doc whose score sits
+            # within float32 rounding of the threshold would otherwise
+            # appear in one route but not the other, breaking the
+            # documented batch ≡ sequential-single equivalence. Corpus
+            # vectors stay float32 either way; the scoring fold promotes.
             if coll.info.index_type in _MULTI_TYPES:
                 # long-format multi-token frame, the search_batch shape
                 qdf = self.spark.createDataFrame(
@@ -680,12 +704,12 @@ class VectorDatabaseApi:
                         for i, toks, _ in items
                         for t, tok in enumerate(toks)
                     ],
-                    "query_id long, token_id int, token_vec array<float>",
+                    "query_id long, token_id int, token_vec array<double>",
                 )
             else:
                 qdf = self.spark.createDataFrame(
                     [(i, v) for i, v, _ in items],
-                    "query_id long, query_vec array<float>",
+                    "query_id long, query_vec array<double>",
                 )
             out_col = "distance" if coll.info.metric == "l2" else "score"
             try:

@@ -715,6 +715,24 @@ class Collection(_BucketedStore):
             params.setdefault(key, val)
         return params
 
+    def _reject_topk_only_knobs(self, params: dict, route: str) -> None:
+        """No-silent-drop posture for the multi-vector RANGE routes
+        (ADVICE r12): 'shortlist' bounds the exact-rerank stage of top-k
+        search, but range scores every probed candidate exactly and has
+        no rerank cutoff, so an EXPLICITLY passed shortlist would be
+        silently meaningless. Reject it with the contract instead.
+        Called BEFORE _apply_serving_defaults on purpose — a PERSISTED
+        shortlist (a legitimate top-k operating point set by the tuners)
+        is ignored by range, documented here, and must not poison every
+        range call against that collection."""
+        if self._multi_vector and "shortlist" in params:
+            raise ValueError(
+                f"'shortlist' is a top-k rerank knob; {route} scores every "
+                "probed candidate exactly and has no rerank stage — pass "
+                "'nprobe' only (a persisted shortlist operating point is "
+                "ignored on range routes)"
+            )
+
     @property
     def _multi_vector(self) -> bool:
         return self.info.index_type in MULTI_VECTOR_INDEX_TYPES
@@ -1221,6 +1239,7 @@ class Collection(_BucketedStore):
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
+        self._reject_topk_only_knobs(params, "range_search")
         params = self._apply_serving_defaults(params)
         kind = self.info.index_type
         if self._multi_vector:
@@ -1332,6 +1351,7 @@ class Collection(_BucketedStore):
         cur = self.scan()
         if cur is None:
             raise ValueError("collection is empty")
+        self._reject_topk_only_knobs(params, "range_search_batch")
         params = self._apply_serving_defaults(params)
         kind = self.info.index_type
         if self._multi_vector:

@@ -321,9 +321,16 @@ def rocchio_expand(
     Distribution: both searches are the shuffle-free exact kNN plan; the
     feedback step collects only k_rel vectors (parameter-bounded, like
     the MMR shortlist) to form q' on the driver. Returns the re-ranked
-    (id, score) under cosine."""
-    import numpy as np
+    (id, score) under cosine.
 
+    Float parity (round 13): the centroid is a LEFT-ASSOCIATED per-
+    dimension float64 fold over the feedback vectors in result order
+    (score DESC, id ASC), and q'_i = α·q_i + β·(sum_i / n) with exactly
+    that operation order — the same order-pinning discipline as
+    oracle.py's fold builders, so a DuckDB oracle can reconstruct q'
+    bit-exactly (list_reduce over an ORDER-BY-pinned list). numpy's
+    axis-0 mean is pairwise-blocked, NOT left-associated, which is the
+    only reason this query was rows-only through r12."""
     from vector_db_spark.operators.knn import knn
 
     if k_rel < 1:
@@ -334,9 +341,17 @@ def rocchio_expand(
     ).collect()
     if not rel:
         return knn(corpus, query, k, metric="cosine", vec_col=vec_col, id_col=id_col)
-    centroid = np.asarray([[float(x) for x in r[vec_col]] for r in rel]).mean(axis=0)
-    q2 = alpha * np.asarray(list(query), dtype=np.float64) + beta * centroid
+    vecs = [[float(x) for x in r[vec_col]] for r in rel]  # result order
+    dim = len(vecs[0])
+    sums = [0.0] * dim
+    for v in vecs:
+        for i in range(dim):
+            sums[i] += v[i]
+    n = float(len(vecs))
+    q2 = [
+        float(alpha) * float(qi) + float(beta) * (sums[i] / n)
+        for i, qi in enumerate(query)
+    ]
     return knn(
-        corpus, [float(x) for x in q2], k, metric="cosine",
-        vec_col=vec_col, id_col=id_col,
+        corpus, q2, k, metric="cosine", vec_col=vec_col, id_col=id_col,
     )

@@ -310,6 +310,34 @@ def maxsim_range_search_batch(
     query to its own (query, doc) pairs — the hook the IVF probed path
     uses. Returns (query_id, doc, score) ordered by
     (query, score DESC, doc ASC)."""
+    toks, owner = _collect_batch_tokens(
+        queries, query_id_col, token_id_col, token_vec_col
+    )
+    return _maxsim_range_batch_from_rows(
+        corpus,
+        toks,
+        owner,
+        threshold,
+        doc_col=doc_col,
+        vec_col=vec_col,
+        predicate=predicate,
+        query_id_col=query_id_col,
+        score_col=score_col,
+        candidates=candidates,
+    )
+
+
+def _collect_batch_tokens(
+    queries: DataFrame,
+    query_id_col: str,
+    token_id_col: str,
+    token_vec_col: str,
+) -> tuple[list, list]:
+    """ONE driver round-trip for a long-format multi-token query frame:
+    returns (toks, owner) sorted by (query_id, token_id). Shared by the
+    exact batch operators and the probed `_ivf_range_search_batch` core
+    so the probed path doesn't collect the same frame twice (ADVICE
+    r12)."""
     rows = (
         queries.select(query_id_col, token_id_col, token_vec_col)
         .orderBy(query_id_col, token_id_col)
@@ -322,7 +350,26 @@ def maxsim_range_search_batch(
     dims = {len(t) for t in toks}
     if len(dims) != 1:
         raise ValueError(f"query tokens must share one dimension, got {dims}")
+    return toks, owner
 
+
+def _maxsim_range_batch_from_rows(
+    corpus: DataFrame,
+    toks: list,
+    owner: list,
+    threshold: float,
+    *,
+    doc_col: str,
+    vec_col: str,
+    predicate: Column | None,
+    query_id_col: str,
+    score_col: str,
+    candidates: DataFrame | None,
+) -> DataFrame:
+    """Body of maxsim_range_search_batch past the driver collect — takes
+    pre-collected (toks, owner) so callers that already collected the
+    query frame (the probed batch core) pay one round-trip, not two
+    (ADVICE r12). Query ids are embedded as plan literals."""
     if predicate is not None:
         corpus = corpus.filter(predicate)
 
@@ -429,18 +476,9 @@ def _ivf_range_search_batch(
 
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
-    rows = (
-        queries.select(query_id_col, token_id_col, token_vec_col)
-        .orderBy(query_id_col, token_id_col)
-        .collect()
+    toks, owner = _collect_batch_tokens(
+        queries, query_id_col, token_id_col, token_vec_col
     )
-    if not rows:
-        raise ValueError("queries must be non-empty")
-    toks = [list(map(float, r[token_vec_col])) for r in rows]
-    owner = [r[query_id_col] for r in rows]
-    dims = {len(t) for t in toks}
-    if len(dims) != 1:
-        raise ValueError(f"query tokens must share one dimension, got {dims}")
 
     nlist = len(ivf.centroids)
     nprobe = min(nprobe, nlist)
@@ -471,15 +509,17 @@ def _ivf_range_search_batch(
     rerank_src = live.join(
         cand_pairs.select(doc_col).distinct(), doc_col, "left_semi"
     )
-    return maxsim_range_search_batch(
+    # pre-collected (toks, owner) — the query frame was already pulled to
+    # the driver above for cell probing; don't collect it a second time
+    return _maxsim_range_batch_from_rows(
         rerank_src,
-        queries,
+        toks,
+        owner,
         threshold,
         doc_col=doc_col,
         vec_col=vec_col,
+        predicate=None,
         query_id_col=query_id_col,
-        token_vec_col=token_vec_col,
-        token_id_col=token_id_col,
         score_col=score_col,
         candidates=cand_pairs,
     )
