@@ -590,6 +590,47 @@ def test_quality_classifier_agrees_with_teacher_on_fixture(spark):
     assert agree / scored.count() >= 0.8  # classifier mimics its teacher
 
 
+def test_frozen_quality_scorer_matches_its_fit_and_teacher(spark):
+    """The FROZEN serving model (the hash-exact gate's scorer) must stay
+    a faithful snapshot: (a) its keep verdicts agree with the weak-label
+    teacher on the held-out fixture half at the same >= 0.8 bar as a
+    fresh fit, and (b) its logits match an independent driver-side fold
+    of the frozen coefficients over the SAME featurization to 1e-6 — so
+    the codegen'd expression scorer computes the model it claims to."""
+    from vector_db_spark.operators.classifier import (
+        FROZEN_QUALITY_COEFS,
+        FROZEN_QUALITY_INTERCEPT,
+        featurize,
+        score_quality_frozen,
+        weak_labels,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    held = docs.filter("doc_id % 2 = 1")
+    scored = score_quality_frozen(held)
+    labeled = held.withColumn("label", weak_labels(held)).select("doc_id", "label")
+    joined = scored.join(labeled, "doc_id")
+    agree = joined.filter(
+        (F.col("keep") & (F.col("label") == 1))
+        | (~F.col("keep") & (F.col("label") == 0))
+    ).count()
+    assert agree / joined.count() >= 0.8
+
+    import math
+
+    feats = featurize(held).select("doc_id", "features").collect()
+    by_id = {int(r.doc_id): r.features for r in feats}
+    for r in scored.collect():
+        z = FROZEN_QUALITY_INTERCEPT
+        for w, x in zip(FROZEN_QUALITY_COEFS, by_id[int(r.doc_id)]):
+            z += w * float(x)
+        assert math.isclose(z, float(r.quality_logit), abs_tol=1e-6)
+        assert bool(r.keep) == (z >= 0 or math.isclose(z, 0.0, abs_tol=1e-9))
+
+
 def test_bpe_save_load_roundtrip(spark, tmp_path):
     from vector_db_spark.operators.bpe import load_bpe, save_bpe, tokenize_bpe, train_bpe
 

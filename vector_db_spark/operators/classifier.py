@@ -51,19 +51,72 @@ _FEATURES = [
 ]
 
 
-def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the engineered quality signals + an MLlib feature vector.
-    All row-local expression work; nulls (empty docs) impute to 0."""
-    from pyspark.ml.functions import array_to_vector
-
+def _with_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the six engineered quality signals as double columns. All
+    row-local expression work; nulls (empty docs) impute to 0."""
     from vector_db_spark.operators.util import fan_out
 
     t = F.col(text_col)
     out = fan_out(df)
     for name, fn in _FEATURES:
         out = out.withColumn(name, F.coalesce(fn(t).cast("double"), F.lit(0.0)))
+    return out
+
+
+def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the engineered quality signals + an MLlib feature vector."""
+    from pyspark.ml.functions import array_to_vector
+
+    out = _with_signals(df, text_col)
     arr = F.array(*[F.col(name) for name, _ in _FEATURES])
     return out.withColumn(FEATURE_COL, array_to_vector(arr))
+
+
+# Frozen serving coefficients (VERDICT r12 #4): one pinned
+# train_quality_classifier fit over the even-doc_id half of the sf0.01
+# fixture (seed-42 synthetic corpus, deterministic content), coefficients
+# rounded to 6 decimals and FROZEN as the serving model — the production
+# pattern anyway (fastText-style quality gates ship a trained artifact;
+# nobody refits the classifier inside the scoring job). Scoring becomes a
+# pure left-associated float64 expression a DuckDB oracle reproduces
+# bit-exactly, so the registered gate is hash-exact instead of rows-only
+# (L-BFGS aggregation order perturbs FRESH fits at ~1e-12). Order matches
+# _FEATURES.
+FROZEN_QUALITY_COEFS = (
+    3.558651,   # f_log_tokens
+    -0.59196,   # f_avg_tok_len
+    0.0,        # f_punct_ratio (regularized out on the fixture corpus)
+    24.350507,  # f_stop_ratio
+    -23.679702, # f_top_word
+    14.62058,   # f_dup_gram
+)
+FROZEN_QUALITY_INTERCEPT = -15.492292
+
+
+def score_quality_frozen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    coefs=FROZEN_QUALITY_COEFS,
+    intercept: float = FROZEN_QUALITY_INTERCEPT,
+) -> DataFrame:
+    """(id, quality_logit, keep) under the FROZEN linear model: the logit
+    is the left-associated fold b + w0·f0 + w1·f1 + … (one rounding per
+    operation, same order a SQL `+` chain produces) and keep is the
+    sign test logit >= 0 — the 0.5-probability threshold without
+    computing the sigmoid, because exp() is not bit-portable across
+    engines while multiply/add/divide are. quality_logit is rounded to
+    6 decimals (the repo-wide float-gate policy; absorbs the last-ulp
+    log1p divergence between Java fdlibm and C libm)."""
+    feats = _with_signals(df, text_col)
+    z = F.lit(float(intercept))
+    for (name, _), w in zip(_FEATURES, coefs):
+        z = z + F.lit(float(w)) * F.col(name)
+    return feats.select(
+        F.col(id_col),
+        F.round(z, 6).alias("quality_logit"),
+        (z >= 0).alias("keep"),
+    )
 
 
 def train_quality_classifier(

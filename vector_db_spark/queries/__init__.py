@@ -21,79 +21,78 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Round-12 window (VERDICT r11 agenda #2: rotate in the
-# r5-stale cohort plus the one never-attested gate):
-# (1) the four NEW round-12 gates — graph/LSH BATCH range search, the
-#     coarse-cell-pruned compressed range, the catalog batch-range
-#     lifecycle;
-# (2) collection_range_lifecycle — the single registry gate absent from
-#     every CORRECTNESS_r1-r11 window (VERDICT r11 "What's wrong" #2);
-# (3) ann_ivf_batch_range — its implementation changed this round (one
-#     query-side job via a local relation + a GEMM dim hint);
-# (4) oldest-first fill: the r5-stale cohort (44 gates recomputed from
-#     CORRECTNESS_r01-r11; histogram 44@r5, 49@r8, 49@r9, 49@r10,
-#     50@r11) — minus the five that the LATE-round MaxSim-range gates
-#     (maxsim_range / maxsim_ivf_range_exhaustive /
-#     maxsim_pq_range_exhaustive / maxsim_batch_range /
-#     collection_maxsim_range_lifecycle, all new this round) displace;
-#     a new gate must be driver-attested in its landing round (the
-#     collection_range_lifecycle lesson), so the five displaced stale
-#     gates (tpch_q5_region, triangle_participation_knn,
-#     upsert_readback, video_phash_neardup, window_top_customers)
-#     rotate in r13 instead.
-# Everything else keeps its r8+ rows; ORACLE_FULL_r11 swept the whole
-# registry at sf0.01 with 0 failures and the r12 sweep repeats that.
+# ``queries()``.  Round-13 window (VERDICT r12 agenda #3: retire the
+# attestation-stale tail, keep the window's rows-only density LOW —
+# r12's 16/50 diluted the hash-exact signal):
+# (1) the five r5-stale gates the late-landing MaxSim-range cohort
+#     displaced from the r12 window (tpch_q5_region,
+#     triangle_participation_knn, upsert_readback, video_phash_neardup,
+#     window_top_customers) — the only attestations older than r8;
+# (2) the gates whose implementation or oracle changed THIS round (a
+#     gate must be driver-attested in its landing round):
+#     quality_classifier_score and rocchio_expanded_search (rows-only →
+#     hash-exact conversions, VERDICT r12 #4) and maxsim_batch_range
+#     (the batch range core now folds pre-collected rows — ADVICE r12);
+# (3) oldest-first fill: 42 of the 46 ORACLE-BACKED r8-cohort gates,
+#     alphabetical (histogram after r12: 5@r5, 49@r8, 49@r9, 49@r10,
+#     49@r11, 50@r12; the four r8 leftovers —
+#     stream_opq_append_rerank_full, text_quality, token_stats,
+#     tpch_q3_shipping — plus the three r8 rows-only gates lead the r14
+#     fill).
+# Composition: 50/50 slots oracle-backed — every window row this round
+# is hash-comparable. Rows-only gates keep their ORACLE_FULL sweep rows
+# and their meta-test pins (test_driver_contract.py).
 _VERIFY_FIRST = [
-    "maxsim_range",
-    "maxsim_ivf_range_exhaustive",
-    "maxsim_pq_range_exhaustive",
-    "maxsim_batch_range",
-    "collection_maxsim_range_lifecycle",
-    "ann_graph_batch_range_exhaustive",
-    "ann_lsh_batch_range_exhaustive",
-    "ivfpq_range_exhaustive",
-    "collection_batch_range_lifecycle",
-    "collection_range_lifecycle",
-    "ann_ivf_batch_range",
-    "ann_graph_nsw",
-    "ann_ivf_batch_probe",
-    "ann_ivf_probe",
-    "ann_lsh_cosine",
-    "ann_lsh_filtered",
-    "bpe_tokenize_docs",
-    "bpe_vocab_docs",
-    "collection_incremental_refresh",
-    "collection_ivfopq_lifecycle",
-    "copurchase_lift",
-    "dedup_exact",
-    "events_sessionization",
-    "ivfopq_batch_exhaustive",
-    "ivfopq_exhaustive",
-    "ivfopq_filtered_exhaustive",
-    "ivfpq_probe",
-    "knn_cosine",
-    "knn_ip",
-    "label_propagation_knn",
-    "maxsim_ivf_batch_exhaustive",
-    "maxsim_ivf_exhaustive",
-    "maxsim_ivf_filtered_exhaustive",
-    "maxsim_ivf_probe",
-    "mmr_rerank_diverse",
-    "opq_adc_knn",
-    "opq_filtered_rerank_exhaustive",
-    "opq_rerank_full",
-    "pagerank_knn_graph",
-    "pca_shortlist_search",
-    "point_lookup",
-    "pq_adc_knn",
+    "tpch_q5_region",
+    "triangle_participation_knn",
+    "upsert_readback",
+    "video_phash_neardup",
+    "window_top_customers",
     "quality_classifier_score",
     "rocchio_expanded_search",
-    "simhash_neardup",
-    "stream_maxsim_append_exhaustive",
-    "stream_tumbling_agg",
-    "text_embed_corpus_stats",
-    "text_hash_embed_docs",
-    "tpch_q1_pricing",
+    "maxsim_batch_range",
+    "ann_graph_exhaustive",
+    "ann_ivf_batch_full_probe",
+    "ann_ivf_cosine_full_probe",
+    "ann_ivf_full_probe",
+    "ann_ivf_ip_full_probe",
+    "ann_lsh_filtered_exhaustive",
+    "asof_click_purchase",
+    "bm25_topk_docs",
+    "bpe_token_stats",
+    "collection_index_lifecycle",
+    "collection_time_travel",
+    "decontamination",
+    "delete_then_search",
+    "doc_fingerprint",
+    "docstore_extract",
+    "embedding_neardup",
+    "embedding_neardup_blocked",
+    "heavy_hitter_tokens",
+    "http_search_roundtrip",
+    "hybrid_search_rrf",
+    "ivfpq_exhaustive",
+    "knn_filtered_eq",
+    "knn_quantized_l2",
+    "lang_id_predict",
+    "maxsim_pq_batch_exhaustive",
+    "maxsim_pq_delete_exhaustive",
+    "maxsim_pq_exhaustive",
+    "maxsim_pq_filtered_exhaustive",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "neardup_char_jaccard",
+    "neardup_jaccard",
+    "pack_sequences_docs",
+    "pii_redaction",
+    "pipeline_prepare_corpus",
+    "pq_rerank_full_shortlist",
+    "repetition_quality",
+    "stratified_sample_docs",
+    "stream_ivfopq_append_exhaustive",
+    "stream_maxsim_pq_append_exhaustive",
 ]
 
 
