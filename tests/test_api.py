@@ -537,3 +537,123 @@ def test_maxsim_range_search_over_the_wire(api):
     coll.set_serving_params(shortlist=4)
     out = api.range_search({"vectors": q, "threshold": 0.5, "index_key": key})
     assert out["code"] == 0 and out["labels"] == [3, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Reference conformance sweep (VERDICT r12 #7): ONE parametrized test that
+# replays EVERY #[case(...)] row and every inline #[tokio::test] scenario
+# from the reference's five handler test modules, so wire drift against the
+# reference contract fails a named case instead of waiting for a roundtrip
+# test to notice. Each entry carries its reference cite and the expected
+# status UNDER THIS REPO'S DOCUMENTED CONTRACT; where the repo deliberately
+# diverges, the entry's note names the divergence and the reference status.
+# ---------------------------------------------------------------------------
+
+_REF_CASES = [
+    # -- create_index_handle.rs:119-123 rstest table ------------------------
+    ("create_flat_128_l2",
+     "create_index_handle.rs:120 — FLAT/128/L2 → OK",
+     {"route": "create", "req": {"index_type": "FLAT", "dim": 128, "metric_type": "L2"}, "status": 0}),
+    ("create_flat_256_l2",
+     "create_index_handle.rs:121 — FLAT/256/L2 → OK",
+     {"route": "create", "req": {"index_type": "FLAT", "dim": 256, "metric_type": "L2"}, "status": 0}),
+    ("create_flat_10_ip",
+     "create_index_handle.rs:122 — FLAT/10/InnerProduct → OK",
+     {"route": "create", "req": {"index_type": "FLAT", "dim": 10, "metric_type": "InnerProduct"}, "status": 0}),
+    ("create_unknown_128_l2",
+     "create_index_handle.rs:123-129 — UNKNOWN/128/L2 → reference 500 "
+     "(InitIndexError); repo 400: an unknown enum in a CREATE payload is "
+     "request validation, not an engine fault (LOOKUP paths keep the "
+     "reference's 404, see search_unknown below)",
+     {"route": "create", "req": {"index_type": "UNKNOWN", "dim": 128, "metric_type": "L2"}, "status": 400}),
+    # -- create_index_handle.rs:157-175 inline HNSW test --------------------
+    ("create_hnsw_128_l2_cap",
+     "create_index_handle.rs:157-175 — HNSW/128/L2/max_elements=1000 → OK",
+     {"route": "create", "req": {"index_type": "HNSW", "dim": 128, "metric_type": "L2", "max_elements": 1000}, "status": 0}),
+    # -- insert_index_handle.rs:98-99 rstest table ---------------------------
+    ("insert_flat_ok",
+     "insert_index_handle.rs:98 — FLAT/3/L2 [1,2,3] id=1 → OK",
+     {"route": "insert", "setup": [("create", {"index_type": "FLAT", "dim": 3, "metric_type": "L2"})],
+      "req": {"vectors": [1.0, 2.0, 3.0], "id": 1,
+              "index_key": {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}},
+      "status": 0}),
+    ("insert_unknown_404",
+     "insert_index_handle.rs:99 — UNKNOWN key → NOT_FOUND (app_error.rs:40)",
+     {"route": "insert",
+      "req": {"vectors": [1.0, 2.0, 3.0], "id": 1,
+              "index_key": {"index_type": "UNKNOWN", "dim": 3, "metric_type": "L2"}},
+      "status": 404}),
+    # -- search_index_handle.rs:139-142 rstest table -------------------------
+    ("search_empty_index",
+     "search_index_handle.rs:140 — valid query, created-but-empty FLAT/3/L2 "
+     "→ reference NOT_FOUND (faiss errors on an empty index); repo code 0 "
+     "with empty labels — an existing-but-empty collection is a valid "
+     "empty result set, not a missing index (SURVEY hardening row)",
+     {"route": "search", "setup": [("create", {"index_type": "FLAT", "dim": 3, "metric_type": "L2"})],
+      "req": {"vectors": [1.0, 2.0, 3.0], "k": 3,
+              "index_key": {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}},
+      "status": 0, "labels": []}),
+    ("search_unknown_404",
+     "search_index_handle.rs:141 — UNKNOWN key → NOT_FOUND "
+     "(UnsupportedIndexType, app_error.rs:40)",
+     {"route": "search",
+      "req": {"vectors": [0.5, 1.5, 2.5], "k": 3,
+              "index_key": {"index_type": "UNKNOWN", "dim": 3, "metric_type": "L2"}},
+      "status": 404}),
+    ("search_empty_vector_400",
+     "search_index_handle.rs:142 — empty vectors → BAD_REQUEST (search.rs:6-11)",
+     {"route": "search", "setup": [("create", {"index_type": "FLAT", "dim": 3, "metric_type": "L2"})],
+      "req": {"vectors": [], "k": 1,
+              "index_key": {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}},
+      "status": 400}),
+    # -- search_index_handle.rs:177-222 inline success test ------------------
+    ("search_hnsw_success",
+     "search_index_handle.rs:177-222 — HNSW insert [1,2,3] id=1 then search "
+     "→ OK; the reference posts TWO stacked queries in one flat array "
+     "(n·dim concat); the repo's /search is single-query with STRICT dim "
+     "(documented divergence, insert_index_handle strictness row) so the "
+     "replay searches one query and checks the inserted id ranks first",
+     {"route": "search",
+      "setup": [("create", {"index_type": "HNSW", "dim": 3, "metric_type": "L2", "max_elements": 1000}),
+                ("insert", {"vectors": [1.0, 2.0, 3.0], "id": 1,
+                            "index_key": {"index_type": "HNSW", "dim": 3, "metric_type": "L2"}})],
+      "req": {"vectors": [1.0, 2.0, 3.0], "k": 2,
+              "index_key": {"index_type": "HNSW", "dim": 3, "metric_type": "L2"}},
+      "status": 0, "labels": [1]}),
+    # -- upsert_handle.rs:86-119 inline test ---------------------------------
+    ("upsert_flat_ok",
+     "upsert_handle.rs:86-119 — FLAT/3/L2 upsert [1,2,3] id=1 → OK",
+     {"route": "upsert", "setup": [("create", {"index_type": "FLAT", "dim": 3, "metric_type": "L2"})],
+      "req": {"vectors": [1.0, 2.0, 3.0], "id": 1, "data": {"k": "v"},
+              "index_key": {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}},
+      "status": 0}),
+    # -- query_handle.rs:70-90 inline test ------------------------------------
+    ("query_present_ok",
+     "query_handle.rs:70-90 — query id=1 → OK (the reference test reads a "
+     "pre-populated store; the replay upserts first, the reference flow)",
+     {"route": "query",
+      "setup": [("create", {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}),
+                ("upsert", {"vectors": [1.0, 2.0, 3.0], "id": 1, "data": {"name": "sora"},
+                            "index_key": {"index_type": "FLAT", "dim": 3, "metric_type": "L2"}})],
+      "req": {"id": 1}, "status": 0}),
+    ("query_missing_500",
+     "query_handle.rs:24-26 — scalar miss → QueryError → 500 (app_error.rs:42)",
+     {"route": "query", "req": {"id": 77}, "status": 500}),
+]
+
+
+@pytest.mark.parametrize(
+    "case_id,cite,spec", _REF_CASES, ids=[c[0] for c in _REF_CASES]
+)
+def test_reference_conformance_sweep(api, case_id, cite, spec):
+    for step, payload in spec.get("setup", ()):
+        getattr(api, {"create": "create_index"}.get(step, step))(payload)
+    route = {"create": "create_index"}.get(spec["route"], spec["route"])
+    fn = getattr(api, route)
+    if spec["status"] == 0:
+        out = fn(spec["req"])
+        assert out["code"] == 0, cite
+        if "labels" in spec:
+            assert out["labels"] == spec["labels"], cite
+    else:
+        assert _status(fn, spec["req"]) == spec["status"], cite
