@@ -83,6 +83,31 @@ class BpeModel:
         return [(a, b) for a, b, _ in self.merges]
 
 
+# Frozen serving tokenizer (VERDICT r12 #4): the 12-merge table one
+# pinned train_bpe fit learned over the sf0.01 documents fixture
+# (deterministic — weight DESC, pair ASC argmax), FROZEN as the shipped
+# artifact — the production shape anyway (a tokenizer trains once and
+# ships; the apply job never re-learns merges). With merges as DATA the
+# apply side is a deterministic fold a DuckDB oracle replays exactly, so
+# the bpe_tokenize_docs gate is hash-exact; the LEARNING loop stays
+# inherently iterative (bpe_vocab_docs remains rows-only, pinned by the
+# textbook-merge tests).
+FROZEN_DOC_MERGES = BpeModel([
+    ("e", "r", 4568),
+    ("e", END_OF_WORD, 4473),
+    ("n", END_OF_WORD, 2834),
+    ("er", END_OF_WORD, 2779),
+    ("o", "w", 2747),
+    ("ow", END_OF_WORD, 2747),
+    ("o", "r", 2696),
+    ("s", "t", 2676),
+    ("h", END_OF_WORD, 1884),
+    ("a", "t", 1845),
+    ("l", "u", 1831),
+    ("i", "n", 1796),
+])
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 20,

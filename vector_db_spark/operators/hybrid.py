@@ -245,8 +245,16 @@ def mmr_rerank(
     plain relevance order (pinned in tests); all ties break by id.
 
     Returns (rank, id, relevance, mmr_score) in selection order.
-    """
-    import numpy as np
+
+    Float parity (round 13): candidate-candidate similarities are
+    LEFT-ASSOCIATED float64 dot folds with sim = dot / (sqrt(aa)·sqrt(bb))
+    in exactly that operation order, and the greedy score is
+    λ·rel − (1−λ)·max-penalty — the same arithmetic a DuckDB recursive
+    CTE reproduces term-for-term, which is what upgraded the registered
+    gate from rows-only to hash-exact (the previous BLAS gram matrix was
+    pairwise-summed, bit-incomparable across engines). The selection
+    chain stays O(shortlist·k·dim) driver floats."""
+    import math
 
     from vector_db_spark.operators.knn import knn
 
@@ -269,31 +277,47 @@ def mmr_rerank(
         return spark.createDataFrame(
             [], "rank int, %s long, relevance double, mmr_score double" % id_col
         )
-    ids = np.array([r[id_col] for r in cand])
-    rel = np.array([float(r.score) for r in cand])
-    vecs = np.array([[float(x) for x in r[vec_col]] for r in cand], dtype=np.float64)
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0.0] = 1.0
-    unit = vecs / norms[:, None]
-    sims = unit @ unit.T  # shortlist×shortlist — parameter-bounded
+    ids = [int(r[id_col]) for r in cand]
+    rel = [float(r.score) for r in cand]
+    vecs = [[float(x) for x in r[vec_col]] for r in cand]
+
+    def _dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    nsq = [_dot(v, v) for v in vecs]
+    sim_cache: dict[tuple[int, int], float] = {}
+
+    def _sim(i: int, j: int) -> float:
+        key = (i, j) if i <= j else (j, i)
+        got = sim_cache.get(key)
+        if got is None:
+            denom = math.sqrt(nsq[i]) * math.sqrt(nsq[j])
+            got = 0.0 if denom == 0.0 else _dot(vecs[i], vecs[j]) / denom
+            sim_cache[key] = got
+        return got
+
     chosen: list[int] = []
     out_rows = []
     remaining = list(range(len(cand)))
     for rank in range(min(k, len(cand))):
-        if chosen:
-            penalty = sims[np.ix_(remaining, chosen)].max(axis=1)
-        else:
-            penalty = np.zeros(len(remaining))
-        scores = lam * rel[remaining] - (1.0 - lam) * penalty
+        scores = [
+            lam * rel[p] - (1.0 - lam) * (
+                max(_sim(p, c) for c in chosen) if chosen else 0.0
+            )
+            for p in remaining
+        ]
         # argmax with ties toward the lower id (stable + explicit)
         best_pos = max(
             range(len(remaining)),
-            key=lambda p: (scores[p], -int(ids[remaining[p]])),
+            key=lambda p: (scores[p], -ids[remaining[p]]),
         )
         best = remaining.pop(best_pos)
         chosen.append(best)
         out_rows.append(
-            (rank + 1, int(ids[best]), float(rel[best]), float(scores[best_pos]))
+            (rank + 1, ids[best], rel[best], float(scores[best_pos]))
         )
     spark = corpus.sparkSession
     return spark.createDataFrame(

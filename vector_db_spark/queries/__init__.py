@@ -30,12 +30,14 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 #     window_top_customers) — the only attestations older than r8;
 # (2) the gates whose implementation or oracle changed THIS round (a
 #     gate must be driver-attested in its landing round):
-#     quality_classifier_score and rocchio_expanded_search (rows-only →
+#     quality_classifier_score, rocchio_expanded_search,
+#     mmr_rerank_diverse and bpe_tokenize_docs (the four rows-only →
 #     hash-exact conversions, VERDICT r12 #4) and maxsim_batch_range
 #     (the batch range core now folds pre-collected rows — ADVICE r12);
-# (3) oldest-first fill: 42 of the 46 ORACLE-BACKED r8-cohort gates,
+# (3) oldest-first fill: 40 of the 46 ORACLE-BACKED r8-cohort gates,
 #     alphabetical (histogram after r12: 5@r5, 49@r8, 49@r9, 49@r10,
-#     49@r11, 50@r12; the four r8 leftovers —
+#     49@r11, 50@r12; the six r8 leftovers —
+#     stream_ivfopq_append_exhaustive, stream_maxsim_pq_append_exhaustive,
 #     stream_opq_append_rerank_full, text_quality, token_stats,
 #     tpch_q3_shipping — plus the three r8 rows-only gates lead the r14
 #     fill).
@@ -50,6 +52,8 @@ _VERIFY_FIRST = [
     "window_top_customers",
     "quality_classifier_score",
     "rocchio_expanded_search",
+    "mmr_rerank_diverse",
+    "bpe_tokenize_docs",
     "maxsim_batch_range",
     "ann_graph_exhaustive",
     "ann_ivf_batch_full_probe",
@@ -91,8 +95,6 @@ _VERIFY_FIRST = [
     "pq_rerank_full_shortlist",
     "repetition_quality",
     "stratified_sample_docs",
-    "stream_ivfopq_append_exhaustive",
-    "stream_maxsim_pq_append_exhaustive",
 ]
 
 
