@@ -115,10 +115,9 @@ _ROWS_ONLY_PINS = {
     "ann_ivf_probe": "test_ivf_recall_at_tuned_probe",
     "ann_ivf_batch_probe": "test_ivf_batch_reduced_probe_recall",
     "ann_lsh_filtered": "test_lsh_filtered_subset_of_exact_filtered",
-    "bpe_vocab_docs": "test_bpe_learns_textbook_merges",
-    # bpe_tokenize_docs, mmr_rerank_diverse, quality_classifier_score and
-    # rocchio_expanded_search graduated to hash-exact oracles in round 13
-    # (VERDICT r12 #4) and left this map
+    # bpe_vocab_docs, bpe_tokenize_docs, mmr_rerank_diverse,
+    # quality_classifier_score and rocchio_expanded_search graduated to
+    # hash-exact oracles in round 13 (VERDICT r12 #4) and left this map
     "opq_adc_knn": "test_opq_improves_on_pq_at_equal_budget",
     "pq_adc_knn": "test_adc_equals_distance_to_reconstruction",
     "pca_shortlist_search": "test_pca_reduced_rank_recall",
