@@ -94,16 +94,52 @@ def _dot_literal(vec: Column, w: Sequence[float]) -> Column:
     )
 
 
+def _fold_dot(a, b) -> float:
+    """Order-pinned left-associated float64 dot — the driver-side twin
+    of _dot_literal's Spark fold and of oracle.dot_sql's `+` chain, so a
+    frozen-rotation oracle reproduces projections bit-exactly (numpy's
+    BLAS dot is pairwise-summed and bit-incomparable)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
 def project(model: PcaModel, vec: Column) -> Column:
     """array<float> → array<double> of k principal coordinates, pure
-    codegen: y_j = x·w_j − mean·w_j (the mean folds into a constant)."""
-    offsets = model.components @ model.mean
+    codegen: y_j = x·w_j − mean·w_j (the mean folds into a constant,
+    computed with the order-pinned fold for oracle parity)."""
     return F.array(
         *[
-            _dot_literal(vec, model.components[j]) - F.lit(float(offsets[j]))
+            _dot_literal(vec, model.components[j])
+            - F.lit(_fold_dot(model.components[j], model.mean))
             for j in range(model.k)
         ]
     )
+
+
+FROZEN_DOC_PCA_PATH = "artifacts/pca_docs.json"
+
+
+def load_frozen_doc_pca() -> PcaModel:
+    """The FROZEN k=24 rotation (one pinned fit_pca over the sf0.01
+    embeddings fixture, VERDICT r12 #4's freeze pattern): mean and
+    components persist as repr() strings so the JSON round-trip is
+    bit-exact, and both the serving gate and its DuckDB oracle parse
+    the SAME doubles. Rotations, like classifiers and tokenizers, train
+    once and ship — the fit stays exercised by pca_rerank_full_rank and
+    the reduced-rank recall pins."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), FROZEN_DOC_PCA_PATH)
+    with open(path) as f:
+        art = json.load(f)
+    mean = np.asarray([float(x) for x in art["mean"]], dtype=np.float64)
+    comps = np.asarray(
+        [[float(x) for x in row] for row in art["components"]], dtype=np.float64
+    )
+    return PcaModel(mean, comps)
 
 
 def pca_shortlist_rerank(
@@ -121,8 +157,10 @@ def pca_shortlist_rerank(
     (ties by id)."""
     if shortlist < k:
         raise ValueError("shortlist must be >= k")
-    q = np.asarray(list(query), dtype=np.float64)
-    qp = [float(x) for x in model.components @ (q - model.mean)]
+    q = [float(x) for x in query]
+    centered = [qi - mi for qi, mi in zip(q, model.mean)]
+    # order-pinned fold (not numpy matvec) — see _fold_dot
+    qp = [_fold_dot(model.components[j], centered) for j in range(model.k)]
     projected = corpus.withColumn("__pca", project(model, F.col(vec_col)))
     cand = knn(
         projected,
