@@ -120,7 +120,8 @@ _ROWS_ONLY_PINS = {
     # hash-exact oracles in round 13 (VERDICT r12 #4) and left this map
     "opq_adc_knn": "test_opq_improves_on_pq_at_equal_budget",
     "pq_adc_knn": "test_adc_equals_distance_to_reconstruction",
-    "pca_shortlist_search": "test_pca_reduced_rank_recall",
+    # pca_shortlist_search graduated to a hash-exact frozen-rotation
+    # oracle in round 13 and left this map
     "semantic_dedup_clustered": "test_semantic_dedup_blocking_recall",
     "text_w2v_embed_ann": "test_w2v_feeds_ann_lifecycle",
 }

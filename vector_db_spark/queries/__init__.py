@@ -31,17 +31,18 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 # (2) the gates whose implementation or oracle changed THIS round (a
 #     gate must be driver-attested in its landing round):
 #     quality_classifier_score, rocchio_expanded_search,
-#     mmr_rerank_diverse, bpe_tokenize_docs and bpe_vocab_docs (the five
-#     rows-only → hash-exact conversions, VERDICT r12 #4) and
-#     maxsim_batch_range (the batch range core now folds pre-collected
-#     rows — ADVICE r12);
-# (3) oldest-first fill: 39 of the 46 ORACLE-BACKED r8-cohort gates,
+#     mmr_rerank_diverse, bpe_tokenize_docs, bpe_vocab_docs and
+#     pca_shortlist_search (the six rows-only → hash-exact conversions,
+#     VERDICT r12 #4) and maxsim_batch_range (the batch range core now
+#     folds pre-collected rows — ADVICE r12);
+# (3) oldest-first fill: 38 of the 46 ORACLE-BACKED r8-cohort gates,
 #     alphabetical (histogram after r12: 5@r5, 49@r8, 49@r9, 49@r10,
-#     49@r11, 50@r12; the seven r8 leftovers —
-#     stratified_sample_docs, stream_ivfopq_append_exhaustive,
-#     stream_maxsim_pq_append_exhaustive, stream_opq_append_rerank_full,
-#     text_quality, token_stats, tpch_q3_shipping — plus the three r8
-#     rows-only gates lead the r14 fill).
+#     49@r11, 50@r12; the eight r8 leftovers —
+#     repetition_quality, stratified_sample_docs,
+#     stream_ivfopq_append_exhaustive, stream_maxsim_pq_append_exhaustive,
+#     stream_opq_append_rerank_full, text_quality, token_stats,
+#     tpch_q3_shipping — plus the three r8 rows-only gates lead the r14
+#     fill).
 # Composition: 50/50 slots oracle-backed — every window row this round
 # is hash-comparable. Rows-only gates keep their ORACLE_FULL sweep rows
 # and their meta-test pins (test_driver_contract.py).
@@ -56,6 +57,7 @@ _VERIFY_FIRST = [
     "mmr_rerank_diverse",
     "bpe_tokenize_docs",
     "bpe_vocab_docs",
+    "pca_shortlist_search",
     "maxsim_batch_range",
     "ann_graph_exhaustive",
     "ann_ivf_batch_full_probe",
@@ -95,7 +97,6 @@ _VERIFY_FIRST = [
     "pii_redaction",
     "pipeline_prepare_corpus",
     "pq_rerank_full_shortlist",
-    "repetition_quality",
 ]
 
 
