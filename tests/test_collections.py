@@ -1197,11 +1197,16 @@ def test_compressed_range_search_coarse_cell_pruning(spark, tmp_path):
             data = json.load(f)
         assert data["version"] == coll._indexed_version()
         assert len(data["radii"]) == build["nlist"]
-        # rebuild writes a new indexed version -> radii recompute lazily
+        # rebuild publishes a NEW artifact dir (round-13 immutable-index
+        # contract: never overwrite a dir a concurrent reader may be
+        # scanning) -> re-resolve the radii path; radii recompute lazily
+        # keyed by the new indexed version
         coll.upsert(df.limit(1).select("id", "embedding"))
         coll.build_index(**build)
         coll.range_search(q, 0.5).collect()
-        with open(rpath) as f:
+        new_rpath = os.path.join(coll._index_dir(), "range_radii.json")
+        assert new_rpath != rpath  # the artifact dir moved, by design
+        with open(new_rpath) as f:
             assert json.load(f)["version"] == coll._indexed_version()
 
 

@@ -792,8 +792,50 @@ class Collection(_BucketedStore):
     #    src/core/index_factory.rs:75-163 +
     #    src/router/handle/search_index_handle.rs:67-94) ------------------
 
+    def _index_root(self) -> str:
+        return os.path.join(self.catalog.root, self.info.name)
+
     def _index_dir(self) -> str:
-        return os.path.join(self.catalog.root, self.info.name, "index")
+        """CURRENT index artifact dir, resolved through the publication
+        pointer (round 13). Full rebuilds used to OVERWRITE one fixed
+        `index/` dir in place, which is safe in-process (per-collection
+        dispatch locks) but raced across PROCESSES: the multi-process
+        stress gate caught a reader's parquet scan dying mid-read while
+        the other process's lazy rebuild deleted the files under it.
+        Builds now write a fresh uniquely-named dir and publish it by
+        atomically flipping `index_current.json` under the catalog flock
+        — a reader resolves either the old complete artifact or the new
+        complete artifact, never a half-written one. Incremental refresh
+        (append/delete segments, tombstones, radii caches) still mutates
+        the CURRENT dir: those writes are file-ADDITIVE. Superseded dirs
+        are left for a future GC (same retention posture as data version
+        dirs)."""
+        ptr = os.path.join(self._index_root(), "index_current.json")
+        if os.path.exists(ptr):
+            try:
+                with open(ptr) as f:
+                    return os.path.join(self._index_root(), json.load(f)["dir"])
+            except (json.JSONDecodeError, KeyError, OSError):
+                pass  # torn/legacy pointer: fall through to the fixed dir
+        return os.path.join(self._index_root(), "index")
+
+    def _publish_index(self, built_dir: str, version: int) -> None:
+        """Atomically flip the index pointer to a fully-written artifact
+        dir. Under the catalog flock so two concurrent builders serialize;
+        a builder that lost the race to a NEWER snapshot's build discards
+        its dir instead of moving the pointer backwards."""
+        import shutil
+
+        ptr = os.path.join(self._index_root(), "index_current.json")
+        with self.catalog._locked():
+            cur = self._indexed_version()
+            if cur is not None and cur > version:
+                shutil.rmtree(built_dir, ignore_errors=True)
+                return
+            tmp = f"{ptr}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"dir": os.path.basename(built_dir)}, f)
+            os.replace(tmp, ptr)
 
     def build_index(self, **params) -> None:
         """Build (or rebuild) the collection's ANN artifact per its
@@ -805,9 +847,16 @@ class Collection(_BucketedStore):
         cur = self.scan()
         if cur is None:
             raise ValueError("cannot index an empty collection")
-        path = self._index_dir()
         if self.info.index_type == "exact":
             return
+        # fresh uniquely-named dir; published via _publish_index below —
+        # never overwrite an artifact a concurrent process may be reading
+        import uuid
+
+        path = os.path.join(
+            self._index_root(),
+            f"index_v{self.info.version:06d}_{uuid.uuid4().hex[:8]}",
+        )
         if self.info.index_type == "ivf":
             from vector_db_spark.operators.ann import IvfIndex
 
@@ -907,6 +956,7 @@ class Collection(_BucketedStore):
             idx.save(path)
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)
+        self._publish_index(path, self.info.version)
         self._remember_build_params(params)
         self._revalidate_serving_params()
 
@@ -1091,8 +1141,13 @@ class Collection(_BucketedStore):
                 new_rows = self._exploded(new_rows)
             if new_rows.head(1):
                 idx.append(new_rows, path=path)
-            with open(os.path.join(path, "indexed_version.json"), "w") as f:
+            # atomic replace: a plain open('w') truncates first, and a
+            # concurrent reader's _indexed_version() could see empty JSON
+            vp = os.path.join(path, "indexed_version.json")
+            tmp = f"{vp}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump({"version": self.info.version}, f)
+            os.replace(tmp, vp)
             return "incremental"
         finally:
             changes.unpersist()
