@@ -1,0 +1,71 @@
+"""Pins for the bench host-canary gate (bench.py, VERDICT r12 #1).
+
+The canary machinery decides whether a BENCH record is stamped
+`host_degraded` — a wrong stamp either hides a real regression (false
+healthy) or teaches readers to ignore the field (false degraded), so the
+gate's mechanics get direct pins: field shape, band comparison logic,
+and the settle-and-retry taking the BEST of both attempts per probe.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_measure_canaries_shape(spark):
+    from bench import CANARY_BANDS, measure_canaries
+
+    got = measure_canaries(spark)
+    assert set(got) == set(CANARY_BANDS)
+    for k, v in got.items():
+        assert isinstance(v, float) and v > 0, (k, v)
+
+
+def test_gate_canaries_retry_takes_best_and_flags(monkeypatch):
+    import bench
+
+    # first attempt breaches, second is healthy -> best-of wins, no flag
+    readings = iter(
+        [
+            {"canary_gemm_sec": 0.009, "canary_job_sec": 0.9,
+             "canary_shuffle_sec": 0.30},
+            {"canary_gemm_sec": 0.010, "canary_job_sec": 0.03,
+             "canary_shuffle_sec": 0.35},
+        ]
+    )
+    monkeypatch.setattr(bench, "measure_canaries", lambda s: next(readings))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    best, degraded = bench.gate_canaries(None)
+    assert not degraded
+    assert best["canary_job_sec"] == 0.03  # min over attempts
+    assert best["canary_gemm_sec"] == 0.009
+    assert best["canary_shuffle_sec"] == 0.30
+
+    # both attempts breach -> degraded with the best reading recorded
+    readings = iter(
+        [
+            {"canary_gemm_sec": 0.009, "canary_job_sec": 0.12,
+             "canary_shuffle_sec": 0.38},
+            {"canary_gemm_sec": 0.009, "canary_job_sec": 0.10,
+             "canary_shuffle_sec": 0.36},
+        ]
+    )
+    monkeypatch.setattr(bench, "measure_canaries", lambda s: next(readings))
+    best, degraded = bench.gate_canaries(None)
+    assert degraded and best["canary_job_sec"] == 0.10
+
+    # healthy first attempt -> ONE measurement, no retry
+    calls = {"n": 0}
+
+    def healthy(_):
+        calls["n"] += 1
+        return {"canary_gemm_sec": 0.009, "canary_job_sec": 0.03,
+                "canary_shuffle_sec": 0.30}
+
+    monkeypatch.setattr(bench, "measure_canaries", healthy)
+    _, degraded = bench.gate_canaries(None)
+    assert not degraded and calls["n"] == 1
