@@ -1371,3 +1371,48 @@ def test_collection_maxsim_range_lifecycle(spark, tmp_path, itype):
             for r in coll.range_search([toks[q]], thr / 2).collect()
         ]
     assert [(int(r.query_id), r.id, round(r.score, 9)) for r in rows2] == singles2
+
+
+def test_index_artifact_gc_removes_only_strictly_older_builds(spark, tmp_path):
+    """Retention maintenance for the round-13 immutable-index publish:
+    rebuilds leave superseded dirs on disk (by design — a concurrent
+    reader may still be scanning them); gc_index_artifacts deletes only
+    artifacts STRICTLY older than the published version, never an
+    in-flight (>= current version, unpublished) staging dir, and serving
+    still works from the surviving artifact."""
+    import os
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("gci", dim=4, metric="l2", index_type="ivf")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 1.0]) for i in range(1, 21)],
+        "id long, embedding array<float>",
+    )
+    coll.insert(df)
+    coll.build_index(nlist=2, seed=42, max_iter=3)
+    first_dir = coll._index_dir()
+    # mutate + rebuild -> a NEW published dir; the old one stays on disk
+    coll.upsert(spark.createDataFrame(
+        [(1, [9.0, 9.0, 9.0, 9.0])], "id long, embedding array<float>"
+    ))
+    coll.build_index(nlist=2, seed=42, max_iter=3)
+    second_dir = coll._index_dir()
+    assert second_dir != first_dir and os.path.isdir(first_dir)
+
+    # a racing builder's unpublished staging dir at the CURRENT version
+    # must survive GC (the strict < comparison is the guard)
+    cur_v = coll._indexed_version()
+    inflight = os.path.join(
+        coll._index_root(), f"index_v{cur_v:06d}_deadbeef"
+    )
+    os.makedirs(inflight)
+
+    removed = coll.gc_index_artifacts()
+    assert first_dir in removed and not os.path.isdir(first_dir)
+    assert os.path.isdir(second_dir) and os.path.isdir(inflight)
+    # data version dirs are untouched and serving still works
+    got = [int(r.id) for r in coll.search([9.0, 9.0, 9.0, 9.0], 1, nprobe=2).collect()]
+    assert got == [1]
+    assert coll.scan().count() == 20
+    # idempotent: nothing older remains
+    assert coll.gc_index_artifacts() == []

@@ -819,6 +819,44 @@ class Collection(_BucketedStore):
                 pass  # torn/legacy pointer: fall through to the fixed dir
         return os.path.join(self._index_root(), "index")
 
+    def gc_index_artifacts(self) -> list[str]:
+        """Explicit retention maintenance for superseded index artifacts
+        (the immutable-publish flip leaves them on disk — same posture
+        as data version dirs). Deletes every index dir whose BUILT
+        version is STRICTLY older than the currently published one; the
+        strict comparison is the concurrency guard: a racing builder's
+        not-yet-published staging dir carries a version >= the current
+        pointer (it built from the current-or-newer snapshot), so GC can
+        never delete a build in flight — only artifacts no new reader
+        can resolve. A reader that loaded a superseded artifact BEFORE
+        the flip and is still mid-query can still lose files, which is
+        why this is an explicit maintenance call (the vacuum contract),
+        not an automatic post-publish step. Returns the removed paths."""
+        import re
+        import shutil
+
+        with self.catalog._locked():
+            cur_version = self._indexed_version()
+            if cur_version is None:
+                return []
+            cur_dir = os.path.realpath(self._index_dir())
+            removed = []
+            for name in os.listdir(self._index_root()):
+                full = os.path.join(self._index_root(), name)
+                if not os.path.isdir(full) or os.path.realpath(full) == cur_dir:
+                    continue
+                m = re.match(r"index_v(\d+)_", name)
+                if m is not None:
+                    if int(m.group(1)) >= cur_version:
+                        continue  # in-flight or newer build — never touch
+                elif name != "index":
+                    continue  # data version dirs etc.
+                # legacy fixed `index` dir predates pointers: superseded
+                # by definition once a pointer exists and targets elsewhere
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+            return removed
+
     def _publish_index(self, built_dir: str, version: int) -> None:
         """Atomically flip the index pointer to a fully-written artifact
         dir. Under the catalog flock so two concurrent builders serialize;
