@@ -1416,3 +1416,31 @@ def test_index_artifact_gc_removes_only_strictly_older_builds(spark, tmp_path):
     assert coll.scan().count() == 20
     # idempotent: nothing older remains
     assert coll.gc_index_artifacts() == []
+
+
+def test_torn_index_pointer_falls_back_without_crashing(spark, tmp_path):
+    """A half-written index_current.json (the pointer is replaced
+    atomically, but a crashed writer could leave a torn temp copy, or an
+    operator could truncate it by hand) must not take search down:
+    _index_dir falls back to the legacy fixed dir and the staleness
+    machinery reports 'no index' instead of raising JSONDecodeError."""
+    import os
+
+    import pytest as _pytest
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("torn", dim=2, metric="l2", index_type="ivf")
+    coll.insert(spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, embedding array<float>"
+    ))
+    coll.build_index(nlist=1, seed=42, max_iter=2)
+    assert [int(r.id) for r in coll.search([1.0, 0.0], 1, nprobe=1).collect()] == [1]
+    ptr = os.path.join(coll._index_root(), "index_current.json")
+    with open(ptr, "w") as f:
+        f.write("{half")  # torn write
+    assert coll._indexed_version() is None  # legacy dir absent -> no index
+    with _pytest.raises(ValueError, match="no index built"):
+        coll.search([1.0, 0.0], 1, nprobe=1)
+    # a rebuild repairs the pointer and serving resumes
+    coll.build_index(nlist=1, seed=42, max_iter=2)
+    assert [int(r.id) for r in coll.search([1.0, 0.0], 1, nprobe=1).collect()] == [1]
