@@ -471,6 +471,46 @@ def test_range_search_nan_threshold_is_400(api):
         ) == 400
 
 
+def test_range_routes_reject_topk_only_knobs_every_family(api):
+    """No-silent-drop on range, generalized past the maxsim case (round
+    13): families whose range serves value-exactly via lossless pruning
+    (exact/ivf/compressed) have NO range serving knobs — an explicit
+    top-k knob the whitelist would accept on /search is this request's
+    400 on the range routes, never silently ignored; coverage-knobbed
+    families keep exactly their coverage knobs."""
+    ivf_key = {"index_type": "USEARCH", "dim": 3, "metric_type": "L2"}
+    api.create_index(ivf_key)
+    for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": ivf_key})
+    # nprobe is whitelisted for /search on the ivf family...
+    ok = api.search({"vectors": [1.0, 0.0, 0.0], "k": 1,
+                     "index_key": ivf_key, "params": {"nprobe": 1}})
+    assert ok["code"] == 0
+    # ...but ivf range is a lossless prune with no serving knobs -> 400
+    assert _status(
+        api.range_search,
+        {"vectors": [1.0, 0.0, 0.0], "threshold": 0.5,
+         "index_key": ivf_key, "params": {"nprobe": 1}},
+    ) == 400
+    # knob-less range serves fine
+    out = api.range_search(
+        {"vectors": [1.0, 0.0, 0.0], "threshold": 0.5, "index_key": ivf_key}
+    )
+    assert out["code"] == 0 and out["labels"] == [1]
+    # a coverage-knobbed family keeps its coverage knob on range
+    hnsw = {"index_type": "HNSW", "dim": 3, "metric_type": "L2",
+            "max_elements": 100}
+    req_key = {k: v for k, v in hnsw.items() if k != "max_elements"}
+    api.create_index(hnsw)
+    for i, v in [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]:
+        api.insert({"vectors": v, "id": i, "index_key": req_key})
+    out = api.range_search(
+        {"vectors": [1.0, 0.0, 0.0], "threshold": 0.5, "index_key": req_key,
+         "params": {"ef_search": 64}}
+    )
+    assert out["code"] == 0 and out["labels"] == [1]
+
+
 def test_maxsim_range_search_over_the_wire(api):
     """/range_search and /batch_range_search on multi-vector collections
     (round 12): threshold is a MaxSim score floor; served from the

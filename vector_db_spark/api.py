@@ -103,6 +103,17 @@ _SEARCH_PARAMS = {"ivf": {"nprobe": 4}, "graph": {"nprobe": 2, "ef_search": 200}
 # or cross-family knob errors 400 instead of silently passing into the
 # engine.
 
+# the STRICT subset of each family's knobs that RANGE routes honor
+# (Collection.range_search's dispatch): coverage knobs only. Families
+# absent here (exact, ivf, ivfpq, ivfsq, ivfopq) serve range value-
+# exactly via lossless pruning — no serving knobs at all.
+_RANGE_KNOBS = {
+    "graph": ("nprobe", "ef_search"),
+    "lsh": ("probe_radius",),
+    "maxsim": ("nprobe",),
+    "maxsim_pq": ("nprobe",),
+}
+
 
 def _serving_params(req: dict, coll, *, for_range: bool = False) -> dict:
     """Serving knobs for one request, precedence low→high: the wire's
@@ -113,13 +124,16 @@ def _serving_params(req: dict, coll, *, for_range: bool = False) -> dict:
     and non-positive or non-integer values are THIS request's 400, never
     a silent drop.
 
-    ``for_range`` marks the /range_search and /batch_range_search routes:
-    for the multi-vector (maxsim) families, 'shortlist' bounds top-k's
-    exact-rerank stage and range has no rerank — an explicit request
-    shortlist is THIS request's 400 (no-silent-drop), while a PERSISTED
-    shortlist (a legitimate top-k operating point) is stripped before
-    dispatch because the engine rejects explicit kwargs it would silently
-    ignore (ADVICE r12)."""
+    ``for_range`` marks the /range_search and /batch_range_search routes,
+    where the honored knob set is NARROWER than search's (_RANGE_KNOBS):
+    coverage-knobbed families keep their coverage knobs (graph nprobe/
+    ef_search, lsh probe_radius, maxsim nprobe), while exact/ivf and the
+    compressed families serve range value-exactly with NO serving knobs
+    (lossless pruning — there is nothing to tune), and 'shortlist' never
+    applies (range has no rerank stage). An EXPLICIT request knob range
+    ignores is THIS request's 400 (the no-silent-drop posture, ADVICE
+    r12 generalized in r13); PERSISTED/default top-k operating points
+    outside the range set are stripped before dispatch."""
     itype = coll.info.index_type
     base = dict(_SEARCH_PARAMS.get(itype, {}))
     if itype in _MULTI_TYPES:
@@ -132,21 +146,26 @@ def _serving_params(req: dict, coll, *, for_range: bool = False) -> dict:
         if isinstance(built_nlist, int) and built_nlist > 0:
             base["nprobe"] = built_nlist
     base.update(coll.info.serving_params)
-    range_multi = for_range and itype in _MULTI_TYPES
-    if range_multi:
-        base.pop("shortlist", None)
+    allowed = _REQUEST_KNOBS.get(itype, ())
+    if for_range:
+        range_allowed = _RANGE_KNOBS.get(itype, ())
+        base = {k: v for k, v in base.items() if k in range_allowed}
     knobs = req.get("params")
     if knobs is None:
         return base
     if not isinstance(knobs, dict):
         raise ApiError(400, "params must be an object")
-    allowed = _REQUEST_KNOBS.get(itype, ())
     for key, val in knobs.items():
-        if range_multi and key == "shortlist":
+        if for_range and key in allowed and key not in range_allowed:
             raise ApiError(
                 400,
-                "'shortlist' is a top-k rerank knob; range routes score "
-                "every probed candidate exactly — pass 'nprobe' only",
+                f"{key!r} is a top-k serving knob; range serves "
+                f"{_TYPE_NAMES.get(itype, itype)} "
+                + (
+                    f"with {' / '.join(repr(k) for k in range_allowed)} only"
+                    if range_allowed
+                    else "value-exactly with no serving knobs"
+                ),
             )
         if key not in allowed:
             raise ApiError(
