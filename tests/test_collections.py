@@ -1444,3 +1444,23 @@ def test_torn_index_pointer_falls_back_without_crashing(spark, tmp_path):
     # a rebuild repairs the pointer and serving resumes
     coll.build_index(nlist=1, seed=42, max_iter=2)
     assert [int(r.id) for r in coll.search([1.0, 0.0], 1, nprobe=1).collect()] == [1]
+
+
+def test_catalog_wide_index_gc_sweeps_all_collections(spark, tmp_path):
+    """CollectionCatalog.gc_index_artifacts is the janitor entry point:
+    sweeps every collection, reports only the ones that reclaimed
+    space, and leaves serving intact."""
+    cat = CollectionCatalog(spark, str(tmp_path))
+    rows = [(i, [float(i), 1.0]) for i in range(1, 9)]
+    for name in ("a", "b"):
+        coll = cat.create(name, dim=2, metric="l2", index_type="ivf")
+        coll.insert(spark.createDataFrame(rows, "id long, embedding array<float>"))
+        coll.build_index(nlist=1, seed=42, max_iter=2)
+    # rebuild only 'a' -> only 'a' has a superseded artifact
+    a = cat.get("a")
+    a.upsert(spark.createDataFrame([(1, [9.0, 9.0])], "id long, embedding array<float>"))
+    a.build_index(nlist=1, seed=42, max_iter=2)
+    swept = cat.gc_index_artifacts()
+    assert set(swept) == {"a"} and len(swept["a"]) == 1
+    assert [int(r.id) for r in a.search([9.0, 9.0], 1, nprobe=1).collect()] == [1]
+    assert cat.gc_index_artifacts() == {}

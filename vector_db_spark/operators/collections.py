@@ -267,6 +267,19 @@ class CollectionCatalog:
             self._save(data)
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
+    def gc_index_artifacts(self) -> dict[str, list[str]]:
+        """Catalog-wide index-artifact retention sweep: run every
+        collection's Collection.gc_index_artifacts (the explicit
+        maintenance call; see its concurrency contract) and report
+        {collection: removed_paths} for the ones that reclaimed space —
+        the single entry point a janitor job schedules."""
+        out: dict[str, list[str]] = {}
+        for name in self.list():
+            removed = self.get(name).gc_index_artifacts()
+            if removed:
+                out[name] = removed
+        return out
+
     def _bump(self, name: str, version: int) -> None:
         with self._locked():
             data = self._load()
