@@ -977,9 +977,16 @@ def test_build_params_dropped_marker_and_refresh_warning(spark, tmp_path):
     )
     with _pt.warns(UserWarning, match="NOT replayed"):
         assert again.refresh_index() == "rebuilt"
-    # a fully-serializable rebuild clears the marker
-    coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
-    assert coll.info.build_params_dropped == []
+    # a fully-serializable rebuild clears the marker. NB: must rebuild
+    # through a CURRENT handle — `coll` predates the upsert above, so
+    # its build would lose the publish race and (correctly, since the
+    # ADVICE-r13 fix) be discarded WITHOUT touching the recorded params.
+    with _pt.warns(UserWarning, match="superseded by a newer"):
+        coll.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
+    assert coll.info.build_params_dropped == ["ivf"]  # discard didn't write
+    fresh = CollectionCatalog(spark, str(tmp_path)).get("bpd")
+    fresh.build_index(nlist=2, m=2, ksub=4, max_iter=3, pq_iters=2)
+    assert fresh.info.build_params_dropped == []
 
 
 def test_predicate_delete_keeps_null_predicate_rows(spark, tmp_path):
@@ -1399,22 +1406,67 @@ def test_index_artifact_gc_removes_only_strictly_older_builds(spark, tmp_path):
     second_dir = coll._index_dir()
     assert second_dir != first_dir and os.path.isdir(first_dir)
 
-    # a racing builder's unpublished staging dir at the CURRENT version
-    # must survive GC (the strict < comparison is the guard)
+    # a racing builder's unpublished staging dir must survive GC — even
+    # one whose snapshot was SUPERSEDED mid-build (version strictly
+    # below current: the case version arithmetic can't protect, ADVICE
+    # r13) — as long as its fresh `.building` marker is present
     cur_v = coll._indexed_version()
     inflight = os.path.join(
         coll._index_root(), f"index_v{cur_v:06d}_deadbeef"
     )
     os.makedirs(inflight)
+    open(os.path.join(inflight, coll._BUILDING_MARKER), "w").close()
+    superseded_inflight = os.path.join(
+        coll._index_root(), f"index_v{cur_v - 1:06d}_cafecafe"
+    )
+    os.makedirs(superseded_inflight)
+    open(os.path.join(superseded_inflight, coll._BUILDING_MARKER), "w").close()
 
     removed = coll.gc_index_artifacts()
     assert first_dir in removed and not os.path.isdir(first_dir)
     assert os.path.isdir(second_dir) and os.path.isdir(inflight)
+    assert os.path.isdir(superseded_inflight)
     # data version dirs are untouched and serving still works
     got = [int(r.id) for r in coll.search([9.0, 9.0, 9.0, 9.0], 1, nprobe=2).collect()]
     assert got == [1]
     assert coll.scan().count() == 20
-    # idempotent: nothing older remains
+    # a crashed builder's leftover (stale marker) becomes collectable
+    stale = os.path.getmtime(os.path.join(
+        superseded_inflight, coll._BUILDING_MARKER
+    )) - coll._BUILDING_STALE_SECONDS - 60
+    os.utime(os.path.join(superseded_inflight, coll._BUILDING_MARKER),
+             (stale, stale))
+    assert coll.gc_index_artifacts() == [superseded_inflight]
+    # idempotent: nothing older remains (the fresh-marked dir persists
+    # until its builder publishes or its marker goes stale)
+    assert coll.gc_index_artifacts() == []
+
+
+def test_index_artifact_gc_reclaims_equal_version_retune(spark, tmp_path):
+    """A param retune (build_index with NO data mutation) publishes a
+    new uuid-suffixed dir at an UNCHANGED collection version; the
+    superseded twin failed the old strict '< cur' test forever, leaking
+    one artifact per retune (ADVICE r13). GC now keeps only the dir the
+    pointer resolves to among equal-version dirs — and the in-flight
+    marker, not version arithmetic, is what protects concurrent
+    builders."""
+    import os
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("gcr", dim=2, metric="l2", index_type="ivf")
+    coll.insert(spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 9)],
+        "id long, embedding array<float>",
+    ))
+    coll.build_index(nlist=1, seed=42, max_iter=2)
+    first_dir = coll._index_dir()
+    coll.build_index(nlist=2, seed=42, max_iter=2)  # retune, same version
+    second_dir = coll._index_dir()
+    assert second_dir != first_dir and os.path.isdir(first_dir)
+    assert coll.gc_index_artifacts() == [first_dir]
+    assert not os.path.isdir(first_dir) and os.path.isdir(second_dir)
+    got = [int(r.id) for r in coll.search([8.0, 1.0], 1, nprobe=2).collect()]
+    assert got == [8]
     assert coll.gc_index_artifacts() == []
 
 
@@ -1464,3 +1516,35 @@ def test_catalog_wide_index_gc_sweeps_all_collections(spark, tmp_path):
     assert set(swept) == {"a"} and len(swept["a"]) == 1
     assert [int(r.id) for r in a.search([9.0, 9.0], 1, nprobe=1).collect()] == [1]
     assert cat.gc_index_artifacts() == {}
+
+
+def test_build_superseded_by_newer_publish_warns_and_skips_params(spark, tmp_path):
+    """A builder that loses the publish race to a NEWER snapshot's build
+    must not silently persist ITS params over the winning artifact's —
+    _publish_index reports the discard and build_index warns instead of
+    writing back (ADVICE r13). The stale handle here stands in for a
+    concurrent process holding a pre-mutation CollectionInfo."""
+    import os
+
+    import pytest as _pytest
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("race", dim=2, metric="l2", index_type="ivf")
+    coll.insert(spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 9)],
+        "id long, embedding array<float>",
+    ))
+    coll.build_index(nlist=1, seed=42, max_iter=2)
+    stale = CollectionCatalog(spark, str(tmp_path)).get("race")
+    coll.upsert(spark.createDataFrame(
+        [(1, [9.0, 9.0])], "id long, embedding array<float>"
+    ))
+    coll.build_index(nlist=2, seed=42, max_iter=2)
+    winning_dir = coll._index_dir()
+    with _pytest.warns(UserWarning, match="superseded by a newer"):
+        stale.build_index(nlist=1, seed=7, max_iter=2)
+    # pointer untouched, loser's dir discarded, winner's params intact
+    assert coll._index_dir() == winning_dir and os.path.isdir(winning_dir)
+    fresh = CollectionCatalog(spark, str(tmp_path)).get("race")
+    assert fresh.info.build_params["nlist"] == 2
+    assert [int(r.id) for r in coll.search([9.0, 9.0], 1, nprobe=2).collect()] == [1]

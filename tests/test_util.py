@@ -156,3 +156,41 @@ def test_fan_out_respects_min_partitions(spark, tmp_path):
     out = fan_out(df, min_partitions=6)
     assert out.rdd.getNumPartitions() == 6
     assert out.count() == 50
+
+
+def test_collect_query_rows_passes_small_and_preserves_order(spark):
+    from vector_db_spark.operators import util
+
+    df = spark.range(0, 20).orderBy(F.col("id").desc())
+    rows = util.collect_query_rows(df, cap=50)
+    assert [r.id for r in rows] == list(range(19, -1, -1))
+
+
+def test_collect_query_rows_refuses_corpus_sized_frame(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators import util
+
+    big = spark.range(0, 1000)
+    with _pytest.raises(ValueError, match="exceeds 100 rows"):
+        util.collect_query_rows(big, cap=100)
+
+
+def test_batch_knn_refuses_corpus_sized_query_frame(spark, monkeypatch):
+    import pytest as _pytest
+
+    from vector_db_spark.operators import util
+    from vector_db_spark.operators.knn import _batch_score_topk_arrow
+
+    monkeypatch.setattr(util, "QUERY_COLLECT_CAP", 10)
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)], "id long, vec array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(25)], "qid long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError, match="exceeds 10 rows"):
+        _batch_score_topk_arrow(
+            corpus, queries, 1, metric="l2", vec_col="vec", id_col="id",
+            query_id_col="qid", query_vec_col="qvec", out="score",
+        ).collect()

@@ -832,27 +832,46 @@ class Collection(_BucketedStore):
                 pass  # torn/legacy pointer: fall through to the fixed dir
         return os.path.join(self._index_root(), "index")
 
+    # Builders drop this marker in their staging dir at creation and
+    # _publish_index removes it under the catalog flock at the pointer
+    # flip (or rmtree's it with a discarded dir). GC honors a fresh
+    # marker unconditionally — version arithmetic alone cannot protect a
+    # build whose snapshot was superseded MID-build (its staging dir is
+    # then named with a version strictly below current, which the old
+    # strict '< cur' test would have collected while idx.save was still
+    # running — ADVICE r13). A marker older than the stale threshold is
+    # a crashed builder's leftover and becomes collectable again.
+    _BUILDING_MARKER = ".building"
+    _BUILDING_STALE_SECONDS = 3600.0
+
     def gc_index_artifacts(self) -> list[str]:
         """Explicit retention maintenance for superseded index artifacts
         (the immutable-publish flip leaves them on disk — same posture
-        as data version dirs). Deletes every index dir whose BUILT
-        version is STRICTLY older than the currently published one; the
-        strict comparison is the concurrency guard: a racing builder's
-        not-yet-published staging dir carries a version >= the current
-        pointer (it built from the current-or-newer snapshot), so GC can
-        never delete a build in flight — only artifacts no new reader
-        can resolve. A reader that loaded a superseded artifact BEFORE
-        the flip and is still mid-query can still lose files, which is
-        why this is an explicit maintenance call (the vacuum contract),
-        not an automatic post-publish step. Returns the removed paths."""
+        as data version dirs). Deletes every index dir no NEW reader can
+        resolve: built version strictly older than the published one, OR
+        same version but not the pointer target (a param-retune rebuild
+        publishes a new uuid-suffixed dir at an UNCHANGED collection
+        version; the superseded twin would otherwise fail a strict
+        '< cur' test forever — ADVICE r13). In-flight builds are
+        protected by the `.building` marker their builder wrote at
+        staging-dir creation (removed under the same flock this scan
+        holds, so there is no unmarked-but-unpublished window), not by
+        version arithmetic — a builder superseded mid-build carries a
+        version BELOW current and only the marker saves it. A reader
+        that loaded a superseded artifact BEFORE the flip and is still
+        mid-query can still lose files, which is why this is an explicit
+        maintenance call (the vacuum contract), not an automatic
+        post-publish step. Returns the removed paths."""
         import re
         import shutil
+        import time
 
         with self.catalog._locked():
             cur_version = self._indexed_version()
             if cur_version is None:
                 return []
             cur_dir = os.path.realpath(self._index_dir())
+            now = time.time()
             removed = []
             for name in os.listdir(self._index_root()):
                 full = os.path.join(self._index_root(), name)
@@ -860,21 +879,34 @@ class Collection(_BucketedStore):
                     continue
                 m = re.match(r"index_v(\d+)_", name)
                 if m is not None:
-                    if int(m.group(1)) >= cur_version:
-                        continue  # in-flight or newer build — never touch
+                    if int(m.group(1)) > cur_version:
+                        continue  # build from a newer snapshot — never touch
                 elif name != "index":
                     continue  # data version dirs etc.
+                marker = os.path.join(full, self._BUILDING_MARKER)
+                try:
+                    age = now - os.path.getmtime(marker)
+                except OSError:
+                    age = None  # no marker: published-then-superseded dir
+                if age is not None and age < self._BUILDING_STALE_SECONDS:
+                    continue  # build in flight — the documented invariant
                 # legacy fixed `index` dir predates pointers: superseded
                 # by definition once a pointer exists and targets elsewhere
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
             return removed
 
-    def _publish_index(self, built_dir: str, version: int) -> None:
+    def _publish_index(self, built_dir: str, version: int) -> bool:
         """Atomically flip the index pointer to a fully-written artifact
         dir. Under the catalog flock so two concurrent builders serialize;
         a builder that lost the race to a NEWER snapshot's build discards
-        its dir instead of moving the pointer backwards."""
+        its dir instead of moving the pointer backwards. Returns whether
+        the artifact was actually published — callers must not persist
+        build/serving params for a discarded build (ADVICE r13). The
+        `.building` marker is cleared inside the same locked section as
+        the flip, so GC (same flock) never observes a published dir that
+        still looks in-flight nor an unpublished dir without protection."""
+        import contextlib
         import shutil
 
         ptr = os.path.join(self._index_root(), "index_current.json")
@@ -882,11 +914,14 @@ class Collection(_BucketedStore):
             cur = self._indexed_version()
             if cur is not None and cur > version:
                 shutil.rmtree(built_dir, ignore_errors=True)
-                return
+                return False
             tmp = f"{ptr}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump({"dir": os.path.basename(built_dir)}, f)
             os.replace(tmp, ptr)
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(built_dir, self._BUILDING_MARKER))
+            return True
 
     def build_index(self, **params) -> None:
         """Build (or rebuild) the collection's ANN artifact per its
@@ -908,6 +943,13 @@ class Collection(_BucketedStore):
             self._index_root(),
             f"index_v{self.info.version:06d}_{uuid.uuid4().hex[:8]}",
         )
+        # In-flight marker BEFORE any build work: GC honors it, so a
+        # build whose snapshot gets superseded mid-build (its version
+        # then sorts below the published pointer) cannot be rmtree'd
+        # under idx.save; _publish_index clears it at the flip.
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, self._BUILDING_MARKER), "w") as f:
+            json.dump({"pid": os.getpid()}, f)
         if self.info.index_type == "ivf":
             from vector_db_spark.operators.ann import IvfIndex
 
@@ -1007,7 +1049,20 @@ class Collection(_BucketedStore):
             idx.save(path)
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)
-        self._publish_index(path, self.info.version)
+        if not self._publish_index(path, self.info.version):
+            # Lost the race to a newer snapshot's build: the artifact was
+            # discarded, so persisting ITS params would misdescribe the
+            # artifact actually serving (ADVICE r13). Tell the caller.
+            import warnings
+
+            warnings.warn(
+                f"build_index({self.info.name}): build at version "
+                f"{self.info.version} was superseded by a newer published "
+                "index before publish; artifact discarded, build params "
+                "not persisted",
+                stacklevel=2,
+            )
+            return
         self._remember_build_params(params)
         self._revalidate_serving_params()
 

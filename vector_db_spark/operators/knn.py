@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import cosine_sim, dot, l2_norm, l2_sq
+from vector_db_spark.operators.util import collect_query_rows
 
 # metric name -> (distance/score expression builder, ascending?)
 _METRICS = {
@@ -342,7 +343,9 @@ def _batch_score_topk_arrow(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_rows(
+        queries.select(query_id_col, query_vec_col)
+    )
     if not qrows:
         raise ValueError("queries must be non-empty")
     qids = [r[0] for r in qrows]
@@ -570,7 +573,9 @@ def _batch_score_range_arrow(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_rows(
+        queries.select(query_id_col, query_vec_col)
+    )
     if not qrows:
         raise ValueError("queries must be non-empty")
     qids = np.asarray([r[0] for r in qrows])

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import dot
 from vector_db_spark.operators.knn import query_literal
+from vector_db_spark.operators.util import collect_query_rows
 
 # Past this many literal multiply-add terms Catalyst planning stalls
 # (measured minutes-long analysis on the IVF literal path, ann.py).
@@ -190,10 +191,10 @@ def maxsim_search_batch(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    rows = (
+    rows = collect_query_rows(
         queries.select(query_id_col, token_id_col, token_vec_col)
-        .orderBy(query_id_col, token_id_col)
-        .collect()
+        .orderBy(query_id_col, token_id_col),
+        what="batch token-query set",
     )
     if not rows:
         raise ValueError("queries must be non-empty")
@@ -338,10 +339,10 @@ def _collect_batch_tokens(
     exact batch operators and the probed `_ivf_range_search_batch` core
     so the probed path doesn't collect the same frame twice (ADVICE
     r12)."""
-    rows = (
+    rows = collect_query_rows(
         queries.select(query_id_col, token_id_col, token_vec_col)
-        .orderBy(query_id_col, token_id_col)
-        .collect()
+        .orderBy(query_id_col, token_id_col),
+        what="batch token-query set",
     )
     if not rows:
         raise ValueError("queries must be non-empty")
@@ -766,10 +767,10 @@ class MaxSimIvfIndex:
             raise ValueError("nprobe must be >= 1")
         if shortlist is not None and shortlist < 1:
             raise ValueError("shortlist must be >= 1 or None")
-        rows = (
+        rows = collect_query_rows(
             queries.select(query_id_col, token_id_col, token_vec_col)
-            .orderBy(query_id_col, token_id_col)
-            .collect()
+            .orderBy(query_id_col, token_id_col),
+            what="batch token-query set",
         )
         if not rows:
             raise ValueError("queries must be non-empty")
@@ -1391,10 +1392,10 @@ class MaxSimPqIndex:
             raise ValueError("nprobe must be >= 1")
         if shortlist is not None and shortlist < 1:
             raise ValueError("shortlist must be >= 1 or None")
-        rows = (
+        rows = collect_query_rows(
             queries.select(query_id_col, token_id_col, token_vec_col)
-            .orderBy(query_id_col, token_id_col)
-            .collect()
+            .orderBy(query_id_col, token_id_col),
+            what="batch token-query set",
         )
         if not rows:
             raise ValueError("queries must be non-empty")

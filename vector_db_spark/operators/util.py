@@ -75,3 +75,38 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if shuffled:
         return df
     return df.repartition(target)
+
+
+# Batch-search paths (knn.knn_join / knn.range_join GEMM cores, the
+# MaxSim exact/probed batch operators) serialize the QUERY side to the
+# driver by contract — the query set is "small" (a user's batch of
+# lookups), the corpus side stays distributed. Nothing used to enforce
+# small: a caller passing a corpus-sized frame as `queries` silently
+# collected it onto the driver (VERDICT r13 finding #1). The cap is
+# sized generously above any sane interactive batch (100k queries x a
+# 768-d float64 vector ~ 600 MB driver RAM — already past where the
+# co-located join path wins) and is a module constant so a deliberate
+# caller can raise it.
+QUERY_COLLECT_CAP = 100_000
+
+
+def collect_query_rows(df: DataFrame, *, cap: int | None = None, what: str = "batch query set") -> list:
+    """Collect the (small, driver-bound) query side of a batch search,
+    refusing corpus-sized frames with a pointed error instead of
+    silently serializing them. `limit(cap+1)` bounds the transfer: the
+    overflow probe itself never pulls more than cap+1 rows — on an
+    ordered frame the limit composes into TakeOrdered, on an unordered
+    one it's a CollectLimit, so detection costs O(cap) not O(n)."""
+    limit = QUERY_COLLECT_CAP if cap is None else cap
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what} exceeds {limit} rows; this operator serializes the "
+            "query side to the driver and is contractually for small "
+            "batches. For corpus-sized query sets use the distributed "
+            "co-located kNN-join path (join on bucketed cells / "
+            "crossJoin + window), or raise "
+            "vector_db_spark.operators.util.QUERY_COLLECT_CAP "
+            "deliberately."
+        )
+    return rows

@@ -37,3 +37,16 @@ def cosine_sim_sql(a: str, b: str, dim: int = DIM) -> str:
         f"({dot_sql(a, b, dim)}) / "
         f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)}))"
     )
+
+
+def cosine_sim_guarded_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Cosine with the engine's zero-norm contract (operators/hybrid.py
+    _sim: denom == 0 -> 0.0). The unguarded form NULLs/infs on a
+    zero-norm vector, which would hash-mismatch any oracle mirroring an
+    engine path that defines sim(0-vec, x) = 0 (ADVICE r13)."""
+    na = f"sqrt({dot_sql(a, a, dim)})"
+    nb = f"sqrt({dot_sql(b, b, dim)})"
+    return (
+        f"(CASE WHEN ({na}) * ({nb}) = 0 THEN 0.0 "
+        f"ELSE ({dot_sql(a, b, dim)}) / (({na}) * ({nb})) END)"
+    )

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.vector import l2_norm
 from vector_db_spark.operators.knn import batch_knn, batch_range_search, knn
-from vector_db_spark.oracle import cosine_sim_sql, dot_sql, l2_sq_sql
+from vector_db_spark.oracle import (
+    cosine_sim_guarded_sql,
+    cosine_sim_sql,
+    dot_sql,
+    l2_sq_sql,
+)
 from vector_db_spark.queries.registry import query
 from vector_db_spark.sources.fixtures import load_table
 
@@ -351,7 +356,10 @@ def knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-_MMR_SIM = cosine_sim_sql("c.embedding", "p.embedding")
+# penalty sim mirrors hybrid._sim's zero-norm guard (denom==0 -> 0.0);
+# the unguarded cosine would NULL a zero-norm shortlist vector and
+# hash-mismatch (ADVICE r13 — latent, fixtures have no zero vectors)
+_MMR_SIM = cosine_sim_guarded_sql("c.embedding", "p.embedding")
 
 _MMR_ORACLE = f"""
 WITH RECURSIVE q AS (
