@@ -444,3 +444,32 @@ def test_ivfopq_batch_exhaustive_equals_exact(spark, emb):
     assert got == want
     with pytest.raises(ValueError, match="raw corpus"):
         idx.search_batch(queries, 5, shortlist=50)
+
+
+def test_exact_fold_parity_and_frozen_loaders(spark, emb):
+    """The round-14 freeze conversion's engine side: exact_fold (order-
+    pinned left folds, no BLAS expansion) must agree with the default
+    GEMM path to fp noise — identical top-k ids, distances within 1e-9 —
+    and the frozen artifacts must load in exact_fold mode with the
+    pinned geometry. Bit-exactness itself is pinned by the DuckDB
+    oracles of pq_adc_knn/opq_adc_knn."""
+    from vector_db_spark.operators.opq import load_frozen_doc_opq
+    from vector_db_spark.operators.pq import load_frozen_doc_pq
+
+    q = emb.filter(F.col("vec_id") == 0).head()[1]
+    pq_d = ProductQuantizer.fit(emb, m=16, ksub=16, seed=7, iters=4)
+    pq_e = ProductQuantizer(pq_d.codebooks, "vec_id", "embedding", exact_fold=True)
+    got_d = pq_d.search(pq_d.encode(emb), q, 10).collect()
+    got_e = pq_e.search(pq_e.encode(emb), q, 10).collect()
+    assert [r.vec_id for r in got_d] == [r.vec_id for r in got_e]
+    for a, b in zip(got_d, got_e):
+        assert abs(a.distance - b.distance) <= 1e-9 * max(1.0, abs(a.distance))
+
+    fz = load_frozen_doc_pq()
+    assert (fz.m, fz.ksub, fz.dsub, fz.exact_fold) == (16, 64, 4, True)
+    oz = load_frozen_doc_opq()
+    assert oz.exact_fold and oz.rotation.shape == (64, 64)
+    # frozen rotation is orthonormal (L2-preserving ADC space)
+    assert np.allclose(oz.rotation @ oz.rotation.T, np.eye(64), atol=1e-9)
+    res = oz.search(oz.encode(emb).select("vec_id", "opq_codes"), q, 5).collect()
+    assert len(res) == 5

@@ -71,9 +71,42 @@ def _offset(col: pa.ChunkedArray) -> int:
     return s
 
 
+def _parse_overrides(spec: str) -> dict[str, int]:
+    """'documents=1000,embeddings=100' -> per-table replica overrides."""
+    out = {}
+    for pair in spec.split(","):
+        if not pair:
+            continue
+        name, _, n = pair.partition("=")
+        if name not in PLAN or PLAN[name] is None:
+            raise SystemExit(f"unknown/unreplicable table in spec: {name!r}")
+        out[name] = int(n)
+    return out
+
+
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf1"
+    # Optional per-table replica overrides (round 14, the sf10 probe
+    # fixture): each domain scales to where ITS operators are stressed —
+    # relational 10x (6M lineitem), ANN 100x (200k embeddings), dedup/
+    # text 1000x (5M documents) — without paying a 60M-row relational
+    # replica nobody probes. A child table's rep must not exceed its FK
+    # parents' (replica i's offset FKs must reference an existing
+    # parent replica i).
+    overrides = _parse_overrides(sys.argv[3]) if len(sys.argv) > 3 else {}
+    for child, plan in PLAN.items():
+        if plan is None:
+            continue
+        crep = overrides.get(child, rep)
+        for parent in plan[1].values():
+            if parent is None:
+                continue
+            prep = overrides.get(parent, rep)
+            if crep > prep:
+                raise SystemExit(
+                    f"{child} rep {crep} exceeds FK parent {parent} rep {prep}"
+                )
     os.makedirs(out, exist_ok=True)
 
     strides: dict[str, int] = {}
@@ -95,8 +128,12 @@ def main() -> None:
         pk, fks = plan
         if name == "events":
             strides["_user"] = _offset(t["user_id"])
-        parts = []
-        for i in range(rep):
+        n_rep = overrides.get(name, rep)
+        # incremental writer: a 1000-replica documents table must not
+        # hold every replica in memory before the single write_table
+        writer = pq.ParquetWriter(f"{out}/{name}.parquet", t.schema)
+        written = 0
+        for i in range(n_rep):
             cols = {}
             for field in t.schema:
                 c = t[field.name]
@@ -140,9 +177,25 @@ def main() -> None:
                     dim = int(offs[1] - offs[0])
                     flat = arr.values.to_numpy(zero_copy_only=False)
                     mat = flat.reshape(-1, dim)
-                    rolled = np.roll(mat, i % dim, axis=1).ravel()
+                    rolled = np.roll(mat, i % dim, axis=1)
+                    # Past dim replicas the roll CYCLES (replica dim+j
+                    # would be an exact vector twin of replica j — a
+                    # 100x corpus of k-way twins, not a 100x corpus):
+                    # decorrelate each roll cycle q >= 1 with a
+                    # deterministic per-cycle sign flip — norms and the
+                    # marginal |component| distribution are preserved
+                    # exactly, while twins across cycles break.
+                    q = i // dim
+                    if q:
+                        sign = np.where(
+                            np.random.default_rng(10_000 + q).random(dim)
+                            < 0.5,
+                            np.float32(-1.0),
+                            np.float32(1.0),
+                        )
+                        rolled = rolled * sign
                     cols[field.name] = pa.ListArray.from_arrays(
-                        arr.offsets, pa.array(rolled, type=pa.float32())
+                        arr.offsets, pa.array(rolled.ravel(), type=pa.float32())
                     )
                 else:
                     cols[field.name] = c
@@ -151,12 +204,13 @@ def main() -> None:
                     t.schema.field("n_chars").type
                 )
             cols.pop("__n_chars_override", None)
-            parts.append(
-                pa.table({f.name: cols[f.name] for f in t.schema}, schema=t.schema)
+            part = pa.table(
+                {f.name: cols[f.name] for f in t.schema}, schema=t.schema
             )
-        big = pa.concat_tables(parts)
-        pq.write_table(big, f"{out}/{name}.parquet", row_group_size=256 * 1024)
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+            writer.write_table(part, row_group_size=256 * 1024)
+            written += part.num_rows
+        writer.close()
+        print(f"{name}: {t.num_rows} -> {written} rows")
 
 
 if __name__ == "__main__":

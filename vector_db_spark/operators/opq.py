@@ -73,6 +73,36 @@ def _encode_np(pts: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _encode_np_exact(pts: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Order-pinned twin of _encode_np: per-centroid distances as
+    left-associated squared-diff folds (no expansion form/BLAS), so an
+    SQL oracle replaying the same expression tree argmins over
+    bit-identical doubles (round-14 freeze conversion)."""
+    m, _, dsub = books.shape
+    codes = np.empty((pts.shape[0], m), dtype=np.uint8)
+    for i in range(m):
+        sub = pts[:, i * dsub : (i + 1) * dsub]
+        cb = books[i]
+        d = (sub[:, 0, None] - cb[None, :, 0]) ** 2
+        for t in range(1, dsub):
+            d = d + (sub[:, t, None] - cb[None, :, t]) ** 2
+        codes[:, i] = d.argmin(axis=1)
+    return codes
+
+
+def _rotate_exact(v: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Order-pinned rotation v @ rotᵀ: each output dim j is the left
+    fold ((v0·r_j0 + v1·r_j1) + …) — one vectorized multiply-add per
+    input dim, never a blocked GEMM."""
+    out = np.empty((v.shape[0], rot.shape[0]), dtype=np.float64)
+    for j in range(rot.shape[0]):
+        acc = v[:, 0] * rot[j, 0]
+        for d in range(1, rot.shape[1]):
+            acc = acc + v[:, d] * rot[j, d]
+        out[:, j] = acc
+    return out
+
+
 def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [books[i][codes[:, i]] for i in range(books.shape[0])], axis=1
@@ -88,6 +118,14 @@ class OpqQuantizer:
         self.pq = pq
         self.id_col = pq.id_col
         self.vec_col = pq.vec_col
+
+    @property
+    def exact_fold(self) -> bool:
+        """Order-pinned arithmetic mode — carried by the wrapped PQ (see
+        ProductQuantizer.exact_fold); when set, the rotation too is
+        applied as per-output-dim left-associated folds instead of a
+        GEMM, so the DuckDB oracle can replay it bit-exactly."""
+        return self.pq.exact_fold
 
     @staticmethod
     def fit(
@@ -145,11 +183,15 @@ class OpqQuantizer:
         plus one GEMM for the rotation)."""
         rot = self.rotation
         books = self.pq.codebooks
+        exact = self.exact_fold
 
         @F.pandas_udf("binary")
         def _enc(vecs: pd.Series) -> pd.Series:
             v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-            codes = _encode_np(v @ rot.T, books)
+            if exact:
+                codes = _encode_np_exact(_rotate_exact(v, rot), books)
+            else:
+                codes = _encode_np(v @ rot.T, books)
             return pd.Series([c.tobytes() for c in codes])
 
         return df.withColumn(code_col, _enc(F.col(self.vec_col)))
@@ -161,6 +203,8 @@ class OpqQuantizer:
                 f"dimension mismatch: query has {q.shape[0]} components, "
                 f"index dim is {self.rotation.shape[1]}"
             )
+        if self.exact_fold:
+            return _rotate_exact(q[None, :], self.rotation)[0]
         return self.rotation @ q
 
     def search(
@@ -459,3 +503,39 @@ class IvfOpqIndex:
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+
+
+FROZEN_DOC_OPQ_PATH = "artifacts/opq_docs.json"
+
+
+def load_frozen_doc_opq(
+    id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "OpqQuantizer":
+    """The FROZEN OPQ model (64×64 learned rotation + (m=16, ksub=64)
+    codebooks) — one pinned fit over the sf0.01 embeddings fixture
+    (seed=42, iters=8, opq_iters=6), repr()-string persisted for
+    bit-exact round-trips (the pca_docs.json pattern). exact_fold mode:
+    rotation, encode, and ADC are order-pinned left folds a DuckDB
+    oracle replays bit-exactly; the fit machinery stays hash-gated by
+    opq_rerank_full/ivfopq_exhaustive."""
+    import json
+    import os
+
+    from vector_db_spark.operators.pq import ProductQuantizer
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_OPQ_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    rot = np.asarray(
+        [[float(x) for x in row] for row in art["rotation"]], dtype=np.float64
+    )
+    books = np.asarray(
+        [[[float(x) for x in c] for c in sub] for sub in art["codebooks"]],
+        dtype=np.float64,
+    )
+    return OpqQuantizer(
+        rot, ProductQuantizer(books, id_col, vec_col, exact_fold=True)
+    )

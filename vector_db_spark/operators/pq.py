@@ -118,7 +118,13 @@ def _lloyd(pts: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
 class ProductQuantizer:
     """M-subspace product quantizer; codes stored as M-byte binary."""
 
-    def __init__(self, codebooks: np.ndarray, id_col: str, vec_col: str):
+    def __init__(
+        self,
+        codebooks: np.ndarray,
+        id_col: str,
+        vec_col: str,
+        exact_fold: bool = False,
+    ):
         self.codebooks = codebooks  # (M, ksub, dsub)
         self.m = codebooks.shape[0]
         self.ksub = codebooks.shape[1]
@@ -127,6 +133,18 @@ class ProductQuantizer:
             raise ValueError("ksub > 256 does not fit uint8 codes")
         self.id_col = id_col
         self.vec_col = vec_col
+        # Order-pinned arithmetic for oracle parity (round 14, the
+        # pq_adc_knn/opq_adc_knn freeze conversion): every distance is a
+        # LEFT-ASSOCIATED float64 fold — encode computes per-centroid
+        # ((x0-c0)² + (x1-c1)²) + … (no BLAS expansion form, whose
+        # matmul blocking/FMA is not SQL-reproducible), the ADC table
+        # folds dsub terms in order, and per-row ADC sums the M lookups
+        # in subspace order. Each numpy elementwise op is a correctly-
+        # rounded binary64 op, so DuckDB replaying the same expression
+        # tree produces bit-identical doubles. Default OFF: the
+        # expansion-form GEMM stays the production encode (one matmul
+        # per subspace per Arrow batch vs ksub·dsub vector ops).
+        self.exact_fold = exact_fold
 
     @staticmethod
     def fit(
@@ -164,6 +182,7 @@ class ProductQuantizer:
         emitted as M uint8 bytes per row."""
         books = self.codebooks
         m, dsub = self.m, self.dsub
+        exact = self.exact_fold
 
         @F.pandas_udf("binary")
         def _enc(vecs: pd.Series) -> pd.Series:
@@ -172,11 +191,18 @@ class ProductQuantizer:
             for i in range(m):
                 sub = v[:, i * dsub : (i + 1) * dsub]
                 cb = books[i]
-                d = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
+                if exact:
+                    # order-pinned: ((x0-c0)² + (x1-c1)²) + … — argmin
+                    # over bit-identical doubles to the SQL oracle's
+                    d = (sub[:, 0, None] - cb[None, :, 0]) ** 2
+                    for t in range(1, dsub):
+                        d = d + (sub[:, t, None] - cb[None, :, t]) ** 2
+                else:
+                    d = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ cb.T)
+                        + (cb * cb).sum(axis=1)[None, :]
+                    )
                 codes[:, i] = d.argmin(axis=1)
             return pd.Series([c.tobytes() for c in codes])
 
@@ -192,8 +218,14 @@ class ProductQuantizer:
         table = np.empty((self.m, self.ksub))
         for i in range(self.m):
             qs = q[i * self.dsub : (i + 1) * self.dsub]
-            diff = self.codebooks[i] - qs[None, :]
-            table[i] = (diff * diff).sum(axis=1)
+            if self.exact_fold:
+                acc = (self.codebooks[i][:, 0] - qs[0]) ** 2
+                for t in range(1, self.dsub):
+                    acc = acc + (self.codebooks[i][:, t] - qs[t]) ** 2
+                table[i] = acc
+            else:
+                diff = self.codebooks[i] - qs[None, :]
+                table[i] = (diff * diff).sum(axis=1)
         return table
 
     def _adc_scores(
@@ -201,11 +233,20 @@ class ProductQuantizer:
     ) -> DataFrame:
         table = self.adc_table(query)
         m = self.m
+        exact = self.exact_fold
 
         @F.pandas_udf("double")
         def _adc(codes: pd.Series) -> pd.Series:
             c = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(-1, m)
-            return pd.Series(table[np.arange(m)[None, :], c].sum(axis=1))
+            t = table[np.arange(m)[None, :], c]
+            if exact:
+                # subspace-order left fold, mirroring the oracle's
+                # list_reduce over list(d ORDER BY s)
+                acc = t[:, 0].copy()
+                for s in range(1, m):
+                    acc = acc + t[:, s]
+                return pd.Series(acc)
+            return pd.Series(t.sum(axis=1))
 
         return encoded.select(self.id_col, _adc(F.col(code_col)).alias("distance"))
 
@@ -257,3 +298,36 @@ class ProductQuantizer:
         return np.concatenate(
             [self.codebooks[i][int(idx[i])] for i in range(self.m)]
         )
+
+
+FROZEN_DOC_PQ_PATH = "artifacts/pq_codebooks_docs.json"
+
+
+def load_frozen_doc_pq(
+    id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "ProductQuantizer":
+    """The FROZEN (m=16, ksub=64) codebooks — one pinned fit over the
+    sf0.01 embeddings fixture (seed=42, iters=8), persisted as repr()
+    strings so the JSON round-trip is bit-exact and the serving gate and
+    its DuckDB oracle parse the SAME doubles (the pca_docs.json pattern,
+    VERDICT r13 #2). Returned in exact_fold mode: every distance is an
+    order-pinned left fold the oracle replays term-for-term. Quantizers,
+    like rotations and tokenizers, train once and ship — the fit
+    machinery stays hash-gated by pq_rerank_full_shortlist."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_PQ_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    books = np.asarray(
+        [
+            [[float(x) for x in c] for c in sub]
+            for sub in art["codebooks"]
+        ],
+        dtype=np.float64,
+    )
+    return ProductQuantizer(books, id_col, vec_col, exact_fold=True)

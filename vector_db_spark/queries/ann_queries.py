@@ -25,6 +25,7 @@ from vector_db_spark.queries.vector_queries import (
     _L2,
     _qvec,
     K,
+    QUERY_VEC_ID,
 )
 
 
@@ -213,13 +214,117 @@ def _pq(spark, sf_dir):
     return emb, pqz, pqz.encode(emb).select("vec_id", "pq_codes")
 
 
-@query("pq_adc_knn")
+def _adc_oracle_sql(books, vec_sql: str, proj_ctes: str = "") -> str:
+    """Shared ADC oracle body for the frozen PQ/OPQ gates (round 14,
+    VERDICT r13 #2): replay encode (per-subspace argmin over left-fold
+    squared-diff distances against the FROZEN codebook literals), the
+    query's ADC table, and the per-row subspace-order distance fold —
+    every float64 op in the same order as the exact_fold engine path
+    (operators/pq.py), so codes, distances, AND the in-row recall column
+    are bit-exact. ``vec_sql`` is the corpus-vector accessor the encode
+    CTE scores ('e.embedding' with ::DOUBLE casts, or a projected
+    rotated list); ``proj_ctes`` prepends rotation CTEs for OPQ."""
+    m, ksub, dsub = books.shape
+
+    def wrep(x: float) -> str:
+        return repr(float(x))
+
+    cb_cols = ", ".join(f"c{t}" for t in range(dsub))
+    cb_rows = ",\n".join(
+        f"({s}, {j}, " + ", ".join(wrep(books[s][j][t]) for t in range(dsub)) + ")"
+        for s in range(m)
+        for j in range(ksub)
+    )
+
+    def dist(vec_at) -> str:
+        # ((x0-c0)*(x0-c0) + (x1-c1)*(x1-c1)) + … — SQL + is
+        # left-associative, matching the engine's accumulation order
+        return " + ".join(
+            f"(({vec_at(t)}) - c.c{t}) * (({vec_at(t)}) - c.c{t})"
+            for t in range(dsub)
+        )
+
+    vdist = dist(lambda t: f"{vec_sql}[c.s*{dsub} + {t + 1}]")
+    qdist = dist(lambda t: f"qrot.rv[c.s*{dsub} + {t + 1}]")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+{proj_ctes}cb (s, j, {cb_cols}) AS (VALUES
+{cb_rows}
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT v.vec_id, c.s, c.j,
+           row_number() OVER (
+             PARTITION BY v.vec_id, c.s
+             ORDER BY {vdist} ASC, c.j ASC
+           ) AS rn
+    FROM vsrc v CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT c.s, c.j, {qdist} AS d
+  FROM cb c CROSS JOIN qrot
+),
+adc AS (
+  SELECT codes.vec_id,
+         list_reduce(list(lut.d ORDER BY codes.s), (a, b) -> a + b) AS dist
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.j = codes.j
+  GROUP BY codes.vec_id
+),
+top AS (SELECT vec_id, dist FROM adc ORDER BY dist ASC, vec_id ASC LIMIT {K}),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_L2} ASC, e.vec_id ASC
+  LIMIT {K}
+),
+rec AS (
+  SELECT round(CAST((SELECT count(*) FROM top JOIN exact10 USING (vec_id))
+               AS DOUBLE) / {K}, 4) AS recall_at_10
+)
+SELECT top.vec_id, round(top.dist, 6) AS distance, rec.recall_at_10
+FROM top, rec
+"""
+
+
+def _pq_adc_oracle() -> str:
+    """Frozen-codebook PQ ADC oracle: vsrc is the raw corpus (list
+    elements cast component-wise to DOUBLE, the same exact widening the
+    engine's np.float64 conversion performs), qrot is the raw query."""
+    from vector_db_spark.operators.pq import load_frozen_doc_pq
+
+    pqz = load_frozen_doc_pq()
+    dim = pqz.m * pqz.dsub
+    proj = f"""vsrc AS (
+  SELECT e.vec_id,
+         [{", ".join(f"e.embedding[{i + 1}]::DOUBLE" for i in range(dim))}] AS rv
+  FROM embeddings e
+),
+qrot AS (
+  SELECT [{", ".join(f"q.qv[{i + 1}]::DOUBLE" for i in range(dim))}] AS rv
+  FROM q
+),
+"""
+    return _adc_oracle_sql(pqz.codebooks, "v.rv", proj)
+
+
+@query("pq_adc_knn", oracle=_pq_adc_oracle())
 def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain search: top-k by asymmetric distance over the
-    M-byte PQ codes column alone (rows-only; codec + recall pinned in
-    tests/test_pq.py). Recall-gated in-row (floor 0.3: raw ADC on these
-    embeddings measures ~0.6; the rerank variants recover the rest)."""
-    _, pqz, enc = _pq(spark, sf_dir)
+    M-byte PQ codes column alone — served from the FROZEN codebooks
+    (pq.load_frozen_doc_pq; quantizers train once and ship, the fit
+    machinery stays hash-gated by pq_rerank_full_shortlist).
+
+    Hash-exact as of round 14 (VERDICT r13 #2, rows-only → converted):
+    encode argmin, the ADC table, and the per-row distance are
+    order-pinned left folds over the frozen literals, so the DuckDB
+    oracle replays codes, distances, and the recall column bit-exactly.
+    Recall stays gated in-row (floor 0.3; raw ADC on these embeddings
+    measures ~0.6; the rerank variants recover the rest)."""
+    from vector_db_spark.operators.pq import load_frozen_doc_pq
+
+    emb = _emb(spark, sf_dir)
+    pqz = load_frozen_doc_pq()
+    enc = pqz.encode(emb).select("vec_id", "pq_codes")
     res = pqz.search(enc, _qvec(spark, sf_dir), K)
     res = res.select("vec_id", F.round("distance", 6).alias("distance"))
     return _recall_gated(res, _exact_ids(spark, sf_dir), 0.3, "pq_adc_knn")
@@ -1321,12 +1426,57 @@ def opq_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-@query("opq_adc_knn")
+def _opq_adc_oracle() -> str:
+    """Frozen-OPQ ADC oracle: vsrc/qrot are the ROTATED corpus/query —
+    each rotated coordinate a 64-term left fold over the frozen rotation
+    row literals (the pca_docs.json projection pattern), then the shared
+    encode/LUT/fold body runs in rotated space, exactly as the
+    exact_fold engine path (operators/opq.py _rotate_exact)."""
+    from vector_db_spark.operators.opq import load_frozen_doc_opq
+
+    oq = load_frozen_doc_opq()
+    rot = oq.rotation
+    dim = rot.shape[1]
+
+    def wrep(x: float) -> str:
+        return repr(float(x))
+
+    def rot_expr(src: str, j: int) -> str:
+        return " + ".join(
+            f"({src}[{d + 1}]::DOUBLE * {wrep(rot[j][d])})" for d in range(dim)
+        )
+
+    vcols = ", ".join(rot_expr("e.embedding", j) for j in range(rot.shape[0]))
+    qcols = ", ".join(rot_expr("q.qv", j) for j in range(rot.shape[0]))
+    proj = f"""vsrc AS (
+  SELECT e.vec_id, [{vcols}] AS rv
+  FROM embeddings e
+),
+qrot AS (
+  SELECT [{qcols}] AS rv
+  FROM q
+),
+"""
+    return _adc_oracle_sql(oq.pq.codebooks, "v.rv", proj)
+
+
+@query("opq_adc_knn", oracle=_opq_adc_oracle())
 def opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain OPQ search (rows-only; the recall IMPROVEMENT
-    over plain PQ at equal (m, ksub) budget is pinned in
-    tests/test_pq.py). Same in-row recall floor as pq_adc_knn."""
-    _, oq, enc = _opq(spark, sf_dir)
+    """Compressed-domain OPQ search — served from the FROZEN rotation +
+    codebooks (opq.load_frozen_doc_opq; the fit machinery and the
+    recall IMPROVEMENT over plain PQ at equal (m, ksub) budget stay
+    pinned by opq_rerank_full/ivfopq_exhaustive and tests/test_pq.py).
+
+    Hash-exact as of round 14 (VERDICT r13 #2, rows-only → converted):
+    rotation, encode argmin, ADC table, and the per-row distance are
+    order-pinned left folds over the frozen literals — the DuckDB
+    oracle replays the full rotated-space pipeline bit-exactly. Same
+    in-row recall floor as pq_adc_knn."""
+    from vector_db_spark.operators.opq import load_frozen_doc_opq
+
+    emb = _emb(spark, sf_dir)
+    oq = load_frozen_doc_opq()
+    enc = oq.encode(emb).select("vec_id", "opq_codes")
     res = oq.search(enc, _qvec(spark, sf_dir), K)
     res = res.select("vec_id", F.round("distance", 6).alias("distance"))
     return _recall_gated(res, _exact_ids(spark, sf_dir), 0.3, "opq_adc_knn")
