@@ -771,6 +771,55 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+_DELTA_ORACLE = """
+SELECT 0 AS version, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 1 AS version, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 500 GROUP BY lang
+"""
+
+
+@query("delta_roundtrip", oracle=_DELTA_ORACLE)
+def delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake interop (sources/delta.py, VERDICT r13 gap #3):
+    documents → lang-partitioned Delta table (commit v0) → OVERWRITE
+    with the n_chars >= 500 subset (commit v1: remove actions tombstone
+    every v0 file) → snapshot-read BOTH versions via the transaction-log
+    replay and aggregate per (version, lang). One gate exercises the
+    protocol-1 reader end to end: add/remove reconciliation, typed
+    partition-column restore from log metadata, and VERSION-AS-OF time
+    travel — values must match the aggregates computed straight from
+    the parquet fixture."""
+    import tempfile
+
+    from vector_db_spark.sources.delta import read_delta, write_delta_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="delta_docs_")
+    write_delta_table(docs, table, partition_by=["lang"])
+    write_delta_table(
+        docs.filter(F.col("n_chars") >= 500), table,
+        partition_by=["lang"], mode="overwrite",
+    )
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(F.lit(version).alias("version"), "lang", "n_docs", "total_chars")
+
+    return agg(read_delta(spark, table, version=0), 0).unionByName(
+        agg(read_delta(spark, table), 1)
+    )
+
+
 # --------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders pre-bucketed on the join key
 # join with ZERO exchanges (pinned in tests/test_plans.py) — one write-time
