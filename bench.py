@@ -457,6 +457,78 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     return build_sec, searches, sub_timings
 
 
+def highdim_suite(spark, sf_dir: str, root: str):
+    """Embedding-model-dim rung (VERDICT r13 #4): the Arrow GEMM serving
+    path (knn.ARROW_DIM_MIN = 128) was contract-tested at 512–1024-d but
+    never benched in the headline — fixtures are 64-d. A deterministic
+    synthetic 768-d corpus (row count matched to the sf's embeddings
+    table, 8 planted cluster centers + noise so the IVF geometry is
+    non-degenerate) is staged UNTIMED (fixture synthesis, not engine
+    work), then the entries time what matters: the 768-d IVF build,
+    partition-pruned probe search, and the exact single/batch kNN that
+    auto-dispatch to the Arrow kernel past ARROW_DIM_MIN."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import IvfIndex
+    from vector_db_spark.operators.knn import batch_knn, knn
+    from vector_db_spark.sources.fixtures import load_table
+
+    dim = 768
+    n = load_table(spark, sf_dir, "embeddings").count()
+    shutil.rmtree(root, ignore_errors=True)
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((8, dim)).astype(np.float32) * 2.0
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(root, exist_ok=True)
+    chunk = 50_000
+    writer = None
+    for start in range(0, n, chunk):
+        rows = min(chunk, n - start)
+        ids = np.arange(start, start + rows, dtype=np.int64)
+        mat = (
+            centers[ids % 8]
+            + rng.standard_normal((rows, dim)).astype(np.float32)
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), type=pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+        if writer is None:
+            writer = pq_.ParquetWriter(f"{root}/corpus.parquet", t.schema)
+        writer.write_table(t)
+    writer.close()
+    corpus = spark.read.parquet(f"{root}/corpus.parquet")
+    qv = [
+        float(x)
+        for x in corpus.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    batch_queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    t0 = time.perf_counter()
+    IvfIndex.build(corpus, nlist=8, seed=42, max_iter=5).save(f"{root}/ivf")
+    build_sec = round(time.perf_counter() - t0, 3)
+    ivf = IvfIndex.load(spark, f"{root}/ivf")
+
+    searches = {
+        "knn768_exact": lambda: knn(corpus, qv, K),
+        "knn768_batch": lambda: batch_knn(corpus, batch_queries, 5),
+        "ann768_ivf_search": lambda: ivf.search(qv, K, nprobe=4),
+    }
+    return build_sec, searches
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -559,6 +631,13 @@ def main() -> None:
     )
     timings["ann_index_build"] = round(build_sec, 3)
     for name, thunk in searches.items():
+        _timed(name, thunk)
+
+    hd_build, hd_searches = highdim_suite(
+        spark, sf_dir, "/tmp/spark_graft_bench_768"
+    )
+    timings["ann768_ivf_build"] = hd_build
+    for name, thunk in hd_searches.items():
         _timed(name, thunk)
 
     total = round(sum(timings.values()), 3)
