@@ -1044,3 +1044,34 @@ def test_hash_bucket_null_key_distinct_from_literal_null_string(spark):
         for r in df.select("k", hash_bucket(F.col("k"), "s1").alias("b")).collect()
     }
     assert got2["<null>"] == 8805 and got2[None] == 2438
+
+
+def test_copurchase_lift_size_gated_materialization(spark):
+    """VERDICT r13 minor #3: corpus-scale inputs must skip the
+    localCheckpoint (no RDD checkpoint scan in the plan) while small
+    inputs keep it — and both paths return identical values."""
+    from vector_db_spark.operators.assoc import copurchase_lift
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="copurchase_") + "/baskets"
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(path)
+    baskets = spark.read.parquet(path)
+    got_ck = sorted(map(tuple, copurchase_lift(baskets, materialize=True).collect()))
+    got_re = sorted(map(tuple, copurchase_lift(baskets, materialize=False).collect()))
+    assert got_ck == got_re and len(got_ck) == 3
+    # a parquet source: the checkpointed plan scans an RDD block relation,
+    # the reuse plan scans only parquet
+    plan_re = (
+        copurchase_lift(baskets, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_ck = (
+        copurchase_lift(baskets, materialize=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" not in plan_re
+    assert "ExistingRDD" in plan_ck
