@@ -58,12 +58,20 @@ def test_explains_skeletons_match_current_plans(spark):
         pytest.skip(f"EXPLAINS.md was generated against missing {sf_dir}")
 
     # same plan set as tools/explain_audit.main
+    from bench import highdim_suite
+
     _, searches, _ = ann_search_suite(
         spark, sf_dir, "/tmp/spark_graft_explain_drift_ann"
     )
-    plans = [(n, QUERIES[n]) for n in HEADLINE] + [
-        (n, (lambda s, d, t=thunk: t())) for n, thunk in searches.items()
-    ]
+    _, hd_searches = highdim_suite(
+        spark, sf_dir, "/tmp/spark_graft_explain_drift_768"
+    )
+    searches = {**searches, **hd_searches}
+    plans = (
+        [(n, QUERIES[n]) for n in HEADLINE]
+        + [(n, (lambda s, d, t=thunk: t())) for n, thunk in searches.items()]
+        + [("delta_roundtrip", QUERIES["delta_roundtrip"])]
+    )
     current_names = [n for n, _ in plans]
     assert sorted(current_names) == sorted(committed), (
         "EXPLAINS.md section set drifted from the headline set — "
