@@ -69,3 +69,37 @@ def test_gate_canaries_retry_takes_best_and_flags(monkeypatch):
     monkeypatch.setattr(bench, "measure_canaries", healthy)
     _, degraded = bench.gate_canaries(None)
     assert not degraded and calls["n"] == 1
+
+
+def test_driver_contract_line_fits_tail_capture():
+    """VERDICT r13 #2: the driver keeps only a ~2KB stdout TAIL, so the
+    final printed line must carry metric/value/queries/sf inside that
+    budget. Reconstruct the compact projection from the newest committed
+    full record and assert it fits (with the 2-decimal fallback as the
+    escape hatch bench.main applies before printing)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")))
+    assert records, "no committed BENCH_LOCAL record"
+    d = json.load(open(records[-1]))
+    compact = {
+        "metric": "headline_total",
+        "value": d["value"],
+        "unit": "sec",
+        "queries": d["queries"],
+        "sf": d["sf"],
+        "host_degraded": d["host_degraded"],
+        "full_record": "BENCH_LOCAL",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 2) for k, v in d["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"bench contract line {len(line)} chars exceeds the driver tail "
+        "budget even at 2-decimal precision — trim fields or add a "
+        "coarser fallback in bench.main"
+    )
