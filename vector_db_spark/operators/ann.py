@@ -845,10 +845,22 @@ class IvfIndex:
 
     def probe_order(self, query: Sequence[float]) -> list[int]:
         """Centroid ids by ascending distance to the query (driver-side —
-        nlist floats, not data)."""
-        c = np.asarray(self.centroids, dtype=np.float64)
+        nlist floats, not data). In ``exact_fold`` mode (the frozen
+        oracle-gated rungs, round 14) each distance is an order-pinned
+        Python left fold so a SQL oracle ranking the same frozen
+        centroid literals picks the identical probe set."""
         q = self._query_point(query)
-        d = ((c - q) ** 2).sum(axis=1)
+        if getattr(self, "exact_fold", False):
+            dists = []
+            for j, cent in enumerate(self.centroids):
+                acc = 0.0
+                for x, y in zip(cent, q):
+                    diff = float(x) - float(y)
+                    acc = acc + diff * diff
+                dists.append((acc, j))
+            return [j for _, j in sorted(dists)]
+        c = np.asarray(self.centroids, dtype=np.float64)
+        d = ((c - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d, kind="stable")]
 
     def search(
@@ -1436,3 +1448,40 @@ class CosineLshIndex:
             id_col=self.id_col,
             predicate=predicate,
         )
+
+
+FROZEN_DOC_IVF_PATH = "artifacts/ivf_centroids_docs.json"
+
+
+def load_frozen_doc_ivf(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Frozen coarse quantizer in exact-fold mode (round 14: the probe
+    rung joins the hash-gated set): nlist=8 centroids from one pinned
+    sf0.01 KMeans fit, repr-string persisted (the pca/pq artifact
+    pattern). Assignments run through `_nearest_centroid_expr` — the
+    pure-codegen argmin whose tie parity with the Arrow kernel is
+    test-pinned, and whose left-fold arithmetic a DuckDB oracle replays
+    bit-exactly (nlist·dim = 512, under the `_EXPR_ASSIGN_MAX` planning
+    ceiling) — and `probe_order` ranks cells with order-pinned Python
+    folds. The PRODUCTION Arrow assignment/probe kernels stay hash-gated
+    at full probe (`ann_ivf_full_probe`, `ann_ivf_batch_full_probe`) and
+    recall-tuned in RECALL_r*; this loader gives the REDUCED-probe
+    semantics their own bit-exact gate."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_IVF_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    cents = [[float(x) for x in row] for row in art["centroids"]]
+    assignments = corpus.withColumn(
+        _CLUSTER_COL, _nearest_centroid_expr(F.col(vec_col), cents)
+    )
+    idx = IvfIndex(cents, assignments, id_col, vec_col, "l2")
+    idx.exact_fold = True
+    return idx

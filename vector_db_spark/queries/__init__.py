@@ -29,13 +29,16 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 #     r13 #2), delta_roundtrip (Delta interop, #6), mmr_rerank_diverse
 #     (oracle gained the engine's zero-norm sim guard, ADVICE r13), and
 #     maxsim_batch_range + maxsim_pq_batch_exhaustive (re-attest the
-#     query-side collect paths behind the new corpus-size guard, #4);
+#     query-side collect paths behind the new corpus-size guard, #4),
+#     and ann_ivf_probe + ann_ivf_batch_probe + ann_lsh_cosine (the
+#     round's second conversion wave: frozen coarse quantizer /
+#     seed-determined hyperplanes, probe rungs now hash-gated);
 # (2) the full r8-stale cohort — repetition_quality,
 #     stratified_sample_docs, stream_ivfopq_append_exhaustive,
 #     stream_maxsim_pq_append_exhaustive, stream_opq_append_rerank_full,
 #     text_quality, token_stats, tpch_q3_shipping (histogram after r13:
 #     8@r8, 49@r9, 46@r10, 48@r11, 33@r12, 50@r13);
-# (3) oldest-first fill: 36 of the 49 r9-cohort gates, alphabetical.
+# (3) oldest-first fill: 33 of the 49 r9-cohort gates, alphabetical.
 # Composition: 50/50 slots oracle-backed — every window row is
 # hash-comparable (all r8/r9-stale gates are oracle-backed this round).
 # Rows-only gates keep their ORACLE_FULL sweep rows and their meta-test
@@ -47,6 +50,9 @@ _VERIFY_FIRST = [
     "mmr_rerank_diverse",
     "maxsim_batch_range",
     "maxsim_pq_batch_exhaustive",
+    "ann_ivf_probe",
+    "ann_ivf_batch_probe",
+    "ann_lsh_cosine",
     "repetition_quality",
     "stratified_sample_docs",
     "stream_ivfopq_append_exhaustive",
@@ -88,9 +94,6 @@ _VERIFY_FIRST = [
     "stream_quota_sample",
     "stream_session_agg",
     "stream_sliding_agg",
-    "stream_static_enrich",
-    "stream_upsert_readback",
-    "tpch_q10_returns",
 ]
 
 

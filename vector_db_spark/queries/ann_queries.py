@@ -69,24 +69,207 @@ def _exact_ids(spark, sf_dir, metric="l2", predicate=None) -> list:
     ]
 
 
-@query("ann_ivf_probe")
+def _ivf_cb_values() -> tuple[str, str, int, int]:
+    """(VALUES rows, column list, nlist, dim) for the frozen coarse
+    centroids — shared by the single and batch probe oracles."""
+    import json as _json
+    import os as _os
+
+    from vector_db_spark.operators.ann import FROZEN_DOC_IVF_PATH
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        FROZEN_DOC_IVF_PATH,
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    cents = art["centroids"]
+    nlist, dim = len(cents), len(cents[0])
+    cols = ", ".join(f"c{d}" for d in range(dim))
+    rows = ",\n".join(
+        f"({j}, " + ", ".join(repr(float(x)) for x in cents[j]) + ")"
+        for j in range(nlist)
+    )
+    return rows, cols, nlist, dim
+
+
+def _ivf_cell_dist(vec_sql: str, dim: int) -> str:
+    """Left-fold squared-L2 between a vector column and the cb row —
+    the exact arithmetic of ann._l2_to_literal (whose F.aggregate fold
+    starts at 0.0; 0.0 + d0 == d0 bit-exactly for the non-negative
+    squared terms, so the plain SQL chain matches)."""
+    return " + ".join(
+        f"(({vec_sql}[{d + 1}]::DOUBLE) - c.c{d}) * (({vec_sql}[{d + 1}]::DOUBLE) - c.c{d})"
+        for d in range(dim)
+    )
+
+
+def _ivf_probe_oracle() -> str:
+    rows, cols, nlist, dim = _ivf_cb_values()
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cb (j, {cols}) AS (VALUES
+{rows}
+),
+assign AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_ivf_cell_dist("e.embedding", dim)} ASC, c.j ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT c.j FROM cb c CROSS JOIN q
+  ORDER BY {_ivf_cell_dist("q.qv", dim)} ASC, c.j ASC
+  LIMIT 4
+),
+top AS (
+  SELECT e.vec_id, {_L2} AS distance
+  FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
+  WHERE assign.cell IN (SELECT j FROM qcells)
+  ORDER BY distance ASC, e.vec_id ASC
+  LIMIT {K}
+),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_L2} ASC, e.vec_id ASC
+  LIMIT {K}
+),
+rec AS (
+  SELECT round(CAST((SELECT count(*) FROM top JOIN exact10 USING (vec_id))
+               AS DOUBLE) / {K}, 4) AS recall_at_10
+)
+SELECT top.vec_id, round(top.distance, 6) AS distance, rec.recall_at_10
+FROM top, rec
+"""
+
+
+@query("ann_ivf_probe", oracle=_ivf_probe_oracle())
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path: probe half the cells. Recall-gated in-row
-    (floor 0.6; tuned mean >= 0.85 pinned in tests/test_ann.py)."""
+    """Approximate path: probe half the cells — served from the FROZEN
+    coarse quantizer (ann.load_frozen_doc_ivf) in exact-fold mode.
+
+    Hash-exact as of round 14 (the r13 rows-only audit's "possible in
+    principle" row, done): assignment is the pure-codegen argmin
+    expression, cell ranking an order-pinned driver fold, the rerank the
+    already-portable exact kNN — so the DuckDB oracle replays assignment,
+    probe-set selection, pruned rerank, AND the in-row recall column
+    bit-exactly. The PRODUCTION Arrow assignment/probe kernels stay
+    hash-gated at full probe (ann_ivf_full_probe/batch) and tuned-recall
+    pinned (tests/test_ann.py ≥ 0.85 mean; RECALL_r* 0.956). Floor 0.6
+    stays enforced in-row."""
+    from vector_db_spark.operators.ann import load_frozen_doc_ivf
+
     emb = _emb(spark, sf_dir)
-    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    idx = load_frozen_doc_ivf(emb)
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=4, metric="l2")
     res = res.select("vec_id", F.round("distance", 6).alias("distance"))
     return _recall_gated(res, _exact_ids(spark, sf_dir), 0.6, "ann_ivf_probe")
 
 
-@query("ann_lsh_cosine")
+def _lsh_planes():
+    """The ann_lsh_cosine gate's hyperplanes: exactly CosineLshIndex.
+    build(dim=64, n_bits=6, n_tables=4, seed=42)'s planes. RandomState
+    is bit-stable across numpy versions (legacy-generator compatibility
+    guarantee), so seed + shape IS the frozen artifact — no file
+    needed."""
+    import numpy as np
+
+    return np.random.RandomState(42).normal(size=(4, 6, 64))
+
+
+def _lsh_bucket_sql(vec_sql: str, planes) -> list[str]:
+    """Per-table bucket-id SQL: sign-of-dot-fold bits packed little-
+    endian — term-for-term the engine's dot() fold (0.0 seed dropped:
+    0.0 + x == x bit-exactly) and bit packing."""
+    out = []
+    for t in range(planes.shape[0]):
+        bits = []
+        for b in range(planes.shape[1]):
+            dot = " + ".join(
+                f"({vec_sql}[{d + 1}]::DOUBLE * {float(planes[t][b][d])!r})"
+                for d in range(planes.shape[2])
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << b} ELSE 0 END)")
+        out.append("(" + " + ".join(bits) + ")")
+    return out
+
+
+def _lsh_cosine_oracle() -> str:
+    planes = _lsh_planes()
+    ebuckets = _lsh_bucket_sql("e.embedding", planes)
+    qbuckets = _lsh_bucket_sql("q.qv", planes)
+    match = " OR ".join(
+        f"({eb}) = ({qb})" for eb, qb in zip(ebuckets, qbuckets)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+top AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE {match}
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {K}
+),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_COS} DESC, e.vec_id ASC
+  LIMIT {K}
+),
+rec AS (
+  SELECT round(CAST((SELECT count(*) FROM top JOIN exact10 USING (vec_id))
+               AS DOUBLE) / {K}, 4) AS recall_at_10
+)
+SELECT top.vec_id, round(top.score, 6) AS score, rec.recall_at_10
+FROM top, rec
+"""
+
+
+@query("ann_lsh_cosine", oracle=_lsh_cosine_oracle())
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe LSH production path, recall-gated in-row (floor 0.3
-    single-query; tuned 5-query mean >= 0.8 pinned in tests/test_ann.py)."""
+    """Single-bucket cosine LSH (n_bits=6, n_tables=4, seed=42) — the
+    hyperplanes are fully determined by the pinned seed (RandomState is
+    bit-stable by numpy's compatibility guarantee), so this is the
+    freeze pattern with the artifact generated instead of persisted.
+
+    Hash-exact as of round 14 (the r13 rows-only audit row, done): the
+    per-table bucket ids are pure-codegen sign-of-dot-fold expressions
+    (`_lsh_bucket_expr`) the DuckDB oracle replays term-for-term; the
+    candidate set is the union of the query's buckets across tables
+    (identical to CosineLshIndex.search's distinct-id union), the
+    cosine rerank is the already-portable exact kNN, and the in-row
+    recall column replays too. The PRODUCTION Arrow bucketize kernel
+    stays hash-gated by the `ann_lsh_*_exhaustive` family and
+    tuned-recall pinned (tests/test_ann.py mean >= 0.8; RECALL_r*
+    0.998). Floor 0.3 stays enforced in-row."""
+    from vector_db_spark.functions.vector import dot as _vdot
+    from vector_db_spark.operators.knn import knn
+
     emb = _emb(spark, sf_dir)
-    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
-    res = idx.search(_qvec(spark, sf_dir), K)
+    planes = _lsh_planes()
+    vec = F.col("embedding")
+    qv = _qvec(spark, sf_dir)
+    cond = None
+    for t in range(planes.shape[0]):
+        bucket = None
+        qbucket = 0
+        for b in range(planes.shape[1]):
+            plane = [float(x) for x in planes[t][b]]
+            bit = (
+                _vdot(vec, F.array(*[F.lit(x) for x in plane])) >= F.lit(0.0)
+            ).cast("long") * F.lit(1 << b)
+            bucket = bit if bucket is None else bucket + bit
+            acc = 0.0
+            for x, y in zip(qv, plane):
+                acc = acc + float(x) * y
+            qbucket |= (1 << b) if acc >= 0.0 else 0
+        c = bucket == F.lit(qbucket)
+        cond = c if cond is None else cond | c
+    cands = emb.filter(cond)
+    res = knn(cands, qv, K, metric="cosine")
     res = res.select("vec_id", F.round("score", 6).alias("score"))
     return _recall_gated(
         res, _exact_ids(spark, sf_dir, metric="cosine"), 0.3, "ann_lsh_cosine"
@@ -169,21 +352,139 @@ def ann_ivf_batch_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_batch_probe")
+def _ivf_batch_probe_oracle() -> str:
+    rows, cols, nlist, dim = _ivf_cb_values()
+    batch_l2 = _BATCH_L2.replace("q.qv", "qs.qv")
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+cb (j, {cols}) AS (VALUES
+{rows}
+),
+assign AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_ivf_cell_dist("e.embedding", dim)} ASC, c.j ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT query_id, j AS cell FROM (
+    SELECT qs.query_id, c.j,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY {_ivf_cell_dist("qs.qv", dim)} ASC, c.j ASC
+           ) AS rn
+    FROM qs CROSS JOIN cb c
+  ) WHERE rn <= 4
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist, vec_id
+         ) AS rank
+  FROM (
+    SELECT qs.query_id, e.vec_id, {batch_l2} AS dist
+    FROM embeddings e
+    JOIN assign USING (vec_id)
+    JOIN qcells ON qcells.cell = assign.cell
+    JOIN qs ON qs.query_id = qcells.query_id
+  )
+),
+res AS (SELECT * FROM ranked WHERE rank <= {_BATCH_K}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qs.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY qs.query_id ORDER BY {batch_l2}, e.vec_id
+           ) AS rank
+    FROM embeddings e, qs
+  ) WHERE rank <= {_BATCH_K}
+),
+rec AS (
+  SELECT round(AVG(r), 4) AS mean_recall_at_5 FROM (
+    SELECT CAST(count(res.vec_id) AS DOUBLE) / {_BATCH_K} AS r
+    FROM exact LEFT JOIN res USING (query_id, vec_id)
+    GROUP BY exact.query_id
+  )
+)
+SELECT res.query_id, res.vec_id, round(res.dist, 6) AS distance, res.rank,
+       rec.mean_recall_at_5
+FROM res, rec
+"""
+
+
+@query("ann_ivf_batch_probe", oracle=_ivf_batch_probe_oracle())
 def ann_ivf_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The approximate batch path: half the cells probed per query.
-    Recall-gated in-row: MEAN per-query recall@5 vs exact batch kNN must
-    clear 0.6 (tuned mean >= 0.85 pinned in tests/test_ann.py), and every
-    row carries the measured mean."""
+    """The approximate batch path: half the cells probed per query —
+    served from the FROZEN coarse quantizer with the cell ranking as a
+    pure-codegen expression over the frozen literals (nlist·dim = 512,
+    under the `_EXPR_ASSIGN_MAX` planning ceiling), the same
+    broadcast-cells-join + window-rank plan shape as the production
+    `search_batch`, whose Arrow cell-ranking GEMM stays hash-gated at
+    full probe (`ann_ivf_batch_full_probe`) and tuned-recall pinned.
+
+    Hash-exact as of round 14: assignment, per-query probe sets, pruned
+    scoring, ranking, AND the mean-recall column replay in DuckDB.
+    MEAN per-query recall@5 vs exact batch kNN must still clear 0.6
+    in-row (tuned mean >= 0.85 pinned in tests/test_ann.py)."""
+    from vector_db_spark.operators.ann import (
+        _CLUSTER_COL,
+        _l2_to_literal,
+        load_frozen_doc_ivf,
+    )
+    from vector_db_spark.functions.vector import l2_sq
     from vector_db_spark.operators.knn import batch_knn
+    from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+    idx = load_frozen_doc_ivf(emb)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    res = idx.search_batch(queries, _BATCH_K, nprobe=4, metric="l2").select(
-        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    cell_dists = F.array(
+        *[_l2_to_literal(F.col("query_vec"), c) for c in idx.centroids]
+    )
+    probe = (
+        queries.select(
+            "query_id", "query_vec",
+            F.posexplode(cell_dists).alias("cell", "cdist"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crn") <= 4)
+        .select("query_id", "query_vec", "cell")
+    )
+    scored = idx.assignments.join(
+        F.broadcast(probe), F.col(_CLUSTER_COL) == F.col("cell")
+    ).select(
+        "query_id",
+        "vec_id",
+        l2_sq(F.col("embedding"), F.col("query_vec")).alias("distance"),
+    )
+    res = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("distance").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _BATCH_K)
+        .select(
+            "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+        )
     )
     exact = {}
     for r in batch_knn(emb, queries, _BATCH_K).collect():
