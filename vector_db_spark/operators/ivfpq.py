@@ -314,14 +314,21 @@ class IvfPqIndex:
         slot_of = np.zeros(max(probes) + 1, dtype=np.int64)
         for i, c in enumerate(probes):
             slot_of[c] = i
+        exact = self.pq.exact_fold
 
         @F.pandas_udf("double")
         def _adc(codes: pd.Series, cells: pd.Series) -> pd.Series:
             cmat = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(-1, m)
             slot = slot_of[cells.to_numpy()]
-            return pd.Series(
-                tables[slot[:, None], np.arange(m)[None, :], cmat].sum(axis=1)
-            )
+            t = tables[slot[:, None], np.arange(m)[None, :], cmat]
+            if exact:
+                # subspace-order left fold, mirroring the frozen gate's
+                # oracle (ordered list_reduce) — see pq.ProductQuantizer
+                acc = t[:, 0].copy()
+                for s in range(1, m):
+                    acc = acc + t[:, s]
+                return pd.Series(acc)
+            return pd.Series(t.sum(axis=1))
 
         cands = self._live().filter(F.col(_CLUSTER_COL).isin(probes))
         if predicate is not None:
@@ -471,3 +478,40 @@ class IvfPqIndex:
                 F.col("query_id").alias(query_id_col), id_col, "distance", "rank"
             )
         )
+
+
+FROZEN_DOC_IVFPQ_PATH = "artifacts/ivfpq_codebooks_docs.json"
+
+
+def load_frozen_doc_ivfpq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Frozen IVF-PQ in exact-fold mode (round 14): the frozen coarse
+    quantizer (ann.load_frozen_doc_ivf — expression argmin assignment,
+    order-pinned probe ranking) composed with FROZEN residual codebooks
+    (one pinned sf0.01 fit over residuals vs those centroids). Residuals
+    come from with_residuals' codegen zip_with literal lookup (bit-
+    portable below the planning ceiling), encode/ADC run through the
+    exact_fold quantizer, so a DuckDB oracle replays assignment →
+    residual → codes → per-cell ADC tables → shortlist → exact rerank
+    bit-for-bit. Production kernels stay hash-gated by ivfpq_exhaustive
+    and recall-pinned (RECALL_r*)."""
+    from vector_db_spark.operators.ann import load_frozen_doc_ivf
+
+    ivf = load_frozen_doc_ivf(corpus, id_col=id_col, vec_col=vec_col)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_IVFPQ_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    books = np.asarray(
+        [[[float(x) for x in c] for c in sub] for sub in art["codebooks"]],
+        dtype=np.float64,
+    )
+    pq = ProductQuantizer(books, id_col, "_resid", exact_fold=True)
+    with_resid = with_residuals(ivf.assignments, ivf.centroids, vec_col)
+    encoded = pq.encode(with_resid, code_col="pq_codes").drop("_resid")
+    return IvfPqIndex(ivf, pq, encoded, id_col, vec_col)

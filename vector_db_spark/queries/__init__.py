@@ -30,15 +30,16 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 #     (oracle gained the engine's zero-norm sim guard, ADVICE r13), and
 #     maxsim_batch_range + maxsim_pq_batch_exhaustive (re-attest the
 #     query-side collect paths behind the new corpus-size guard, #4),
-#     and ann_ivf_probe + ann_ivf_batch_probe + ann_lsh_cosine (the
-#     round's second conversion wave: frozen coarse quantizer /
-#     seed-determined hyperplanes, probe rungs now hash-gated);
+#     and the probe-rung conversion wave — ann_ivf_probe,
+#     ann_ivf_batch_probe, ann_lsh_cosine, ann_lsh_filtered,
+#     ivfpq_probe (frozen coarse quantizer / frozen residual codebooks /
+#     seed-determined hyperplanes: the probed paths now hash-gated);
 # (2) the full r8-stale cohort — repetition_quality,
 #     stratified_sample_docs, stream_ivfopq_append_exhaustive,
 #     stream_maxsim_pq_append_exhaustive, stream_opq_append_rerank_full,
 #     text_quality, token_stats, tpch_q3_shipping (histogram after r13:
 #     8@r8, 49@r9, 46@r10, 48@r11, 33@r12, 50@r13);
-# (3) oldest-first fill: 33 of the 49 r9-cohort gates, alphabetical.
+# (3) oldest-first fill: 31 of the 49 r9-cohort gates, alphabetical.
 # Composition: 50/50 slots oracle-backed — every window row is
 # hash-comparable (all r8/r9-stale gates are oracle-backed this round).
 # Rows-only gates keep their ORACLE_FULL sweep rows and their meta-test
@@ -53,6 +54,8 @@ _VERIFY_FIRST = [
     "ann_ivf_probe",
     "ann_ivf_batch_probe",
     "ann_lsh_cosine",
+    "ann_lsh_filtered",
+    "ivfpq_probe",
     "repetition_quality",
     "stratified_sample_docs",
     "stream_ivfopq_append_exhaustive",
@@ -92,8 +95,6 @@ _VERIFY_FIRST = [
     "set_ops_nations",
     "stream_dedup_events",
     "stream_quota_sample",
-    "stream_session_agg",
-    "stream_sliding_agg",
 ]
 
 

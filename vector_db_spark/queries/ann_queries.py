@@ -309,17 +309,81 @@ def ann_lsh_radius_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
-@query("ann_lsh_filtered")
-def ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production filtered-LSH path: realistic bucket count, multiprobe,
-    predicate applied to candidates before rerank (rows-only; subset-of-
-    exact-filtered + predicate-satisfaction pinned in tests/test_ann.py).
-    Recall-gated in-row vs the exact FILTERED top-k (floor 0.3)."""
-    emb = _emb(spark, sf_dir)
-    idx = CosineLshIndex.build(emb, dim=64, n_bits=6, n_tables=4, seed=42)
-    res = idx.search(
-        _qvec(spark, sf_dir), K, probe_radius=1, predicate=F.col("label") == 3
+def _lsh_filtered_oracle() -> str:
+    planes = _lsh_planes()
+    ebuckets = _lsh_bucket_sql("e.embedding", planes)
+    qbuckets = _lsh_bucket_sql("q.qv", planes)
+    # multiprobe radius 1: candidate if ANY table's bucket is within
+    # Hamming distance 1 of the query's — popcount over bit-identical
+    # sign folds, so the probe set replays exactly
+    match = " OR ".join(
+        f"bit_count(xor(CAST({eb} AS BIGINT), CAST({qb} AS BIGINT))) <= 1"
+        for eb, qb in zip(ebuckets, qbuckets)
     )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+top AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 3 AND ({match})
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {K}
+),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.label = 3
+  ORDER BY {_COS} DESC, e.vec_id ASC
+  LIMIT {K}
+),
+rec AS (
+  SELECT round(CAST((SELECT count(*) FROM top JOIN exact10 USING (vec_id))
+               AS DOUBLE) / {K}, 4) AS recall_at_10
+)
+SELECT top.vec_id, round(top.score, 6) AS score, rec.recall_at_10
+FROM top, rec
+"""
+
+
+@query("ann_lsh_filtered", oracle=_lsh_filtered_oracle())
+def ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production filtered-LSH path: realistic bucket count,
+    radius-1 multiprobe, predicate applied to candidates before rerank
+    (subset-of-exact-filtered + predicate-satisfaction stay pinned in
+    tests/test_ann.py).
+
+    Hash-exact as of round 14 (same seed-determined hyperplanes as
+    ann_lsh_cosine): per-table buckets are sign-of-dot-fold codegen
+    expressions, the radius-1 multiprobe is a popcount over their XOR
+    (integer-exact given bit-identical sign folds), the predicate is a
+    plain pushed filter, and the cosine rerank + in-row recall column
+    replay in DuckDB. Recall floor 0.3 vs the exact FILTERED top-k
+    stays enforced in-row; the production multiprobe bucketize kernel
+    stays hash-gated by ann_lsh_filtered_exhaustive."""
+    from vector_db_spark.functions.vector import dot as _vdot
+    from vector_db_spark.operators.knn import knn
+
+    emb = _emb(spark, sf_dir)
+    planes = _lsh_planes()
+    vec = F.col("embedding")
+    qv = _qvec(spark, sf_dir)
+    cond = None
+    for t in range(planes.shape[0]):
+        bucket = None
+        qbucket = 0
+        for b in range(planes.shape[1]):
+            plane = [float(x) for x in planes[t][b]]
+            bit = (
+                _vdot(vec, F.array(*[F.lit(x) for x in plane])) >= F.lit(0.0)
+            ).cast("long") * F.lit(1 << b)
+            bucket = bit if bucket is None else bucket + bit
+            acc = 0.0
+            for x, y in zip(qv, plane):
+                acc = acc + float(x) * y
+            qbucket |= (1 << b) if acc >= 0.0 else 0
+        c = F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= F.lit(1)
+        cond = c if cond is None else cond | c
+    cands = emb.filter(cond & (F.col("label") == 3))
+    res = knn(cands, qv, K, metric="cosine")
     res = res.select("vec_id", F.round("score", 6).alias("score"))
     return _recall_gated(
         res,
@@ -697,13 +761,134 @@ def ivfpq_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-@query("ivfpq_probe")
+def _ivfpq_probe_oracle() -> str:
+    import json as _json
+    import os as _os
+
+    from vector_db_spark.operators.ivfpq import FROZEN_DOC_IVFPQ_PATH
+
+    rows, cols, nlist, dim = _ivf_cb_values()
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        FROZEN_DOC_IVFPQ_PATH,
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    books = art["codebooks"]
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+    pq_cols = ", ".join(f"p{t}" for t in range(dsub))
+    pq_rows = ",\n".join(
+        f"({s}, {j}, " + ", ".join(repr(float(x)) for x in books[s][j]) + ")"
+        for s in range(m)
+        for j in range(ksub)
+    )
+
+    def pq_dist(rv: str) -> str:
+        # ((r0-p0)*(r0-p0) + …) — the exact_fold encode/LUT fold
+        return " + ".join(
+            f"(({rv}[p.s*{dsub} + {t + 1}]) - p.p{t}) * "
+            f"(({rv}[p.s*{dsub} + {t + 1}]) - p.p{t})"
+            for t in range(dsub)
+        )
+
+    vresid = ", ".join(
+        f"e.embedding[{d + 1}]::DOUBLE - cc.c{d}" for d in range(dim)
+    )
+    qresid = ", ".join(f"q.qv[{d + 1}]::DOUBLE - cc.c{d}" for d in range(dim))
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cc (j, {cols}) AS (VALUES
+{rows}
+),
+pqc (s, j2, {pq_cols}) AS (VALUES
+{pq_rows}
+),
+assign AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_ivf_cell_dist("e.embedding", dim)} ASC, c.j ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cc c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT c.j AS cell FROM cc c CROSS JOIN q
+  ORDER BY {_ivf_cell_dist("q.qv", dim)} ASC, c.j ASC
+  LIMIT 4
+),
+resid AS (
+  SELECT a.vec_id, a.cell, [{vresid}] AS rv
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN cc ON cc.j = a.cell
+  WHERE a.cell IN (SELECT cell FROM qcells)
+),
+codes AS (
+  SELECT vec_id, cell, s, j2 FROM (
+    SELECT r.vec_id, r.cell, p.s, p.j2,
+           row_number() OVER (
+             PARTITION BY r.vec_id, p.s
+             ORDER BY {pq_dist("r.rv")} ASC, p.j2 ASC
+           ) AS rn
+    FROM resid r CROSS JOIN pqc p
+  ) WHERE rn = 1
+),
+qresid AS (
+  SELECT qc.cell, [{qresid}] AS rv
+  FROM qcells qc JOIN cc ON cc.j = qc.cell CROSS JOIN q
+),
+lut AS (
+  SELECT qr.cell, p.s, p.j2, {pq_dist("qr.rv")} AS d
+  FROM qresid qr CROSS JOIN pqc p
+),
+adc AS (
+  SELECT codes.vec_id,
+         list_reduce(list(lut.d ORDER BY codes.s), (a, b) -> a + b) AS dist
+  FROM codes
+  JOIN lut ON lut.cell = codes.cell AND lut.s = codes.s AND lut.j2 = codes.j2
+  GROUP BY codes.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 100),
+top AS (
+  SELECT e.vec_id, {_L2} AS distance
+  FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+  ORDER BY distance ASC, e.vec_id ASC
+  LIMIT {K}
+),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_L2} ASC, e.vec_id ASC
+  LIMIT {K}
+),
+rec AS (
+  SELECT round(CAST((SELECT count(*) FROM top JOIN exact10 USING (vec_id))
+               AS DOUBLE) / {K}, 4) AS recall_at_10
+)
+SELECT top.vec_id, round(top.distance, 6) AS distance, rec.recall_at_10
+FROM top, rec
+"""
+
+
+@query("ivfpq_probe", oracle=_ivfpq_probe_oracle())
 def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF-PQ path: probe half the cells, ADC over M-byte
-    codes, 10×k shortlist rerank (rows-only; recall pinned in tests).
-    Recall-gated in-row (floor 0.5; measured 0.8 single-query)."""
+    """The production IVF-PQ shape: probe half the cells, ADC over
+    M-byte codes, 10×k shortlist rerank — served from the FROZEN
+    composition (ivfpq.load_frozen_doc_ivfpq: frozen coarse centroids +
+    frozen residual codebooks, exact-fold assignment/encode/ADC).
+
+    Hash-exact as of round 14: the DuckDB oracle replays coarse argmin,
+    codegen residuals, per-subspace code argmin, the PER-CELL query ADC
+    tables, the subspace-order distance fold, the 100-row shortlist, the
+    exact rerank, AND the in-row recall column. Production kernels stay
+    hash-gated at lossless settings (ivfpq_exhaustive) and tuned-recall
+    pinned. Floor 0.5 stays enforced in-row (measured 0.8
+    single-query)."""
+    from vector_db_spark.operators.ivfpq import load_frozen_doc_ivfpq
+
     emb = _emb(spark, sf_dir)
-    idx = IvfPqIndex.build(emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5)
+    idx = load_frozen_doc_ivfpq(emb)
     res = idx.search(_qvec(spark, sf_dir), K, nprobe=4, shortlist=100)
     res = res.select("vec_id", F.round("distance", 6).alias("distance"))
     return _recall_gated(res, _exact_ids(spark, sf_dir), 0.5, "ivfpq_probe")
