@@ -1485,3 +1485,39 @@ def load_frozen_doc_ivf(
     idx = IvfIndex(cents, assignments, id_col, vec_col, "l2")
     idx.exact_fold = True
     return idx
+
+
+FROZEN_DOC_SEMDEDUP_CELLS_PATH = "artifacts/semdedup_cells_docs.json"
+
+
+def load_frozen_doc_cosine_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Frozen COSINE cells for the SemDeDup blocking gate (round 14):
+    one pinned sf0.01 cosine KMeans fit (nlist = semdedup_nlist(n) at
+    the fixture size), assignment = the codegen argmin expression over
+    `normalize(vec)` — normalization is the same fold-portable
+    sqrt-of-dot-fold + per-element divide the oracle replays, so the
+    cell partition is bit-deterministic. The k ∝ n PRODUCTION recipe
+    (uncapped semdedup_nlist + Arrow assignment) stays exercised by the
+    bench/scale-probe path (`bench.py` builds the serving cosine IVF at
+    semdedup_nlist) and the blocking-recall pins."""
+    import json
+
+    from vector_db_spark.functions.vector import normalize
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_SEMDEDUP_CELLS_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    cents = [[float(x) for x in row] for row in art["centroids"]]
+    assignments = corpus.withColumn(
+        _CLUSTER_COL, _nearest_centroid_expr(normalize(F.col(vec_col)), cents)
+    )
+    idx = IvfIndex(cents, assignments, id_col, vec_col, "cosine")
+    idx.exact_fold = True
+    return idx

@@ -923,7 +923,20 @@ class MaxSimIvfIndex:
 
         nlist = len(self.ivf.centroids)
         cents = np.asarray(self.ivf.centroids, dtype=np.float64)[:, :dim]
-        s = cents @ np.asarray(toks, dtype=np.float64).T  # nlist x T
+        if getattr(self.ivf, "exact_fold", False):
+            # order-pinned left folds (the frozen oracle-gated rung,
+            # round 14): the SQL oracle replays the same chain over the
+            # frozen centroid literals, so the stage-2 shortlist order
+            # is bit-deterministic
+            s = np.empty((nlist, len(toks)))
+            for c in range(nlist):
+                for t, tok in enumerate(toks):
+                    acc = 0.0
+                    for d in range(dim):
+                        acc = acc + float(cents[c][d]) * float(tok[d])
+                    s[c, t] = acc
+        else:
+            s = cents @ np.asarray(toks, dtype=np.float64).T  # nlist x T
         masked = np.full((nlist, len(toks)), np.nan)
         for t, cells in enumerate(probed):
             for c in cells:
@@ -1244,20 +1257,42 @@ class MaxSimPqIndex:
 
         doc_col, code_col = self.doc_col, self._CODE_COL
         m, dsub = self.m, self.dsub
+        exact = getattr(self._ivf, "exact_fold", False)
         qmat = np.asarray(toks, dtype=np.float64)  # T x dim
-        cent_dots = self._raw_centroids() @ qmat.T  # nlist x T
-        # ip_tables[t, i, j] = <q_t[sub_i], codebook[i][j]>
-        ip_tables = np.stack(
-            [
-                np.stack(
-                    [
-                        self.codebooks[i] @ q[i * dsub : (i + 1) * dsub]
-                        for i in range(m)
-                    ]
-                )
-                for q in qmat
-            ]
-        )  # T x m x ksub
+        raw_cents = self._raw_centroids()
+        if exact:
+            # order-pinned folds (frozen oracle-gated rung, round 14):
+            # centroid dots and per-subspace IP tables as left folds the
+            # SQL oracle replays over the frozen literals
+            cent_dots = np.empty((raw_cents.shape[0], len(toks)))
+            for c in range(raw_cents.shape[0]):
+                for t in range(len(toks)):
+                    acc = 0.0
+                    for d in range(raw_cents.shape[1]):
+                        acc = acc + float(raw_cents[c][d]) * float(qmat[t][d])
+                    cent_dots[c, t] = acc
+            ip_tables = np.empty((len(toks), m, self.ksub))
+            for t in range(len(toks)):
+                for i in range(m):
+                    qs = qmat[t][i * dsub : (i + 1) * dsub]
+                    acc = self.codebooks[i][:, 0] * qs[0]
+                    for d in range(1, dsub):
+                        acc = acc + self.codebooks[i][:, d] * qs[d]
+                    ip_tables[t][i] = acc
+        else:
+            cent_dots = raw_cents @ qmat.T  # nlist x T
+            # ip_tables[t, i, j] = <q_t[sub_i], codebook[i][j]>
+            ip_tables = np.stack(
+                [
+                    np.stack(
+                        [
+                            self.codebooks[i] @ q[i * dsub : (i + 1) * dsub]
+                            for i in range(m)
+                        ]
+                    )
+                    for q in qmat
+                ]
+            )  # T x m x ksub
         doc_type = dict(
             (f.name, f.dataType.simpleString()) for f in rows.schema.fields
         )[doc_col]
@@ -1272,9 +1307,15 @@ class MaxSimPqIndex:
                 cells = pdf[_CLUSTER_COL].to_numpy()
                 dots = cent_dots[cells]  # B x T (copy via fancy index)
                 for t in range(ip_tables.shape[0]):
-                    dots[:, t] += ip_tables[t][
-                        np.arange(m)[None, :], cmat
-                    ].sum(axis=1)
+                    if exact:
+                        # ((cent + l0) + l1) + … — the oracle's
+                        # list_prepend(cent, ordered lut) fold
+                        for i in range(m):
+                            dots[:, t] = dots[:, t] + ip_tables[t][i][cmat[:, i]]
+                    else:
+                        dots[:, t] += ip_tables[t][
+                            np.arange(m)[None, :], cmat
+                        ].sum(axis=1)
                 yield pd.DataFrame(
                     {doc_col: pdf[doc_col], "dots": list(dots)}
                 )
@@ -1557,3 +1598,100 @@ class MaxSimPqIndex:
             token_id_col=token_id_col,
             score_col=score_col,
         )
+
+
+FROZEN_DOC_MAXSIM_IVF_PATH = "artifacts/maxsim_ivf_docs.json"
+
+
+def load_frozen_doc_maxsim_ivf(
+    corpus: DataFrame,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> MaxSimIvfIndex:
+    """Frozen token-IVF for the probed-MaxSim gate (round 14): the
+    MIPS-augmented (dim+1) centroids and the build-time M² from one
+    pinned sf0.01 fit, with token assignment replayed as the codegen
+    argmin expression over the AUGMENTED vector — [x, √max(M²−‖x‖², 0)]
+    is itself a fold-portable expression (dot fold + greatest + sqrt),
+    so the cell partition, the per-token probe sets (order-pinned
+    probe_order), the stage-2 centroid-score shortlist (exact-fold
+    _masked_scores), and the exact stage-3 rerank all replay bit-exactly
+    in SQL. Production Arrow kernels stay hash-gated by
+    maxsim_ivf_exhaustive (+ the batch/filtered/delete exhaustive
+    family) and recall-pinned."""
+    import json
+    import os
+
+    from vector_db_spark.functions.vector import dot as _vdot
+    from vector_db_spark.operators.ann import (
+        _CLUSTER_COL,
+        _nearest_centroid_expr,
+        IvfIndex,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_MAXSIM_IVF_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    cents = [[float(x) for x in row] for row in art["centroids"]]
+    m2 = float(art["max_sq_norm"])
+    sq = _vdot(F.col(vec_col), F.col(vec_col))
+    aug = F.concat(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(F.sqrt(F.greatest(F.lit(m2) - sq, F.lit(0.0)))),
+    )
+    assignments = corpus.withColumn(
+        _CLUSTER_COL, _nearest_centroid_expr(aug, cents)
+    )
+    ivf = IvfIndex(cents, assignments, doc_col, vec_col, "ip")
+    ivf.max_sq_norm = m2
+    ivf.exact_fold = True
+    return MaxSimIvfIndex(ivf)
+
+
+FROZEN_DOC_MAXSIM_PQ_PATH = "artifacts/maxsim_pq_docs.json"
+
+
+def load_frozen_doc_maxsim_pq(
+    corpus: DataFrame,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> MaxSimPqIndex:
+    """Frozen compressed-PLAID (round 14): the frozen token-IVF
+    (load_frozen_doc_maxsim_ivf) + FROZEN residual codebooks (one pinned
+    sf0.01 fit, m=8/ksub=32). Residuals are the codegen zip_with literal
+    lookup, encode runs through the exact_fold quantizer, and _adc_dots'
+    stage-2 scoring folds centroid-dot + per-subspace IP lookups in
+    order — so the SQL oracle replays candidate generation, the
+    residual-ADC shortlist, and the exact rerank bit-for-bit. Production
+    kernels stay hash-gated by maxsim_pq_*_exhaustive."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_db_spark.operators.ivfpq import with_residuals
+    from vector_db_spark.operators.pq import ProductQuantizer
+
+    msivf = load_frozen_doc_maxsim_ivf(corpus, doc_col=doc_col, vec_col=vec_col)
+    ivf = msivf.ivf
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        FROZEN_DOC_MAXSIM_PQ_PATH,
+    )
+    with open(path) as f:
+        art = json.load(f)
+    books = np.asarray(
+        [[[float(x) for x in c] for c in sub] for sub in art["codebooks"]],
+        dtype=np.float64,
+    )
+    dim = len(ivf.centroids[0]) - 1
+    raw_cents = [list(map(float, c[:dim])) for c in ivf.centroids]
+    pq = ProductQuantizer(books, doc_col, "_resid", exact_fold=True)
+    with_resid = with_residuals(ivf.assignments, raw_cents, vec_col)
+    ivf.assignments = pq.encode(
+        with_resid, code_col=MaxSimPqIndex._CODE_COL
+    ).drop("_resid")
+    return MaxSimPqIndex(msivf, books)

@@ -32,14 +32,17 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 #     query-side collect paths behind the new corpus-size guard, #4),
 #     and the probe-rung conversion wave — ann_ivf_probe,
 #     ann_ivf_batch_probe, ann_lsh_cosine, ann_lsh_filtered,
-#     ivfpq_probe (frozen coarse quantizer / frozen residual codebooks /
-#     seed-determined hyperplanes: the probed paths now hash-gated);
+#     ivfpq_probe, maxsim_ivf_probe, maxsim_pq_probe,
+#     semantic_dedup_clustered (frozen coarse quantizers / residual
+#     codebooks / cosine cells / seed-determined hyperplanes: every
+#     convertible probed path is now hash-gated — the r13 audit's
+#     "possible in principle" set is empty);
 # (2) the full r8-stale cohort — repetition_quality,
 #     stratified_sample_docs, stream_ivfopq_append_exhaustive,
 #     stream_maxsim_pq_append_exhaustive, stream_opq_append_rerank_full,
 #     text_quality, token_stats, tpch_q3_shipping (histogram after r13:
 #     8@r8, 49@r9, 46@r10, 48@r11, 33@r12, 50@r13);
-# (3) oldest-first fill: 31 of the 49 r9-cohort gates, alphabetical.
+# (3) oldest-first fill: 28 of the 49 r9-cohort gates, alphabetical.
 # Composition: 50/50 slots oracle-backed — every window row is
 # hash-comparable (all r8/r9-stale gates are oracle-backed this round).
 # Rows-only gates keep their ORACLE_FULL sweep rows and their meta-test
@@ -56,6 +59,9 @@ _VERIFY_FIRST = [
     "ann_lsh_cosine",
     "ann_lsh_filtered",
     "ivfpq_probe",
+    "maxsim_ivf_probe",
+    "maxsim_pq_probe",
+    "semantic_dedup_clustered",
     "repetition_quality",
     "stratified_sample_docs",
     "stream_ivfopq_append_exhaustive",
@@ -92,9 +98,6 @@ _VERIFY_FIRST = [
     "rollup_lineitem",
     "salted_agg_lineitem",
     "scalar_functions",
-    "set_ops_nations",
-    "stream_dedup_events",
-    "stream_quota_sample",
 ]
 
 

@@ -371,18 +371,145 @@ def maxsim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
 
 
-@query("maxsim_ivf_probe")
-def maxsim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-scan PLAID retrieval (rows-only probe; recall pinned in
-    tests/test_late_interaction.py): probe a quarter of the cells per
-    token, rerank a 20-doc shortlist — the scan-bound path a 100 TB
-    retrieval user actually hits. Returned scores are exact MaxSim for
-    every surviving doc (stage-3 contract)."""
-    from vector_db_spark.operators.late_interaction import MaxSimIvfIndex
+def _msivf_probe_oracle() -> str:
+    """Frozen probed-PLAID oracle: replay token assignment (MIPS-
+    augmented argmin over the frozen 65-dim centroid literals), the
+    per-token probe sets, the stage-2 centroid-score shortlist, and the
+    exact stage-3 rerank — every float a left fold matching the
+    exact-fold engine path (late_interaction.load_frozen_doc_maxsim_ivf)."""
+    import json as _json
+    import os as _os
 
-    idx = MaxSimIvfIndex.build(
-        _msivf_corpus(spark, sf_dir), nlist=16, doc_col="doc", max_iter=5
+    from vector_db_spark.operators.late_interaction import (
+        FROZEN_DOC_MAXSIM_IVF_PATH,
     )
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        FROZEN_DOC_MAXSIM_IVF_PATH,
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    cents = art["centroids"]
+    nlist, adim = len(cents), len(cents[0])
+    dim = adim - 1
+    m2 = repr(float(art["max_sq_norm"]))
+    cols = ", ".join(f"c{d}" for d in range(adim))
+    rows = ",\n".join(
+        f"({j}, " + ", ".join(repr(float(x)) for x in cents[j]) + ")"
+        for j in range(nlist)
+    )
+    sq = " + ".join(
+        f"(e.embedding[{d + 1}]::DOUBLE * e.embedding[{d + 1}]::DOUBLE)"
+        for d in range(dim)
+    )
+    av = ", ".join(f"e.embedding[{d + 1}]::DOUBLE" for d in range(dim))
+    adist = " + ".join(
+        f"(a.av[{d + 1}] - c.c{d}) * (a.av[{d + 1}] - c.c{d})"
+        for d in range(adim)
+    )
+    qdist = (
+        " + ".join(
+            f"(tok.qv[{d + 1}]::DOUBLE - c.c{d}) * (tok.qv[{d + 1}]::DOUBLE - c.c{d})"
+            for d in range(dim)
+        )
+        + f" + (0.0::DOUBLE - c.c{dim}) * (0.0::DOUBLE - c.c{dim})"
+    )
+    cscore = " + ".join(
+        f"(c.c{d} * tok.qv[{d + 1}]::DOUBLE)" for d in range(dim)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN s.t = {t} THEN s.sc END) AS m{t}"
+        for t in range(_N_TOKS)
+    )
+    approx = " + ".join(f"COALESCE(m{t}, 0.0)" for t in range(_N_TOKS))
+    return f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+cb (j, {cols}) AS (VALUES
+{rows}
+),
+augv AS (
+  SELECT e.vec_id, e.vec_id % {_MSIVF_NDOC} AS doc,
+         [{av}, sqrt(greatest({m2} - ({sq}), 0.0))] AS av
+  FROM embeddings e
+),
+assign AS (
+  SELECT vec_id, doc, j AS cell FROM (
+    SELECT a.vec_id, a.doc, c.j,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY {adist} ASC, c.j ASC
+           ) AS rn
+    FROM augv a CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT t, j AS cell FROM (
+    SELECT tok.t, c.j,
+           row_number() OVER (
+             PARTITION BY tok.t ORDER BY {qdist} ASC, c.j ASC
+           ) AS rn
+    FROM tok CROSS JOIN cb c
+  ) WHERE rn <= 4
+),
+doc_cells AS (
+  SELECT DISTINCT doc, cell FROM assign
+  WHERE cell IN (SELECT cell FROM qprobe)
+),
+s AS (
+  SELECT qp.cell, qp.t, {cscore} AS sc
+  FROM qprobe qp JOIN cb c ON c.j = qp.cell JOIN tok ON tok.t = qp.t
+),
+stage2 AS (
+  SELECT dc.doc, {maxes}
+  FROM doc_cells dc JOIN s ON s.cell = dc.cell
+  GROUP BY dc.doc
+),
+short AS (
+  SELECT doc FROM stage2
+  ORDER BY {approx} DESC, doc ASC
+  LIMIT 20
+),
+per AS (
+  SELECT sh.doc, tok.t, max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e
+  JOIN short sh ON e.vec_id % {_MSIVF_NDOC} = sh.doc
+  CROSS JOIN tok
+  GROUP BY sh.doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+top AS (
+  SELECT doc, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, doc LIMIT 10
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_ivf_probe", oracle=_msivf_probe_oracle())
+def maxsim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-scan PLAID retrieval: probe a quarter of the cells per token,
+    rerank a 20-doc shortlist — the scan-bound path a 100 TB retrieval
+    user actually hits; returned scores are exact MaxSim for every
+    surviving doc (stage-3 contract) — served from the FROZEN token-IVF
+    (late_interaction.load_frozen_doc_maxsim_ivf).
+
+    Hash-exact as of round 14 (rows-only → converted): token assignment
+    is a codegen argmin over the MIPS-augmented frozen centroids (the
+    augmentation itself a fold-portable expression), probe sets and the
+    stage-2 centroid-score shortlist are order-pinned folds, and the
+    exact rerank was already bit-portable — so the DuckDB oracle
+    replays all three PLAID stages. Production Arrow kernels stay
+    hash-gated by the maxsim_ivf exhaustive family; recall pinned in
+    tests/test_late_interaction.py."""
+    from vector_db_spark.operators.late_interaction import (
+        load_frozen_doc_maxsim_ivf,
+    )
+
+    idx = load_frozen_doc_maxsim_ivf(_msivf_corpus(spark, sf_dir))
     res = idx.search(
         _msivf_toks(spark, sf_dir), 10, nprobe=4, shortlist=20
     )
@@ -525,14 +652,196 @@ def maxsim_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
 
 
-@query("maxsim_pq_probe")
+def _mspq_probe_oracle() -> str:
+    """Frozen compressed-PLAID oracle: the probed-MaxSim oracle's
+    assignment/probe machinery plus the residual-ADC stage 2 — per
+    union-cell token row, dot ≈ ⟨q_t, centroid⟩ + ordered IP-ADC fold
+    over the frozen residual codes; the fold SEEDS with the centroid
+    dot (list_prepend) to match the engine's ((cent + l0) + l1) + …
+    accumulation (late_interaction._adc_dots exact branch)."""
+    import json as _json
+    import os as _os
+
+    from vector_db_spark.operators.late_interaction import (
+        FROZEN_DOC_MAXSIM_IVF_PATH,
+        FROZEN_DOC_MAXSIM_PQ_PATH,
+    )
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    with open(_os.path.join(root, FROZEN_DOC_MAXSIM_IVF_PATH)) as f:
+        ivf_art = _json.load(f)
+    with open(_os.path.join(root, FROZEN_DOC_MAXSIM_PQ_PATH)) as f:
+        pq_art = _json.load(f)
+    cents = ivf_art["centroids"]
+    nlist, adim = len(cents), len(cents[0])
+    dim = adim - 1
+    m2 = repr(float(ivf_art["max_sq_norm"]))
+    books = pq_art["codebooks"]
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+
+    cols = ", ".join(f"c{d}" for d in range(adim))
+    rows = ",\n".join(
+        f"({j}, " + ", ".join(repr(float(x)) for x in cents[j]) + ")"
+        for j in range(nlist)
+    )
+    pq_cols = ", ".join(f"p{d}" for d in range(dsub))
+    pq_rows = ",\n".join(
+        f"({s}, {j}, " + ", ".join(repr(float(x)) for x in books[s][j]) + ")"
+        for s in range(m)
+        for j in range(ksub)
+    )
+    sq = " + ".join(
+        f"(e.embedding[{d + 1}]::DOUBLE * e.embedding[{d + 1}]::DOUBLE)"
+        for d in range(dim)
+    )
+    av = ", ".join(f"e.embedding[{d + 1}]::DOUBLE" for d in range(dim))
+    adist = " + ".join(
+        f"(a.av[{d + 1}] - c.c{d}) * (a.av[{d + 1}] - c.c{d})"
+        for d in range(adim)
+    )
+    qdist = (
+        " + ".join(
+            f"(tok.qv[{d + 1}]::DOUBLE - c.c{d}) * (tok.qv[{d + 1}]::DOUBLE - c.c{d})"
+            for d in range(dim)
+        )
+        + f" + (0.0::DOUBLE - c.c{dim}) * (0.0::DOUBLE - c.c{dim})"
+    )
+    rv = ", ".join(
+        f"e.embedding[{d + 1}]::DOUBLE - c.c{d}" for d in range(dim)
+    )
+    enc_dist = " + ".join(
+        f"((r.rv[p.s*{dsub} + {d + 1}]) - p.p{d}) * "
+        f"((r.rv[p.s*{dsub} + {d + 1}]) - p.p{d})"
+        for d in range(dsub)
+    )
+    cscore = " + ".join(
+        f"(c.c{d} * tok.qv[{d + 1}]::DOUBLE)" for d in range(dim)
+    )
+    lut_ip = " + ".join(
+        f"(p.p{d} * tok.qv[p.s*{dsub} + {d + 1}]::DOUBLE)" for d in range(dsub)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN t = {t} THEN dot END) AS m{t}" for t in range(_N_TOKS)
+    )
+    approx = " + ".join(f"m{t}" for t in range(_N_TOKS))
+    return f"""
+WITH tok AS (
+  SELECT vec_id AS t, embedding AS qv FROM embeddings WHERE vec_id < {_N_TOKS}
+),
+cb (j, {cols}) AS (VALUES
+{rows}
+),
+pqc (s, j2, {pq_cols}) AS (VALUES
+{pq_rows}
+),
+augv AS (
+  SELECT e.vec_id, e.vec_id % {_MSIVF_NDOC} AS doc,
+         [{av}, sqrt(greatest({m2} - ({sq}), 0.0))] AS av
+  FROM embeddings e
+),
+assign AS (
+  SELECT vec_id, doc, j AS cell FROM (
+    SELECT a.vec_id, a.doc, c.j,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY {adist} ASC, c.j ASC
+           ) AS rn
+    FROM augv a CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT t, j AS cell FROM (
+    SELECT tok.t, c.j,
+           row_number() OVER (
+             PARTITION BY tok.t ORDER BY {qdist} ASC, c.j ASC
+           ) AS rn
+    FROM tok CROSS JOIN cb c
+  ) WHERE rn <= 4
+),
+resid AS (
+  SELECT a.vec_id, a.doc, a.cell, [{rv}] AS rv
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN cb c ON c.j = a.cell
+  WHERE a.cell IN (SELECT DISTINCT cell FROM qprobe)
+),
+codes AS (
+  SELECT vec_id, doc, cell, s, j2 FROM (
+    SELECT r.vec_id, r.doc, r.cell, p.s, p.j2,
+           row_number() OVER (
+             PARTITION BY r.vec_id, p.s
+             ORDER BY {enc_dist} ASC, p.j2 ASC
+           ) AS rn
+    FROM resid r CROSS JOIN pqc p
+  ) WHERE rn = 1
+),
+cscore AS (
+  SELECT c.j AS cell, tok.t, {cscore} AS sc
+  FROM cb c CROSS JOIN tok
+  WHERE c.j IN (SELECT DISTINCT cell FROM qprobe)
+),
+lut AS (
+  SELECT tok.t, p.s, p.j2, {lut_ip} AS d
+  FROM pqc p CROSS JOIN tok
+),
+rowdots AS (
+  SELECT codes.vec_id, codes.doc, lut.t,
+         list_reduce(
+           list_prepend(any_value(cs.sc), list(lut.d ORDER BY codes.s)),
+           (a, b) -> a + b
+         ) AS dot
+  FROM codes
+  JOIN lut ON lut.s = codes.s AND lut.j2 = codes.j2
+  JOIN cscore cs ON cs.cell = codes.cell AND cs.t = lut.t
+  GROUP BY codes.vec_id, codes.doc, lut.t
+),
+stage2 AS (
+  SELECT doc, {maxes} FROM rowdots GROUP BY doc
+),
+short AS (
+  SELECT doc FROM stage2
+  ORDER BY {approx} DESC, doc ASC
+  LIMIT 20
+),
+per AS (
+  SELECT sh.doc, tok.t, max({dot_sql("e.embedding", "tok.qv")}) AS m
+  FROM embeddings e
+  JOIN short sh ON e.vec_id % {_MSIVF_NDOC} = sh.doc
+  CROSS JOIN tok
+  GROUP BY sh.doc, tok.t
+),
+scored AS (
+  SELECT doc, sum(m ORDER BY t) AS maxsim_score FROM per GROUP BY doc
+),
+top AS (
+  SELECT doc, maxsim_score FROM scored
+  ORDER BY maxsim_score DESC, doc LIMIT 10
+)
+SELECT doc, round(maxsim_score, 6) AS maxsim_score FROM top
+"""
+
+
+@query("maxsim_pq_probe", oracle=_mspq_probe_oracle())
 def maxsim_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-scan compressed-PLAID retrieval (rows-only probe; recall
-    pinned in tests/test_late_interaction.py): a quarter of the cells per
+    """Sub-scan compressed-PLAID retrieval: a quarter of the cells per
     token, 20-doc shortlist ranked by residual ADC over M=8-byte codes —
-    the scan reads 8 bytes/token instead of 256 (the bytes comparison is
-    recorded by bench.py as maxsim_codes_bytes / maxsim_raw_bytes)."""
-    res = _mspq_index(spark, sf_dir).search(
+    the scan reads 8 bytes/token instead of 256 (bytes comparison
+    recorded by bench.py as maxsim_pq_codes_bytes / raw_bytes) — served
+    from the FROZEN compressed index
+    (late_interaction.load_frozen_doc_maxsim_pq).
+
+    Hash-exact as of round 14 (rows-only → converted): the oracle
+    replays token assignment, residual encode, the centroid-dot-seeded
+    ordered IP-ADC fold (list_prepend — matching the engine's
+    ((cent + l0) + l1) + … accumulation), the stage-2 shortlist, and
+    the exact rerank. Production Arrow kernels stay hash-gated by the
+    maxsim_pq exhaustive family; recall pinned in
+    tests/test_late_interaction.py."""
+    from vector_db_spark.operators.late_interaction import (
+        load_frozen_doc_maxsim_pq,
+    )
+
+    idx = load_frozen_doc_maxsim_pq(_msivf_corpus(spark, sf_dir))
+    res = idx.search(
         _msivf_toks(spark, sf_dir), 10, nprobe=4, shortlist=20
     )
     return res.select("doc", F.round("maxsim_score", 6).alias("maxsim_score"))
