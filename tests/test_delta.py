@@ -153,3 +153,22 @@ def test_empty_snapshot_after_full_remove(spark, tmp_path):
     )
     got = read_delta(spark, table)
     assert got.count() == 0 and got.schema.fieldNames() == ["id"]
+
+
+def test_partition_filters_prune_groups_driver_side(spark, tmp_path):
+    table = str(tmp_path / "pf")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")], "id long, lang string"
+    )
+    write_delta_table(df, table, partition_by=["lang"])
+    got = read_delta(spark, table, partition_filters={"lang": "en"})
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    # the pruned plan never references the excluded partitions' files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "lang=de" not in plan and "lang=fr" not in plan
+    # list form, empty result, and the non-partition-column refusal
+    got2 = read_delta(spark, table, partition_filters={"lang": ["de", "fr"]})
+    assert sorted(r.id for r in got2.collect()) == [3, 4]
+    assert read_delta(spark, table, partition_filters={"lang": "zz"}).count() == 0
+    with pytest.raises(ValueError, match="non-partition columns"):
+        read_delta(spark, table, partition_filters={"id": 1})

@@ -179,14 +179,41 @@ def _replay(
 
 
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filters: dict[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot-read a Delta table as a DataFrame (``version=`` for
     VERSION-AS-OF time travel). Column pruning and filter pushdown
-    apply per partition-group scan; partition-column predicates prune
-    GROUPS driver-side before any scan is planned when possible (the
-    values are log metadata)."""
+    apply per partition-group scan. ``partition_filters`` maps a
+    partition column to a value (or list of values) and prunes GROUPS
+    driver-side BEFORE any scan is planned — partition values are log
+    metadata, so a table with thousands of populated partitions never
+    pays a scan plan for the ones a query excludes. Values compare
+    against the log's STRING encoding (cast your literal the way the
+    writer serialized it); a filter on a non-partition column raises —
+    use a normal ``.filter`` for data columns, which Catalyst pushes
+    into each group scan (and constant-folds away on the restored
+    partition literals)."""
     schema, part_cols, active, _ = _replay(spark, table, version)
+    if partition_filters:
+        unknown = set(partition_filters) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"partition_filters on non-partition columns {sorted(unknown)}; "
+                f"partition columns are {part_cols} — use .filter() for "
+                "data columns"
+            )
+        wanted = {
+            c: {str(v) for v in (vals if isinstance(vals, (list, tuple, set)) else [vals])}
+            for c, vals in partition_filters.items()
+        }
+        active = {
+            p: pv
+            for p, pv in active.items()
+            if all(pv.get(c) in vs for c, vs in wanted.items())
+        }
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
     if not active:
