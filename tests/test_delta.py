@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from vector_db_spark.sources.delta import (
     delta_versions,
     read_delta,
+    write_checkpoint,
     write_delta_table,
 )
 
@@ -172,3 +173,185 @@ def test_partition_filters_prune_groups_driver_side(spark, tmp_path):
     assert read_delta(spark, table, partition_filters={"lang": "zz"}).count() == 0
     with pytest.raises(ValueError, match="non-partition columns"):
         read_delta(spark, table, partition_filters={"id": 1})
+
+
+def test_version_beyond_newest_raises_even_with_checkpoint(spark, tmp_path):
+    """ADVICE r14 medium: with a checkpoint present, time travel to a
+    version past the newest commit must raise, never silently serve the
+    latest snapshot under the requested label."""
+    table = str(tmp_path / "beyond")
+    write_delta_table(spark.createDataFrame([(1,), (2,)], "id long"), table)
+    write_delta_table(spark.createDataFrame([(3,)], "id long"), table)
+    write_checkpoint(spark, table)  # checkpoint at v1
+    # sanity: checkpointed table still reads
+    assert read_delta(spark, table).count() == 3
+    with pytest.raises(ValueError, match="newest version is 1"):
+        read_delta(spark, table, version=9)
+    # in-range time travel still works through the checkpoint
+    assert read_delta(spark, table, version=0).count() == 2
+
+
+def test_missing_commit_above_checkpoint_raises(spark, tmp_path):
+    """Commits may be retired only BELOW the checkpoint; a hole above it
+    means the snapshot is unreconstructable and must be loud."""
+    table = str(tmp_path / "hole")
+    for i in range(3):
+        write_delta_table(spark.createDataFrame([(i,)], "id long"), table)
+    write_checkpoint(spark, table)  # at v2
+    write_delta_table(spark.createDataFrame([(3,)], "id long"), table)  # v3
+    write_delta_table(spark.createDataFrame([(4,)], "id long"), table)  # v4
+    os.remove(os.path.join(table, "_delta_log", f"{3:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="missing commit 3"):
+        read_delta(spark, table)
+    # below-checkpoint retirement stays tolerated
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    assert read_delta(spark, table, version=2).count() == 3
+
+
+def test_url_encoded_add_paths_decode(spark, tmp_path):
+    """The protocol percent-encodes paths; an encoded add must resolve
+    to the on-disk file (delta-spark writes '%20' for spaces etc.)."""
+    table = str(tmp_path / "enc")
+    write_delta_table(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1), table
+    )
+    # rename the data file to one with a space, re-point the log via an
+    # encoded path (overwrite semantics: remove old, add encoded new)
+    _, _, active, _ = __import__(
+        "vector_db_spark.sources.delta", fromlist=["_replay"]
+    )._replay(spark, table, None)
+    (old,) = active
+    os.replace(os.path.join(table, old), os.path.join(table, "part one.parquet"))
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {"path": old, "dataChange": True}}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part%20one.parquet",
+                        "partitionValues": {},
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == [1, 2]
+
+
+def test_multipart_checkpoint_roundtrip_and_incomplete_refusal(spark, tmp_path):
+    table = str(tmp_path / "mp")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id long, b int"
+    )
+    write_delta_table(df, table, partition_by=["b"])
+    write_delta_table(
+        spark.createDataFrame([(100, 0)], "id long, b int"), table
+    )
+    v = write_checkpoint(spark, table, parts=3)
+    assert v == 1
+    log = os.path.join(table, "_delta_log")
+    names = sorted(os.listdir(log))
+    assert f"{1:020d}.checkpoint.{1:010d}.{3:010d}.parquet" in names
+    # retire ALL commit json: the read must come from the parts alone
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert read_delta(spark, table).count() == 41
+    # drop one part: loud refusal, not a silent subset
+    os.remove(os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{3:010d}.parquet"))
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        read_delta(spark, table)
+
+
+def test_column_mapping_name_mode_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "cm")
+    df = spark.createDataFrame(
+        [(1, "en", 5), (2, "en", 7), (3, "de", 11), (4, None, 13)],
+        "id long, lang string, n int",
+    )
+    write_delta_table(df, table, partition_by=["lang"], column_mapping="name")
+    got = read_delta(spark, table)
+    assert got.schema.fieldNames() == ["id", "lang", "n"]
+    assert _rows(got.select("id", "lang", "n")) == _rows(df)
+    # physical names actually on disk: partition dirs + parquet columns
+    import pyarrow.parquet as pq
+
+    phys_dirs = [d for d in os.listdir(table) if d.startswith("col-")]
+    assert phys_dirs, "partition dirs should use physical names"
+    data_file = next(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert all(c.startswith("col-") for c in pq.read_schema(data_file).names)
+    # append inherits the mapping; logical partition_filters still prune
+    write_delta_table(
+        spark.createDataFrame([(5, "en", 17)], "id long, lang string, n int"),
+        table,
+        partition_by=["lang"],
+    )
+    got2 = read_delta(spark, table, partition_filters={"lang": "en"})
+    assert sorted(r.id for r in got2.collect()) == [1, 2, 5]
+    # checkpointed read keeps the logical schema
+    write_checkpoint(spark, table, parts=2)
+    assert read_delta(spark, table).count() == 5
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    table = str(tmp_path / "cmid")
+    write_delta_table(spark.createDataFrame([(1,)], "id long"), table)
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet"},
+                        "schemaString": spark.createDataFrame(
+                            [(1,)], "id long"
+                        ).schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "id"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="column mapping mode 'id'"):
+        read_delta(spark, table)
+
+
+def test_reader_features_gate(spark, tmp_path):
+    table = str(tmp_path / "feat")
+    write_delta_table(spark.createDataFrame([(1,)], "id long"), table)
+    # protocol 3 limited to columnMapping: supported
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert read_delta(spark, table).count() == 1
+    # protocol 3 with deletion vectors: refused
+    with open(os.path.join(table, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["columnMapping", "deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, table)
