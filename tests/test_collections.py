@@ -1548,3 +1548,48 @@ def test_build_superseded_by_newer_publish_warns_and_skips_params(spark, tmp_pat
     fresh = CollectionCatalog(spark, str(tmp_path)).get("race")
     assert fresh.info.build_params["nlist"] == 2
     assert [int(r.id) for r in coll.search([9.0, 9.0], 1, nprobe=2).collect()] == [1]
+
+
+def test_building_marker_refreshed_before_save(spark, tmp_path, monkeypatch):
+    """ADVICE r14: a fit outliving _BUILDING_STALE_SECONDS must not lose
+    GC protection mid-save — the builder refreshes the marker between
+    the fit and the artifact write."""
+    import os
+    import time
+
+    from vector_db_spark.operators import ann as ann_mod
+
+    cat = CollectionCatalog(spark, str(tmp_path))
+    coll = cat.create("touchgc", dim=4, metric="l2", index_type="ivf")
+    coll.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 1.0]) for i in range(1, 21)],
+        "id long, embedding array<float>",
+    ))
+
+    real_build = ann_mod.IvfIndex.build
+    real_save = ann_mod.IvfIndex.save
+    seen = {}
+
+    def slow_build(*a, **kw):
+        idx = real_build(*a, **kw)
+        # simulate a fit that outlived the stale window: back-date the
+        # staging marker the builder wrote before the fit
+        root = coll._index_root()
+        for name in os.listdir(root):
+            m = os.path.join(root, name, coll._BUILDING_MARKER)
+            if name.startswith("index_v") and os.path.exists(m):
+                old = time.time() - coll._BUILDING_STALE_SECONDS - 120
+                os.utime(m, (old, old))
+        return idx
+
+    def checked_save(self, path):
+        m = os.path.join(path, coll._BUILDING_MARKER)
+        seen["age_at_save"] = time.time() - os.path.getmtime(m)
+        return real_save(self, path)
+
+    monkeypatch.setattr(ann_mod.IvfIndex, "build", staticmethod(slow_build))
+    monkeypatch.setattr(ann_mod.IvfIndex, "save", checked_save)
+    coll.build_index(nlist=2, seed=42, max_iter=3)
+    assert seen["age_at_save"] < coll._BUILDING_STALE_SECONDS, (
+        "marker must be refreshed between fit and save"
+    )

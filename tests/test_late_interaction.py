@@ -823,3 +823,25 @@ def test_maxsim_range_honors_tombstones(emb, toks, tmp_path):
     ]
     assert got == want
     assert not set(victims) & {d for d, _ in got}
+
+
+def test_frozen_pq_quantizer_propagates_exact_fold(spark):
+    """ADVICE r14: re-encodes through append/refresh on a frozen
+    exact_fold index must use the order-pinned fold, not the GEMM
+    expansion — otherwise fp-noise-adjacent residuals could take codes
+    the DuckDB oracle's replay never assigns."""
+    from vector_db_spark.operators.late_interaction import (
+        load_frozen_doc_maxsim_pq,
+    )
+    from vector_db_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = emb.limit(1).collect()[0]
+    dim = len(row.embedding)
+    corpus = emb.limit(8).select(
+        F.col("vec_id").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    idx = load_frozen_doc_maxsim_pq(corpus)
+    assert getattr(idx._ivf, "exact_fold", False) is True
+    assert idx._quantizer().exact_fold is True

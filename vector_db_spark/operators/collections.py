@@ -950,6 +950,22 @@ class Collection(_BucketedStore):
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, self._BUILDING_MARKER), "w") as f:
             json.dump({"pid": os.getpid()}, f)
+
+        def _touch_building() -> None:
+            # Refresh the marker between long build stages so a build
+            # outliving _BUILDING_STALE_SECONDS keeps GC protection
+            # (ADVICE r14: the mtime was written once at staging-dir
+            # creation, so an hour-long fit lost its shield mid-save).
+            # Also resurrects dir+marker if a concurrent GC on another
+            # host raced an extreme stall — save() then still lands.
+            marker = os.path.join(path, self._BUILDING_MARKER)
+            os.makedirs(path, exist_ok=True)
+            try:
+                os.utime(marker, None)
+            except OSError:
+                with open(marker, "w") as f:
+                    json.dump({"pid": os.getpid()}, f)
+
         if self.info.index_type == "ivf":
             from vector_db_spark.operators.ann import IvfIndex
 
@@ -960,6 +976,7 @@ class Collection(_BucketedStore):
                 metric=self.info.metric,
                 **params,
             )
+            _touch_building()
             idx.save(path)
         elif self.info.index_type == "graph":
             from vector_db_spark.operators.graph import GraphAnnIndex
@@ -971,40 +988,47 @@ class Collection(_BucketedStore):
                 metric=self.info.metric,
                 **params,
             )
+            _touch_building()
             idx.save(path)
         elif self.info.index_type == "ivfpq":
             from vector_db_spark.operators.ivfpq import IvfPqIndex
 
             if self.info.metric != "l2":
                 raise ValueError("ivfpq index supports only the l2 metric")
-            IvfPqIndex.build(
+            idx = IvfPqIndex.build(
                 cur,
                 id_col=self.info.id_col,
                 vec_col=self.info.vec_col,
                 **params,
-            ).save(path)
+            )
+            _touch_building()
+            idx.save(path)
         elif self.info.index_type == "ivfsq":
             from vector_db_spark.operators.ivfsq import IvfSqIndex
 
             if self.info.metric != "l2":
                 raise ValueError("ivfsq index supports only the l2 metric")
-            IvfSqIndex.build(
+            idx = IvfSqIndex.build(
                 cur,
                 id_col=self.info.id_col,
                 vec_col=self.info.vec_col,
                 **params,
-            ).save(path)
+            )
+            _touch_building()
+            idx.save(path)
         elif self.info.index_type == "ivfopq":
             from vector_db_spark.operators.opq import IvfOpqIndex
 
             if self.info.metric != "l2":
                 raise ValueError("ivfopq index supports only the l2 metric")
-            IvfOpqIndex.build(
+            idx = IvfOpqIndex.build(
                 cur,
                 id_col=self.info.id_col,
                 vec_col=self.info.vec_col,
                 **params,
-            ).save(path)
+            )
+            _touch_building()
+            idx.save(path)
         elif self.info.index_type in MULTI_VECTOR_INDEX_TYPES:
             # PLAID token-IVF over the exploded (doc, token) rows — the
             # one-factory parity item (index_factory.rs:75-163): the
@@ -1026,6 +1050,7 @@ class Collection(_BucketedStore):
                 vec_col=self.info.vec_col,
                 **params,
             )
+            _touch_building()
             built.save(path)
             # Record the EFFECTIVE nlist, not just the caller's kwargs: the
             # API's exact-MaxSim serving contract derives its full-probe
@@ -1046,6 +1071,7 @@ class Collection(_BucketedStore):
                 vec_col=self.info.vec_col,
                 **params,
             )
+            _touch_building()
             idx.save(path)
         with open(os.path.join(path, "indexed_version.json"), "w") as f:
             json.dump({"version": self.info.version}, f)

@@ -1095,7 +1095,17 @@ class MaxSimPqIndex:
     def _quantizer(self):
         from vector_db_spark.operators.pq import ProductQuantizer
 
-        return ProductQuantizer(self.codebooks, self.doc_col, "_resid")
+        # Propagate the parent IVF's exact_fold: a frozen-oracle index
+        # re-encoding through append/refresh must use the same
+        # order-pinned squared-diff fold the DuckDB oracle replays —
+        # the GEMM expansion form can flip argmin ties on fp-noise-
+        # adjacent residuals (ADVICE r14 low).
+        return ProductQuantizer(
+            self.codebooks,
+            self.doc_col,
+            "_resid",
+            exact_fold=getattr(self._ivf, "exact_fold", False),
+        )
 
     def _encode(self, assigned: DataFrame) -> DataFrame:
         """(…, cluster_id) → (…, pq_codes): residual vs the RAW slice of

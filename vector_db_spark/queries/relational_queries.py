@@ -878,6 +878,58 @@ def delta_colmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_ORACLE = """
+SELECT 1 AS snap, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars < 500 GROUP BY lang
+UNION ALL
+SELECT 2 AS snap, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("iceberg_roundtrip", oracle=_ICEBERG_ORACLE)
+def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop (sources/iceberg.py, VERDICT r14 next #6):
+    documents → lang-partitioned Iceberg v1 table in two snapshots
+    (n_chars < 500, then the rest appended), the Avro metadata tier
+    written and re-read by the from-scratch codec (sources/avro_io.py —
+    the container ships no avro package, so the public Avro container
+    spec is implemented directly). Snapshot 1 is read via time travel,
+    snapshot 2 as current; identity partition values are restored from
+    the manifests' typed partition structs, never parsed from paths.
+    Aggregates per (snap, lang) must equal the same aggregates computed
+    straight from the parquet fixture."""
+    import shutil
+
+    from vector_db_spark.sources.iceberg import read_iceberg, write_iceberg_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    table = "/tmp/vdbs_gate_iceberg_docs"
+    shutil.rmtree(table, ignore_errors=True)
+    s1 = write_iceberg_table(
+        docs.filter(F.col("n_chars") < 500), table, partition_by=["lang"]
+    )
+    s2 = write_iceberg_table(
+        docs.filter(F.col("n_chars") >= 500), table, partition_by=["lang"]
+    )
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        ).select(F.lit(snap).alias("snap"), "lang", "n_docs", "total_chars")
+
+    return agg(read_iceberg(spark, table, snapshot_id=s1), 1).unionByName(
+        agg(read_iceberg(spark, table), 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders pre-bucketed on the join key
 # join with ZERO exchanges (pinned in tests/test_plans.py) — one write-time
