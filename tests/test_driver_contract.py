@@ -72,18 +72,26 @@ def test_sketch_stats_orders_error_bounds(spark):
     from vector_db_spark.sources.fixtures import load_table
 
     got = QUERIES["sketch_stats_orders"](spark, SF).head()
-    assert set(got.asDict()) == {"approx_custkeys", "p50", "p90", "p99"}
+    assert set(got.asDict()) == {
+        "exact_custkeys", "p50_exact", "p90_exact", "p99_exact",
+        "acd_ok", "p50_ok", "p90_ok", "p99_ok",
+    }
+    # every bound boolean must hold (this is what the oracle hash pins)
+    for q in ("acd_ok", "p50_ok", "p90_ok", "p99_ok"):
+        assert got[q] is True, q
 
     orders = load_table(spark, SF, "orders")
     exact = orders.agg(
         F.countDistinct("o_custkey").alias("nd"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.expr("round(percentile(o_totalprice, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(o_totalprice, 0.9), 6)").alias("p90"),
+        F.expr("round(percentile(o_totalprice, 0.99), 6)").alias("p99"),
     ).head()
-    assert abs(got.approx_custkeys - exact.nd) / exact.nd < 0.05
-    for q in ("p50", "p90", "p99"):
-        assert abs(got[q] - exact[q]) / exact[q] < 0.02, q
+    assert got.exact_custkeys == exact.nd
+    for got_col, ex_col in (
+        ("p50_exact", "p50"), ("p90_exact", "p90"), ("p99_exact", "p99")
+    ):
+        assert got[got_col] == exact[ex_col], got_col
 
 
 def _test_sources():
