@@ -92,6 +92,10 @@ def test_driver_contract_line_fits_tail_capture():
         "queries": d["queries"],
         "sf": d["sf"],
         "host_degraded": d["host_degraded"],
+        # r15 normalized-series scalars (see bench.py CANARY_JOB_REF);
+        # worst-case widths for records predating them
+        "value_norm": d.get("value_norm", d["value"]),
+        "norm_factor": d.get("canary_norm_factor", 1.8182),
         "full_record": "BENCH_LOCAL",
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -125,6 +125,33 @@ def test_batch_cogroup_paths_prune_partitions(emb, spark, tmp_path):
     ), pplan[:500]
 
 
+def test_ivf_batch_probe_dynamic_partition_pruning(emb, spark, tmp_path):
+    """The probed-batch serving path (bench ann768_ivf_batch_search):
+    the corpus side of the broadcast probe join must carry DYNAMIC
+    partition pruning on cluster_id — at 100 TB the scan reads only the
+    probed cells' partitions, discovered at runtime from the broadcast
+    (query, cell) set, the batch twin of the single probe's static
+    isin() PartitionFilters pin."""
+    from vector_db_spark.operators.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, nlist=8, seed=42, max_iter=2)
+    idx.save(str(tmp_path / "ivfb"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivfb"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        loaded.search_batch(queries, 5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "cluster_id" in seg[:250] and "dynamicpruning" in seg[:250]
+        for seg in plan.split("PartitionFilters")[1:]
+    ), plan[:800]
+
+
 def test_small_dim_join_broadcasts(spark):
     orders = load_table(spark, SF, "orders")
     customer = load_table(spark, SF, "customer")

@@ -39,6 +39,23 @@ def _canaries(d: dict) -> str:
     return " ".join(parts) or "(no canary fields — pre-r12 record)"
 
 
+def norm_factor(d: dict) -> tuple[float, str]:
+    """Canary-normalization factor of a record (bench.py model:
+    max(1, mean(preflight job, end-of-run job) / 0.055 healthy edge)).
+    Records that already carry canary_norm_factor use it verbatim;
+    older records with canaries get it recomputed; canary-free records
+    (pre-r12, incl. BASELINE) get 1.0 with a caveat — their boot health
+    is unknown, so their normalized series IS their raw series."""
+    if d.get("canary_norm_factor") is not None:
+        return float(d["canary_norm_factor"]), "recorded"
+    post = d.get("canary_job_sec")
+    pre = (d.get("canary_preflight") or {}).get("canary_job_sec")
+    samples = [v for v in (pre, post) if v is not None]
+    if not samples:
+        return 1.0, "no canaries (pre-r12 record) — raw == normalized"
+    return max(1.0, round(sum(samples) / len(samples) / 0.055, 4)), "recomputed"
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -55,12 +72,27 @@ def main() -> None:
     ratios = {k: qn[k] / qo[k] for k in shared}
     med = statistics.median(ratios.values())
 
+    fo, fo_src = norm_factor(old)
+    fn, fn_src = norm_factor(new)
+    med_norm = med * fo / fn
+
     print(f"old: {sys.argv[1]}  total={old.get('value')}  {_canaries(old)}")
     print(f"new: {sys.argv[2]}  total={new.get('value')}  {_canaries(new)}")
     print(
         f"shared entries: {len(shared)}   MEDIAN ratio new/old: {med:.3f}"
         "   (a uniform shift here is the HOST, not the engine)"
     )
+    print(
+        f"canary-normalized: old factor {fo:.3f} ({fo_src}), new factor "
+        f"{fn:.3f} ({fn_src}) -> NORMALIZED median ratio {med_norm:.3f}"
+        "   (this is the engine signal; adjudicate 2x-of-BASELINE here)"
+    )
+    vo, vn = old.get("value"), new.get("value")
+    if vo and vn:
+        print(
+            f"normalized totals: old {vo / fo:.2f}s  new {vn / fn:.2f}s"
+            f"  (raw {vo} / {vn})"
+        )
     spread = new.get("spread", {})
     flagged = [
         (r, k) for k, r in ratios.items() if r > med * factor
