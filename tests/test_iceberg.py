@@ -89,37 +89,92 @@ def test_relocated_table_still_reads(spark, tmp_path):
     assert read_iceberg(spark, dst).count() == 2
 
 
-def test_v2_delete_refusals_are_loud(spark, tmp_path):
-    table = str(tmp_path / "v2")
+def test_refusals_are_loud(spark, tmp_path):
+    table = str(tmp_path / "refuse")
     write_iceberg_table(spark.createDataFrame([(1,)], "id long"), table)
-    meta = os.path.join(table, "metadata")
-    # locate the snapshot's manifest list and flip its content to 1
-    md = json.load(open(os.path.join(meta, "v1.metadata.json")))
+    md = json.load(open(os.path.join(table, "metadata", "v1.metadata.json")))
     mlist = md["snapshots"][0]["manifest-list"]
-    schema, entries = read_avro(mlist)
-    entries[0]["content"] = 1
-    write_avro(mlist, schema, entries)
-    with pytest.raises(NotImplementedError, match="delete manifest"):
-        read_iceberg(spark, table)
-    # restore, then mark the data file itself as a delete file
-    entries[0]["content"] = 0
-    write_avro(mlist, schema, entries)
+    _, entries = read_avro(mlist)
     mpath = entries[0]["manifest_path"]
     mschema, mentries = read_avro(mpath)
-    # inject a content field by rewriting with an extended schema
-    df_fields = mschema["fields"][2]["type"]["fields"]
-    df_fields.append({"name": "content", "type": "int", "default": 0})
+    # unknown content value on the data file
+    for e in mentries:
+        e["data_file"]["content"] = 3
+    write_avro(mpath, mschema, mentries)
+    with pytest.raises(NotImplementedError, match="content 3"):
+        read_iceberg(spark, table)
+    # equality delete without equality_ids
     for e in mentries:
         e["data_file"]["content"] = 2
+        e["data_file"]["equality_ids"] = None
     write_avro(mpath, mschema, mentries)
-    with pytest.raises(NotImplementedError, match="delete data file"):
+    with pytest.raises(NotImplementedError, match="equality_ids"):
         read_iceberg(spark, table)
+    # non-parquet data file
     for e in mentries:
         e["data_file"]["content"] = 0
         e["data_file"]["file_format"] = "ORC"
     write_avro(mpath, mschema, mentries)
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg(spark, table)
+
+
+def test_position_deletes_roundtrip_and_time_travel(spark, tmp_path):
+    """v2 position deletes: predicate delete drops exactly the matching
+    rows; the pre-delete snapshot still serves every row (deletes are
+    new metadata, never rewrites)."""
+    from vector_db_spark.sources.iceberg import delete_from_iceberg
+
+    table = str(tmp_path / "posdel")
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", i * 10) for i in range(40)],
+        "id long, lang string, n int",
+    )
+    s1 = write_iceberg_table(
+        df, table, partition_by=["lang"], format_version=2
+    )
+    s2 = delete_from_iceberg(spark, table, F.col("n") >= 250)
+    got = read_iceberg(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(25))
+    # partition columns still restore through the delete path
+    assert got.filter(F.col("lang") == "de").count() == 12
+    # pre-delete snapshot unaffected; snapshot history intact
+    assert read_iceberg(spark, table, snapshot_id=s1).count() == 40
+    assert iceberg_snapshots(table) == [s1, s2]
+    # deleting from a v1 table is refused loudly
+    t1 = str(tmp_path / "v1t")
+    write_iceberg_table(spark.createDataFrame([(1,)], "id long"), t1)
+    with pytest.raises(NotImplementedError, match="format-version 2"):
+        delete_from_iceberg(spark, t1, F.col("id") == 1)
+
+
+def test_equality_deletes_sequence_guard(spark, tmp_path):
+    """v2 equality deletes observe sequence ordering: keys deleted at
+    sequence s remove rows from sequences < s only — a row re-inserted
+    with the same key AFTER the delete survives (the spec ordering a
+    naive global anti-join gets wrong)."""
+    from vector_db_spark.sources.iceberg import write_iceberg_equality_deletes
+
+    table = str(tmp_path / "eqdel")
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+        ),
+        table,
+        format_version=2,
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "id long")
+    write_iceberg_equality_deletes(keys, table, ["id"])
+    assert sorted(r.id for r in read_iceberg(spark, table).collect()) == [2]
+    # re-insert id=1 AFTER the delete: must survive
+    write_iceberg_table(
+        spark.createDataFrame([(1, "a2")], "id long, s string"), table
+    )
+    got = {(r.id, r.s) for r in read_iceberg(spark, table).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    # unknown key column is loud
+    with pytest.raises(ValueError, match="key_cols"):
+        write_iceberg_equality_deletes(keys, table, ["nope"])
 
 
 def test_deleted_entries_are_dropped(spark, tmp_path):

@@ -173,7 +173,8 @@ def tune_graph(
     """Cheapest (nprobe, ef_search) on a cost-ordered ladder with
     recall@k ≥ ``recall_target`` on the sample.
 
-    ``ef_ladder`` defaults to (k, 2k, 4k, 8k, 16k) capped below by 16.
+    ``ef_ladder`` defaults to (2k, 4k, 8k, 16k) capped below by 16 —
+    see the in-body note for why the k-floor rung was removed (r15).
     Returns ``{"nprobe": n, "ef_search": ef, "recall": r, "evals": m}``;
     falls back to the most expensive rung (with its recall) when nothing
     passes.
@@ -203,7 +204,14 @@ def tune_graph(
     )
 
     if ef_ladder is None:
-        ef_ladder = tuple(max(16, k * m) for m in (1, 2, 4, 8, 16))
+        # floor 2k (was max(16, k)): the k-floor rung was the one tuned
+        # point that failed to transfer across corpus scale — ef=16 at
+        # k=10 measured 0.998 on the 2k-vector sf0.1 sample but 0.942 at
+        # 200k vectors, while ef=2k=20 measured 0.954 there
+        # (RECALL_sf10_r15.json). A beam narrower than 2k saves nothing
+        # measurable on small corpora and is the first knob to break at
+        # scale, so the ladder no longer offers it.
+        ef_ladder = tuple(max(16, k * m) for m in (2, 4, 8, 16))
     probes = _probe_ladder(nlist)
     ladder = sorted(
         ((p, ef) for p in probes for ef in ef_ladder),

@@ -21,41 +21,19 @@ from vector_db_spark.queries import (  # noqa: E402,F401
 )
 
 # The driver's CORRECTNESS harness verifies only the FIRST 50 entries of
-# ``queries()``.  Round-14 window (the standing rotation discipline,
-# VERDICT r13 agenda #8):
-# (1) the gates that are NEW or whose implementation/oracle changed
-#     THIS round (a gate must be driver-attested in its landing round):
-#     pq_adc_knn + opq_adc_knn (frozen-artifact conversions, VERDICT
-#     r13 #2), delta_roundtrip (Delta interop, #6), mmr_rerank_diverse
-#     (oracle gained the engine's zero-norm sim guard, ADVICE r13), and
-#     maxsim_batch_range + maxsim_pq_batch_exhaustive (re-attest the
-#     query-side collect paths behind the new corpus-size guard, #4),
-#     and the probe-rung conversion wave — ann_ivf_probe,
-#     ann_ivf_batch_probe, ann_lsh_cosine, ann_lsh_filtered,
-#     ivfpq_probe, maxsim_ivf_probe, maxsim_pq_probe,
-#     semantic_dedup_clustered (frozen coarse quantizers / residual
-#     codebooks / cosine cells / seed-determined hyperplanes: every
-#     convertible probed path is now hash-gated — the r13 audit's
-#     "possible in principle" set is empty);
-# (2) the full r8-stale cohort — repetition_quality,
-#     stratified_sample_docs, stream_ivfopq_append_exhaustive,
-#     stream_maxsim_pq_append_exhaustive, stream_opq_append_rerank_full,
-#     text_quality, token_stats, tpch_q3_shipping (histogram after r13:
-#     8@r8, 49@r9, 46@r10, 48@r11, 33@r12, 50@r13);
-# (3) oldest-first fill: 28 of the 49 r9-cohort gates, alphabetical.
-# Composition: 50/50 slots oracle-backed — every window row is
-# hash-comparable (all r8/r9-stale gates are oracle-backed this round).
-# Rows-only gates keep their ORACLE_FULL sweep rows and their meta-test
-# pins (test_driver_contract.py).
+# ``queries()``.
 # Round-15 rotation (standing VERDICT item): new/changed gates first —
-# delta_colmap_roundtrip + iceberg_roundtrip (new), sketch_stats_orders
-# (rows-only → bounded-error hash conversion), delta_roundtrip (scratch
-# path change) — then the oldest-attestation cohort computed from
-# CORRECTNESS_r*.json: the 21 r9-attested gates + the r10 cohort
-# alphabetically up to the 50-slot window.
+# delta_colmap_roundtrip + iceberg_roundtrip + iceberg_v2_deletes_
+# roundtrip (new), sketch_stats_orders (rows-only → bounded-error hash
+# conversion), delta_roundtrip (scratch-path change) — then the
+# oldest-attestation cohort computed from CORRECTNESS_r*.json: the 21
+# r9-attested gates + the r10 cohort alphabetically up to the 50-slot
+# window. 50/50 slots oracle-backed; rows-only gates keep their
+# ORACLE_FULL sweep rows and their meta-test pins.
 _VERIFY_FIRST = [
     "delta_colmap_roundtrip",
     "iceberg_roundtrip",
+    "iceberg_v2_deletes_roundtrip",
     "sketch_stats_orders",
     "delta_roundtrip",
     "set_ops_nations",
@@ -103,7 +81,6 @@ _VERIFY_FIRST = [
     "knn_hamming_batch",
     "knn_hamming_rerank",
     "knn_l2",
-    "knn_page_two",
 ]
 
 

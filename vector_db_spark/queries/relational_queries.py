@@ -974,6 +974,66 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_V2_ORACLE = """
+WITH final AS (
+  SELECT lang, n_chars FROM documents
+  WHERE n_chars >= 500 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id % 7 = 0 AND n_chars >= 1000
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY lang
+"""
+
+
+@query("iceberg_v2_deletes_roundtrip", oracle=_ICEBERG_V2_ORACLE)
+def iceberg_v2_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 ROW-LEVEL DELETES end to end (the feature class the
+    Delta reader refuses as deletion vectors, implemented here):
+    documents → v2 table (sequence 1) → POSITION delete of n_chars<500
+    (computed as a Spark job over _metadata.row_index, sequence 2) →
+    EQUALITY delete of doc_id % 7 == 0 keys (sequence 3) → re-append
+    the (doc_id % 7 == 0, n_chars >= 1000) subset (sequence 4). The
+    read must apply the position anti-join, apply the equality
+    anti-join ONLY to rows of earlier sequences (the re-appended rows
+    survive — the spec's ordering semantics), and the per-lang
+    aggregate must equal the same set algebra computed straight from
+    the parquet fixture."""
+    import shutil
+
+    from vector_db_spark.sources.iceberg import (
+        delete_from_iceberg,
+        read_iceberg,
+        write_iceberg_equality_deletes,
+        write_iceberg_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    table = "/tmp/vdbs_gate_iceberg_v2"
+    shutil.rmtree(table, ignore_errors=True)
+    write_iceberg_table(docs, table, format_version=2)
+    delete_from_iceberg(spark, table, F.col("n_chars") < 500)
+    write_iceberg_equality_deletes(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), table, ["doc_id"]
+    )
+    write_iceberg_table(
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 1000)),
+        table,
+    )
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders pre-bucketed on the join key
 # join with ZERO exchanges (pinned in tests/test_plans.py) — one write-time
