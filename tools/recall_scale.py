@@ -42,7 +42,10 @@ Measured per family:
   misses 0.95).
 
 Usage: python tools/recall_scale.py [REP] [OUT.json]
-Defaults REP=100 (200k corpus + 500 planted). Runtime is dominated by
+Defaults REP=100 (200k corpus + 500 planted). Set
+SPARK_GRAFT_RECALL_SKIP (comma list of lsh,ivfpq,graph) to drop
+families on the million-vector rung, where the NSW build alone would
+dwarf everything else (ivf cannot be skipped — ivfpq reuses it). Runtime is dominated by
 the graph (NSW) build — the disclosed-linear term of the sf10 probe.
 """
 
@@ -178,6 +181,9 @@ def main() -> None:
     )
     from vector_db_spark.session import get_spark
 
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_RECALL_SKIP", "").split(",") if s
+    }
     t_all = time.time()
     corpus_path, qmat, n_rows = _stage_corpus(rep, root)
     spark = get_spark("recall_scale")
@@ -239,84 +245,87 @@ def main() -> None:
     tuned = tune_ivf(ivf_s, queries, k=K, recall_target=0.95)
     result["retuned"]["ivf"] = {"nlist": nlist_s, **tuned}
 
-    # ---- LSH (cosine)
-    fz = FROZEN["lsh"]
-    lsh = timed(
-        "lsh_build_frozen",
-        lambda: CosineLshIndex.build(
-            corpus, dim=dim, n_bits=fz["n_bits"], n_tables=fz["n_tables"], seed=42
-        ),
-    )
-    lsh.buckets.cache().count()
-    approx = {
-        qid: {r_.vec_id for r_ in lsh.search(qv, K, probe_radius=fz["radius"]).collect()}
-        for qid, qv in qvecs.items()
-    }
-    result["frozen"]["lsh"] = {**fz, "recall": _recall(exact_cos, approx)}
-
-    lsh_s = timed(
-        "lsh_build_scale",
-        lambda: CosineLshIndex.build(corpus, dim=dim, n_bits=9, n_tables=8, seed=42),
-    )
-    lsh_s.buckets.cache().count()
-    tuned = tune_lsh(lsh_s, queries, k=K, recall_target=0.95)
-    result["retuned"]["lsh"] = {"n_bits": 9, "n_tables": 8, **tuned}
-
-    # ---- IVF-PQ (reuses the frozen coarse quantizer, as recall_bench does)
-    fz = FROZEN["ivfpq"]
-    ivfpq = timed(
-        "ivfpq_build_frozen",
-        lambda: IvfPqIndex.build(
-            corpus, nlist=fz["nlist"], m=fz["m"], ksub=fz["ksub"], seed=42, ivf=ivf
-        ),
-    )
-    ivfpq.encoded.cache().count()
-    r = _recall(
-        exact_l2,
-        _topk_sets(
-            ivfpq.search_batch(
-                queries, K, nprobe=fz["nprobe"], shortlist=fz["shortlist"]
-            ).collect()
-        ),
-    )
-    result["frozen"]["ivfpq"] = {**fz, "recall": r}
-
-    ivfpq_s = timed(
-        "ivfpq_build_scale",
-        lambda: IvfPqIndex.build(
-            corpus, nlist=nlist_s, m=16, ksub=64, seed=42, ivf=ivf_s
-        ),
-    )
-    ivfpq_s.encoded.cache().count()
-    tuned = tune_ivfpq(ivfpq_s, queries, k=K, recall_target=0.95)
-    result["retuned"]["ivfpq"] = {"nlist": nlist_s, **tuned}
-
-    # ---- graph (the linear-build term; built last so a timeout still
-    # leaves the other families' numbers in the partial log)
-    fz = FROZEN["graph"]
-    gr = timed(
-        "graph_build_frozen",
-        lambda: GraphAnnIndex.build(
-            corpus,
-            nlist=fz["nlist"],
-            m=fz["m"],
-            ef_construction=fz["ef_construction"],
-            seed=42,
-        ),
-    )
-    gr.graph.cache().count()
-    approx = {
-        qid: {
-            r_.vec_id
-            for r_ in gr.search(
-                qv, K, nprobe=fz["nprobe"], ef_search=fz["ef_search"]
-            ).collect()
+    if "lsh" not in skip:
+        # ---- LSH (cosine)
+        fz = FROZEN["lsh"]
+        lsh = timed(
+            "lsh_build_frozen",
+            lambda: CosineLshIndex.build(
+                corpus, dim=dim, n_bits=fz["n_bits"], n_tables=fz["n_tables"], seed=42
+            ),
+        )
+        lsh.buckets.cache().count()
+        approx = {
+            qid: {r_.vec_id for r_ in lsh.search(qv, K, probe_radius=fz["radius"]).collect()}
+            for qid, qv in qvecs.items()
         }
-        for qid, qv in qvecs.items()
-    }
-    result["frozen"]["graph"] = {**fz, "recall": _recall(exact_l2, approx)}
-    tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
-    result["retuned"]["graph"] = {"nlist": fz["nlist"], **tuned}
+        result["frozen"]["lsh"] = {**fz, "recall": _recall(exact_cos, approx)}
+
+        lsh_s = timed(
+            "lsh_build_scale",
+            lambda: CosineLshIndex.build(corpus, dim=dim, n_bits=9, n_tables=8, seed=42),
+        )
+        lsh_s.buckets.cache().count()
+        tuned = tune_lsh(lsh_s, queries, k=K, recall_target=0.95)
+        result["retuned"]["lsh"] = {"n_bits": 9, "n_tables": 8, **tuned}
+
+    if "ivfpq" not in skip:
+        # ---- IVF-PQ (reuses the frozen coarse quantizer, as recall_bench does)
+        fz = FROZEN["ivfpq"]
+        ivfpq = timed(
+            "ivfpq_build_frozen",
+            lambda: IvfPqIndex.build(
+                corpus, nlist=fz["nlist"], m=fz["m"], ksub=fz["ksub"], seed=42, ivf=ivf
+            ),
+        )
+        ivfpq.encoded.cache().count()
+        r = _recall(
+            exact_l2,
+            _topk_sets(
+                ivfpq.search_batch(
+                    queries, K, nprobe=fz["nprobe"], shortlist=fz["shortlist"]
+                ).collect()
+            ),
+        )
+        result["frozen"]["ivfpq"] = {**fz, "recall": r}
+
+        ivfpq_s = timed(
+            "ivfpq_build_scale",
+            lambda: IvfPqIndex.build(
+                corpus, nlist=nlist_s, m=16, ksub=64, seed=42, ivf=ivf_s
+            ),
+        )
+        ivfpq_s.encoded.cache().count()
+        tuned = tune_ivfpq(ivfpq_s, queries, k=K, recall_target=0.95)
+        result["retuned"]["ivfpq"] = {"nlist": nlist_s, **tuned}
+
+    if "graph" not in skip:
+        # ---- graph (the linear-build term; built last so a timeout still
+        # leaves the other families' numbers in the partial log)
+        fz = FROZEN["graph"]
+        gr = timed(
+            "graph_build_frozen",
+            lambda: GraphAnnIndex.build(
+                corpus,
+                nlist=fz["nlist"],
+                m=fz["m"],
+                ef_construction=fz["ef_construction"],
+                seed=42,
+            ),
+        )
+        gr.graph.cache().count()
+        approx = {
+            qid: {
+                r_.vec_id
+                for r_ in gr.search(
+                    qv, K, nprobe=fz["nprobe"], ef_search=fz["ef_search"]
+                ).collect()
+            }
+            for qid, qv in qvecs.items()
+        }
+        result["frozen"]["graph"] = {**fz, "recall": _recall(exact_l2, approx)}
+        tuned = tune_graph(gr, queries, k=K, recall_target=0.95)
+        result["retuned"]["graph"] = {"nlist": fz["nlist"], **tuned}
 
     result["timings_sec"]["total"] = round(time.time() - t_all, 1)
     line = json.dumps(result)
