@@ -214,3 +214,17 @@ def test_not_a_table_and_writer_guards(spark, tmp_path):
             table,
             partition_by=["s"],
         )
+
+
+def test_relocate_matches_component_boundary():
+    """/tmp/x-other is not under location /tmp/x — a sibling dir
+    sharing a name prefix must not be re-rooted."""
+    from vector_db_spark.sources.iceberg import _relocate
+
+    assert _relocate("/tmp/x/data/f.parquet", "/tmp/x", "/new") == os.path.join(
+        "/new", "data/f.parquet"
+    )
+    assert _relocate("file:///tmp/x/d/f", "/tmp/x/", "/new") == "/new/d/f"
+    # sibling prefix stays absolute (outside the table)
+    assert _relocate("/tmp/x-other/f", "/tmp/x", "/new") == "/tmp/x-other/f"
+    assert _relocate("rel/f.parquet", "/tmp/x", "/new") == "/new/rel/f.parquet"

@@ -273,9 +273,12 @@ def _default_spec(md: dict) -> list[dict]:
 
 def _relocate(path: str, location: str, table: str) -> str:
     """Re-root a metadata-recorded URI onto the actual table dir (the
-    spec records absolute paths; a copied table keeps reading)."""
-    for prefix in (location, location.rstrip("/"), f"file://{location}"):
-        if prefix and path.startswith(prefix):
+    spec records absolute paths; a copied table keeps reading). The
+    prefix must match at a path-component boundary — ``/tmp/x-other``
+    is NOT under location ``/tmp/x``."""
+    loc = location.rstrip("/")
+    for prefix in (loc, f"file://{loc}") if loc else ():
+        if path == prefix or path.startswith(prefix + "/"):
             rel = path[len(prefix) :].lstrip("/")
             return os.path.join(table, rel)
     if path.startswith("file://"):
