@@ -143,23 +143,31 @@ def jaccard_pairs(
             "members"
         )
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["id"].alias("a_id"),
-                    y["id"].alias("b_id"),
-                    x["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
-            ),
-        )
+    # In-bucket ordered pairs, ROW-BOUNDED: posexplode each bucket to one
+    # row per member, then pair each member with its strict suffix. The
+    # pair MULTISET is identical to flattening all g² pairs in one array
+    # expression — which is what this was, until the full sf10 bench
+    # found the flat form OOMing a 48 GB heap on hot shingle buckets
+    # (round 15): flatten(transform(...)) materializes O(g²) structs in
+    # ONE row's evaluation, while this shape holds O(g) per row (the
+    # members array rides along each exploded row) and streams the g²
+    # total through explode. Same shuffle count, same quadratic total
+    # work where buckets are genuinely quadratic — that trade is the
+    # documented pigeonhole contract; what changed is peak task memory.
+    member_rows = buckets.filter(F.size("members") > 1).select(
+        "members", F.posexplode("members").alias("i", "x")
+    )
+    suffix_pairs = F.transform(
+        F.slice(F.col("members"), F.col("i") + 2, F.size(F.col("members"))),
+        lambda y: F.struct(
+            F.col("x")["id"].alias("a_id"),
+            y["id"].alias("b_id"),
+            F.col("x")["n"].alias("na"),
+            y["n"].alias("nb"),
+        ),
     )
     inter = (
-        buckets.filter(F.size("members") > 1)
-        .select(F.explode(pairs).alias("p"))
+        member_rows.select(F.explode(suffix_pairs).alias("p"))
         .groupBy("p.a_id", "p.b_id", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
