@@ -580,8 +580,17 @@ def _star_contract_rounds(
     job over the freshly checkpointed (exactly-deduped) edge set; equal
     multiset fingerprints with a 64-bit content hash make a false stop
     astronomically unlikely and a late stop merely one extra no-op
-    round."""
-    edges = edges.localCheckpoint()
+    round.
+
+    Checkpoints in this loop are LAZY (eager=False): the fingerprint
+    aggregation that immediately follows each one is the materializing
+    action, so a round costs ONE job instead of two (eager checkpoint
+    job + fingerprint job). Measured r15: dedup_clusters ran 24 jobs,
+    nearly half of them checkpoint materializations whose work the
+    fingerprint re-dispatched; on a host with ~0.13 s/job dispatch
+    latency the duplicate dispatches dominated round cost (guide §2.4 /
+    §1.2 — remove work, then per-task cost)."""
+    edges = edges.localCheckpoint(eager=False)
 
     def _fingerprint(e: DataFrame) -> tuple:
         # DECIMAL(38,0) sums: ANSI mode raises on int64 overflow, and a
@@ -620,7 +629,7 @@ def _star_contract_rounds(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(sm.select("src", F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp = _fingerprint(edges)
         if fp == prev_fp:
@@ -655,7 +664,8 @@ def connected_components(
     """
     base = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the star loop's
+    # first fingerprint aggregation — one job, not two (r15 opt)
     verts = (
         base.select(F.col("u").alias("id"))
         .unionByName(base.select(F.col("v").alias("id")))
@@ -714,7 +724,7 @@ def connected_components_minlabel(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Fused round 0: propagating identity labels one round yields exactly
     # label(v) = min(v, min incoming src) — computable as ONE aggregation
@@ -723,7 +733,7 @@ def connected_components_minlabel(
         edges.groupBy(F.col("dst").alias("id"))
         .agg(F.min("src").alias("_min_src"))
         .select("id", F.least(F.col("id"), F.col("_min_src")).alias("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # the prev_sum agg just below materializes
     )
     # DECIMAL sum: raw int64 label sums overflow (ANSI raises; non-ANSI
     # wraps, and a wrap collision falsely signals convergence)
@@ -739,7 +749,7 @@ def connected_components_minlabel(
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # the new_sum agg materializes
         )
         new_sum = labels.agg(_lbl_sum).head()[0]
         if new_sum == prev_sum:

@@ -43,24 +43,40 @@ def label_propagation(
         raise ValueError("iters must be >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
-    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
-    lab = n.select("id", F.col("id").alias("label"))
+    ).localCheckpoint(eager=False)
+    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
     w = Window.partitionBy("dst").orderBy(
         F.col("votes").desc(), F.col("label").asc()
     )
-    for _ in range(iters):
-        votes = (
-            e.join(lab, e.src == lab.id)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("votes"))
+    # r15 optimization (guide §2.4): the dense (id, label) frame used to
+    # be rebuilt by a LEFT join after every round only so the next round
+    # could look labels up again. But the winner frame already holds the
+    # label of EVERY node with >= 1 in-edge (each such dst appears in the
+    # plurality window exactly once per round), and the edge set is
+    # static, so that key set never changes; a node absent from it has
+    # never updated and still carries its initial label — its own id.
+    # The loop therefore carries only the sparse winner frame and
+    # synthesizes absent labels as coalesce(new_label, src); round 1 is
+    # join-free (initial labels ARE the ids). One join + one exchange per
+    # round removed; labels bit-identical to the dense formulation. The
+    # node frame joins exactly once, at the end, to emit dense output.
+    winner = None
+    for r in range(iters):
+        if r == 0:
+            labelled = e.select("dst", F.col("src").alias("label"))
+        else:
+            prev = winner.select("wid", F.col("new_label").alias("_plab"))
+            labelled = e.join(prev, e.src == prev.wid, "left").select(
+                e.dst, F.coalesce("_plab", e.src).alias("label")
+            )
+        votes = labelled.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("votes")
         )
         winner = (
             votes.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select(F.col("dst").alias("wid"), F.col("label").alias("new_label"))
         )
-        lab = lab.join(winner, lab.id == winner.wid, "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
-        )
-    return lab
+    return n.join(winner, n.id == winner.wid, "left").select(
+        "id", F.coalesce("new_label", "id").alias("label")
+    )

@@ -80,26 +80,54 @@ def pagerank(
     # cut lineage once: the (possibly expensive) edge derivation would
     # otherwise be re-evaluated inside EVERY round's plan — iters+1
     # rebuilds of the kNN graph in the gate query (the CC operator's
-    # localCheckpoint pattern, dedup.py:419)
-    ed = e.join(deg, "src").localCheckpoint()
-    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    # localCheckpoint pattern, dedup.py:419). Lazy (eager=False): the
+    # lineage cut happens at plan level either way, and the first real
+    # action materializes it — no standalone checkpoint job (r15 opt).
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
     if init_mass is None:
-        # n is checkpointed, so the count reads materialized partitions
+        # the count materializes the lazy checkpoint (one job, not two)
         init_mass = auto_init_mass(n.count(), damping_pct)
     base = (100 - damping_pct) * init_mass // 100
-    mass = n.select("id", F.lit(init_mass).cast("long").alias("mass"))
-    for _ in range(iters):
-        contrib = (
-            ed.join(mass, ed.src == mass.id)
-            .select("dst", F.expr("mass div out_deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("insum"))
-        )
-        mass = n.join(contrib, n.id == contrib.dst, "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
-            ).cast("long").alias("mass"),
-        )
-    return mass
+    # r15 optimization (guide §2.4 — remove shuffles outright): the node
+    # frame used to be LEFT-joined back after every round to rebuild a
+    # dense (id, mass) frame, costing a join + an exchange per round whose
+    # only purpose was carrying "no in-edges ⇒ mass = base" rows that the
+    # NEXT round's contribution join could have synthesized itself. The
+    # loop now carries only the sparse per-round in-sum frame
+    # (dst, insum); the mass of any src absent from it is the constant
+    # ``base``, reproduced exactly by coalesce(insum, 0) inside the
+    # contribution expression. Integer arithmetic, order of operations
+    # and flooring are IDENTICAL to the dense formulation, so every
+    # mass value is bit-equal; the node frame is joined exactly once, at
+    # the end, to emit the dense result. Per-round plan shape drops from
+    # {mass join on id, groupBy dst, node left-join} to {left join on the
+    # previous in-sum (both sides already hash-partitioned on their join
+    # key), groupBy dst} — and round 1 is join-free (every node's mass is
+    # the init constant).
+    _mass_from = (
+        lambda insum_col: (
+            F.lit(base)
+            + F.expr(f"({damping_pct} * coalesce({insum_col}, 0L)) div 100")
+        ).cast("long")
+    )
+    insum = None
+    for r in range(iters):
+        if r == 0:
+            contrib = ed.select(
+                "dst",
+                F.expr(f"{int(init_mass)}L div out_deg").alias("c"),
+            )
+        else:
+            prev = insum.select(
+                F.col("dst").alias("_jid"), F.col("insum").alias("_insum")
+            )
+            contrib = (
+                ed.join(prev, ed.src == prev._jid, "left")
+                .withColumn("_mass", _mass_from("_insum"))
+                .select(ed.dst, F.expr("_mass div out_deg").alias("c"))
+            )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+    return n.join(insum, n.id == insum.dst, "left").select(
+        "id", _mass_from("insum").alias("mass")
+    )
