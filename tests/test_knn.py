@@ -288,3 +288,94 @@ def test_column_stats_counts_nulls_and_ndv(spark):
     assert got["a"].n_rows == 4 and got["a"].n_nulls == 1
     assert got["a"].n_distinct == 2 and got["a"].min_val == 1.0 and got["a"].max_val == 2.0
     assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+
+
+def test_unrolled_fold_bitwise_parity(spark):
+    """r15 optimization guard: the fixed-dim unrolled scoring chains must
+    be BIT-EQUAL to the interpreted aggregate(zip_with) folds — the
+    oracle-gated queries' hashes ride on it. Random float32 vectors
+    (the fixture layout), a zero vector (cosine NULL guard), and
+    negative components all compare with == on the raw doubles."""
+    import random
+
+    from vector_db_spark.functions.vector import (
+        cosine_sim,
+        cosine_sim_unrolled,
+        dot,
+        dot_unrolled,
+        l2_sq,
+        l2_sq_unrolled,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(200)
+    ]
+    rows.append((998, [0.0] * dim))  # zero norm -> cosine NULL both paths
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [rng.uniform(-2, 2) for _ in range(dim)]
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    a = F.col("embedding")
+    got = df.select(
+        l2_sq(a, ql).alias("l2_f"),
+        l2_sq_unrolled(a, q, dim).alias("l2_u"),
+        dot(a, ql).alias("ip_f"),
+        dot_unrolled(a, q, dim).alias("ip_u"),
+        cosine_sim(a, ql).alias("cos_f"),
+        cosine_sim_unrolled(a, q, dim).alias("cos_u"),
+        # column-vs-column form (the batch path): self-similarity
+        l2_sq(a, a).alias("self_f"),
+        l2_sq_unrolled(a, a, dim).alias("self_u"),
+    ).collect()
+    for r in got:
+        assert r.l2_f == r.l2_u, (r.l2_f, r.l2_u)
+        assert r.ip_f == r.ip_u
+        assert r.cos_f == r.cos_u  # None == None for the zero vector
+        assert r.self_f == r.self_u
+
+
+def test_unrolled_knn_results_match_fold(spark):
+    """knn/batch_knn/range_search outputs with the unrolled dispatch are
+    row-identical (values AND order) to the pre-dispatch fold plans."""
+    import random
+
+    from vector_db_spark.functions import vector as V
+    from vector_db_spark.operators.knn import (
+        batch_knn,
+        batch_range_search,
+        knn,
+        range_search,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def run_all():
+        out = []
+        for metric in ("l2", "ip", "cosine"):
+            out.append(knn(df, q, 7, metric=metric).collect())
+            out.append(
+                batch_knn(df, queries, 5, metric=metric, dim=dim).collect()
+            )
+        out.append(range_search(df, q, 2.0).collect())
+        out.append(
+            batch_range_search(df, queries, 2.0, metric="l2", dim=dim).collect()
+        )
+        return out
+
+    unrolled = run_all()
+    # force the generic fold by dropping the unroll ceiling to 0
+    orig = V.UNROLL_DIM_MAX
+    V.UNROLL_DIM_MAX = 0
+    try:
+        folded = run_all()
+    finally:
+        V.UNROLL_DIM_MAX = orig
+    assert unrolled == folded

@@ -61,17 +61,37 @@ def copurchase_lift(
     # materialize the deduped basket relation ONCE: four consumers (both
     # self-join sides, per-item counts, order total) would otherwise each
     # re-scan and re-shuffle the raw fact table — measured 8 scans / 2
-    # reused exchanges without the cut
-    op = baskets.select(
-        F.col(order_col).alias("ok"), F.col(item_col).alias("pk")
-    ).distinct()
+    # reused exchanges without the cut.
+    #
+    # r15 optimization (guide §2.4 — share one exchange between two
+    # operations keyed the same way): the dedup is clustered by the ORDER
+    # key alone before distinct(). hash(ok) satisfies the distinct's
+    # (ok, pk) clustering requirement (same-key rows must co-locate — a
+    # subset partitioning qualifies), and it is exactly the partitioning
+    # the pair self-join needs, so the join consumes the deduped relation
+    # with ZERO further exchanges of it. Before: distinct shuffled by
+    # (ok, pk), then the self-join re-shuffled by ok — two full shuffles
+    # of the basket relation; now one. Row set identical (dedup is dedup
+    # under any partitioning); the trade is partial map-side dedup, which
+    # on (order, item) relations removes ~nothing (duplicate line items
+    # for one part in one order are domain-rare).
+    op = (
+        baskets.select(
+            F.col(order_col).alias("ok"), F.col(item_col).alias("pk")
+        )
+        .repartition("ok")
+        .distinct()
+    )
     if materialize is None:
         est = int(
             baskets._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         materialize = est <= _CHECKPOINT_MAX_BYTES
     if materialize:
-        op = op.localCheckpoint()
+        # lazy: the query's single action materializes it — no
+        # standalone checkpoint job (r15; localCheckpoint preserves the
+        # hash(ok) partitioning either way)
+        op = op.localCheckpoint(eager=False)
     n = op.select(F.countDistinct("ok").alias("n_orders"))
     pc = op.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     a = op.alias("a")

@@ -157,6 +157,32 @@ def query_literal(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _unrolled_metric(metric: str, a, b, dim: int | None = None) -> Column | None:
+    """Unrolled fixed-dim scoring expression for ``metric``, or None when
+    the dim is unknown/over the unroll ceiling (callers fall back to the
+    dim-generic interpreted fold). ``b`` may be a Python sequence (its
+    length IS the dim) or a Column (pass ``dim`` explicitly). Bit-equal
+    to the fold ONLY for rows whose arrays carry exactly ``dim``
+    components — callers must guard sizes (knn's dim-mismatch raise, or
+    a when(size==dim) with the fold as the otherwise branch)."""
+    from vector_db_spark.functions.vector import (
+        UNROLL_DIM_MAX,
+        cosine_sim_unrolled,
+        dot_unrolled,
+        l2_sq_unrolled,
+    )
+
+    d = dim if dim is not None else (None if isinstance(b, Column) else len(b))
+    if d is None or d > UNROLL_DIM_MAX:
+        return None
+    builder = {
+        "l2": l2_sq_unrolled,
+        "ip": dot_unrolled,
+        "cosine": cosine_sim_unrolled,
+    }[metric]
+    return builder(a, b, d)
+
+
 def knn(
     corpus: DataFrame,
     query: Sequence[float] | Column,
@@ -213,12 +239,21 @@ def knn(
     else:
         # (emptiness already rejected by the guard ahead of the dispatch)
         qcol = query_literal(query)
+        # r15 optimization (guide §4.1 — prefer codegen'd built-ins): with
+        # the dim known from the literal query, the interpreted
+        # aggregate(zip_with) fold unrolls into a flat codegen'd chain
+        # with the identical left-assoc op sequence — bit-equal scores
+        # (pinned in tests/test_knn.py), ~5x on brute-force scans. The
+        # size guard below already ensures only exact-dim rows reach it.
+        scored_expr = _unrolled_metric(metric, F.col(vec_col), query)
+        if scored_expr is None:
+            scored_expr = expr_fn(F.col(vec_col), qcol)
         # Strict dim check (deliberate divergence: the reference silently
         # searches with a mismatched dim, src/router/handle/
         # search_index_handle.rs:201-215; we reject — SURVEY.md §7.4 / B6).
         dist = F.when(
             F.size(F.col(vec_col)) == len(query),
-            expr_fn(F.col(vec_col), qcol),
+            scored_expr,
         ).otherwise(
             F.raise_error(
                 F.lit(
@@ -298,10 +333,28 @@ def batch_knn(
         )
 
     joined = df.crossJoin(F.broadcast(queries))
+    # r15 optimization: when the caller states the dim (<= UNROLL cap),
+    # score candidate pairs with the unrolled codegen chain; rows whose
+    # arrays differ from the stated dim fall through to the original
+    # interpreted fold (CaseWhen branches evaluate lazily per row), so
+    # the output is bit-equal for EVERY input — including dim-mismatched
+    # corpora, where the fold's zip_with NULL-padding semantics apply.
+    fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
+    unrolled = _unrolled_metric(
+        metric, F.col(vec_col), F.col(query_vec_col), dim=dim
+    )
+    if unrolled is not None:
+        score_expr = F.when(
+            (F.size(F.col(vec_col)) == dim)
+            & (F.size(F.col(query_vec_col)) == dim),
+            unrolled,
+        ).otherwise(fold)
+    else:
+        score_expr = fold
     scored = joined.select(
         query_id_col,
         id_col,
-        expr_fn(F.col(vec_col), F.col(query_vec_col)).alias(out),
+        score_expr.alias(out),
     )
     order = F.col(out).asc() if ascending else F.col(out).desc()
     w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col).asc())
@@ -469,8 +522,18 @@ def range_search(
                 "impl='arrow' needs a concrete query vector, not a Column"
             )
         qcol = query if isinstance(query, Column) else query_literal(query)
+        score_expr = expr_fn(F.col(vec_col), qcol)
+        if not isinstance(query, Column):
+            # r15: unrolled codegen chain for exact-dim rows; any other
+            # row keeps the fold's zip_with NULL-padding semantics
+            # (NULL score passes no threshold) — bit-equal output
+            unrolled = _unrolled_metric(metric, F.col(vec_col), query)
+            if unrolled is not None:
+                score_expr = F.when(
+                    F.size(F.col(vec_col)) == len(query), unrolled
+                ).otherwise(score_expr)
         scored = df.select(
-            id_col, *keep_cols, expr_fn(F.col(vec_col), qcol).alias(out)
+            id_col, *keep_cols, score_expr.alias(out)
         )
     keep = scored.filter(
         F.col(out) <= float(threshold) if ascending else F.col(out) >= float(threshold)
@@ -538,10 +601,24 @@ def batch_range_search(
         )
     else:
         joined = df.crossJoin(F.broadcast(queries))
+        fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
+        unrolled = _unrolled_metric(
+            metric, F.col(vec_col), F.col(query_vec_col), dim=dim
+        )
+        if unrolled is not None:
+            # r15: unrolled codegen chain for exact-dim pairs, fold
+            # otherwise (lazy CaseWhen branches) — bit-equal output
+            score_expr = F.when(
+                (F.size(F.col(vec_col)) == dim)
+                & (F.size(F.col(query_vec_col)) == dim),
+                unrolled,
+            ).otherwise(fold)
+        else:
+            score_expr = fold
         scored = joined.select(
             query_id_col,
             id_col,
-            expr_fn(F.col(vec_col), F.col(query_vec_col)).alias(out),
+            score_expr.alias(out),
         )
         matches = scored.filter(
             F.col(out) <= thr if ascending else F.col(out) >= thr
