@@ -259,7 +259,9 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     from concurrent.futures import ThreadPoolExecutor
 
     def _build_pq():
-        pqz = ProductQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8)
+        pqz = ProductQuantizer.fit(
+            emb, m=16, ksub=64, seed=42, iters=8, n_rows=n_rows
+        )
         pqz.encode(emb).select("vec_id", "pq_codes").write.mode(
             "overwrite"
         ).parquet(f"{root}/pq_codes")
@@ -279,13 +281,14 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         # the SQ encode, and the PQ encode then proceed concurrently.
         from vector_db_spark.operators.ivfsq import IvfSqIndex
 
-        ivf = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5)
+        ivf = IvfIndex.build(emb, nlist=8, seed=42, max_iter=5, n_rows=n_rows)
         save_f = pool.submit(ivf.save, f"{root}/ivf")
         sq_f = pool.submit(
             lambda: IvfSqIndex.build(emb, ivf=ivf).save(f"{root}/ivfsq")
         )
         IvfPqIndex.build(
-            emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, ivf=ivf
+            emb, nlist=8, m=16, ksub=64, seed=42, max_iter=5, ivf=ivf,
+            n_rows=n_rows,
         ).save(f"{root}/ivfpq")
         save_f.result()
         sq_f.result()
@@ -312,6 +315,7 @@ def ann_search_suite(spark, sf_dir: str, root: str):
             seed=42,
             max_iter=5,
             metric="cosine",
+            n_rows=n_rows,
         ).save(f"{root}/ivf_cos")
         sub_timings["cosine_ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
@@ -320,7 +324,9 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         # the ADC entry below scans the same M bytes/row as plain PQ
         from vector_db_spark.operators.opq import OpqQuantizer
 
-        oq = OpqQuantizer.fit(emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4)
+        oq = OpqQuantizer.fit(
+            emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4, n_rows=n_rows
+        )
         oq.save(f"{root}/opq")
         oq.encode(emb).select("vec_id", "opq_codes").write.mode(
             "overwrite"
@@ -364,7 +370,8 @@ def ann_search_suite(spark, sf_dir: str, root: str):
             pool.submit(_build_binary),
             pool.submit(
                 lambda: GraphAnnIndex.build(
-                    emb, nlist=16, m=16, ef_construction=200, seed=42
+                    emb, nlist=16, m=16, ef_construction=200, seed=42,
+                    n_rows=n_rows,
                 ).save(f"{root}/graph")
             ),
         ]
@@ -532,7 +539,9 @@ def highdim_suite(spark, sf_dir: str, root: str):
     )
 
     t0 = time.perf_counter()
-    IvfIndex.build(corpus, nlist=8, seed=42, max_iter=5).save(f"{root}/ivf")
+    IvfIndex.build(corpus, nlist=8, seed=42, max_iter=5, n_rows=n).save(
+        f"{root}/ivf"
+    )
     build_sec = round(time.perf_counter() - t0, 3)
     ivf = IvfIndex.load(spark, f"{root}/ivf")
 

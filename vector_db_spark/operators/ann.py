@@ -90,6 +90,7 @@ def _kmeans_centroids(
     seed: int,
     max_iter: int,
     sample_per_cell: int = 256,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Train the coarse quantizer on a bounded SAMPLE, driver-side.
 
@@ -102,7 +103,10 @@ def _kmeans_centroids(
     ASSIGNMENT stays fully distributed (one Arrow-batched GEMM per
     partition over the whole corpus)."""
     target = nlist * sample_per_cell
-    n = corpus.count()
+    # caller-known row count skips the count job (the bench build pool
+    # was paying one identical count per family — r15 opt); the count
+    # only sizes the sample fraction, so a correct hint changes nothing
+    n = corpus.count() if n_rows is None else int(n_rows)
     sampled = corpus.select(vec.alias("v"))
     if n > target:
         # over-sample slightly so limit() almost always hits target rows
@@ -369,6 +373,7 @@ class IvfIndex:
         vec_col: str = "embedding",
         max_iter: int = 20,
         metric: str = "l2",
+        n_rows: int | None = None,
     ) -> "IvfIndex":
         """``metric='l2'`` clusters raw vectors; ``metric='cosine'``
         clusters L2-NORMALIZED vectors (unit sphere ⇒ L2 cell order is
@@ -401,7 +406,9 @@ class IvfIndex:
                 F.transform(F.col(vec_col), lambda x: x.cast("double")),
                 F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
             )
-        centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
+        centroids = _kmeans_centroids(
+            corpus, vec, nlist, seed, max_iter, n_rows=n_rows
+        )
         assignments = _nearest_centroid_arrow(corpus, vec_col, centroids, metric, aug)
         idx = IvfIndex(centroids, assignments, id_col, vec_col, metric)
         idx.max_sq_norm = aug

@@ -264,6 +264,7 @@ class GraphAnnIndex:
         vec_col: str = "embedding",
         metric: str = "l2",
         max_iter: int = 20,
+        n_rows: int | None = None,
     ) -> "GraphAnnIndex":
         if metric not in ("l2", "cosine", "ip"):
             raise ValueError(
@@ -299,7 +300,9 @@ class GraphAnnIndex:
                 F.transform(F.col(vec_col), lambda x: x.cast("double")),
                 F.array(F.sqrt(F.greatest(F.lit(max_sq) - sq_norm, F.lit(0.0)))),
             )
-        centroids = _kmeans_centroids(corpus, vec, nlist, seed, max_iter)
+        centroids = _kmeans_centroids(
+            corpus, vec, nlist, seed, max_iter, n_rows=n_rows
+        )
         # Arrow GEMM assignment (not the literal-distance expression): the
         # HOF fold evaluates interpreted per element — measured 35× slower
         # than one (batch × nlist) BLAS matmul even at nlist=8, and it

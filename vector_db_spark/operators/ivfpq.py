@@ -151,6 +151,7 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         ivf: IvfIndex | None = None,
+        n_rows: int | None = None,
     ) -> "IvfPqIndex":
         """``ivf`` accepts a pre-built L2 coarse quantizer over the same
         corpus — the faiss composition (IndexIVFPQ wraps a trained
@@ -165,6 +166,7 @@ class IvfPqIndex:
                 vec_col=vec_col,
                 max_iter=max_iter,
                 metric="l2",
+                n_rows=n_rows,
             )
         elif ivf.metric != "l2":
             raise ValueError("IVF-PQ residual encoding requires an L2 IVF")
@@ -180,6 +182,7 @@ class IvfPqIndex:
             iters=pq_iters,
             id_col=id_col,
             vec_col="_resid",
+            n_rows=n_rows,  # with_residuals is row-preserving
         )
         encoded = pq.encode(with_resid, code_col="pq_codes").drop("_resid")
         return IvfPqIndex(ivf, pq, encoded, id_col, vec_col)

@@ -138,18 +138,22 @@ class OpqQuantizer:
         sample_per_code: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        n_rows: int | None = None,
     ) -> "OpqQuantizer":
         """Alternating Lloyd/Procrustes on a bounded sample. Keeps the
         best (R, codebooks) by training reconstruction MSE, so the
         result is never worse than plain PQ on the training sample."""
         if not 1 <= ksub <= 256:
             raise ValueError("ksub must be in [1, 256] (uint8 codes)")
-        dim = len(corpus.select(vec_col).head()[0])
+        pts = sample_training_points(
+            corpus, vec_col, ksub * sample_per_code, seed, n_rows=n_rows
+        )
+        if pts.ndim != 2 or pts.shape[0] == 0:
+            raise ValueError("cannot fit an OpqQuantizer on an empty corpus")
+        # dim from the sample — drops the head() probe job (r15 opt)
+        dim = pts.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        pts = sample_training_points(
-            corpus, vec_col, ksub * sample_per_code, seed
-        )
 
         rot = np.eye(dim)
         best = None  # (mse, rot, books)

@@ -50,12 +50,18 @@ from pyspark.sql import functions as F
 
 
 def sample_training_points(
-    corpus: DataFrame, vec_col: str, target: int, seed: int
+    corpus: DataFrame, vec_col: str, target: int, seed: int,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Bounded training sample (≤ target vectors) as a float64 matrix —
     the shared fit policy of the PQ/OPQ quantizers (cost independent of
-    corpus size; same trade as the IVF coarse quantizer)."""
-    n = corpus.count()
+    corpus size; same trade as the IVF coarse quantizer).
+
+    ``n_rows``: caller-known row count — skips the count job. The bench's
+    index-build pool was paying 4+ identical count jobs of one corpus
+    across concurrently-fitting families (r15 opt); the count only picks
+    the sample fraction, so a correct hint changes nothing else."""
+    n = corpus.count() if n_rows is None else int(n_rows)
     sampled = corpus.select(F.col(vec_col).alias("v"))
     if n > target:
         sampled = sampled.sample(fraction=min(1.0, 1.2 * target / n), seed=seed)
@@ -156,17 +162,22 @@ class ProductQuantizer:
         sample_per_code: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        n_rows: int | None = None,
     ) -> "ProductQuantizer":
         """Train per-subspace codebooks on a bounded sample (≤ ksub·
         sample_per_code vectors — fit cost independent of corpus size)."""
         if not 1 <= ksub <= 256:
             raise ValueError("ksub must be in [1, 256] (uint8 codes)")
-        dim = len(corpus.select(vec_col).head()[0])
+        pts = sample_training_points(
+            corpus, vec_col, ksub * sample_per_code, seed, n_rows=n_rows
+        )
+        if pts.ndim != 2 or pts.shape[0] == 0:
+            raise ValueError("cannot fit a ProductQuantizer on an empty corpus")
+        # dim from the sample itself — the separate head() probe was one
+        # more driver job per family in the build pool (r15 opt)
+        dim = pts.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        pts = sample_training_points(
-            corpus, vec_col, ksub * sample_per_code, seed
-        )
         dsub = dim // m
         books = np.stack(
             [
