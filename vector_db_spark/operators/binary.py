@@ -200,7 +200,7 @@ def hamming_shortlist_rerank(
     out = SCORE_COL[metric]
     joined = corpus.join(F.broadcast(cand), id_col)
     score_expr = expr_fn(F.col(vec_col), query_literal(query))
-    unrolled = _unrolled_metric(metric, F.col(vec_col), query)
+    unrolled = _unrolled_metric(metric, vec_col, query)
     if unrolled is not None:
         # r15: codegen chain for exact-dim rows, fold otherwise — bit-equal
         score_expr = F.when(

@@ -157,14 +157,29 @@ def query_literal(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def _unrolled_metric(metric: str, a, b, dim: int | None = None) -> Column | None:
+# Built unrolled Columns are CACHED: constructing a 64-term chain costs
+# ~1.1 s of py4j round-trips (measured — ~400 Column-operator calls), and
+# bench/serving paths construct the identical expression on every plan.
+# A Column is an immutable expression tree, safely reusable across
+# DataFrames and queries (same contract as a shared F.col()). Keyed by
+# (metric, corpus column NAME, literal tuple | query column NAME, dim);
+# bounded — a long-lived server with many distinct query vectors must not
+# grow an unbounded expression cache.
+_UNROLL_CACHE: dict[tuple, Column] = {}
+_UNROLL_CACHE_MAX = 512
+
+
+def _unrolled_metric(
+    metric: str, a_col: str, b, dim: int | None = None
+) -> Column | None:
     """Unrolled fixed-dim scoring expression for ``metric``, or None when
     the dim is unknown/over the unroll ceiling (callers fall back to the
-    dim-generic interpreted fold). ``b`` may be a Python sequence (its
-    length IS the dim) or a Column (pass ``dim`` explicitly). Bit-equal
-    to the fold ONLY for rows whose arrays carry exactly ``dim``
-    components — callers must guard sizes (knn's dim-mismatch raise, or
-    a when(size==dim) with the fold as the otherwise branch)."""
+    dim-generic interpreted fold). ``a_col`` is the corpus array column
+    NAME; ``b`` a Python sequence (its length IS the dim) or a query
+    array column NAME (pass ``dim`` explicitly). Bit-equal to the fold
+    ONLY for rows whose arrays carry exactly ``dim`` components — callers
+    must guard sizes (knn's dim-mismatch raise, or a when(size==dim)
+    with the fold as the otherwise branch)."""
     from vector_db_spark.functions.vector import (
         UNROLL_DIM_MAX,
         cosine_sim_unrolled,
@@ -172,15 +187,28 @@ def _unrolled_metric(metric: str, a, b, dim: int | None = None) -> Column | None
         l2_sq_unrolled,
     )
 
-    d = dim if dim is not None else (None if isinstance(b, Column) else len(b))
+    if isinstance(b, str):
+        d = dim
+        b_key: tuple | str = b
+    else:
+        d = dim if dim is not None else len(b)
+        b_key = tuple(float(x) for x in b)
     if d is None or d > UNROLL_DIM_MAX:
         return None
-    builder = {
-        "l2": l2_sq_unrolled,
-        "ip": dot_unrolled,
-        "cosine": cosine_sim_unrolled,
-    }[metric]
-    return builder(a, b, d)
+    key = (metric, a_col, b_key, d)
+    col = _UNROLL_CACHE.get(key)
+    if col is None:
+        builder = {
+            "l2": l2_sq_unrolled,
+            "ip": dot_unrolled,
+            "cosine": cosine_sim_unrolled,
+        }[metric]
+        bb = F.col(b) if isinstance(b, str) else b
+        col = builder(F.col(a_col), bb, d)
+        if len(_UNROLL_CACHE) >= _UNROLL_CACHE_MAX:
+            _UNROLL_CACHE.clear()
+        _UNROLL_CACHE[key] = col
+    return col
 
 
 def knn(
@@ -245,7 +273,7 @@ def knn(
         # with the identical left-assoc op sequence — bit-equal scores
         # (pinned in tests/test_knn.py), ~5x on brute-force scans. The
         # size guard below already ensures only exact-dim rows reach it.
-        scored_expr = _unrolled_metric(metric, F.col(vec_col), query)
+        scored_expr = _unrolled_metric(metric, vec_col, query)
         if scored_expr is None:
             scored_expr = expr_fn(F.col(vec_col), qcol)
         # Strict dim check (deliberate divergence: the reference silently
@@ -340,9 +368,7 @@ def batch_knn(
     # the output is bit-equal for EVERY input — including dim-mismatched
     # corpora, where the fold's zip_with NULL-padding semantics apply.
     fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
-    unrolled = _unrolled_metric(
-        metric, F.col(vec_col), F.col(query_vec_col), dim=dim
-    )
+    unrolled = _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
     if unrolled is not None:
         score_expr = F.when(
             (F.size(F.col(vec_col)) == dim)
@@ -527,7 +553,7 @@ def range_search(
             # r15: unrolled codegen chain for exact-dim rows; any other
             # row keeps the fold's zip_with NULL-padding semantics
             # (NULL score passes no threshold) — bit-equal output
-            unrolled = _unrolled_metric(metric, F.col(vec_col), query)
+            unrolled = _unrolled_metric(metric, vec_col, query)
             if unrolled is not None:
                 score_expr = F.when(
                     F.size(F.col(vec_col)) == len(query), unrolled
@@ -602,9 +628,7 @@ def batch_range_search(
     else:
         joined = df.crossJoin(F.broadcast(queries))
         fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
-        unrolled = _unrolled_metric(
-            metric, F.col(vec_col), F.col(query_vec_col), dim=dim
-        )
+        unrolled = _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
         if unrolled is not None:
             # r15: unrolled codegen chain for exact-dim pairs, fold
             # otherwise (lazy CaseWhen branches) — bit-equal output

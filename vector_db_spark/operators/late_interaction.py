@@ -98,7 +98,7 @@ def _per_token_maxes(
 
         def _tok_dot(t: list[float]) -> Column:
             fold = dot(F.col(vec_col), query_literal(t))
-            unrolled = _unrolled_metric("ip", F.col(vec_col), t)
+            unrolled = _unrolled_metric("ip", vec_col, t)
             if unrolled is None:
                 return fold
             return F.when(
