@@ -357,25 +357,20 @@ def test_unrolled_knn_results_match_fold(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
-    def run_all():
+    def run_all(unroll: bool):
         out = []
         for metric in ("l2", "ip", "cosine"):
-            out.append(knn(df, q, 7, metric=metric).collect())
+            out.append(knn(df, q, 7, metric=metric, unroll=unroll).collect())
             out.append(
-                batch_knn(df, queries, 5, metric=metric, dim=dim).collect()
+                batch_knn(
+                    df, queries, 5, metric=metric, dim=dim, unroll=unroll
+                ).collect()
             )
-        out.append(range_search(df, q, 2.0).collect())
         out.append(
-            batch_range_search(df, queries, 2.0, metric="l2", dim=dim).collect()
+            batch_range_search(
+                df, queries, 2.0, metric="l2", dim=dim, unroll=unroll
+            ).collect()
         )
         return out
 
-    unrolled = run_all()
-    # force the generic fold by dropping the unroll ceiling to 0
-    orig = V.UNROLL_DIM_MAX
-    V.UNROLL_DIM_MAX = 0
-    try:
-        folded = run_all()
-    finally:
-        V.UNROLL_DIM_MAX = orig
-    assert unrolled == folded
+    assert run_all(unroll=True) == run_all(unroll=False)

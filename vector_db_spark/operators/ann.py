@@ -958,30 +958,11 @@ class IvfIndex:
             corpus = corpus.filter(predicate)
         cands = corpus.join(probe_side, on=_CLUSTER_COL)
 
-        # (4): exact rerank per query. The raw-vector dim is known from
-        # the trained centroids (MIPS centroids carry the +1 augmented
-        # component), so the rerank dispatches to the unrolled codegen
-        # chain for exact-dim rows, interpreted fold otherwise —
-        # bit-equal either way (r15; see functions/vector.py).
-        from vector_db_spark.operators.knn import _unrolled_metric
-
-        fold = expr_fn(F.col(self.vec_col), F.col(query_vec_col))
-        raw_dim = len(self.centroids[0]) - (1 if self.metric == "ip" else 0)
-        unrolled = _unrolled_metric(
-            metric, self.vec_col, query_vec_col, dim=raw_dim
-        )
-        if unrolled is not None:
-            score_expr = F.when(
-                (F.size(F.col(self.vec_col)) == raw_dim)
-                & (F.size(F.col(query_vec_col)) == raw_dim),
-                unrolled,
-            ).otherwise(fold)
-        else:
-            score_expr = fold
+        # (4): exact rerank per query.
         scored = cands.select(
             query_id_col,
             self.id_col,
-            score_expr.alias(out),
+            expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(out),
         )
         order = F.col(out).asc() if ascending else F.col(out).desc()
         w = Window.partitionBy(query_id_col).orderBy(order, F.col(self.id_col).asc())
@@ -1287,27 +1268,10 @@ class CosineLshIndex:
             cands = cands.filter(predicate)
         expr_fn, ascending = _metric("cosine")
         out = SCORE_COL["cosine"]
-        # r15: rerank dim is known from the hyperplanes — unrolled codegen
-        # chain for exact-dim rows, interpreted fold otherwise (bit-equal)
-        from vector_db_spark.operators.knn import _unrolled_metric
-
-        fold = expr_fn(F.col(self.vec_col), F.col(query_vec_col))
-        lsh_dim = int(np.asarray(self.planes).shape[2])
-        unrolled = _unrolled_metric(
-            "cosine", self.vec_col, query_vec_col, dim=lsh_dim
-        )
-        if unrolled is not None:
-            score_expr = F.when(
-                (F.size(F.col(self.vec_col)) == lsh_dim)
-                & (F.size(F.col(query_vec_col)) == lsh_dim),
-                unrolled,
-            ).otherwise(fold)
-        else:
-            score_expr = fold
         scored = cands.select(
             query_id_col,
             self.id_col,
-            score_expr.alias(out),
+            expr_fn(F.col(self.vec_col), F.col(query_vec_col)).alias(out),
         )
         order = F.col(out).asc() if ascending else F.col(out).desc()
         w = Window.partitionBy(query_id_col).orderBy(order, F.col(self.id_col).asc())

@@ -191,22 +191,13 @@ def hamming_shortlist_rerank(
         predicate=predicate,
     ).select(id_col)
     expr_fn, ascending = _metric(metric)
-    from vector_db_spark.operators.knn import (
-        SCORE_COL,
-        _unrolled_metric,
-        query_literal,
-    )
+    from vector_db_spark.operators.knn import SCORE_COL, query_literal
 
     out = SCORE_COL[metric]
     joined = corpus.join(F.broadcast(cand), id_col)
-    score_expr = expr_fn(F.col(vec_col), query_literal(query))
-    unrolled = _unrolled_metric(metric, vec_col, query)
-    if unrolled is not None:
-        # r15: codegen chain for exact-dim rows, fold otherwise — bit-equal
-        score_expr = F.when(
-            F.size(F.col(vec_col)) == len(query), unrolled
-        ).otherwise(score_expr)
-    scored = joined.select(id_col, score_expr.alias(out))
+    scored = joined.select(
+        id_col, expr_fn(F.col(vec_col), query_literal(query)).alias(out)
+    )
     order = F.col(out).asc() if ascending else F.col(out).desc()
     return scored.orderBy(order, F.col(id_col).asc()).limit(k)
 

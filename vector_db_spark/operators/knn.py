@@ -222,6 +222,7 @@ def knn(
     predicate: Column | None = None,
     keep_cols: Sequence[str] = (),
     impl: str = "auto",
+    unroll: bool = False,
 ) -> DataFrame:
     """Exact top-k nearest rows of ``corpus`` to one query vector.
 
@@ -267,13 +268,16 @@ def knn(
     else:
         # (emptiness already rejected by the guard ahead of the dispatch)
         qcol = query_literal(query)
-        # r15 optimization (guide §4.1 — prefer codegen'd built-ins): with
-        # the dim known from the literal query, the interpreted
-        # aggregate(zip_with) fold unrolls into a flat codegen'd chain
-        # with the identical left-assoc op sequence — bit-equal scores
-        # (pinned in tests/test_knn.py), ~5x on brute-force scans. The
+        # r15: ``unroll=True`` swaps the interpreted aggregate(zip_with)
+        # fold for the flat codegen'd chain (bit-equal — see
+        # functions/vector.py for the break-even math: the bigger
+        # expression costs ~0.15-0.2 s of Catalyst work per PLAN, the
+        # fold ~1.5 µs of interpreted work per SCORED ROW, so unrolling
+        # pays past ~3-5M scored rows per query and loses below). The
         # size guard below already ensures only exact-dim rows reach it.
-        scored_expr = _unrolled_metric(metric, vec_col, query)
+        scored_expr = (
+            _unrolled_metric(metric, vec_col, query) if unroll else None
+        )
         if scored_expr is None:
             scored_expr = expr_fn(F.col(vec_col), qcol)
         # Strict dim check (deliberate divergence: the reference silently
@@ -312,6 +316,7 @@ def batch_knn(
     predicate: Column | None = None,
     impl: str = "auto",
     dim: int | None = None,
+    unroll: bool = False,
 ) -> DataFrame:
     """Exact top-k per query vector for a (small) DataFrame of queries.
 
@@ -361,14 +366,19 @@ def batch_knn(
         )
 
     joined = df.crossJoin(F.broadcast(queries))
-    # r15 optimization: when the caller states the dim (<= UNROLL cap),
-    # score candidate pairs with the unrolled codegen chain; rows whose
+    # r15: ``unroll=True`` (callers whose |queries|x|corpus| candidate
+    # count clears the ~3-5M-row break-even — see functions/vector.py)
+    # scores candidate pairs with the unrolled codegen chain; rows whose
     # arrays differ from the stated dim fall through to the original
     # interpreted fold (CaseWhen branches evaluate lazily per row), so
     # the output is bit-equal for EVERY input — including dim-mismatched
     # corpora, where the fold's zip_with NULL-padding semantics apply.
     fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
-    unrolled = _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
+    unrolled = (
+        _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
+        if unroll
+        else None
+    )
     if unrolled is not None:
         score_expr = F.when(
             (F.size(F.col(vec_col)) == dim)
@@ -548,18 +558,8 @@ def range_search(
                 "impl='arrow' needs a concrete query vector, not a Column"
             )
         qcol = query if isinstance(query, Column) else query_literal(query)
-        score_expr = expr_fn(F.col(vec_col), qcol)
-        if not isinstance(query, Column):
-            # r15: unrolled codegen chain for exact-dim rows; any other
-            # row keeps the fold's zip_with NULL-padding semantics
-            # (NULL score passes no threshold) — bit-equal output
-            unrolled = _unrolled_metric(metric, vec_col, query)
-            if unrolled is not None:
-                score_expr = F.when(
-                    F.size(F.col(vec_col)) == len(query), unrolled
-                ).otherwise(score_expr)
         scored = df.select(
-            id_col, *keep_cols, score_expr.alias(out)
+            id_col, *keep_cols, expr_fn(F.col(vec_col), qcol).alias(out)
         )
     keep = scored.filter(
         F.col(out) <= float(threshold) if ascending else F.col(out) >= float(threshold)
@@ -581,6 +581,7 @@ def batch_range_search(
     predicate: Column | None = None,
     impl: str = "auto",
     dim: int | None = None,
+    unroll: bool = False,
 ) -> DataFrame:
     """All (query, corpus-row) pairs within the metric threshold — the
     BATCHED faiss ``range_search`` (its native signature takes n queries
@@ -628,7 +629,11 @@ def batch_range_search(
     else:
         joined = df.crossJoin(F.broadcast(queries))
         fold = expr_fn(F.col(vec_col), F.col(query_vec_col))
-        unrolled = _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
+        unrolled = (
+            _unrolled_metric(metric, vec_col, query_vec_col, dim=dim)
+            if unroll
+            else None
+        )
         if unrolled is not None:
             # r15: unrolled codegen chain for exact-dim pairs, fold
             # otherwise (lazy CaseWhen branches) — bit-equal output

@@ -90,24 +90,12 @@ def _per_token_maxes(
     Arrow GEMM kernel past it."""
     dim = len(toks[0])
     if len(toks) * dim <= _LITERAL_TERM_CEILING:
-        # r15: per-token dots unroll into codegen chains for exact-dim
-        # rows (bit-equal left-assoc sequence; see functions/vector.py),
-        # with the interpreted fold as the lazy otherwise branch so any
-        # dim-mismatched row keeps zip_with NULL-padding semantics
-        from vector_db_spark.operators.knn import _unrolled_metric
-
-        def _tok_dot(t: list[float]) -> Column:
-            fold = dot(F.col(vec_col), query_literal(t))
-            unrolled = _unrolled_metric("ip", vec_col, t)
-            if unrolled is None:
-                return fold
-            return F.when(
-                F.size(F.col(vec_col)) == len(t), unrolled
-            ).otherwise(fold)
-
         scored = corpus.select(
             F.col(doc_col).alias("doc"),
-            *[_tok_dot(t).alias(f"_d{i}") for i, t in enumerate(toks)],
+            *[
+                dot(F.col(vec_col), query_literal(t)).alias(f"_d{i}")
+                for i, t in enumerate(toks)
+            ],
         )
         return scored.groupBy("doc").agg(
             *[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(toks))]

@@ -711,7 +711,7 @@ def shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("query_vec"),
         )
         edges = (
-            batch_knn(sub, queries, 6, metric="l2", dim=64)
+            batch_knn(sub, queries, 6, metric="l2", dim=64, unroll=True)
             .filter(F.col("rank") > 1)
             .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
         )
