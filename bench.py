@@ -508,9 +508,17 @@ def highdim_suite(spark, sf_dir: str, root: str):
     import pyarrow.parquet as pq_
 
     os.makedirs(root, exist_ok=True)
-    chunk = 50_000
-    writer = None
-    for start in range(0, n, chunk):
+    # r15: the corpus used to land as ONE parquet file, which Spark scans
+    # as ONE task until the file outgrows maxPartitionBytes — at sf1 that
+    # made every 768-d exact scan single-threaded (guide §6: file layout
+    # decides reader parallelism). Stage one file per chunk instead; the
+    # rng consumes the identical sequence in the identical order, so the
+    # corpus CONTENT (every row, every id) is byte-identical to the
+    # single-file layout — only the file boundaries move. Chunk sized so
+    # even small fixtures get a few files without drowning in open costs.
+    chunk = max(1_000, min(50_000, (n + 7) // 8))
+    os.makedirs(f"{root}/corpus.parquet", exist_ok=True)
+    for part, start in enumerate(range(0, n, chunk)):
         rows = min(chunk, n - start)
         ids = np.arange(start, start + rows, dtype=np.int64)
         mat = (
@@ -525,10 +533,9 @@ def highdim_suite(spark, sf_dir: str, root: str):
                 ).cast(pa.list_(pa.float32())),
             }
         )
-        if writer is None:
-            writer = pq_.ParquetWriter(f"{root}/corpus.parquet", t.schema)
-        writer.write_table(t)
-    writer.close()
+        pq_.write_table(
+            t, f"{root}/corpus.parquet/part-{part:05d}.parquet"
+        )
     corpus = spark.read.parquet(f"{root}/corpus.parquet")
     qv = [
         float(x)
