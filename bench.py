@@ -259,8 +259,12 @@ def ann_search_suite(spark, sf_dir: str, root: str):
     from concurrent.futures import ThreadPoolExecutor
 
     def _build_pq():
+        # offload_fit: the Lloyd loop runs in a forked child process, not
+        # this driver thread — the 9-family pool's Python fit loops
+        # otherwise serialize on the driver GIL (r16, guide §5)
         pqz = ProductQuantizer.fit(
-            emb, m=16, ksub=64, seed=42, iters=8, n_rows=n_rows
+            emb, m=16, ksub=64, seed=42, iters=8, n_rows=n_rows,
+            offload_fit=True,
         )
         pqz.encode(emb).select("vec_id", "pq_codes").write.mode(
             "overwrite"
@@ -295,8 +299,6 @@ def ann_search_suite(spark, sf_dir: str, root: str):
 
     from vector_db_spark.operators.dedup import semdedup_nlist
 
-    n_rows = emb.count()
-
     sub_timings: dict[str, float] = {}
 
     def _build_cosine_ivf():
@@ -324,8 +326,13 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         # the ADC entry below scans the same M bytes/row as plain PQ
         from vector_db_spark.operators.opq import OpqQuantizer
 
+        # offload_fit: the alternating Lloyd/Procrustes loop — the pool's
+        # measured critical path (r15 profile: 2.74 s standalone, ~8.8 s
+        # wall under 8 sibling threads) — runs in a forked child process
+        # instead of holding the driver GIL (r16, guide §5)
         oq = OpqQuantizer.fit(
-            emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4, n_rows=n_rows
+            emb, m=16, ksub=64, seed=42, iters=8, opq_iters=4, n_rows=n_rows,
+            offload_fit=True,
         )
         oq.save(f"{root}/opq")
         oq.encode(emb).select("vec_id", "opq_codes").write.mode(
@@ -355,6 +362,16 @@ def ann_search_suite(spark, sf_dir: str, root: str):
         ).save(f"{root}/mspq")
 
     t0 = time.perf_counter()
+    # Timed contract of ann_index_build (r16, VERDICT r15 what's-wrong #3):
+    # the entry bills EVERYTHING the build pool computes from the corpus,
+    # including this corpus count — it sizes every family's training-sample
+    # fraction, so it is engine work of the build, not fixture plumbing.
+    # r15 had hoisted it above t0 (lightening the entry's definition by
+    # ~1 job); restored inside the window. The operator-side n_rows hint
+    # API stays: real callers that already know their row count (catalog
+    # stats, a prior pass) legitimately skip the job — the BENCH does not
+    # know it without computing it, so the bench pays for it.
+    n_rows = emb.count()
     with ThreadPoolExecutor(max_workers=9) as pool:
         futures = [
             pool.submit(_build_ivf_and_ivfpq, pool),

@@ -1217,6 +1217,7 @@ def test_compressed_range_search_coarse_cell_pruning(spark, tmp_path):
             assert json.load(f)["version"] == coll._indexed_version()
 
 
+@pytest.mark.heavy
 def test_collection_range_search_batch_all_families(spark, tmp_path):
     """Collection.range_search_batch routes every family's batched range
     probe through one catalog call: exact/ivf/compressed are value-exact

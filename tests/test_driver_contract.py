@@ -40,19 +40,33 @@ def test_all_registered_queries_canonicalizable(spark):
     the bounded eager prep (index fits, stream drains) for the rest — the
     same work the driver does, at the smallest fixture.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from vector_db_spark.queries import QUERIES
 
     bad: dict[str, list[str]] = {}
     errs: dict[str, str] = {}
-    for name, fn in sorted(QUERIES.items()):
+
+    def _check(item):
+        name, fn = item
         try:
-            df = fn(spark, SF)
+            return name, _container_cols(fn(spark, SF).schema), None
         except Exception as e:  # noqa: BLE001 - collect all failures
-            errs[name] = f"{type(e).__name__}: {e}"
-            continue
-        cols = _container_cols(df.schema)
-        if cols:
-            bad[name] = cols
+            return name, None, f"{type(e).__name__}: {e}"
+
+    # Build the ~255 DataFrames from a small driver thread pool (r16,
+    # VERDICT r15 next #1 — the serial sweep was 251 s of the suite's
+    # wall, dominated by per-query bounded eager prep waiting on
+    # sequential Spark jobs; concurrent driver threads overlap them,
+    # guide §2.6). Same queries, same assertions, same failure
+    # reporting — only the submission order changes, and query builders
+    # are independent (each reads fixtures / its own artifacts).
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, cols, err in pool.map(_check, sorted(QUERIES.items())):
+            if err is not None:
+                errs[name] = err
+            elif cols:
+                bad[name] = cols
     assert not errs, f"queries that failed to build at sf0.001: {errs}"
     assert not bad, f"container-typed output columns (driver-red): {bad}"
 

@@ -78,12 +78,21 @@ def test_explains_skeletons_match_current_plans(spark):
         "regenerate with tools/explain_audit.py"
     )
 
+    # compile plans from a small thread pool (r16 — plan compilation is
+    # JVM-side Catalyst work; threads overlap the per-query py4j round
+    # trips; same plan set, same skeleton comparison)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        name, fn = item
+        return name, skeleton(explain_str(fn(spark, sf_dir), "formatted"))
+
     drifted = []
-    for name, fn in plans:
-        cur = skeleton(explain_str(fn(spark, sf_dir), "formatted"))
-        if cur != committed[name]:
-            drifted.append(f"--- {name} ---\ncommitted:\n"
-                           f"{committed[name]}\ncurrent:\n{cur}")
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, cur in pool.map(_one, plans):
+            if cur != committed[name]:
+                drifted.append(f"--- {name} ---\ncommitted:\n"
+                               f"{committed[name]}\ncurrent:\n{cur}")
     assert not drifted, (
         f"{len(drifted)} plan skeleton(s) drifted from EXPLAINS.md "
         "(regenerate with tools/explain_audit.py ONLY if the change is "

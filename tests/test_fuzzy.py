@@ -36,7 +36,19 @@ def _naive_self(df, d):
     )
 
 
-@pytest.mark.parametrize("d,k", [(0, 2), (1, 2), (2, 2), (3, 2), (2, 3)])
+@pytest.mark.parametrize(
+    "d,k",
+    [
+        # smoke tier keeps the d=1 default-shaped case; the other
+        # (d, k) corners are the heavy tier (r16 — each runs a full
+        # naive O(n²) cross-check, ~15 s apiece)
+        pytest.param(0, 2, marks=pytest.mark.heavy),
+        (1, 2),
+        pytest.param(2, 2, marks=pytest.mark.heavy),
+        pytest.param(3, 2, marks=pytest.mark.heavy),
+        pytest.param(2, 3, marks=pytest.mark.heavy),
+    ],
+)
 def test_fuzzy_self_join_equals_naive(spark, words_df, d, k):
     got = sorted(
         (r.a_id, r.b_id, r.dist)

@@ -249,7 +249,18 @@ def test_arrow_kernels_raise_on_nan_corpus(spark):
     assert len(knn(clean, q, 5, impl="arrow").collect()) == 5
 
 
-@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+@pytest.mark.parametrize(
+    "metric",
+    [
+        # smoke tier keeps l2; ip/cosine run the identical kernel with a
+        # different score expression and are the heavy tier (r16 —
+        # ~16 s apiece; test_batch_knn_arrow_matches_expr keeps all
+        # three metrics in the smoke tier)
+        "l2",
+        pytest.param("ip", marks=pytest.mark.heavy),
+        pytest.param("cosine", marks=pytest.mark.heavy),
+    ],
+)
 def test_batch_range_search_arrow_matches_expr(spark, metric):
     """Batched range search: the Arrow kernel (GEMM + nonzero threshold
     mask) must emit exactly the expression path's (query, row) match

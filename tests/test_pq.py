@@ -320,6 +320,30 @@ def test_opq_rotation_orthonormal_and_roundtrip(spark, emb, tmp_path):
         oq.search(oq.encode(emb), [1.0, 2.0], 3)
 
 
+def test_pq_offload_fit_bit_identical(spark, emb):
+    """Same pin for the plain-PQ Lloyd fit (see the OPQ twin below)."""
+    a = ProductQuantizer.fit(emb, m=8, ksub=16, seed=42, iters=4)
+    b = ProductQuantizer.fit(
+        emb, m=8, ksub=16, seed=42, iters=4, offload_fit=True
+    )
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_opq_offload_fit_bit_identical(spark, emb):
+    """offload_fit=True ships the alternating NumPy loop to an executor
+    task instead of the driver thread (r16, guide §5). Same function,
+    same sample, same NumPy stack — the artifact must be BIT-equal, not
+    just close: the frozen opq_adc_knn probe gate depends on it."""
+    from vector_db_spark.operators.opq import OpqQuantizer
+
+    a = OpqQuantizer.fit(emb, m=8, ksub=16, seed=42, iters=4, opq_iters=3)
+    b = OpqQuantizer.fit(
+        emb, m=8, ksub=16, seed=42, iters=4, opq_iters=3, offload_fit=True
+    )
+    assert np.array_equal(a.rotation, b.rotation)
+    assert np.array_equal(a.pq.codebooks, b.pq.codebooks)
+
+
 def test_opq_rerank_full_equals_exact(spark, emb):
     from vector_db_spark.operators.knn import knn
     from vector_db_spark.operators.opq import OpqQuantizer

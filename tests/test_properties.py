@@ -294,6 +294,7 @@ def test_skipgram_counts_are_symmetric(sc, doc_words):
     ),
     st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.heavy
 @_settings
 def test_ivf_batch_full_probe_equals_exact_batch(sc, vecs, nlist):
     """For ANY corpus and ANY nlist, batch IVF at full probe must equal
@@ -392,6 +393,7 @@ _fz_strings = st.lists(
 )
 
 
+@pytest.mark.heavy
 @given(strings=_fz_strings, d=st.integers(min_value=0, max_value=3))
 @_settings
 def test_fuzzy_blocking_lossless(sc, strings, d):

@@ -100,6 +100,7 @@ def test_tune_validates_target(emb):
         tune_graph(idx, sample, recall_target=1.5)
 
 
+@pytest.mark.heavy
 def test_tune_ivfpq_meets_target_on_ladder(emb):
     from vector_db_spark.operators.ivfpq import IvfPqIndex
     from vector_db_spark.operators.tuning import tune_ivfpq
@@ -123,6 +124,7 @@ def test_tune_ivfpq_meets_target_on_ladder(emb):
     assert _recall(exact, _topk_sets(rows, "query_id", "vec_id")) >= TARGET - 0.1
 
 
+@pytest.mark.heavy
 def test_tune_maxsim_meets_target_on_ladder(emb, spark):
     from vector_db_spark.operators.late_interaction import (
         MaxSimIvfIndex,
@@ -153,6 +155,7 @@ def test_tune_maxsim_meets_target_on_ladder(emb, spark):
     assert _recall(exact, _topk_sets(rows, "query_id", "doc")) >= TARGET
 
 
+@pytest.mark.heavy
 def test_tune_ivfpq_escalates_shortlist_past_ladder(emb):
     """At a recall target the default k-proportional ladder cannot meet
     (coarse codes, high density — the sf1 regime), the tuner must
@@ -170,6 +173,7 @@ def test_tune_ivfpq_escalates_shortlist_past_ladder(emb):
     assert out["shortlist"] > 16 * K  # escalated beyond the ladder
 
 
+@pytest.mark.heavy
 def test_tune_maxsim_compressed_family(emb, spark):
     """The tuner addresses the residual-PQ PLAID family (`MaxSimPqIndex`)
     through the same public `.ivf` handle as the uncompressed variant —
@@ -280,6 +284,7 @@ def test_tune_collection_dispatch_persist_and_serve(spark, emb, tmp_path):
                         opq_iters=2)),
     ],
 )
+@pytest.mark.heavy
 def test_tune_collection_served_shortlist_family(spark, emb, tmp_path, itype, build):
     """IVF-SQ/OPQ tune through Collection.search_batch (their codes
     layouts drop raw vectors; the served rerank against the live scan is
@@ -317,6 +322,7 @@ def test_tune_collection_served_shortlist_family(spark, emb, tmp_path, itype, bu
     assert rec >= TARGET
 
 
+@pytest.mark.heavy
 def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
     """exact has nothing to tune; lsh tunes probe_radius — the minimal
     radius meeting the target persists, and radius = n_bits (every
@@ -357,6 +363,7 @@ def test_tune_collection_exact_edge_and_lsh_radius(spark, emb, tmp_path):
     assert wide.info.serving_params == {"probe_radius": 1}
 
 
+@pytest.mark.heavy
 def test_rebuild_drops_stranded_probe_radius(spark, emb, tmp_path):
     """A rebuild with more code bits can put a persisted probe_radius
     past the probe-mask ceiling; build_index must drop the stale knob
@@ -390,6 +397,7 @@ def test_rebuild_drops_stranded_probe_radius(spark, emb, tmp_path):
     assert lsh.info.serving_params == {"probe_radius": 1}
 
 
+@pytest.mark.heavy
 def test_tune_collection_maxsim_dispatch(spark, tmp_path):
     """Multi-vector dispatch: tune_collection routes a maxsim collection
     to tune_maxsim with the long-format (query_id, token_id, token_vec)
@@ -435,6 +443,7 @@ def test_tune_collection_graph_dispatch(spark, emb, tmp_path):
     assert len(coll.search([0.0] * 64, 3).collect()) == 3
 
 
+@pytest.mark.heavy
 def test_tune_graph_range_meets_coverage_target(emb):
     """VERDICT r11 #5: the range tuner returns knobs whose range
     COVERAGE (|returned ∩ true|/|true| vs the exact batched range scan)
@@ -481,6 +490,7 @@ def test_tune_lsh_range_monotone_and_meets_target(emb):
     assert 1 <= out["probe_radius"] <= 6
 
 
+@pytest.mark.heavy
 def test_tune_collection_joint_range_target_persists(spark, emb, tmp_path):
     """tune_collection(range_threshold=...) on a graph collection: the
     persisted knobs meet BOTH the top-k recall target and the range
@@ -524,6 +534,7 @@ def test_tune_collection_joint_range_target_persists(spark, emb, tmp_path):
     assert _recall(exact, got) >= TARGET
 
 
+@pytest.mark.heavy
 def test_tune_maxsim_range_meets_coverage_target(spark, tmp_path):
     """Round 12: the MaxSim range tuner returns the minimal-nprobe rung
     whose coverage vs the exact batched MaxSim range meets the target;
@@ -577,6 +588,7 @@ def test_tune_maxsim_range_meets_coverage_target(spark, tmp_path):
         tune_maxsim_range(idx, sample, thr, coverage_target=0.0)
 
 
+@pytest.mark.heavy
 def test_tune_collection_maxsim_joint_range_target(spark, tmp_path):
     """tune_collection(range_threshold=...) on a maxsim collection: the
     merged nprobe meets both axes, both re-measured numbers are

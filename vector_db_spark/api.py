@@ -467,17 +467,44 @@ class VectorDatabaseApi:
         # None scan and escape the ApiError contract (ADVICE r4).
         if coll.scan() is None:
             return {"code": 0, "labels": [], "distances": []}
-        self._ensure_index(coll)
-        try:
-            rows = coll.search(vec, int(k), **sp).collect()
-        except ValueError as exc:
-            raise ApiError(500, str(exc)) from exc
+        # Cross-process staleness race (r16 — surfaced by the two-process
+        # catalog gate under a loaded host): between _collection() and
+        # serving, ANOTHER process can commit a newer version and publish
+        # its index; _ensure_index then builds against THIS request's
+        # stale snapshot, the publish hook discards the superseded
+        # artifact (by design), and Collection.search raises the
+        # staleness error even though an index FRESHER than our snapshot
+        # exists. Re-reading the catalog entry and retrying serves the
+        # newer committed state — read-your-writes holds because
+        # versions only advance and cover every earlier commit.
+        rows = self._serve_with_refresh(
+            coll, lambda c: c.search(vec, int(k), **sp).collect()
+        )
         out_col = "distance" if coll.info.metric == "l2" else "score"
         return {
             "code": 0,
             "labels": [int(r[coll.info.id_col]) for r in rows],
             "distances": [float(r[out_col]) for r in rows],
         }
+
+    def _serve_with_refresh(self, coll, serve):
+        """ensure-index + serve, retrying on the cross-process staleness
+        error with a freshly re-read catalog snapshot (see search())."""
+        attempts = 3
+        while True:
+            self._ensure_index(coll)
+            try:
+                return serve(coll)
+            except ValueError as exc:
+                attempts -= 1
+                stale = "call build_index() to rebuild" in str(exc)
+                if not stale or attempts <= 0:
+                    raise ApiError(500, str(exc)) from exc
+                fresh = self.catalog.get(coll.info.name)
+                if fresh.info.version == coll.info.version:
+                    # not a concurrent advance — a genuine local error
+                    raise ApiError(500, str(exc)) from exc
+                coll = fresh
 
     # -- POST /range_search (engine extension — round 11: the faiss
     # range_search contract over the wire; the reference has no range
@@ -528,14 +555,22 @@ class VectorDatabaseApi:
             # maxsim families lazily build like /search so the wire serves
             # the probed range at serving nprobe (the exact fallback would
             # silently scan the corpus per request)
-            self._ensure_index(coll)
-        try:
-            res = coll.range_search(vec, float(threshold), **sp)
-            if limit is not None:
-                res = res.limit(limit)
-            rows = res.collect()
-        except ValueError as exc:
-            raise ApiError(500, str(exc)) from exc
+            # staleness-refresh retry: same cross-process race as /search
+            def _serve(c):
+                res = c.range_search(vec, float(threshold), **sp)
+                if limit is not None:
+                    res = res.limit(limit)
+                return res.collect()
+
+            rows = self._serve_with_refresh(coll, _serve)
+        else:
+            try:
+                res = coll.range_search(vec, float(threshold), **sp)
+                if limit is not None:
+                    res = res.limit(limit)
+                rows = res.collect()
+            except ValueError as exc:
+                raise ApiError(500, str(exc)) from exc
         out_col = "distance" if coll.info.metric == "l2" else "score"
         return {
             "code": 0,

@@ -167,6 +167,12 @@ def query_literal(vec: Sequence[float]) -> Column:
 # grow an unbounded expression cache.
 _UNROLL_CACHE: dict[tuple, Column] = {}
 _UNROLL_CACHE_MAX = 512
+# Cached Columns are py4j-backed: they reference the JVM gateway of the
+# session that built them. If the SparkSession is stopped and recreated
+# in-process, the cached objects point at a dead gateway and every later
+# knn call would fail opaquely (ADVICE r15) — so the cache is keyed to
+# the active session and cleared when it changes.
+_UNROLL_CACHE_SESSION: int | None = None
 
 
 def _unrolled_metric(
@@ -195,6 +201,14 @@ def _unrolled_metric(
         b_key = tuple(float(x) for x in b)
     if d is None or d > UNROLL_DIM_MAX:
         return None
+    from pyspark.sql import SparkSession
+
+    global _UNROLL_CACHE_SESSION
+    sess = SparkSession.getActiveSession()
+    token = None if sess is None else id(sess)
+    if token != _UNROLL_CACHE_SESSION:
+        _UNROLL_CACHE.clear()
+        _UNROLL_CACHE_SESSION = token
     key = (metric, a_col, b_key, d)
     col = _UNROLL_CACHE.get(key)
     if col is None:
@@ -206,7 +220,9 @@ def _unrolled_metric(
         bb = F.col(b) if isinstance(b, str) else b
         col = builder(F.col(a_col), bb, d)
         if len(_UNROLL_CACHE) >= _UNROLL_CACHE_MAX:
-            _UNROLL_CACHE.clear()
+            # evict the OLDEST entry (insertion order), not the whole
+            # cache — a full clear re-pays ~1.1 s per hot entry (ADVICE)
+            _UNROLL_CACHE.pop(next(iter(_UNROLL_CACHE)))
         _UNROLL_CACHE[key] = col
     return col
 

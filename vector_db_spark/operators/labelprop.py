@@ -38,6 +38,17 @@ def label_propagation(
     Initial labels are the node ids (the standard seeding). ``edges``
     is directed (src, dst) — callers wanting undirected semantics pass
     the symmetrized list.
+
+    PRECONDITION (ADVICE r15): every edge src must be a member of
+    ``nodes`` (src ⊆ nodes). The sparse round rewrite synthesizes an
+    absent src's label as its own id — correct for a node that has never
+    won a plurality update, which is the dense formulation's value. An
+    edge whose src is OUTSIDE the vertex frame would now vote with its
+    own id where the old dense formulation (and the DuckDB oracle)
+    dropped the edge via the inner label join. Every in-repo caller
+    derives edges from the vertex frame, satisfying this; external
+    callers with dangling srcs must pre-filter, e.g.
+    ``edges.join(nodes, edges.src == nodes.id, "left_semi")``.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -58,8 +69,10 @@ def label_propagation(
     # The loop therefore carries only the sparse winner frame and
     # synthesizes absent labels as coalesce(new_label, src); round 1 is
     # join-free (initial labels ARE the ids). One join + one exchange per
-    # round removed; labels bit-identical to the dense formulation. The
-    # node frame joins exactly once, at the end, to emit dense output.
+    # round removed; labels bit-identical to the dense formulation UNDER
+    # THE src ⊆ nodes PRECONDITION in the docstring (a dangling src would
+    # vote with its own id here where the dense form dropped the edge).
+    # The node frame joins exactly once, at the end, to emit dense output.
     winner = None
     for r in range(iters):
         if r == 0:

@@ -109,6 +109,33 @@ def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     )
 
 
+def _opq_alternating_fit(
+    pts: np.ndarray, m: int, ksub: int, seed: int, iters: int, opq_iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The pure-NumPy alternating Lloyd/Procrustes loop of OPQ fit:
+    (sample matrix) → (rotation, codebooks) keeping the best pair by
+    training MSE. Module-level and side-effect-free so it can run either
+    on the driver thread or shipped to an executor task (fit offload,
+    guide §5 — the driver should do almost no data work); both paths run
+    the IDENTICAL operation sequence on the identical input, so the
+    artifact is bit-equal by construction."""
+    dim = pts.shape[1]
+    rot = np.eye(dim)
+    best = None  # (mse, rot, books)
+    for _ in range(max(1, opq_iters)):
+        rotated = pts @ rot.T
+        books = _train_books(rotated, m, ksub, seed, iters)
+        recon = _reconstruct_np(_encode_np(rotated, books), books)
+        mse = float(((rotated - recon) ** 2).sum(axis=1).mean())
+        if best is None or mse < best[0]:
+            best = (mse, rot.copy(), books)
+        # Procrustes: R minimizing ||X Rᵀ − Ŷ||_F over orthonormal R
+        u, _, vt = np.linalg.svd(recon.T @ pts)
+        rot = u @ vt
+    _, rot, books = best
+    return rot, books
+
+
 class OpqQuantizer:
     """Rotation + product quantizer; codes are M-byte binary, the same
     storage/scan footprint as plain PQ at equal (m, ksub)."""
@@ -139,35 +166,48 @@ class OpqQuantizer:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_rows: int | None = None,
+        offload_fit: bool = False,
     ) -> "OpqQuantizer":
         """Alternating Lloyd/Procrustes on a bounded sample. Keeps the
         best (R, codebooks) by training reconstruction MSE, so the
-        result is never worse than plain PQ on the training sample."""
+        result is never worse than plain PQ on the training sample.
+
+        ``offload_fit=True`` runs the NumPy alternating loop in a FORKED
+        child process (pq.run_fit_forked) instead of the calling driver
+        thread — guide §5: concurrent index builds from driver threads
+        (bench.py's pool) serialize their Python-level fit loops on the
+        driver GIL. The child has its own interpreter, so the fit
+        overlaps truly with sibling builds; fork (same process image,
+        same BLAS state) is what keeps the SVD bit-equal — a Spark
+        executor worker measurably is NOT (see run_fit_forked). Pinned
+        by tests/test_pq.py::test_opq_offload_fit_bit_identical and the
+        frozen opq_adc_knn probe gate."""
         if not 1 <= ksub <= 256:
             raise ValueError("ksub must be in [1, 256] (uint8 codes)")
         pts = sample_training_points(
             corpus, vec_col, ksub * sample_per_code, seed, n_rows=n_rows
         )
         if pts.ndim != 2 or pts.shape[0] == 0:
-            raise ValueError("cannot fit an OpqQuantizer on an empty corpus")
+            raise ValueError(
+                "cannot fit an OpqQuantizer: empty training sample — "
+                "corpus is empty, or an overstated n_rows hint shrank the "
+                "sample fraction below one row (ADVICE r15)"
+            )
         # dim from the sample — drops the head() probe job (r15 opt)
         dim = pts.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
 
-        rot = np.eye(dim)
-        best = None  # (mse, rot, books)
-        for _ in range(max(1, opq_iters)):
-            rotated = pts @ rot.T
-            books = _train_books(rotated, m, ksub, seed, iters)
-            recon = _reconstruct_np(_encode_np(rotated, books), books)
-            mse = float(((rotated - recon) ** 2).sum(axis=1).mean())
-            if best is None or mse < best[0]:
-                best = (mse, rot.copy(), books)
-            # Procrustes: R minimizing ||X Rᵀ − Ŷ||_F over orthonormal R
-            u, _, vt = np.linalg.svd(recon.T @ pts)
-            rot = u @ vt
-        _, rot, books = best
+        if offload_fit:
+            from vector_db_spark.operators.pq import run_fit_forked
+
+            rot, books = run_fit_forked(
+                _opq_alternating_fit, pts, m, ksub, seed, iters, opq_iters
+            )
+        else:
+            rot, books = _opq_alternating_fit(
+                pts, m, ksub, seed, iters, opq_iters
+            )
         pq = ProductQuantizer(books, id_col, vec_col)
         return OpqQuantizer(rot, pq)
 

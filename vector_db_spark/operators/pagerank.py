@@ -72,6 +72,18 @@ def pagerank(
     gate graph's 2k nodes are unaffected: auto == INIT_MASS there).
     Passing an explicit ``init_mass`` pins the unit (cross-engine oracle
     reproducibility at a chosen resolution).
+
+    PRECONDITION (ADVICE r15): every edge src must be a member of
+    ``nodes`` (src ⊆ nodes). The sparse round rewrite synthesizes the
+    teleport-base mass for any src absent from the per-round in-sum
+    frame — under the precondition that src is simply a node that
+    received no in-mass, which is exactly the dense formulation's value.
+    An edge whose src is OUTSIDE the vertex frame, however, would now
+    contribute base mass where the old dense formulation (and the DuckDB
+    oracle) dropped it via the inner mass join. Every in-repo caller
+    derives edges from the vertex frame, satisfying this; external
+    callers with dangling srcs must pre-filter, e.g.
+    ``edges.join(nodes, edges.src == nodes.id, "left_semi")``.
     """
     if not 0 < damping_pct <= 100:
         raise ValueError("damping_pct must be in (0, 100]")
@@ -99,7 +111,9 @@ def pagerank(
     # ``base``, reproduced exactly by coalesce(insum, 0) inside the
     # contribution expression. Integer arithmetic, order of operations
     # and flooring are IDENTICAL to the dense formulation, so every
-    # mass value is bit-equal; the node frame is joined exactly once, at
+    # mass value is bit-equal UNDER THE src ⊆ nodes PRECONDITION in the
+    # docstring (a dangling src would get base mass here where the dense
+    # form dropped it); the node frame is joined exactly once, at
     # the end, to emit the dense result. Per-round plan shape drops from
     # {mass join on id, groupBy dst, node left-join} to {left join on the
     # previous in-sum (both sides already hash-partitioned on their join

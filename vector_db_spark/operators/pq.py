@@ -96,6 +96,45 @@ def shortlist_rerank(
     return knn(short, query, k, id_col=id_col, vec_col=vec_col)
 
 
+def run_fit_forked(fn, *args):
+    """Run a pure-NumPy fit function in a FORKED child process and return
+    its result (offload_fit, guide §5: concurrent index builds from
+    driver threads serialize their Python-level fit loops on the driver
+    GIL; a child process has its own interpreter, and the parent thread
+    blocks on the result pipe with the GIL released).
+
+    Fork, not a Spark task and not spawn, is load-bearing for BIT
+    identity: the child inherits the parent's exact process image —
+    same NumPy, same BLAS runtime state, same thread configuration — so
+    LAPACK paths whose results are thread-count-sensitive (measured r16:
+    ``np.linalg.svd`` returns different last-bit results inside a Spark
+    executor worker than on the driver; GEMM and Lloyd do not) reproduce
+    the driver's output exactly. Pinned by the offload bit-identity
+    tests in tests/test_pq.py. Platforms without fork run inline."""
+    import multiprocessing as mp
+
+    if "fork" not in mp.get_all_start_methods():
+        return fn(*args)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(1) as pool:
+        return pool.apply(fn, args)
+
+
+def _train_subspace_books(
+    pts: np.ndarray, m: int, ksub: int, seed: int, iters: int
+) -> np.ndarray:
+    """Per-subspace Lloyd codebooks as one pure function of the sample —
+    module-level so it can run on the driver or be shipped to an
+    executor task (offload_fit) with a bit-equal result."""
+    dsub = pts.shape[1] // m
+    return np.stack(
+        [
+            _lloyd(pts[:, i * dsub : (i + 1) * dsub], ksub, seed + i, iters)
+            for i in range(m)
+        ]
+    )
+
+
 def _lloyd(pts: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     k = min(k, pts.shape[0])
@@ -163,28 +202,40 @@ class ProductQuantizer:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_rows: int | None = None,
+        offload_fit: bool = False,
     ) -> "ProductQuantizer":
         """Train per-subspace codebooks on a bounded sample (≤ ksub·
-        sample_per_code vectors — fit cost independent of corpus size)."""
+        sample_per_code vectors — fit cost independent of corpus size).
+
+        ``offload_fit=True`` runs the Lloyd loop in a forked child
+        process (run_fit_forked) instead of the calling driver thread —
+        guide §5: concurrent builds from driver threads serialize their
+        Python-level fit loops on the driver GIL (see OpqQuantizer.fit).
+        Same function, same sample, same process image ⇒ bit-equal
+        codebooks (pinned by
+        tests/test_pq.py::test_pq_offload_fit_bit_identical)."""
         if not 1 <= ksub <= 256:
             raise ValueError("ksub must be in [1, 256] (uint8 codes)")
         pts = sample_training_points(
             corpus, vec_col, ksub * sample_per_code, seed, n_rows=n_rows
         )
         if pts.ndim != 2 or pts.shape[0] == 0:
-            raise ValueError("cannot fit a ProductQuantizer on an empty corpus")
+            raise ValueError(
+                "cannot fit a ProductQuantizer: empty training sample — "
+                "corpus is empty, or an overstated n_rows hint shrank the "
+                "sample fraction below one row (ADVICE r15)"
+            )
         # dim from the sample itself — the separate head() probe was one
         # more driver job per family in the build pool (r15 opt)
         dim = pts.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        dsub = dim // m
-        books = np.stack(
-            [
-                _lloyd(pts[:, i * dsub : (i + 1) * dsub], ksub, seed + i, iters)
-                for i in range(m)
-            ]
-        )
+        if offload_fit:
+            books = run_fit_forked(
+                _train_subspace_books, pts, m, ksub, seed, iters
+            )
+        else:
+            books = _train_subspace_books(pts, m, ksub, seed, iters)
         return ProductQuantizer(books, id_col, vec_col)
 
     def encode(self, df: DataFrame, code_col: str = "pq_codes") -> DataFrame:
